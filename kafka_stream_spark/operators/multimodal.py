@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched pandas UDFs over mapInPandas.
+
+The container has no image/audio/video libraries, so modality-specific
+decoding is stubbed behind clearly-marked NotImplementedError branches
+with a deterministic fallback feature set (byte length + md5) — the
+Spark-side contract (schema, batch shape, partition behavior) is real and
+tested. Swapping in PIL/librosa/ffmpeg later changes only the body of
+``_decode_*``.
+
+Scale notes: mapInPandas streams Arrow batches, so payloads never
+materialize as one driver-side blob; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of payloads
+fits executor memory, and repartition by a content-hash prefix when
+payload sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+DECODER_VERSION = "stub-decoder-v0"
+
+
+def _decode_image(payload: bytes) -> dict[str, Any]:
+    raise NotImplementedError(
+        "image decode requires PIL/opencv — not in this container; "
+        "deterministic byte-level features are used instead"
+    )
+
+
+def _decode_audio(payload: bytes) -> dict[str, Any]:
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa — not in this container"
+    )
+
+
+def _decode_video_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
+    raise NotImplementedError("video frame sampling requires ffmpeg bindings")
+
+
+def _byte_features(payload: bytes) -> dict[str, Any]:
+    """Deterministic modality-agnostic fallback features."""
+    return {
+        "n_bytes": len(payload),
+        "content_hash": hashlib.md5(payload).hexdigest(),
+        "decoder": DECODER_VERSION,
+    }
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary, meta: struct) → FEATURE_SCHEMA rows.
+
+    Tries the mime-appropriate decoder; on NotImplementedError (all
+    modalities in this container) falls back to byte-level features so the
+    pipeline stays total and deterministic.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = bytes(payload)
+                mime = (meta.get("mime") if hasattr(meta, "get") else meta["mime"]) or ""
+                try:
+                    if mime.startswith("image/"):
+                        feats = _decode_image(payload)
+                    elif mime.startswith("audio/"):
+                        feats = _decode_audio(payload)
+                    else:
+                        feats = _byte_features(payload)
+                except NotImplementedError:
+                    feats = _byte_features(payload)
+                rows.append({"doc_id": doc_id, **feats})
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

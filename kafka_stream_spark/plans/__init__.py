@@ -1,0 +1,18 @@
+"""Query plans: the engine's declared query surface.
+
+``QUERIES`` maps query-key → callable(spark, sf_dir) → DataFrame and
+``ORACLES`` maps the same key → equivalent DuckDB SQL (absent for
+rows-only checks). Keys follow SURVEY.md §2's inventory.
+"""
+
+from __future__ import annotations
+
+from .registry import ORACLES, QUERIES, query
+
+# importing the modules populates the registry
+from . import core  # noqa: E402,F401
+from . import gaps  # noqa: E402,F401
+from . import llm_ext  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,527 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.13, BASELINE.json
+north star): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (tokens, stats, language-ID, quality, fingerprints) and
+multimodal binary-column plumbing.
+
+Everything except the mapInPandas multimodal path is pure Column
+expressions with a structurally-identical DuckDB oracle — including the
+MinHash/SimHash sketches, which use the engine-portable md5-derived
+hashing in functions.hashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import hashing, text, vectors
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — exact dedup by content hash. Hash-groupBy shuffles 16-byte
+    keys + doc ids, never the 100 TB of text; survivor choice (min) is
+    deterministic, unlike dropDuplicates."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_pairs_oracle() -> str:
+    hs = text.hashed_distinct_shingles_sql("text")
+    sig = hashing.minhash_signature_sql("hs")
+    bk = hashing.band_keys_sql("sig")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {hs} AS hs FROM documents
+    ), s AS (
+      SELECT doc_id, hs, {sig} AS sig FROM h
+    ), b AS (
+      SELECT doc_id, unnest({bk}) AS band_key FROM s
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM b x JOIN b y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round(
+               len(list_filter(ha.hs, v -> list_contains(hb.hs, v))) * 1.0
+               / (len(ha.hs) + len(hb.hs)
+                  - len(list_filter(ha.hs, v -> list_contains(hb.hs, v)))),
+               6) AS jaccard
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.doc_a
+      JOIN h hb ON hb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+@query("q_near_dedup", oracle=_minhash_pairs_oracle())
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash-LSH near-dedup: shingle → 32-slot minhash → 8 bands ×
+    4 rows → band-bucket equi-join → exact-Jaccard verify ≥ 0.5.
+
+    Scale shape: signatures are one map-side pass; the LSH join shuffles
+    only (band_key, doc_id) pairs, and exact verification touches only
+    candidates — never the O(n²) pair space the naive q_ngram_jaccard
+    walks. This is the 100 TB near-dedup path."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", text.hashed_distinct_shingles(F.col("text")).alias("hs")
+    )
+    s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+    b = s.select("doc_id", F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"))
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha, hb = h.alias("ha"), h.alias("hb")
+    inter = F.size(
+        F.filter(F.col("ha.hs"), lambda v: F.array_contains(F.col("hb.hs"), v))
+    )
+    jacc = F.round(
+        inter * F.lit(1.0) / (F.size("ha.hs") + F.size("hb.hs") - inter), 6
+    )
+    return (
+        cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
+        .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _jaccard_oracle() -> str:
+    hs = text.hashed_distinct_shingles_sql("text")
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {hs} AS hs FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.hs, v -> list_contains(b.hs, v))) * 1.0
+                 / (len(a.hs) + len(b.hs)
+                    - len(list_filter(a.hs, v -> list_contains(b.hs, v)))),
+                 6) AS jaccard
+    FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.hs, v -> list_contains(b.hs, v))) * 1.0
+          / (len(a.hs) + len(b.hs)
+             - len(list_filter(a.hs, v -> list_contains(b.hs, v)))) >= 0.2
+    """
+
+
+@query("q_ngram_jaccard", oracle=_jaccard_oracle())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b — exact n-gram Jaccard over blocked pairs (same lang). The
+    blocking key cuts the pair space ~|langs|×; this is the small-corpus /
+    verification twin of q_near_dedup, not the scale path."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "lang", text.hashed_distinct_shingles(F.col("text")).alias("hs")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    inter = F.size(
+        F.filter(F.col("a.hs"), lambda v: F.array_contains(F.col("b.hs"), v))
+    )
+    jacc = inter * F.lit(1.0) / (F.size("a.hs") + F.size("b.hs") - inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _simhash_oracle() -> str:
+    toks = f"list_distinct({text.tokens_sql('text')})"
+    hashed = f"list_transform({toks}, t -> {hashing.token_hash_sql('t')})"
+    return f"""
+    WITH h AS (SELECT doc_id, {hashed} AS ht FROM documents)
+    SELECT doc_id, {hashing.simhash_sql('ht')} AS simhash FROM h
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c — 16-bit SimHash signature per document (distinct-token
+    voting). Near-dup candidates at scale = equal signature (or banded
+    Hamming ≤ k); signature computation is a pure map pass."""
+    d = load(spark, sf_dir, "documents")
+    ht = F.transform(
+        F.array_distinct(text.tokens(F.col("text"))), hashing.token_hash
+    )
+    return d.select("doc_id", hashing.simhash(ht).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round({vectors.cosine_sql('q.embedding', 'c.embedding')}, 6) AS score
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT q_id, n_id, score, rn FROM (
+      SELECT q_id, n_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — brute-force cosine top-k: small query set broadcast against
+    the corpus, one map-side pass, per-query top-k via ranking window on
+    the (tiny) scored set. Corpus is never shuffled."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", "score", "rn")
+    )
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({vectors.cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round({vectors.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3b — embedding-cosine near-dup pairs (threshold 0.4). Exact
+    pairwise form for correctness; q_ann_lsh is the bucketed scale path."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.4)
+    )
+
+
+#: 8 deterministic random hyperplanes (dim 64), literal on both sides.
+_PLANES = np.random.default_rng(42).uniform(-1.0, 1.0, size=(8, 64)).round(4)
+
+
+def _plane_lit(j: int) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in _PLANES[j]])
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(str(float(v)) for v in _PLANES[j]) + "]"
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = [
+        f"(CASE WHEN {vectors.dot_sql(emb, _plane_sql(j))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(len(_PLANES))
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket(emb: F.Column) -> F.Column:
+    total = F.lit(0)
+    for j in range(len(_PLANES)):
+        total = total + F.when(vectors.dot(emb, _plane_lit(j)) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return total
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket,
+             round({vectors.cosine_sql('q.embedding', 'c.embedding')}, 6) AS score
+      FROM (SELECT * FROM h WHERE vec_id < 10) q
+      JOIN h c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT q_id, n_id, bucket, score, rn FROM (
+      SELECT q_id, n_id, bucket, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3c — approximate NN via random-hyperplane LSH: 8 sign bits →
+    bucket id; candidates = same bucket; exact cosine re-rank inside the
+    bucket. At 100 TB the bucket id is the shuffle/partition key, so each
+    query probes ~n/256 of the corpus instead of all of it."""
+    e = load(spark, sf_dir, "embeddings")
+    h = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = h.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = h.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("n_id")))
+        .select(
+            "q_id",
+            "n_id",
+            "bucket",
+            F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", "bucket", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_counts",
+    oracle=f"""
+    SELECT t.token, count(*) AS cnt
+    FROM documents d, unnest({text.tokens_sql('d.text')}) AS t(token)
+    GROUP BY t.token
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — tokenize + explode + count. Partial aggregation makes the
+    shuffle carry one row per (partition, token), not per token instance."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id, len({text.bpe_tokens_sql('text')}) AS n_bpe_tokens,
+           len({text.tokens_sql('text')}) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — token counting: whitespace + BPE-ish regex pre-tokenizer
+    (letter runs / digit runs / single symbols)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(len({text.tokens_sql('text')})), 2) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — corpus statistics by language group."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.size(text.tokens(F.col("text")))), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {text.tokens_sql('text')} AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           {text.predict_lang_sql('toks')} AS predicted_lang
+    FROM t
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4c — heuristic language-ID: argmax of per-language marker-token
+    hits (n-gram-lexicon heuristic; the real corpus vocabulary is
+    English, so the value is the deterministic plumbing + oracle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.predict_lang(toks).alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {text.tokens_sql('text')} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             round(CAST({text.stopword_ratio_sql('toks')} AS DOUBLE), 6) AS sw_ratio,
+             round(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS avg_token_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, sw_ratio, avg_token_len,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1.0 - sw_ratio)
+                 + 0.3 * least(avg_token_len / 10.0, 1.0), 6) AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4d — document quality scoring from length / stopword-ratio /
+    word-length signals (the usual pre-training heuristics, rounded so
+    both engines agree on the arithmetic)."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    sw = F.round(text.stopword_ratio(toks).cast("double"), 6)
+    avg_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+            "double"
+        )
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    m = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sw.alias("sw_ratio"),
+        avg_len.alias("avg_token_len"),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("sw_ratio"))
+        + 0.3 * F.least(F.col("avg_token_len") / 10.0, F.lit(1.0)),
+        6,
+    )
+    return m.select("doc_id", "n_tokens", "sw_ratio", "avg_token_len", quality.alias("quality"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct({text.shingles_sql(text.tokens_sql('text'))}) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
+    FROM s
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4e — document fingerprint: lexicographic-min md5 over the distinct
+    word 3-grams (a 1-permutation minhash; winnowing's cheap cousin).
+    Equal fingerprints ⇒ strong near-dup signal at a fixed 32-byte cost."""
+    d = load(spark, sf_dir, "documents")
+    sh = F.array_distinct(text.shingles(text.tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash, 'stub-decoder-v0' AS decoder
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — multimodal column carrier + feature extraction via
+    mapInPandas. The payload here is text-as-binary (the container has no
+    image/audio libs — see operators.multimodal for the real decode stubs)
+    but the Spark plumbing is the production shape: binary column + typed
+    metadata in, Arrow-batched pandas out, schema declared up front."""
+    from ..operators.multimodal import extract_features
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"), F.col("n_chars").alias("n_chars")
+        ).alias("meta"),
+    )
+    return extract_features(d)

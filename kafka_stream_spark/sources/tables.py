@@ -1,0 +1,55 @@
+"""Parquet table loaders for the driver testdata (TESTDATA.md).
+
+The reference's sources are a Kafka topic and four MySQL tables loaded by
+ad-hoc SELECTs (SURVEY.md §2.1, kafka_s.py:68,132-137,292-296). Here every
+source is a declarative ``spark.read`` so Catalyst gets column pruning and
+predicate pushdown into the parquet scan for free — the reference
+hand-writes both into its SQL strings (kafka_s.py:113, 292).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; schema comes from parquet footer metadata.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; Spark reads it as a long
+    (nanosAsLong) and we floor it to microseconds — the same truncation
+    DuckDB applies when it reads the file, so both engines see identical
+    timestamps.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the tables to spark.sql(...) under their bare names."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

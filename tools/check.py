@@ -1,0 +1,112 @@
+"""Local differential checker mirroring the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, sorted column
+names, and an order-insensitive multiset of stringified rows.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from kafka_stream_spark.session import get_spark  # noqa: E402
+from kafka_stream_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def row_multiset(rows, cols_sorted, col_index) -> Counter:
+    out = Counter()
+    for r in rows:
+        out["|".join(_norm(r[col_index[c]]) for c in cols_sorted)] += 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures, rows_only = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:400]}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(srows)))
+            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            dcols_raw = [c for c in ddf.columns]
+            drows = ddf.fetchall()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:400]}")
+            continue
+        dcols = sorted(dcols_raw)
+        problems = []
+        if scols != dcols:
+            problems.append(f"schema: spark={scols} duckdb={dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount: spark={len(srows)} duckdb={len(drows)}")
+        if not problems:
+            s_ms = row_multiset(srows, scols, {c: i for i, c in enumerate(sdf.columns)})
+            d_ms = row_multiset(drows, dcols, {c: i for i, c in enumerate(dcols_raw)})
+            if s_ms != d_ms:
+                diff_s = list((s_ms - d_ms).items())[:3]
+                diff_d = list((d_ms - s_ms).items())[:3]
+                problems.append(f"values: spark-only={diff_s} duckdb-only={diff_d}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)[:600]}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{len(qs) - len(failures) - len(rows_only)} ok, "
+        f"{len(rows_only)} rows-only, {len(failures)} FAILED of {len(qs)}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
