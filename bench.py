@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect skew). Queries that are O(n²)-pairwise by design
+(q_ngram_jaccard, q_embedding_near_dup) are correctness twins of their
+scalable variants (q_near_dedup, q_ann_lsh) and are excluded here —
+the scalable variants ARE benchmarked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_stream_spark.plans import QUERIES  # noqa: E402
+from kafka_stream_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_board_pipeline",   # flagship: full enrichment pipeline
+    "q_rule_match",       # broadcast theta-join rule classification
+    "q_name_lookup_join", # broadcast dim lookup
+    "q_industry_join",    # filtered multi-join
+    "q_insert_only_filter",  # CDC parse + filter
+    "q_window_tumbling",  # event-time tumbling agg
+    "q_window_sliding",   # sliding windows
+    "q_session_window",   # session windows
+    "q_rank_topk_per_group",
+    "q_rollup",
+    "q_distinct_count",
+    "q_sort_limit",
+    "q_dedup",
+    "q_exact_dedup",
+    "q_near_dedup",       # MinHash-LSH near-dedup (scale path)
+    "q_simhash",
+    "q_cosine_topk",      # brute-force ANN baseline
+    "q_ann_lsh",          # LSH-bucketed ANN
+    "q_token_counts",
+    "q_quality_score",
+    "q_doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warmup pass: run every query once untimed so the timed pass measures
+    # steady-state execution (whole-stage-codegen compiled, JVM JIT warm,
+    # parquet footers cached) — the regime that matters at cluster scale —
+    # rather than one-time driver-side plan compilation.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,15 +65,63 @@ def shingles_sql(toks: str, n: int = 3) -> str:
         ELSE [array_to_string({toks}, ' ')] END)"""
 
 
-def hashed_distinct_shingles(text: Column, n: int = 3) -> Column:
-    """array<long> — portable hashes of the distinct word n-grams."""
-    sh = F.array_distinct(shingles(tokens(text), n))
-    return F.transform(sh, token_hash)
+#: coefficients combining the n token hashes of a shingle (all < P).
+SHINGLE_COEF = (1000003, 19349663, 83492791)
 
 
-def hashed_distinct_shingles_sql(expr: str, n: int = 3) -> str:
-    sh = f"list_distinct({shingles_sql(tokens_sql(expr), n)})"
-    return f"list_transform({sh}, s -> {token_hash_sql('s')})"
+def hashed_tokens_mod(text: Column) -> Column:
+    """array<long> — md5-derived token hash reduced mod P, one per token.
+
+    This is the expensive step (one md5 per token); everything downstream
+    combines these integers, so it runs once per token, not once per
+    shingle — a ~n× saving over hashing each n-gram string."""
+    from .hashing import MERSENNE_P
+
+    return F.transform(tokens(text), lambda t: token_hash(t) % MERSENNE_P)
+
+
+def shingle_hashes(th: Column, toks: Column, n: int = 3) -> Column:
+    """array<long> — n-gram hashes as a positional polynomial over the
+    pre-hashed tokens: (c1·h_i + c2·h_{i+1} + c3·h_{i+2}) mod P. Each
+    term is reduced mod P before summing so all arithmetic stays in
+    int64 in both engines. Docs shorter than n words get one whole-text
+    hash so every doc has ≥1 shingle."""
+    from .hashing import MERSENNE_P
+
+    def gram(i: Column) -> Column:
+        acc = None
+        for k, c in enumerate(SHINGLE_COEF[:n]):
+            term = (F.lit(c) * F.element_at(th, i + k + 1)) % MERSENNE_P
+            acc = term if acc is None else acc + term
+        return acc % MERSENNE_P
+
+    fallback = F.array(token_hash(F.concat_ws(" ", toks)) % MERSENNE_P)
+    return F.when(
+        F.size(th) >= n, F.transform(F.sequence(F.lit(0), F.size(th) - n), gram)
+    ).otherwise(fallback)
+
+
+def hashed_shingle_table_sql(extra_cols: str = "", n: int = 3) -> str:
+    """DuckDB derived table ``(doc_id[, extra], hs)`` mirroring the
+    two-step Spark computation (tokens hashed once, then combined)."""
+    from .hashing import MERSENNE_P as P
+
+    terms = " + ".join(
+        f"(({c} * th[i + {k + 1}]) % {P})" for k, c in enumerate(SHINGLE_COEF[:n])
+    )
+    whole = token_hash_sql("array_to_string(toks, ' ')")
+    sh = (
+        f"CASE WHEN len(th) >= {n} THEN "
+        f"list_transform(range(len(th) - {n - 1}), i -> ({terms}) % {P}) "
+        f"ELSE [{whole} % {P}] END"
+    )
+    return f"""(
+      SELECT doc_id{extra_cols}, list_distinct({sh}) AS hs
+      FROM (SELECT doc_id{extra_cols},
+                   list_transform({tokens_sql('text')}, t -> {token_hash_sql('t')} % {P}) AS th,
+                   {tokens_sql('text')} AS toks
+            FROM documents)
+    )"""
 
 
 def _member_of(markers: tuple[str, ...]):

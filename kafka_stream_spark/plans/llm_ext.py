@@ -18,8 +18,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import hashing, text, vectors
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cores. The testdata table is a single
+    parquet file (one input split); the sketch queries below are CPU-bound
+    per row, so a cheap round-robin repartition of (doc_id, text) unlocks
+    full parallelism. On a real multi-file 100 TB corpus the scan already
+    yields thousands of splits and Spark's AQE keeps sizes sane — the
+    repartition then coalesces small splits rather than splitting one."""
+    return load(spark, sf_dir, "documents").repartition(default_parallelism())
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -45,12 +56,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_oracle() -> str:
-    hs = text.hashed_distinct_shingles_sql("text")
     sig = hashing.minhash_signature_sql("hs")
     bk = hashing.band_keys_sql("sig")
     return f"""
     WITH h AS (
-      SELECT doc_id, {hs} AS hs FROM documents
+      SELECT doc_id, hs FROM {text.hashed_shingle_table_sql()}
     ), s AS (
       SELECT doc_id, hs, {sig} AS sig FROM h
     ), b AS (
@@ -82,9 +92,25 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (band_key, doc_id) pairs, and exact verification touches only
     candidates — never the O(n²) pair space the naive q_ngram_jaccard
     walks. This is the 100 TB near-dedup path."""
-    d = load(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", text.hashed_distinct_shingles(F.col("text")).alias("hs")
+    d = _docs_parallel(spark, sf_dir)
+    # two-step select so token hashing runs once per token (th is a
+    # materialized column, not a repeated subexpression); h then feeds
+    # three plan branches (band explode + both verify sides) — persist so
+    # the shingle hashing runs once, the same materialized-signature-table
+    # shape a cluster-scale dedup pass uses.
+    h = (
+        d.select(
+            "doc_id",
+            text.hashed_tokens_mod(F.col("text")).alias("th"),
+            text.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                text.shingle_hashes(F.col("th"), F.col("toks"))
+            ).alias("hs"),
+        )
+        .persist()
     )
     s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
     b = s.select("doc_id", F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"))
@@ -114,9 +140,8 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_oracle() -> str:
-    hs = text.hashed_distinct_shingles_sql("text")
     return f"""
-    WITH h AS (SELECT doc_id, lang, {hs} AS hs FROM documents)
+    WITH h AS (SELECT doc_id, lang, hs FROM {text.hashed_shingle_table_sql(', lang')})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_filter(a.hs, v -> list_contains(b.hs, v))) * 1.0
                  / (len(a.hs) + len(b.hs)
@@ -134,9 +159,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b — exact n-gram Jaccard over blocked pairs (same lang). The
     blocking key cuts the pair space ~|langs|×; this is the small-corpus /
     verification twin of q_near_dedup, not the scale path."""
-    d = load(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", "lang", text.hashed_distinct_shingles(F.col("text")).alias("hs")
+    d = _docs_parallel(spark, sf_dir)
+    h = (
+        d.select(
+            "doc_id",
+            "lang",
+            text.hashed_tokens_mod(F.col("text")).alias("th"),
+            text.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                text.shingle_hashes(F.col("th"), F.col("toks"))
+            ).alias("hs"),
+        )
+        .persist()
     )
     a, b = h.alias("a"), h.alias("b")
     inter = F.size(
@@ -172,7 +210,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2c — 16-bit SimHash signature per document (distinct-token
     voting). Near-dup candidates at scale = equal signature (or banded
     Hamming ≤ k); signature computation is a pure map pass."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     ht = F.transform(
         F.array_distinct(text.tokens(F.col("text"))), hashing.token_hash
     )
@@ -474,22 +512,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_doc_fingerprint",
     oracle=f"""
-    WITH s AS (
-      SELECT doc_id,
-             list_distinct({text.shingles_sql(text.tokens_sql('text'))}) AS sh
-      FROM documents
-    )
     SELECT doc_id,
-           list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
-    FROM s
+           list_aggregate(
+             list_transform({text.shingles_sql(text.tokens_sql('text'))},
+                            x -> md5(x)),
+             'min') AS fingerprint
+    FROM documents
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4e — document fingerprint: lexicographic-min md5 over the distinct
     word 3-grams (a 1-permutation minhash; winnowing's cheap cousin).
-    Equal fingerprints ⇒ strong near-dup signal at a fixed 32-byte cost."""
-    d = load(spark, sf_dir, "documents")
-    sh = F.array_distinct(text.shingles(text.tokens(F.col("text"))))
+    Equal fingerprints ⇒ strong near-dup signal at a fixed 32-byte cost.
+    No distinct pass: min() is insensitive to duplicate shingles."""
+    d = _docs_parallel(spark, sf_dir)
+    sh = text.shingles(text.tokens(F.col("text")))
     return d.select(
         "doc_id",
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
