@@ -36,8 +36,8 @@ def concat_key(*cols: Column) -> Column:
     return F.concat_ws(CONCAT_SEP, *[c.cast("string") for c in cols])
 
 
-@F.udf(returnType=StringType())
-def uuid3_key(s: str) -> str | None:
+@F.udf(returnType=StringType(), useArrow=False)
+def uuid3_key(s):
     """Exact reference key: uuid3(NAMESPACE_DNS, s) with dashes stripped
     (kafka_s.py:465-468). Python UDF — off the hot path by design; use
     :func:`surrogate_key` in plans.

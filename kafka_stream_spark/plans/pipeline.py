@@ -41,16 +41,14 @@ NEEQ = BoardConfig(name="neeq", src_type="新三板公告")
 ASHARE = BoardConfig(name="ashare", src_type="A股公告")
 
 
-def board_pipeline(
-    spark: SparkSession, sf_dir: str, cfg: BoardConfig = NEEQ
-) -> DataFrame:
-    """Full enrichment pipeline over ``documents`` (announcement analog)."""
-    d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id"),
-        F.col("text").alias("title"),
-        F.col("source"),
-        F.col("lang"),
-    )
+def enrich(d: DataFrame, spark: SparkSession, cfg: BoardConfig = NEEQ) -> DataFrame:
+    """The enrichment chain on a (doc_id, title, source, lang) DataFrame.
+
+    Batch/streaming-unified: ``d`` may be a static DataFrame or a
+    streaming one — every operator here (broadcast joins, projections) is
+    streaming-compatible, which is the point of expressing the reference's
+    per-record loop declaratively (Structured Streaming runs the same plan
+    per micro-batch; the dims are re-resolved each batch = SURVEY.md T2)."""
     # J1: broadcast dim lookup; LEFT + coalesce('') fixes the reference's
     # stale-carry-over on lookup miss (SURVEY.md §1.4) into explicit default
     sites = dims.sites_df(spark)
@@ -88,6 +86,19 @@ def board_pipeline(
         F.lit(1).alias("is_valid"),
         F.lit(1).alias("data_status"),
     )
+
+
+def board_pipeline(
+    spark: SparkSession, sf_dir: str, cfg: BoardConfig = NEEQ
+) -> DataFrame:
+    """Full enrichment pipeline over ``documents`` (announcement analog)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.col("text").alias("title"),
+        F.col("source"),
+        F.col("lang"),
+    )
+    return enrich(d, spark, cfg)
 
 
 def _board_pipeline_oracle(cfg: BoardConfig) -> str:

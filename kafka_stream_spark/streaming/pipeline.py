@@ -1,0 +1,179 @@
+"""Streaming board pipeline: CDC stream → enrichment → multi-sink.
+
+Replaces the reference's synchronous consumer loop + per-record sink
+writes (kafka_s.py:149-161,343-345) with Structured Streaming:
+
+- checkpointed offsets (T1): restart resumes, never replays the topic
+- deterministic-key dedup (D1): ``dropDuplicates`` on the minted yqid
+  absorbs at-least-once duplicates instead of the reference's
+  bare-except-on-unique-key Mongo insert (kafka_s.py:621-629)
+- dimension refresh (T2): stream-static joins re-resolve the static side
+  every micro-batch — the reference's count-probe + flat-file watermark
+  machinery (kafka_s.py:198-219) disappears
+- multi-sink fan-out (K4): one ``foreachBatch`` persists the batch and
+  writes announcements + sentiment + dedup'd key-store sinks
+  (kafka_s.py:343-345 wrote the same record to 3 stores sequentially)
+
+Scale: state is one 16-byte key per seen record (bounded by watermark in
+event-time deployments); sinks write append-only parquet partitions; the
+enrichment itself is the same zero-shuffle broadcast plan as batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import decode, keys, rules
+from ..plans.pipeline import BoardConfig, NEEQ
+from ..sources import dims
+from .sources import file_cdc_stream
+
+
+@dataclass(frozen=True)
+class SinkPaths:
+    announcements: str
+    sentiment: str
+    keystore: str
+
+    @classmethod
+    def under(cls, base: str) -> "SinkPaths":
+        return cls(
+            announcements=os.path.join(base, "announcements"),
+            sentiment=os.path.join(base, "sentiment"),
+            keystore=os.path.join(base, "keystore"),
+        )
+
+
+def enrich_cdc(d: DataFrame, spark: SparkSession, cfg: BoardConfig = NEEQ) -> DataFrame:
+    """CDC fields → classified wide rows (streaming-compatible plan).
+
+    Mirrors kafka_s.py's chain on its own field names (SURVEY.md §3.1):
+    name-dim lookup (J1) on the company code, rule match (J3) on the
+    title, decodes (P8), deterministic keys (P4), wide assembly (P10)."""
+    sites = dims.sites_df(spark)
+    d = d.join(
+        F.broadcast(sites), d["cmp_code"] == sites["source"], "left"
+    ).withColumn("site_name", decode.default_empty(F.col("site_name")))
+    r = dims.rules_df(spark)
+    cond = rules.rule_matches(d["title"], r["in_rules"], r["filter_rules"])
+    m = d.join(F.broadcast(r), cond, "inner")
+    yqid = keys.surrogate_key(
+        F.col("title"), F.col("url"), F.col("publish_date")
+    )  # reference key recipe: title+srcUrl+pubTime (kafka_s.py:322)
+    m = m.withColumn("yqid", yqid).withColumn(
+        "only_id",
+        keys.surrogate_key(F.col("yqid"), F.col("site_name"), F.col("category_code")),
+    )
+    return m.select(
+        "yqid",
+        "only_id",
+        "title",
+        F.col("cmp_short_name"),
+        F.col("cmp_code"),
+        "site_name",
+        "url",
+        "publish_date",
+        "rule_id",
+        "category_code",
+        "category_name",
+        keys.concat_key(F.col("category_code"), F.col("rule_id")).alias("level_key"),
+        F.col("sentiment").alias("emo_score"),
+        decode.emo_label(F.col("sentiment")).alias("emo_label"),
+        F.col("importance").alias("imp_score"),
+        decode.imp_label(F.col("importance")).alias("imp_label"),
+        F.lit(cfg.webname).alias("webname"),
+        F.lit(cfg.src_type).alias("src_type"),
+        F.lit(cfg.rel_type).alias("rel_type"),
+        F.lit(1).alias("is_valid"),
+        F.lit(1).alias("data_status"),
+    )
+
+
+def _fan_out(sinks: SinkPaths):
+    """foreachBatch body: persist once, write three sinks (K4)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(sinks.announcements)
+            # sentiment sink: same rows, reference writes a 34-col variant
+            # (kafka_s.py:513-556); here the projection difference
+            batch.drop("url", "publish_date").write.mode("append").parquet(
+                sinks.sentiment
+            )
+            # keystore sink (Mongo analog): only the dedup keys
+            batch.select("only_id", "yqid").write.mode("append").parquet(
+                sinks.keystore
+            )
+        finally:
+            batch.unpersist()
+
+    return write_batch
+
+
+def run_board_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_base: str,
+    checkpoint_dir: str,
+    cfg: BoardConfig = NEEQ,
+) -> StreamingQuery:
+    """File-sourced board stream, availableNow trigger (drains whatever is
+    in ``input_dir`` then stops — the harness-friendly trigger; a
+    production deployment drops the trigger and points the source at
+    Kafka via sources.kafka_cdc_stream)."""
+    sinks = SinkPaths.under(out_base)
+    stream = file_cdc_stream(spark, input_dir)
+    enriched = enrich_cdc(stream, spark, cfg)
+    # D1: at-least-once duplicates (and data-level replays) collapse on
+    # the deterministic key; state = seen yqids, checkpoint-persisted
+    deduped = enriched.dropDuplicates(["only_id"])
+    return (
+        deduped.writeStream.foreachBatch(_fan_out(sinks))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_windowed_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """E7 in streaming form: tumbling-window counts over a file-sourced
+    event stream with a watermark for late data. Append mode emits a
+    window only once its end passes the watermark — exactly-once final
+    results, bounded state."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .parquet(input_dir)
+    )
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
