@@ -256,6 +256,32 @@ def q_score_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_current_ts")  # rows-only: nondeterministic by nature (P3)
+def q_current_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — processing-time stamps (create/modifyTime,
+    kafka_s.py:210-211,562-563): current_timestamp() formatted the
+    reference's way; no oracle because the value is wall-clock."""
+    e = load(spark, sf_dir, "events").orderBy("event_id").limit(10)
+    now = F.current_timestamp()
+    return e.select(
+        "event_id",
+        F.date_format(now, "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+        F.date_format(now, "yyyy-MM-dd HH:mm:ss").alias("modify_time"),
+    )
+
+
+@query("q_uuid3_key")  # rows-only: no uuid3 in DuckDB; exactness is unit-tested
+def q_uuid3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 exact form — bit-for-bit reference keys via uuid3(NAMESPACE_DNS,
+    s).replace('-','') (kafka_s.py:460-468) as a Python UDF. Kept off the
+    hot path; the engine-native md5 contract is q_surrogate_key."""
+    d = load(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    return d.select(
+        "doc_id",
+        keys.uuid3_key(F.concat_ws("", "text", "source")).alias("yqid_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 joins
 # ---------------------------------------------------------------------------
