@@ -47,6 +47,13 @@ HEADLINE = [
     "q_token_counts",
     "q_quality_score",
     "q_doc_fingerprint",
+    "q_asof_join",
+    "q_range_join",
+    "q_semi_join",
+    "q_percentiles",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
 ]
 
 

@@ -13,7 +13,9 @@ from .registry import ORACLES, QUERIES, query
 from . import core  # noqa: E402,F401
 from . import gaps  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
+from . import joins_ext  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

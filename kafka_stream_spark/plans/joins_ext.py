@@ -1,0 +1,358 @@
+"""Join-type and analytic-function breadth (closing SURVEY.md §2.9's
+absences as engine extensions): semi/anti/full-outer joins, AS-OF join,
+range join, cube, lag/lead, exact percentiles, approx-distinct, and
+CSV/JSON file-format sources.
+
+The AS-OF and range joins are the two "operators Spark lacks" from the
+brief, implemented as compositions of existing DataFrame ops (the
+(a)-path): AS-OF as union+tag+last-ignoreNulls window (single shuffle,
+no per-key lateral probe), range join as bucketed equi-join + residual
+range filter (no cross product).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# semi / anti / outer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having a >400k order. Semi joins ship no
+    payload from the probe side — at scale the orders side reduces to a
+    distinct-key exchange."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers who never placed a >400k order (the
+    complement of q_semi_join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_full_outer_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, agg.n_cust
+    FROM nation n
+    FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS n_cust FROM customer
+      WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ) agg ON n.n_nationkey = agg.c_nationkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER: nations × (rich-customer counts), keeping unmatched
+    rows on both sides (nations with no rich customers → NULL count)."""
+    n = load(spark, sf_dir, "nation")
+    agg = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return n.join(agg, n.n_nationkey == agg.c_nationkey, "full_outer").select(
+        "n_nationkey", "n_name", "n_cust"
+    )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag_order
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER win AS last_view_ts,
+             last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER win AS last_view_value
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag_order, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts, last_view_ts, last_view_value
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the latest view of the same user at
+    or before the purchase time. Implemented as the scalable merge form —
+    union both sides with a tag, one window pass propagating the last
+    view via last(..., ignoreNulls) — a single shuffle on user_id instead
+    of a per-row lateral probe or range cross-join. Ties at equal ts are
+    broken deterministically (views sort before purchases, then event_id).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag_order"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    w = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(win)
+        .alias("last_view_ts"),
+        F.last(F.when(is_view, F.col("value")), ignorenulls=True)
+        .over(win)
+        .alias("last_view_value"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_view_ts", "last_view_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+#: inline time-range dim (maintenance windows over the events month)
+RANGE_ROWS = [
+    (1, "2024-01-02 00:00:00", "2024-01-03 12:00:00", "deploy-1"),
+    (2, "2024-01-10 06:00:00", "2024-01-10 18:00:00", "incident-a"),
+    (3, "2024-01-15 00:00:00", "2024-01-17 00:00:00", "freeze"),
+    (4, "2024-01-25 20:00:00", "2024-01-26 04:00:00", "deploy-2"),
+]
+
+
+def _ranges_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}', '{label}')"
+        for i, s, e, label in RANGE_ROWS
+    )
+    return f"(VALUES {rows}) AS r(range_id, start_ts, end_ts, label)"
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+    SELECT r.range_id, r.label, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN {_ranges_values_sql()}
+      ON e.ts >= r.start_ts AND e.ts < r.end_ts
+    GROUP BY r.range_id, r.label
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events ⋈ time intervals (ts ∈ [start, end)), as a
+    bucketed equi-join — each range explodes into the days it covers,
+    events bucket to their day, the join is a plain (broadcastable)
+    equi-join on the day key and the BETWEEN residual filters inside the
+    bucket. No nested-loop cross product: at 100 TB the fact side hits
+    only the buckets that ranges actually cover."""
+    e = load(spark, sf_dir, "events")
+    r = spark.createDataFrame(
+        RANGE_ROWS, schema=["range_id", "start_ts", "end_ts", "label"]
+    ).select(
+        "range_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+        "label",
+    )
+    r_buckets = r.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "start_ts"),
+                F.date_trunc("day", F.col("end_ts") - F.expr("INTERVAL 1 microsecond")),
+                F.expr("INTERVAL 1 day"),
+            )
+        ),
+    )
+    eb = e.withColumn("day", F.date_trunc("day", "ts"))
+    joined = eb.join(F.broadcast(r_buckets), "day", "inner").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return joined.groupBy("range_id", "label").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube / lag-lead / percentiles / approx distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(value, 1) OVER w AS prev_value,
+           lead(value, 1) OVER w AS next_value,
+           round(value - coalesce(lag(value, 1) OVER w, 0), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b — lag/lead analytics with deterministic ordering."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(prev, F.lit(0)), 2).alias("delta"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (both engines use
+    the same interpolation). Spark's exact percentile buffers a count per
+    DISTINCT value — cheap on low-cardinality measures like quantity;
+    for high-cardinality doubles at scale use approx_percentile (t-digest
+    sketch) instead of paying an O(distinct) buffer."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 approximate form — approx_count_distinct (HyperLogLog++):
+    single-pass, fixed memory; the 100 TB substitute for exact distinct
+    (q_distinct_count is the exact, oracle-checked twin)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# file-format sources (CSV / JSON)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """events (integer/string columns — lossless in text formats) written
+    to fmt and read back through the engine's source path, then
+    aggregated. The oracle computes the same aggregate from the parquet,
+    so the check proves the text-format source is lossless."""
+    base = tempfile.mkdtemp(prefix=f"kss_{fmt}_")
+    path = os.path.join(base, fmt)
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    writer = e.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    back = getattr(reader.schema("event_id long, user_id long, event_type string"), fmt)(
+        path
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("uniq_users"),
+    )
+
+
+_SRC_ORACLE = """
+    SELECT event_type, count(*) AS n, sum(event_id) AS sum_ids,
+           count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type
+"""
+
+
+@query("q_csv_source", oracle=_SRC_ORACLE)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip (the reference's only file format is a
+    CSV sink, mysql_rules.py:85-90; the engine reads it back too)."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("q_json_source", oracle=_SRC_ORACLE)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip with explicit schema."""
+    return _roundtrip(spark, sf_dir, "json")
