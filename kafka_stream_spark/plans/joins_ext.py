@@ -306,6 +306,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase aggregation (operators.skew): groupBy
+    (key, salt) partials then combine — hot keys spread over 16 reducers.
+    The oracle is the plain one-phase groupBy: salting must be invisible
+    in the result (sums rounded; shard combine order differs)."""
+    from ..operators.skew import salted_agg
+
+    e = load(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "sum_value": ("sum", "value"),
+            "n": ("count", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        "n",
+        "min_value",
+        "max_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # file-format sources (CSV / JSON)
 # ---------------------------------------------------------------------------
