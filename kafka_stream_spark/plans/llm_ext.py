@@ -55,11 +55,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_oracle() -> str:
+def _minhash_cte_chain() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by
+    the pair query and the clustering oracle."""
     sig = hashing.minhash_signature_sql("hs")
     bk = hashing.band_keys_sql("sig")
-    return f"""
-    WITH h AS (
+    return f"""h AS (
       SELECT doc_id, hs FROM {text.hashed_shingle_table_sql()}
     ), s AS (
       SELECT doc_id, hs, {sig} AS sig FROM h
@@ -78,20 +79,17 @@ def _minhash_pairs_oracle() -> str:
       FROM cand c
       JOIN h ha ON ha.doc_id = c.doc_a
       JOIN h hb ON hb.doc_id = c.doc_b
-    )
-    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
-    """
+    ), pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    )"""
 
 
-@query("q_near_dedup", oracle=_minhash_pairs_oracle())
-def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 — MinHash-LSH near-dedup: shingle → 32-slot minhash → 8 bands ×
-    4 rows → band-bucket equi-join → exact-Jaccard verify ≥ 0.5.
+def _minhash_pairs_oracle() -> str:
+    return f"WITH {_minhash_cte_chain()} SELECT doc_a, doc_b, jaccard FROM pairs"
 
-    Scale shape: signatures are one map-side pass; the LSH join shuffles
-    only (band_key, doc_id) pairs, and exact verification touches only
-    candidates — never the O(n²) pair space the naive q_ngram_jaccard
-    walks. This is the 100 TB near-dedup path."""
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — MinHash-LSH candidates verified ≥ 0.5."""
     d = _docs_parallel(spark, sf_dir)
     # two-step select so token hashing runs once per token (th is a
     # materialized column, not a repeated subexpression); h then feeds
@@ -137,6 +135,88 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query("q_near_dedup", oracle=_minhash_pairs_oracle())
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash-LSH near-dedup: shingle → 32-slot minhash → 8 bands ×
+    4 rows → band-bucket equi-join → exact-Jaccard verify ≥ 0.5.
+
+    Scale shape: signatures are one map-side pass; the LSH join shuffles
+    only (band_key, doc_id) pairs, and exact verification touches only
+    candidates — never the O(n²) pair space the naive q_ngram_jaccard
+    walks. This is the 100 TB near-dedup path."""
+    return near_dup_pairs(spark, sf_dir)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_chain()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS bb FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS bb FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.bb FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2d — near-dup CLUSTERS: connected components over the verified
+    pair graph via iterative min-label propagation (the GraphFrames-CC
+    shape as plain DataFrame joins); cluster_id = min doc_id of the
+    component, singletons map to themselves. Canonical-survivor dedup is
+    then ``filter(doc_id == cluster_id)``.
+
+    The driver loop converges in O(component diameter) rounds — near-dup
+    components are shallow in practice (pairs share bands), so 3-5 rounds;
+    each round is one join + aggregate, all spark-side. The DuckDB oracle
+    is the same fixpoint as a recursive CTE."""
+    pairs = near_dup_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
 
 
 def _jaccard_oracle() -> str:
@@ -376,6 +456,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "q_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4f — canonical text normalization (lowercase, strip punctuation,
+    collapse whitespace) + normalized-content hash: the preprocessing
+    step exact dedup and fingerprinting run on in a real pipeline."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
 
 
 @query(
