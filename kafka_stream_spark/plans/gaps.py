@@ -129,6 +129,71 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_funcs",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(c_custkey) OVER w AS richest_key,
+           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 2)
+             AS nation_total
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10c — analytic-function breadth: ntile, cume_dist, first_value,
+    and a whole-partition running sum, all over one shuffle on the
+    partition key."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.round(F.sum("c_acctbal").over(wp), 2).alias("nation_total"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n,
+           list_sort(toks)[1] AS first_sorted,
+           list_reverse(toks)[1] AS last_token,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_vocab,
+           list_contains(toks, 'spark') AS has_spark
+    FROM t
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function breadth (sort/reverse/slice/distinct/
+    contains/join) — all JVM-side, no UDFs."""
+    from ..functions import text as T
+
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+        F.element_at(F.reverse(toks), 1).alias("last_token"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
+        ).alias("top3_vocab"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
     "q_window_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS ws, event_type,

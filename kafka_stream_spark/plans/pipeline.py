@@ -16,29 +16,15 @@ from __future__ import annotations
 
 import os
 import tempfile
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..boards import ASHARE, NEEQ, BoardConfig  # noqa: F401  (re-export)
 from ..functions import decode, keys, rules
 from ..sources import dims
 from ..sources.tables import load
 from .registry import query
-
-
-@dataclass(frozen=True)
-class BoardConfig:
-    """kafka_s.py vs kafka_a.py deltas as data (SURVEY.md §2.12)."""
-
-    name: str
-    src_type: str  # srcType literal (kafka_s.py:318 vs kafka_a.py:322)
-    webname: str = "巨潮资讯网"  # kafka_s.py:317
-    rel_type: str = "直接关联"  # kafka_s.py:395-403
-
-
-NEEQ = BoardConfig(name="neeq", src_type="新三板公告")
-ASHARE = BoardConfig(name="ashare", src_type="A股公告")
 
 
 def enrich(d: DataFrame, spark: SparkSession, cfg: BoardConfig = NEEQ) -> DataFrame:

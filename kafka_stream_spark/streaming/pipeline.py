@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..boards import NEEQ, BoardConfig
 from ..functions import decode, keys, rules
-from ..plans.pipeline import BoardConfig, NEEQ
 from ..sources import dims
 from .sources import file_cdc_stream
 
@@ -49,17 +49,28 @@ class SinkPaths:
         )
 
 
-def enrich_cdc(d: DataFrame, spark: SparkSession, cfg: BoardConfig = NEEQ) -> DataFrame:
+def enrich_cdc(
+    d: DataFrame,
+    spark: SparkSession,
+    cfg: BoardConfig = NEEQ,
+    rules_df: DataFrame | None = None,
+) -> DataFrame:
     """CDC fields → classified wide rows (streaming-compatible plan).
 
     Mirrors kafka_s.py's chain on its own field names (SURVEY.md §3.1):
     name-dim lookup (J1) on the company code, rule match (J3) on the
-    title, decodes (P8), deterministic keys (P4), wide assembly (P10)."""
+    title, decodes (P8), deterministic keys (P4), wide assembly (P10).
+
+    ``rules_df``: pass a FILE-BACKED DataFrame to get live dimension
+    refresh (T2) — stream-static joins re-resolve file-based static sides
+    every micro-batch, so editing the rules file between batches takes
+    effect without restarting the query (replacing the reference's
+    count-probe + flat-file watermark machinery, kafka_s.py:198-219)."""
     sites = dims.sites_df(spark)
     d = d.join(
         F.broadcast(sites), d["cmp_code"] == sites["source"], "left"
     ).withColumn("site_name", decode.default_empty(F.col("site_name")))
-    r = dims.rules_df(spark)
+    r = rules_df if rules_df is not None else dims.rules_df(spark)
     cond = rules.rule_matches(d["title"], r["in_rules"], r["filter_rules"])
     m = d.join(F.broadcast(r), cond, "inner")
     yqid = keys.surrogate_key(
@@ -122,14 +133,17 @@ def run_board_stream(
     out_base: str,
     checkpoint_dir: str,
     cfg: BoardConfig = NEEQ,
+    rules_path: str | None = None,
 ) -> StreamingQuery:
     """File-sourced board stream, availableNow trigger (drains whatever is
     in ``input_dir`` then stops — the harness-friendly trigger; a
     production deployment drops the trigger and points the source at
-    Kafka via sources.kafka_cdc_stream)."""
+    Kafka via sources.kafka_cdc_stream). ``rules_path``: parquet rules dim
+    re-read every micro-batch (T2 live refresh)."""
     sinks = SinkPaths.under(out_base)
-    stream = file_cdc_stream(spark, input_dir)
-    enriched = enrich_cdc(stream, spark, cfg)
+    stream = file_cdc_stream(spark, input_dir, board=cfg.name)
+    rules_df = spark.read.parquet(rules_path) if rules_path else None
+    enriched = enrich_cdc(stream, spark, cfg, rules_df=rules_df)
     # D1: at-least-once duplicates (and data-level replays) collapse on
     # the deterministic key; state = seen yqids, checkpoint-persisted
     deduped = enriched.dropDuplicates(["only_id"])

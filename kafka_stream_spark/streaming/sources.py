@@ -20,35 +20,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: CDC envelope: the subset of the mongoshake oplog shape the reference
-#: reads (kafka_s.py:170-187): ``o`` = inserted doc, ``o_set`` marks
-#: update ops (dropped), fields renamed per board (SURVEY.md §2.12).
-CDC_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "o",
-            T.StructType(
-                [
-                    T.StructField("st_name", T.StringType()),
-                    T.StructField("st_code", T.StringType()),
-                    T.StructField("title", T.StringType()),
-                    T.StructField("publish_date", T.StringType()),
-                    T.StructField("url", T.StringType()),
-                ]
+#: per-board source-field maps (SURVEY.md §2.12): kafka_s reads
+#: st_name/st_code/publish_date, kafka_a reads stock_name/stock_code/
+#: etl_time (kafka_s.py:178-181 vs kafka_a.py:180-183). The reference
+#: keeps two 640-line file copies for this; here it is one dict.
+FIELD_MAPS: dict[str, dict[str, str]] = {
+    "neeq": {
+        "cmp_short_name": "st_name",
+        "cmp_code": "st_code",
+        "title": "title",
+        "publish_date": "publish_date",
+        "url": "url",
+    },
+    "ashare": {
+        "cmp_short_name": "stock_name",
+        "cmp_code": "stock_code",
+        "title": "title",
+        "publish_date": "etl_time",
+        "url": "url",
+    },
+}
+
+
+def cdc_schema(board: str = "neeq") -> T.StructType:
+    """CDC envelope: the subset of the mongoshake oplog shape the
+    reference reads (kafka_s.py:170-187): ``o`` = inserted doc, ``o_set``
+    marks update ops (dropped), source fields per board."""
+    fields = FIELD_MAPS[board]
+    return T.StructType(
+        [
+            T.StructField(
+                "o",
+                T.StructType(
+                    [T.StructField(src, T.StringType()) for src in fields.values()]
+                ),
             ),
-        ),
-        T.StructField("o_set", T.StringType()),  # "$set" payload marker
-    ]
-)
+            T.StructField("o_set", T.StringType()),  # "$set" payload marker
+        ]
+    )
 
 
-def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_cdc(raw: DataFrame, value_col: str = "value", board: str = "neeq") -> DataFrame:
     """bytes/string JSON envelope → typed columns + insert-only filter
     (F1: keep records with ``o`` present and no ``$set``,
     kafka_s.py:170-174) + projection/rename (P1, kafka_s.py:177-187)."""
     parsed = raw.withColumn(
-        "env", F.from_json(F.col(value_col).cast("string"), CDC_SCHEMA)
+        "env", F.from_json(F.col(value_col).cast("string"), cdc_schema(board))
     )
+    fields = FIELD_MAPS[board]
     return (
         parsed.filter(
             F.col("env").isNotNull()
@@ -56,11 +75,7 @@ def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
             & F.col("env.o_set").isNull()
         )
         .select(
-            F.col("env.o.st_name").alias("cmp_short_name"),
-            F.col("env.o.st_code").alias("cmp_code"),
-            F.col("env.o.title").alias("title"),
-            F.col("env.o.publish_date").alias("publish_date"),
-            F.col("env.o.url").alias("url"),
+            *[F.col(f"env.o.{src}").alias(dst) for dst, src in fields.items()]
         )
     )
 
@@ -70,6 +85,7 @@ def kafka_cdc_stream(
     brokers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    board: str = "neeq",
 ) -> DataFrame:
     """Kafka source (S1). Requires the spark-sql-kafka package on the
     cluster; unreachable in the local harness (no broker) but this is the
@@ -81,10 +97,10 @@ def kafka_cdc_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return parse_cdc(raw)
+    return parse_cdc(raw, board=board)
 
 
-def file_cdc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def file_cdc_stream(spark: SparkSession, input_dir: str, board: str = "neeq") -> DataFrame:
     """Directory-of-JSON-lines twin of :func:`kafka_cdc_stream`: each line
     is one envelope (the ``value`` of a Kafka record)."""
     raw = (
@@ -92,4 +108,4 @@ def file_cdc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         .schema(T.StructType([T.StructField("value", T.StringType())]))
         .load(input_dir)
     )
-    return parse_cdc(raw)
+    return parse_cdc(raw, board=board)

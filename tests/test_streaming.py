@@ -115,6 +115,69 @@ def test_board_stream_restart_is_idempotent(spark, tmp_path):
     assert ann.count() == 2  # cross-batch dedup held state via checkpoint
 
 
+def test_parse_cdc_ashare_field_map(spark):
+    # kafka_a.py reads stock_name/stock_code/etl_time (SURVEY.md §2.12)
+    raw = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "o": {
+                            "stock_name": "公司A",
+                            "stock_code": "600000",
+                            "title": "spark is fast",
+                            "etl_time": "2024-02-02 08:00:00",
+                            "url": "http://a/1",
+                        }
+                    },
+                    ensure_ascii=False,
+                ),
+            )
+        ],
+        ["value"],
+    )
+    rows = parse_cdc(raw, board="ashare").collect()
+    assert len(rows) == 1
+    assert rows[0]["cmp_short_name"] == "公司A"
+    assert rows[0]["cmp_code"] == "600000"
+    assert rows[0]["publish_date"] == "2024-02-02 08:00:00"
+
+
+def test_rules_refresh_between_batches(spark, tmp_path):
+    """T2: a file-backed rules dim is re-read per micro-batch — editing
+    the rules between runs changes classification without a restart."""
+    from kafka_stream_spark.sources import dims
+
+    rules_path = str(tmp_path / "rules")
+    dims.rules_df(spark).write.mode("overwrite").parquet(rules_path)
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.json").write_text(_envelope("the spark pipeline is fast", "src0", "u1"))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_board_stream(spark, str(inp), out, ckpt, rules_path=rules_path)
+    q.awaitTermination(120)
+    ann = spark.read.parquet(SinkPaths.under(out).announcements)
+    assert {r["rule_id"] for r in ann.collect()} == {1}
+
+    # live-edit the dim: new rule 99 matches 'pipeline'; rule 1 removed
+    new_rules = [
+        (99, "pipeline", "", 199, "新类", 1, 10),
+    ] + [r for r in dims.RULES_ROWS if r[0] != 1]
+    spark.createDataFrame(new_rules, schema=list(dims.RULES_COLS)).write.mode(
+        "overwrite"
+    ).parquet(rules_path)
+    (inp / "b.json").write_text(_envelope("the spark pipeline is fast", "src0", "u2"))
+    q = run_board_stream(spark, str(inp), out, ckpt, rules_path=rules_path)
+    q.awaitTermination(120)
+    ann = spark.read.parquet(SinkPaths.under(out).announcements)
+    by_url = {(r["url"], r["rule_id"]) for r in ann.collect()}
+    assert ("u1", 1) in by_url  # old batch classified by old rules
+    assert ("u2", 99) in by_url  # new batch classified by edited rules
+    assert ("u2", 1) not in by_url
+
+
 def test_windowed_event_stream_matches_batch(spark, tmp_path, sf_dir):
     from kafka_stream_spark.sources.tables import load
 
