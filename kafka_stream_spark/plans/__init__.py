@@ -17,5 +17,6 @@ from . import joins_ext  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import udx  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

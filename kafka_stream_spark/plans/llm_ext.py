@@ -453,6 +453,87 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle() -> str:
+    cos_ec = vectors.cosine_sql("e.embedding", "c.embedding")
+    cos_qn = vectors.cosine_sql("q.embedding", "n.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ), assign_scored AS (
+      SELECT e.vec_id, c.c_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({cos_ec}, 6) DESC, c.c_id
+             ) AS rn
+      FROM embeddings e, cent c
+    ), assigned AS (
+      SELECT vec_id, c_id AS centroid_id FROM assign_scored WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, c_id AS centroid_id
+      FROM assign_scored WHERE vec_id < 10 AND rn <= 2
+    ), cand AS (
+      SELECT p.q_id, a.vec_id AS n_id
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.q_id
+    ), scored AS (
+      SELECT cand.q_id, cand.n_id,
+             round({cos_qn}, 6) AS score
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      JOIN embeddings n ON n.vec_id = cand.n_id
+    )
+    SELECT q_id, n_id, score, rn FROM (
+      SELECT q_id, n_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """
+
+
+@query("q_ann_ivf", oracle=_ivf_oracle())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3d — IVF-style ANN: a deterministic coarse quantizer (every 50th
+    vector is a centroid) partitions the corpus into inverted lists;
+    queries probe their nprobe=2 nearest centroids and re-rank exactly
+    inside those lists. At scale the centroid assignment is the partition
+    key — each query touches ~nprobe/n_centroids of the corpus, and the
+    centroid set (≪ corpus) is the only broadcast."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored_assign = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "c_id",
+        F.round(vectors.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cscore"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), "c_id")
+    ranked = scored_assign.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_id").alias("centroid_id"), "embedding"
+    )
+    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("c_id").alias("centroid_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = probes.join(assigned, "centroid_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(vectors.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", "score", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
