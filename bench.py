@@ -54,6 +54,11 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_ann_ivf",
+    "q_dedup_clusters",
+    "q_salted_agg",
+    "q_window_funcs",
+    "q_stream_pipeline",  # full streaming path (source→enrich→3 sinks)
 ]
 
 
