@@ -195,6 +195,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        # localCheckpoint truncates the lineage each round — without it the
+        # plan (and its re-analysis cost) grows linearly with iterations
         new_labels = (
             labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
             .select(
@@ -203,7 +205,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -211,7 +213,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
+        if hasattr(labels, "unpersist"):
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -717,6 +720,111 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(range(greatest(
+               CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1, 1
+             ))) AS chunk_id,
+             toks
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           least(len(toks) - chunk_id * 48, 64) AS chunk_len
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4g — training-data chunking: 64-token windows with 16-token
+    overlap (stride 48). One map-side pass (transform + explode): each
+    chunk carries (doc_id, chunk_id) lineage for provenance. Chunk count
+    = ceil((n-overlap)/stride), min 1, so short docs yield one chunk."""
+    d = _docs_parallel(spark, sf_dir)
+    size, stride = 64, 48
+    toks = text.tokens(F.col("text"))
+    # ceil((n - size)/stride) + 1 windows cover all n tokens; min 1
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - size) / F.lit(float(stride))).cast("long") + 1,
+        F.lit(1).cast("long"),
+    )
+    t = d.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(
+            F.size("toks") - F.col("chunk_id") * stride, F.lit(size)
+        ).alias("chunk_len"),
+    )
+
+
+@query(
+    "q_tf_idf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), tf_counts AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT c.doc_id, c.term,
+             round(c.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf_counts c JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4h — TF-IDF top-3 terms per document. The document-frequency side
+    is a tiny (vocab-sized) aggregate broadcast back into the term-count
+    table; n_docs is a scalar literal resolved before planning, so the
+    fact-side chain is explode → two hash aggregates → broadcast join →
+    per-doc top-k."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale this is a cached metadata count
+    terms = d.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
 
 
