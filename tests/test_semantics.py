@@ -1,0 +1,110 @@
+"""Edge-semantics pins on crafted data: AS-OF tie-breaking, range-join
+boundary inclusivity, chunk formula, multimodal fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_asof_equal_ts_view_counts(spark, monkeypatch, tmp_path):
+    """A view at exactly the purchase timestamp is 'as of' it (<=)."""
+    from kafka_stream_spark.plans.joins_ext import q_asof_join
+    import kafka_stream_spark.plans.joins_ext as jx
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = _events(
+        spark,
+        [
+            (1, 7, t, "view", 5.0),
+            (2, 7, t, "purchase", 9.0),  # same instant as the view
+            (3, 7, t - dt.timedelta(hours=1), "view", 3.0),
+            (4, 8, t, "purchase", 1.0),  # user with no views → NULLs
+        ],
+    )
+    monkeypatch.setattr(jx, "load", lambda s, d, n: df)
+    out = {r["event_id"]: r for r in q_asof_join(spark, "ignored").collect()}
+    assert out[2]["last_view_ts"] == t and out[2]["last_view_value"] == 5.0
+    assert out[4]["last_view_ts"] is None and out[4]["last_view_value"] is None
+
+
+def test_range_join_boundaries(spark, monkeypatch):
+    """Interval semantics are [start, end): start included, end excluded."""
+    import kafka_stream_spark.plans.joins_ext as jx
+
+    start = dt.datetime(2024, 1, 2, 0, 0, 0)
+    end = dt.datetime(2024, 1, 3, 12, 0, 0)  # range 1 in RANGE_ROWS
+    df = _events(
+        spark,
+        [
+            (1, 1, start, "click", 1.0),  # == start → in
+            (2, 1, end, "click", 1.0),  # == end → out
+            (3, 1, end - dt.timedelta(microseconds=1), "click", 1.0),  # in
+            (4, 1, start - dt.timedelta(microseconds=1), "click", 1.0),  # out
+        ],
+    )
+    monkeypatch.setattr(jx, "load", lambda s, d, n: df)
+    out = jx.q_range_join(spark, "ignored").collect()
+    assert len(out) == 1 and out[0]["range_id"] == 1 and out[0]["n_events"] == 2
+
+
+def test_chunk_formula_edges(spark, monkeypatch):
+    import kafka_stream_spark.plans.llm_ext as lx
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(64, doc(64)), (65, doc(65)), (112, doc(112)), (113, doc(113)), (2, doc(2))],
+        schema=["doc_id", "text"],
+    )
+    monkeypatch.setattr(lx, "_docs_parallel", lambda s, d: df)
+    out = (
+        lx.q_chunk_documents(spark, "ignored")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"), F.min("chunk_len").alias("min_len"))
+        .collect()
+    )
+    got = {r["doc_id"]: (r["n_chunks"], r["min_len"]) for r in out}
+    # size=64, stride=48: n<=64 → 1 chunk; 65..112 → 2; 113..160 → 3
+    assert got[64] == (1, 64)
+    assert got[65][0] == 2 and got[65][1] == 65 - 48  # tail chunk = 17
+    assert got[112] == (2, 64)
+    assert got[113][0] == 3
+    assert got[2] == (1, 2)
+
+
+def test_multimodal_image_stub_falls_back(spark):
+    """image/* payloads hit the NotImplementedError stub and fall back to
+    deterministic byte features — the pipeline stays total."""
+    from kafka_stream_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG fake"), ("image/png", 9))],
+        schema="doc_id long, payload binary, meta struct<mime:string,n_chars:long>",
+    )
+    row = extract_features(df).collect()[0]
+    assert row["n_bytes"] == 9
+    assert row["decoder"] == "stub-decoder-v0"
+    assert len(row["content_hash"]) == 32
+
+
+def test_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """Filter pushdown must land in the scan (PushedFilters non-empty)."""
+    import io, contextlib
+    from kafka_stream_spark.plans import QUERIES
+
+    df = QUERIES["q_notnull_filter"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(p_type)" in plan
