@@ -57,7 +57,10 @@ def salted_agg(
     )
 
 
-def salt_column(n_salts: int) -> Column:
-    """Deterministic-per-row alternative salt (hash-based) for joins where
-    both sides must agree on shard placement."""
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+def key_salt(n_salts: int, *key_cols: Column) -> Column:
+    """Deterministic salt derived from the KEY columns: the same key always
+    lands in the same shard, so a dim table replicated per salt (explode
+    0..n_salts-1) co-partitions with the salted fact side of a skewed
+    join. (A row-position salt cannot do this — two DataFrames never
+    agree on row order.)"""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_salts))

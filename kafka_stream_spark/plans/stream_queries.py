@@ -86,5 +86,7 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     _docs_as_cdc(spark, sf_dir).write.mode("overwrite").text(inp)
     q = run_board_stream(spark, inp, out, ckpt)
-    q.awaitTermination(300)
-    return spark.read.parquet(SinkPaths.under(out).announcements)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("board stream did not drain within 300s")
+    return spark.read.parquet(SinkPaths.under(out).announcements).drop("__batch_id")

@@ -106,21 +106,32 @@ def enrich_cdc(
 
 
 def _fan_out(sinks: SinkPaths):
-    """foreachBatch body: persist once, write three sinks (K4)."""
+    """foreachBatch body: persist once, write three sinks (K4).
+
+    foreachBatch delivers each micro-batch at-least-once, so every sink
+    write is made idempotent: rows are partitioned by ``__batch_id`` and
+    written with dynamic partition overwrite — a retried batch replaces
+    its own partition instead of appending duplicates."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn("__batch_id", F.lit(batch_id))
         batch.persist()
         try:
-            batch.write.mode("append").parquet(sinks.announcements)
+
+            def write(df: DataFrame, path: str) -> None:
+                (
+                    df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(path)
+                )
+
+            write(batch, sinks.announcements)
             # sentiment sink: same rows, reference writes a 34-col variant
             # (kafka_s.py:513-556); here the projection difference
-            batch.drop("url", "publish_date").write.mode("append").parquet(
-                sinks.sentiment
-            )
+            write(batch.drop("url", "publish_date"), sinks.sentiment)
             # keystore sink (Mongo analog): only the dedup keys
-            batch.select("only_id", "yqid").write.mode("append").parquet(
-                sinks.keystore
-            )
+            write(batch.select("only_id", "yqid", "__batch_id"), sinks.keystore)
         finally:
             batch.unpersist()
 

@@ -3,7 +3,7 @@ stale-carry-over fix (§1.4), dedup determinism."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+
 
 from kafka_stream_spark.plans.pipeline import ASHARE, NEEQ, enrich
 

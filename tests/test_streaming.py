@@ -4,7 +4,6 @@ fan-out, checkpointed restart idempotence, watermarked window agg."""
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import functions as F
 
