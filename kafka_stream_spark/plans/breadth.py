@@ -1,0 +1,142 @@
+"""Scalar/aggregate function breadth: grouping sets, statistical
+aggregates, string functions, datetime functions.
+
+The reference's scalar surface is ~10 functions (SURVEY.md §2.3); a
+drop-in engine needs the standard warehouse surface too. Each query here
+pins a family of functions against the DuckDB oracle, documenting the
+cross-engine semantics quirks in place (day-of-week origin, skewness
+estimator variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load, register_views
+from .registry import query
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) via
+    the SQL surface — same Catalyst Expand operator as rollup/cube."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS correl
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance/covariance/
+    correlation). skewness/kurtosis are deliberately absent: Spark
+    computes the population estimator (g1/g2), DuckDB the sample-adjusted
+    one (G1/G2) — not an engine bug, just different published estimators.
+    """
+    e = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("cov"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("correl"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS up, lower(source) AS lo,
+           substr(text, 1, 10) AS first10,
+           lpad(source, 8, '*') AS padded,
+           replace(source, 'src', 'S#') AS replaced,
+           left(text, 5) AS l5, repeat(source, 2) AS doubled,
+           instr(text, 'spark') AS spark_pos,
+           length(text) AS n_chars, reverse(source) AS rev
+    FROM documents
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function family, all codegen built-ins."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("up"),
+        F.lower("source").alias("lo"),
+        F.substring("text", 1, 10).alias("first10"),
+        F.lpad("source", 8, "*").alias("padded"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S#")).alias("replaced"),
+        F.substring("text", 1, 5).alias("l5"),
+        F.repeat("source", 2).alias("doubled"),
+        F.instr(F.col("text"), "spark").alias("spark_pos"),
+        F.length("text").alias("n_chars"),
+        F.reverse("source").alias("rev"),
+    )
+
+
+@query(
+    "q_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h,
+           minute(ts) AS mi,
+           dayofweek(ts) + 1 AS dow,            -- DuckDB 0=Sun, Spark 1=Sun
+           CAST(strftime(ts, '%j') AS INTEGER) AS doy,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           ts + INTERVAL 3 DAY AS plus3d,
+           -- Spark add_months works on DATE (drops time-of-day)
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS plus1mo,
+           date_diff('day', date_trunc('day', ts),
+                     TIMESTAMP '2024-02-01 00:00:00') AS days_to_feb
+    FROM events
+    """,
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function family. Cross-engine quirks pinned in the
+    oracle: DuckDB's dayofweek is 0-origin Sunday (Spark's is 1-origin),
+    both clamp month-end in add-months (Jan 31 + 1mo = Feb 29)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
+        F.add_months("ts", 1).cast("timestamp").alias("plus1mo"),
+        F.datediff(
+            F.lit("2024-02-01 00:00:00").cast("timestamp"),
+            F.date_trunc("day", "ts"),
+        ).alias("days_to_feb"),
+    )
