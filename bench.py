@@ -76,12 +76,17 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop per-query persists so queries don't interfere with each
+        # other's memory (mirrors the driver's fresh-session conditions)
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

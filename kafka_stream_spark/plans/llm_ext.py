@@ -196,26 +196,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
         # localCheckpoint truncates the lineage each round — without it the
-        # plan (and its re-analysis cost) grows linearly with iterations
+        # plan (and its re-analysis cost) grows linearly with iterations.
+        # The convergence flag rides along in the same pass, so each round
+        # is exactly one join job + one tiny sum.
+        better = F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
         new_labels = (
             labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                F.least(F.col("cluster_id"), better).alias("new_cluster_id"),
+                (better < F.col("cluster_id")).cast("int").alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         if hasattr(labels, "unpersist"):
             labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        )
         if changed == 0:
             break
     edges.unpersist()
