@@ -11,12 +11,19 @@ driver-facing adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_stream_spark.plans import ORACLES, QUERIES
-from kafka_stream_spark.plans.pipeline import q_board_pipeline
+# robust against being imported by file path (repo root not on sys.path)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from kafka_stream_spark.plans import ORACLES, QUERIES  # noqa: E402
+from kafka_stream_spark.plans.pipeline import q_board_pipeline  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

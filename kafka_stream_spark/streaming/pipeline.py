@@ -166,6 +166,60 @@ def run_board_stream(
     )
 
 
+def run_continuous_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained rollup (continuous-aggregate /
+    hypertable-rollup shape): per-(hour, event_type) totals kept current
+    in a queryable parquet store.
+
+    Update output mode emits only the (window, event_type) rows each
+    micro-batch touched; the foreachBatch writer overwrites exactly those
+    rows' partitions. The partition key MUST equal the aggregation key —
+    partitioning by window alone would wipe a window's untouched event
+    types on overwrite (update mode does not re-emit unchanged rows).
+    State carries the running totals across batches, so the store always
+    equals the full-history aggregate without recomputing it. On a
+    MERGE-capable table format (Delta/Iceberg) the same upsert keys on
+    (window, type) without one directory per pair."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .parquet(input_dir)
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd-HH").alias("window_key"),
+            F.col("window.start").alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_key", "event_type")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_event_stream(
     spark: SparkSession,
     input_dir: str,

@@ -177,6 +177,50 @@ def test_rules_refresh_between_batches(spark, tmp_path):
     assert ("u2", 1) not in by_url
 
 
+def test_continuous_rollup_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """The rollup store must equal the full-history batch aggregate after
+    each incremental update — including windows revised by late rows."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import run_continuous_rollup
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)  # arrives later, same windows
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_agg(df):
+        return {
+            (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in df.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+            .collect()
+        }
+
+    first.write.mode("append").parquet(inp)
+    assert run_continuous_rollup(spark, inp, out, ckpt).awaitTermination(180)
+    got1 = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == batch_agg(first)
+
+    # late-arriving half lands in already-materialized windows → those
+    # windows must be revised in place, not duplicated
+    second.write.mode("append").parquet(inp)
+    assert run_continuous_rollup(spark, inp, out, ckpt).awaitTermination(180)
+    got2 = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == batch_agg(e)
+
+
 def test_windowed_event_stream_matches_batch(spark, tmp_path, sf_dir):
     from kafka_stream_spark.sources.tables import load
 
