@@ -1,0 +1,99 @@
+"""Scale probe: replicate the sf0.1 testdata N× (key-offset to preserve
+join integrity) into /tmp and compare headline-operator wall time at 1×
+vs N×. Answers "would this plan hold at a bigger scale factor" with
+measurements instead of guesses. The replicated copies also create real
+duplicate clusters, turning the dedup stack probe into its actual
+workload (union copies ⇒ every doc gains N-1 near-identical twins).
+
+Usage: python tools/scale_probe.py [copies=8]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_stream_spark.plans import QUERIES  # noqa: E402
+from kafka_stream_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+PROBE = [
+    "q_board_pipeline",
+    "q_rule_match",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_window_tumbling",
+    "q_session_window",
+    "q_asof_join",
+    "q_exact_dedup",
+    "q_token_counts",
+    "q_rank_topk_per_group",
+    "q_cosine_topk",
+    "q_ann_lsh",
+    "q_simhash",
+]
+
+KEY_OFFSETS = {
+    "documents": {"doc_id": 10_000_000},
+    "events": {"event_id": 1_000_000_000, "user_id": 10_000},
+    "lineitem": {"l_orderkey": 1_000_000_000},
+    "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
+    "customer": {"c_custkey": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+DIMS = ["nation", "region", "part", "supplier"]
+
+
+def build(spark, dst: str, copies: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name, keycols in KEY_OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        out = None
+        for i in range(copies):
+            p = df
+            for c, off in keycols.items():
+                p = p.withColumn(c, F.col(c) + F.lit(i * off))
+            out = p if out is None else out.union(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+
+def timed_pass(spark, sf_dir: str) -> dict[str, float]:
+    for name in PROBE:  # warm
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    out = {}
+    for name in PROBE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dst = f"/tmp/scale{copies}"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, dst, copies)
+    base = timed_pass(spark, SRC)
+    scaled = timed_pass(spark, dst)
+    print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s}")
+    for name in PROBE:
+        r = scaled[name] / max(base[name], 1e-9)
+        print(f"{name:28s} {base[name]:7.2f} {scaled[name]:7.2f} {r:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
