@@ -102,6 +102,91 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           regexp_matches(text, 'spark.*fast|fast.*spark') AS spark_fast,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+           regexp_replace(source, '[0-9]+', '#', 'g') AS src_masked
+    FROM documents
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: capture-group extract, rlike, extract-all count,
+    global replace (patterns restricted to the RE2∩Java-regex common
+    subset so both engines agree)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "src([0-9]+)", 1).alias("src_num"),
+        F.col("text").rlike("spark.*fast|fast.*spark").alias("spark_fast"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias(
+            "n_words"
+        ),
+        F.regexp_replace("source", "[0-9]+", "#").alias("src_masked"),
+    )
+
+
+@query(
+    "q_conditional_funcs",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'dead') AS etype_or_dead,
+           CASE WHEN value > 250 THEN 'high' WHEN value > 100 THEN 'mid'
+                ELSE 'low' END AS band,
+           greatest(value, CAST(user_id AS DOUBLE)) AS gv,
+           least(value, CAST(user_id AS DOUBLE)) AS lv,
+           if(event_type = 'purchase', value, 0.0) AS purchase_value
+    FROM events
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: nullif/coalesce, CASE bands, greatest/least,
+    if()."""
+    e = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("dead")).alias(
+            "etype_or_dead"
+        ),
+        F.when(F.col("value") > 250, "high")
+        .when(F.col("value") > 100, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.greatest(F.col("value"), uid).alias("gv"),
+        F.least(F.col("value"), uid).alias("lv"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, CAST(unnest(range(len(ws))) AS INTEGER) AS pos,
+           unnest(ws) AS token
+    FROM t
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — ordinal-preserving explode (lineage for chunking and
+    sequence features)."""
+    from ..functions import text as T
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
     "q_datetime_funcs",
     oracle="""
     SELECT event_id,
