@@ -166,6 +166,59 @@ def run_board_stream(
     )
 
 
+def run_dlq_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    board: str = "neeq",
+) -> StreamingQuery:
+    """Dead-letter queue: envelopes that fail CDC parsing are captured
+    with their raw payload instead of vanishing. The reference's decode
+    crashed the loop on bad input (its try/except is commented out,
+    kafka_s.py:156-161); the main pipeline here silently filters them —
+    this companion query makes the drop observable and replayable.
+
+    Runs as its own consumer on the same source (the standard Kafka DLQ
+    pattern: a second consumer group; for the file twin, a second
+    checkpointed reader). State: none; sink is idempotent per batch."""
+    from pyspark.sql import types as T
+
+    from .sources import cdc_schema
+
+    raw = (
+        spark.readStream.format("text")
+        .schema(T.StructType([T.StructField("value", T.StringType())]))
+        .load(input_dir)
+    )
+    env = F.from_json(F.col("value"), cdc_schema(board))
+    dead = raw.filter(
+        (F.trim(F.col("value")) != "") & (env.isNull() | env["o"].isNull())
+    ).filter(
+        # $set updates are a legitimate drop, not a dead letter
+        env.isNull() | env["o_set"].isNull()
+    ).select(
+        F.col("value").alias("raw_payload"),
+        F.lit("cdc_parse_failure").alias("reason"),
+    )
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(dlq_dir)
+        )
+
+    return (
+        dead.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_continuous_rollup(
     spark: SparkSession,
     input_dir: str,

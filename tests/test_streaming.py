@@ -177,6 +177,30 @@ def test_rules_refresh_between_batches(spark, tmp_path):
     assert ("u2", 1) not in by_url
 
 
+def test_dlq_captures_malformed_only(spark, tmp_path):
+    from kafka_stream_spark.streaming.pipeline import run_dlq_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.json").write_text(
+        "\n".join(
+            [
+                _envelope("the spark pipeline is fast"),  # valid → not DLQ
+                _update_envelope(),  # legitimate drop → not DLQ
+                "totally not json",  # → DLQ
+                '{"other": "shape"}',  # parses but no o → DLQ
+                "",  # blank line → ignored
+            ]
+        )
+    )
+    q = run_dlq_stream(spark, str(inp), str(tmp_path / "dlq"), str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+    dead = spark.read.parquet(str(tmp_path / "dlq"))
+    payloads = {r["raw_payload"] for r in dead.collect()}
+    assert payloads == {"totally not json", '{"other": "shape"}'}
+    assert {r["reason"] for r in dead.collect()} == {"cdc_parse_failure"}
+
+
 def test_continuous_rollup_incremental_equals_batch(spark, tmp_path, sf_dir):
     """The rollup store must equal the full-history batch aggregate after
     each incremental update — including windows revised by late rows."""
