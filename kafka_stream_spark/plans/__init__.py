@@ -10,6 +10,7 @@ from __future__ import annotations
 from .registry import ORACLES, QUERIES, query
 
 # importing the modules populates the registry
+from . import analytics  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import gaps  # noqa: E402,F401

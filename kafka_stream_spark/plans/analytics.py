@@ -1,0 +1,127 @@
+"""Product-analytics composites over the event stream: funnel,
+retention, histogram. The operator shapes behind real dashboards — each
+is a small composition of the engine's primitives (conditional
+aggregation, self-joins on time buckets) with a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_purchased_after
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users counted
+    at each stage only if the stage event happens strictly AFTER their
+    previous stage's first event. Three aggregate+join rounds, each
+    shuffling only (user_id, ts) pairs — at scale the stage frontier
+    tables are tiny relative to the event log."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    )
+    SELECT a.week, count(*) AS n_active,
+           count(b.user_id) AS n_retained
+    FROM active a
+    LEFT JOIN active b
+      ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+    GROUP BY a.week
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: users active in week w who are also
+    active in w+1. Self-join of the (user, week) activity table on the
+    shifted week — the activity table is |users|×|weeks|, tiny next to
+    the event log, so the expensive input is touched once."""
+    e = load(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    a, b = active.alias("a"), active.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count(F.col("b.user_id")).alias("n_retained"),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket,
+           count(*) AS n, round(avg(value), 4) AS avg_in_bucket
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(v/50)*50) — one
+    partial-aggregated pass; bucket count is data-independent so the
+    shuffle is O(buckets)."""
+    e = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50) * 50).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_in_bucket")
+    )
