@@ -723,6 +723,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_chain()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS bb FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS bb FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.bb FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source, md5(d.text) AS text_hash
+    FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+    WHERE l.doc_id = l.cluster_id
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2e — the APPLIED near-dedup: the corpus with only canonical
+    survivors (doc_id == its cluster's min id). This is the query a
+    training-data pipeline actually ships — pairs and clusters are the
+    intermediate artifacts."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.join(labels, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "lang", "source", F.md5("text").alias("text_hash"))
+    )
+
+
+@query(
     "q_chunk_documents",
     oracle=f"""
     WITH t AS (

@@ -84,7 +84,10 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is, and the corpus has no colliding only_ids."""
     base = tempfile.mkdtemp(prefix="kss_stream_")
     inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    _docs_as_cdc(spark, sf_dir).write.mode("overwrite").text(inp)
+    # few larger files: less file-listing + per-file task overhead in the
+    # short-lived availableNow run (variance, not throughput, is the enemy
+    # at this size)
+    _docs_as_cdc(spark, sf_dir).coalesce(4).write.mode("overwrite").text(inp)
     q = run_board_stream(spark, inp, out, ckpt)
     if not q.awaitTermination(300):
         q.stop()

@@ -73,6 +73,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes + partition pruning: a filter on the
+    partition column must appear as PartitionFilters on the scan (only
+    the matching directories are read — at 100 TB this is the difference
+    between scanning one event type and all of them)."""
+    path = str(tmp_path / "events_by_type")
+    load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    n = df.count()
+    expected = (
+        load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert n == expected
+
+
 def test_dim_joins_broadcast_not_sortmerge(spark, sf_dir):
     from kafka_stream_spark.plans import QUERIES
 
