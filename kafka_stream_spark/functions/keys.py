@@ -15,7 +15,6 @@ import uuid
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
 
 KEY_SEP = "||"
 CONCAT_SEP = "##"
@@ -36,12 +35,29 @@ def concat_key(*cols: Column) -> Column:
     return F.concat_ws(CONCAT_SEP, *[c.cast("string") for c in cols])
 
 
-@F.udf(returnType=StringType(), useArrow=False)
-def uuid3_key(s):
+#: RFC 4122 DNS namespace bytes (uuid.NAMESPACE_DNS)
+_NS_DNS = uuid.NAMESPACE_DNS.bytes
+
+
+def uuid3_key(s: Column | str) -> Column:
     """Exact reference key: uuid3(NAMESPACE_DNS, s) with dashes stripped
-    (kafka_s.py:465-468). Python UDF — off the hot path by design; use
-    :func:`surrogate_key` in plans.
-    """
-    if s is None:
-        return None
-    return str(uuid.uuid3(uuid.NAMESPACE_DNS, s)).replace("-", "")
+    (kafka_s.py:465-468) — as PURE Column expressions, no Python UDF.
+
+    RFC 4122 v3 is md5(namespace_bytes ‖ name_bytes) with the version
+    nibble forced to 3 and the variant's top bits to 10: on the 32-char
+    hex string that is hex[12] := '3' and hex[16] := (hex[16] & 0x3) | 0x8.
+    Verified bit-for-bit against uuid.uuid3 in tests; stays in codegen so
+    it is hot-path safe (unlike the reference's per-record Python)."""
+    col = F.col(s) if isinstance(s, str) else s
+    h = F.md5(F.concat(F.lit(bytearray(_NS_DNS)), F.encode(col, "utf-8")))
+    variant_digit = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4) + 1,
+    )
+    return F.concat(
+        F.substring(h, 1, 12),
+        F.lit("3"),
+        F.substring(h, 14, 3),
+        variant_digit,
+        F.substring(h, 18, 15),
+    )

@@ -270,11 +270,13 @@ def q_current_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_uuid3_key")  # rows-only: no uuid3 in DuckDB; exactness is unit-tested
+@query("q_uuid3_key")  # rows-only: DuckDB md5 can't take the namespace
+# BYTES (VARCHAR-only); bit-for-bit exactness vs uuid.uuid3 is unit-tested
 def q_uuid3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 exact form — bit-for-bit reference keys via uuid3(NAMESPACE_DNS,
-    s).replace('-','') (kafka_s.py:460-468) as a Python UDF. Kept off the
-    hot path; the engine-native md5 contract is q_surrogate_key."""
+    s).replace('-','') (kafka_s.py:460-468), computed as pure Column
+    expressions (md5 over namespace‖name + version/variant bit surgery) —
+    codegen-safe, so even exact-compat keys cost no Python round trip."""
     d = load(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
     return d.select(
         "doc_id",

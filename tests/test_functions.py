@@ -30,12 +30,16 @@ def test_surrogate_key_matches_duckdb(spark):
 
 
 def test_uuid3_exact_reference_semantics(spark):
-    # kafka_s.py:465-468: uuid3(NAMESPACE_DNS, s) with dashes stripped
-    df = spark.createDataFrame([("abc标题",)], ["s"]).select(
-        keys.uuid3_key("s").alias("v")
+    # kafka_s.py:465-468: uuid3(NAMESPACE_DNS, s) with dashes stripped —
+    # the engine-native expression must be bit-for-bit uuid.uuid3
+    cases = ["abc标题", "", "a", "14雏鹰债：受托管理事务报告", "x" * 500]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"]).select(
+        "s", keys.uuid3_key("s").alias("v")
     )
-    expected = str(uuid.uuid3(uuid.NAMESPACE_DNS, "abc标题")).replace("-", "")
-    assert df.collect()[0]["v"] == expected
+    got = {r["s"]: r["v"] for r in df.collect()}
+    for s in cases:
+        expected = str(uuid.uuid3(uuid.NAMESPACE_DNS, s)).replace("-", "")
+        assert got[s] == expected, s
 
 
 # --- decodes ---------------------------------------------------------------
