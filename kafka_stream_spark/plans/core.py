@@ -407,6 +407,37 @@ def q_pivot_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(level("click"), level("view"), level("purchase"))
 
 
+@query(
+    "q_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2)
+             AS click_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2)
+             AS view_sum,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2)
+             AS purchase_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 alt — the literal ``.pivot()`` API with an explicit value list
+    (no discovery pass; one shuffle). q_pivot_levels is the max(CASE)
+    twin; both compile to the same aggregate shape."""
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    return p.select(
+        "user_id",
+        F.coalesce(F.col("click"), F.lit(0.0)).alias("click_sum"),
+        F.coalesce(F.col("view"), F.lit(0.0)).alias("view_sum"),
+        F.coalesce(F.col("purchase"), F.lit(0.0)).alias("purchase_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 dedup
 # ---------------------------------------------------------------------------
