@@ -13,6 +13,7 @@ range filter (no cross product).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -366,11 +367,17 @@ def _roundtrip(
     back = getattr(reader.schema("event_id long, user_id long, event_type string"), fmt)(
         path
     )
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("event_id").alias("sum_ids"),
-        F.countDistinct("user_id").alias("uniq_users"),
+    result = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .localCheckpoint(eager=True)  # materialize so the scratch dir can go
     )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 _SRC_ORACLE = """

@@ -129,12 +129,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jacc = F.round(
         inter * F.lit(1.0) / (F.size("ha.hs") + F.size("hb.hs") - inter), 6
     )
-    return (
+    result = (
         cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
         .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+        # materialize so the persisted shingle table can be released here
+        # instead of leaking into the caller's session (the driver gate
+        # runs 85 queries in one session — intermediates must clean up)
+        .localCheckpoint(eager=True)
     )
+    h.unpersist()
+    return result
 
 
 @query("q_near_dedup", oracle=_minhash_pairs_oracle())
@@ -175,8 +181,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver loop converges in O(component diameter) rounds — near-dup
     components are shallow in practice (pairs share bands), so 3-5 rounds;
-    each round is one join + aggregate, all spark-side. The DuckDB oracle
-    is the same fixpoint as a recursive CTE."""
+    each round is one join + aggregate, all spark-side. Non-convergence
+    within the round cap raises instead of silently returning partial
+    labels (a >50-diameter chain needs the pointer-doubling variant, which
+    halves rounds to O(log d)). The DuckDB oracle is the same fixpoint as
+    a recursive CTE."""
     pairs = near_dup_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -189,7 +198,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .persist()
     )
-    for _ in range(20):
+    changed = -1
+    for _ in range(50):
         neigh = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy("a")
@@ -218,6 +228,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            "connected-components did not converge within 50 rounds "
+            "(component diameter > 50); use pointer-doubling for such graphs"
+        )
     return labels.select("doc_id", "cluster_id")
 
 
@@ -263,7 +278,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.col("a.hs"), lambda v: F.array_contains(F.col("b.hs"), v))
     )
     jacc = inter * F.lit(1.0) / (F.size("a.hs") + F.size("b.hs") - inter)
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -275,7 +290,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
+        .localCheckpoint(eager=True)  # release h below, no session leak
     )
+    h.unpersist()
+    return result
 
 
 def _simhash_oracle() -> str:
@@ -511,7 +529,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vectors.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cscore"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), "c_id")
-    ranked = scored_assign.withColumn("rn", F.row_number().over(w_assign))
+    # materialize the assignment once: both the inverted lists (assigned)
+    # and the query probes branch from it — without this the full
+    # |corpus|×|centroids| scoring pass runs twice
+    ranked = (
+        scored_assign.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= 2)
+        .localCheckpoint(eager=True)
+    )
     assigned = ranked.filter(F.col("rn") == 1).select(
         "vec_id", F.col("c_id").alias("centroid_id"), "embedding"
     )

@@ -15,6 +15,7 @@ shuffles end-to-end; the plan is one WholeStageCodegen span per batch.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,4 +182,5 @@ def q_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         getattr(writer, fmt)(path)
         counts.append((sink, spark.read.format(fmt).load(path).count()))
     out.unpersist()
+    shutil.rmtree(base, ignore_errors=True)  # counts are already collected
     return spark.createDataFrame(counts, schema=["sink", "rows_written"])

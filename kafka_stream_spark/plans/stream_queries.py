@@ -10,6 +10,7 @@ agree (the point of the batch/streaming-unified plan).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,4 +93,10 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("board stream did not drain within 300s")
-    return spark.read.parquet(SinkPaths.under(out).announcements).drop("__batch_id")
+    result = (
+        spark.read.parquet(SinkPaths.under(out).announcements)
+        .drop("__batch_id")
+        .localCheckpoint(eager=True)  # materialize, then drop the scratch dir
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result

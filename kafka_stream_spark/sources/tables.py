@@ -28,6 +28,18 @@ TABLES = (
 )
 
 
+_CONFED_SESSIONS: set[int] = set()
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Apply runtime confs once per session (load() is called many times
+    per query; re-setting identical confs each time is driver noise)."""
+    key = id(spark)
+    if key not in _CONFED_SESSIONS:
+        apply_runtime_confs(spark)
+        _CONFED_SESSIONS.add(key)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; schema comes from parquet footer metadata.
 
@@ -38,7 +50,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    apply_runtime_confs(spark)
+    _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

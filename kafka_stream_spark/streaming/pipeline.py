@@ -61,11 +61,14 @@ def enrich_cdc(
     name-dim lookup (J1) on the company code, rule match (J3) on the
     title, decodes (P8), deterministic keys (P4), wide assembly (P10).
 
-    ``rules_df``: pass a FILE-BACKED DataFrame to get live dimension
-    refresh (T2) — stream-static joins re-resolve file-based static sides
-    every micro-batch, so editing the rules file between batches takes
-    effect without restarting the query (replacing the reference's
-    count-probe + flat-file watermark machinery, kafka_s.py:198-219)."""
+    ``rules_df``: pass a FILE-BACKED DataFrame for dimension refresh (T2).
+    Honest semantics: the parquet static side's file listing is captured
+    when the query (re)starts, so edits take effect on the next
+    start/restart — which availableNow/triggered deployments do every
+    cycle (that restart cadence replaces the reference's count-probe +
+    flat-file watermark machinery, kafka_s.py:198-219). A continuously-
+    running query needs a per-batch re-read inside foreachBatch or a
+    Delta-backed dim for true mid-query refresh."""
     sites = dims.sites_df(spark)
     d = d.join(
         F.broadcast(sites), d["cmp_code"] == sites["source"], "left"

@@ -143,8 +143,10 @@ def test_parse_cdc_ashare_field_map(spark):
 
 
 def test_rules_refresh_between_batches(spark, tmp_path):
-    """T2: a file-backed rules dim is re-read per micro-batch — editing
-    the rules between runs changes classification without a restart."""
+    """T2: a file-backed rules dim is re-resolved on each triggered run —
+    editing the rules between availableNow cycles changes classification
+    (mid-query refresh of a parquet static side is NOT guaranteed; the
+    triggered-restart cadence is the supported refresh path)."""
     from kafka_stream_spark.sources import dims
 
     rules_path = str(tmp_path / "rules")
