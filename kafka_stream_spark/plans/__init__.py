@@ -17,6 +17,7 @@ from . import gaps  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
 from . import joins_ext  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import stateful_q  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import udx  # noqa: E402,F401

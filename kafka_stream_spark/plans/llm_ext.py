@@ -174,66 +174,21 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2d — near-dup CLUSTERS: connected components over the verified
-    pair graph via iterative min-label propagation (the GraphFrames-CC
-    shape as plain DataFrame joins); cluster_id = min doc_id of the
-    component, singletons map to themselves. Canonical-survivor dedup is
-    then ``filter(doc_id == cluster_id)``.
+    pair graph via pointer-jumping min-label propagation
+    (operators.graph — O(log diameter) rounds, so even pathological
+    near-dup chains converge); cluster_id = min doc_id of the component,
+    singletons map to themselves. Canonical-survivor dedup is then
+    ``filter(doc_id == cluster_id)``. The DuckDB oracle computes the same
+    fixpoint as a recursive CTE."""
+    from ..operators.graph import connected_components
 
-    The driver loop converges in O(component diameter) rounds — near-dup
-    components are shallow in practice (pairs share bands), so 3-5 rounds;
-    each round is one join + aggregate, all spark-side. Non-convergence
-    within the round cap raises instead of silently returning partial
-    labels (a >50-diameter chain needs the pointer-doubling variant, which
-    halves rounds to O(log d)). The DuckDB oracle is the same fixpoint as
-    a recursive CTE."""
     pairs = near_dup_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
-        .persist()
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    vertices = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    labels, _rounds = connected_components(vertices, edges)
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .persist()
-    )
-    changed = -1
-    for _ in range(50):
-        neigh = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        # localCheckpoint truncates the lineage each round — without it the
-        # plan (and its re-analysis cost) grows linearly with iterations.
-        # The convergence flag rides along in the same pass, so each round
-        # is exactly one join job + one tiny sum.
-        better = F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-        new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), better).alias("new_cluster_id"),
-                (better < F.col("cluster_id")).cast("int").alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        if hasattr(labels, "unpersist"):
-            labels.unpersist()
-        labels = new_labels.select(
-            "doc_id", F.col("new_cluster_id").alias("cluster_id")
-        )
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        raise RuntimeError(
-            "connected-components did not converge within 50 rounds "
-            "(component diameter > 50); use pointer-doubling for such graphs"
-        )
-    return labels.select("doc_id", "cluster_id")
 
 
 def _jaccard_oracle() -> str:

@@ -179,6 +179,43 @@ def test_rules_refresh_between_batches(spark, tmp_path):
     assert ("u2", 1) not in by_url
 
 
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Late-data policy: rows older than (max event time - watermark) at
+    the time a window was finalized are dropped, not re-emitted."""
+    import datetime as dt
+
+    from kafka_stream_spark.streaming.pipeline import run_windowed_event_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 30, 0)
+
+    def ev(i, hours_offset, etype="click", value=1.0):
+        return (i, base + dt.timedelta(hours=hours_offset), 1, etype, value)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # batch 1: events spanning 6 hours → watermark advances to max-2h,
+    # finalizing the early windows (append emits them)
+    spark.createDataFrame([ev(1, 0), ev(2, 1), ev(3, 6)], schema).write.mode(
+        "append"
+    ).parquet(inp)
+    assert run_windowed_event_stream(spark, inp, out, ckpt).awaitTermination(120)
+    emitted1 = {r["ws"] for r in spark.read.parquet(out).collect()}
+    assert base.replace(minute=0) in emitted1  # hour-0 window finalized
+
+    # batch 2: a VERY late row for the already-finalized hour-0 window
+    # plus a fresh row; the late row must not produce a new hour-0 output
+    spark.createDataFrame([ev(4, 0, value=99.0), ev(5, 7)], schema).write.mode(
+        "append"
+    ).parquet(inp)
+    assert run_windowed_event_stream(spark, inp, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    hour0 = [r for r in rows if r["ws"] == base.replace(minute=0)]
+    # exactly the original finalized emission — the 99.0 row vanished
+    assert len(hour0) == 1 and hour0[0]["n"] == 1 and hour0[0]["sum_value"] == 1.0
+
+
 def test_dlq_captures_malformed_only(spark, tmp_path):
     from kafka_stream_spark.streaming.pipeline import run_dlq_stream
 
