@@ -516,6 +516,90 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_vector_quantize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx FROM (
+        SELECT unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+      ) GROUP BY pos
+    ), stats AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM dims
+    ), coded AS (
+      SELECT e.vec_id, e.embedding AS emb,
+             list_transform(range(len(e.embedding)), i ->
+               CAST(round(
+                 (CAST(e.embedding[i + 1] AS DOUBLE) - CAST(s.mns[i + 1] AS DOUBLE))
+                 / nullif(CAST(s.mxs[i + 1] AS DOUBLE) - CAST(s.mns[i + 1] AS DOUBLE), 0)
+                 * 255) AS BIGINT)) AS codes,
+             s.mns AS mns, s.mxs AS mxs
+      FROM embeddings e, stats s
+    )
+    SELECT vec_id,
+           list_aggregate(codes, 'sum') AS code_checksum,
+           round(list_aggregate(
+             list_transform(range(len(codes)), i ->
+               abs(CAST(mns[i + 1] AS DOUBLE)
+                   + codes[i + 1] * (CAST(mxs[i + 1] AS DOUBLE) - CAST(mns[i + 1] AS DOUBLE)) / 255
+                   - CAST(emb[i + 1] AS DOUBLE))),
+             'max'), 6) AS max_recon_err
+    FROM coded
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3e — scalar (int8-style) quantization of embeddings: per-dimension
+    min/max learned in one aggregate pass (a 64-row table broadcast back),
+    codes = round((v - mn)/(mx - mn) · 255). Cuts a float32 vector corpus
+    4× for ANN candidate generation; exactness of the codes and the
+    max reconstruction error are both oracle-checked. At 100 TB the stats
+    pass is map-side partial-aggregated and the quantization itself is a
+    pure map."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    dims = (
+        e.select(F.posexplode(emb).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    j = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id", emb.alias("emb"), "mns", "mxs"
+    )
+
+    def code(i: F.Column) -> F.Column:
+        v = F.element_at(F.col("emb"), i + 1)
+        mn = F.element_at(F.col("mns"), i + 1)
+        mx = F.element_at(F.col("mxs"), i + 1)
+        return F.round((v - mn) / F.nullif(mx - mn, F.lit(0.0)) * 255).cast("long")
+
+    def recon_err(i: F.Column) -> F.Column:
+        v = F.element_at(F.col("emb"), i + 1)
+        mn = F.element_at(F.col("mns"), i + 1)
+        mx = F.element_at(F.col("mxs"), i + 1)
+        c = F.element_at(F.col("codes"), i + 1)
+        return F.abs(mn + c * (mx - mn) / 255 - v)
+
+    idx = F.sequence(F.lit(0), F.size("emb") - 1)
+    coded = j.withColumn("codes", F.transform(idx, code))
+    return coded.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_checksum"),
+        F.round(F.array_max(F.transform(idx, recon_err)), 6).alias("max_recon_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
