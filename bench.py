@@ -59,6 +59,7 @@ HEADLINE = [
     "q_salted_agg",
     "q_window_funcs",
     "q_stream_pipeline",  # full streaming path (source→enrich→3 sinks)
+    "q_training_pipeline",  # composed quality→dedup→chunk pipeline
 ]
 
 

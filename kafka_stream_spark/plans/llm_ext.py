@@ -927,6 +927,95 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _training_pipeline_oracle() -> str:
+    toks = text.tokens_sql("d.text")
+    return f"""
+    WITH RECURSIVE {_minhash_cte_chain()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS bb FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS bb FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.bb FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, {toks} AS toks
+      FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+      WHERE l.doc_id = l.cluster_id            -- canonical survivor
+        AND len({toks}) >= 20                  -- quality: min length
+        AND len(list_filter({toks}, t -> t IN ('the', 'a', 'of', 'and')))
+            * 1.0 / len({toks}) <= 0.3         -- quality: stopword ratio
+    ),
+    chunks AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             unnest(range(greatest(
+               CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1, 1
+             ))) AS chunk_id,
+             toks
+      FROM kept
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, lang,
+           md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+             AS chunk_hash,
+           least(n_tokens - chunk_id * 48, 64) AS chunk_len
+    FROM chunks
+    """
+
+
+@query("q_training_pipeline", oracle=_training_pipeline_oracle())
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline — what the LLM-data operators
+    exist FOR, as one plan: quality filter (length + stopword ratio) →
+    MinHash-LSH near-dedup keeping canonical survivors → overlapping
+    chunking with (doc_id, chunk_id) provenance. Every stage reuses the
+    oracled building blocks, and the composition itself is hash-checked
+    end-to-end against the equivalent SQL (including the recursive-CTE
+    dedup fixpoint).
+
+    Scale shape: one sketch pass + LSH candidate join for dedup, pure
+    map for quality and chunking — the corpus text crosses the wire only
+    inside the candidate verification and final chunk output."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    sw_ratio = text.stopword_ratio(toks)
+    kept = (
+        d.join(labels, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .withColumn("toks", toks)
+        .filter((F.size("toks") >= 20) & (sw_ratio <= 0.3))
+        .select("doc_id", "lang", "toks")
+    )
+    size, stride = 64, 48
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - size) / F.lit(float(stride))).cast("long") + 1,
+        F.lit(1).cast("long"),
+    )
+    c = kept.withColumn("n_tokens", F.size("toks")).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "lang",
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        F.least(
+            F.col("n_tokens") - F.col("chunk_id") * stride, F.lit(size)
+        ).alias("chunk_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
