@@ -225,3 +225,42 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts"),
         ).alias("days_to_feb"),
     )
+
+
+@query(
+    "q_moments_agg",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(avg(pow(e.value - m.mu, 3))
+                 / pow(avg(pow(e.value - m.mu, 2)), 1.5), 6) AS skew_pop,
+           round(avg(pow(e.value - m.mu, 4))
+                 / pow(avg(pow(e.value - m.mu, 2)), 2) - 3, 6) AS kurt_pop
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_moments_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments (population skewness g1 / excess
+    kurtosis g2), closing q_stats_agg's deliberate exclusion: built-in
+    skewness/kurtosis use different published estimators per engine
+    (Spark g1/g2, DuckDB G1/G2), so the engine computes the moments
+    explicitly — a two-pass central-moment plan (group means broadcast
+    back over the fact) that is numerically stabler than one-pass power
+    sums and identical on both engines. Reference has no stats surface
+    at all (SURVEY.md §2.9)."""
+    e = load(spark, sf_dir, "events")
+    means = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    d = F.col("value") - F.col("mu")
+    m2 = F.avg(F.pow(d, 2))
+    return (
+        e.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.pow(d, 3)) / F.pow(m2, 1.5), 6).alias("skew_pop"),
+            F.round(F.avg(F.pow(d, 4)) / F.pow(m2, 2) - 3, 6).alias("kurt_pop"),
+        )
+    )

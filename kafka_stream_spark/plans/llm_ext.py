@@ -1045,3 +1045,131 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(d)
+
+
+def _sq_dist(a, b):
+    """Squared-L2 distance between two array<double> columns — pure fold."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_KM_DIST_SQL = (
+    "list_aggregate(list_transform(range(len(e.embedding)), i -> "
+    "pow(CAST(e.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1], 2)), 'sum')"
+)
+
+
+def _kmeans_oracle() -> str:
+    def scored(cent: str) -> str:
+        return (
+            f"SELECT e.vec_id, c.cid, round({_KM_DIST_SQL}, 6) AS dist "
+            f"FROM embeddings e CROSS JOIN {cent} c"
+        )
+
+    assign = (
+        "SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+        "FROM {scored}) WHERE rn = 1"
+    )
+    cent_update = (
+        "SELECT cid, list(v ORDER BY pos) AS cvec FROM ("
+        "SELECT a.cid, u.pos, avg(u.val) AS v "
+        "FROM {assign} a JOIN unn u ON u.vec_id = a.vec_id "
+        "GROUP BY a.cid, u.pos) GROUP BY cid"
+    )
+    return f"""
+    WITH unn AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), scored1 AS ({scored('cent0')}
+    ), assign1 AS ({assign.format(scored='scored1')}
+    ), cent1 AS ({cent_update.format(assign='assign1')}
+    ), scored2 AS ({scored('cent1')}
+    ), assign2 AS ({assign.format(scored='scored2')}
+    ), cent2 AS ({cent_update.format(assign='assign2')})
+    SELECT a.cid AS cluster_id, count(*) AS n_vectors,
+           round(avg(a.dist), 4) AS avg_sq_dist,
+           round(list_aggregate(c.cvec, 'sum'), 4) AS centroid_sum
+    FROM assign2 a JOIN cent2 c ON a.cid = c.cid
+    GROUP BY a.cid, c.cvec
+    """
+
+
+@query("q_kmeans_quantizer", oracle=_kmeans_oracle())
+def q_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer for IVF: k=8 centroids, deterministic
+    init (vec_id < 8), two unrolled Lloyd iterations. Each iteration is
+    (1) assignment — centroids broadcast, squared-L2 argmin evaluated
+    map-side over the corpus, and (2) update — posexplode to (cid, pos)
+    and a mean per dimension, an O(k*d)-group shuffle independent of
+    corpus size. This is the training step q_ann_ivf's fixed sampler
+    deliberately skipped; at 100 TB you train on a sample with exactly
+    this plan, then the trained centroid table IS the partition function
+    for the inverted lists. Output: per-cluster size, mean assignment
+    distance, and a centroid checksum so the oracle verifies both the
+    assignment and the update step of both iterations."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "emb",
+            "cid",
+            F.round(_sq_dist(F.col("emb"), F.col("cvec")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "cvec")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        dims = assigned.select(
+            "cid", F.posexplode("emb").alias("pos", "val")
+        ).groupBy("cid", "pos").agg(F.avg("val").alias("v"))
+        return dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+
+    cent0 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    # materialize each trained centroid set once: every later stage
+    # branches from it, and without the checkpoint the full corpus
+    # assignment pass would recompute per consumer
+    cent1 = update(assign(cent0)).localCheckpoint(eager=True)
+    assign2 = assign(cent1).localCheckpoint(eager=True)
+    cent2 = update(assign2)
+    return (
+        assign2.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("dist"), 4).alias("avg_sq_dist"),
+        )
+        .join(
+            cent2.select(
+                "cid",
+                F.round(
+                    F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x), 4
+                ).alias("centroid_sum"),
+            ),
+            "cid",
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vectors",
+            "avg_sq_dist",
+            "centroid_sum",
+        )
+    )
