@@ -1,0 +1,148 @@
+"""Aggregate-function breadth beyond q_stats_agg: argument-ordered
+aggregates (max_by/min_by), ordered string aggregation (LISTAGG), median +
+deterministic mode, and the SQL-standard linear-regression family.
+
+The reference aggregates exactly once (COUNT, kafka_s.py:207-212); these
+close the remaining standard-warehouse aggregate surface. All are single
+partial-aggregate shuffles (map-side combine) — the same plan shape at
+100 TB, just more partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_maxby",
+    oracle="""
+    SELECT event_type,
+           max_by(value, event_id) AS v_at_max_id,
+           min_by(value, event_id) AS v_at_min_id,
+           max_by(user_id, event_id) AS u_at_max_id,
+           max(event_id) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (SQL:2023 argument-ordered aggregates): the value of
+    one column at the extremum of another, without a self-join or window.
+    Ordered by ``event_id`` — unique, so the result is deterministic in
+    both engines (ties under max_by are engine-defined; never order by a
+    non-unique column when hash-matching)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("value", "event_id").alias("v_at_max_id"),
+        F.min_by("value", "event_id").alias("v_at_min_id"),
+        F.max_by("user_id", "event_id").alias("u_at_max_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "q_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with explicit WITHIN-GROUP ordering: collect a
+    group's values into one delimited string. Spark-side this is
+    sort_array(collect_list(...)) → array_join — the collect is a normal
+    partial aggregate (map-side combine), the sort is per-group local.
+    Only sane for bounded groups (here ≤25 nations/region); unbounded
+    groups at 100 TB want the explode/top-k form instead."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "q_median_mode",
+    oracle="""
+    WITH freq AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    best AS (
+      SELECT l_returnflag, l_quantity, c,
+             max(c) OVER (PARTITION BY l_returnflag) AS cmax
+      FROM freq
+    )
+    SELECT m.l_returnflag, m.med_qty, b.mode_qty
+    FROM (SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty
+          FROM lineitem GROUP BY l_returnflag) m
+    JOIN (SELECT l_returnflag, min(l_quantity) AS mode_qty
+          FROM best WHERE c = cmax GROUP BY l_returnflag) b
+    USING (l_returnflag)
+    """,
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (interpolated, = percentile_cont 0.5 in both engines) plus a
+    DETERMINISTIC mode: the built-in ``mode()`` breaks ties
+    engine-arbitrarily, so the engine derives it as "smallest value among
+    the most frequent" — two aggregates and a window, fully portable.
+    Plan: median is one shuffle on the group key; the mode branch reuses
+    the same key so AQE coalesces to the same exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty")
+    )
+    freq = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag")
+    mode = (
+        freq.withColumn("cmax", F.max("c").over(w))
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag")
+
+
+@query(
+    "q_regr_agg",
+    oracle="""
+    SELECT event_type,
+           regr_count(value, CAST(user_id AS DOUBLE)) AS n,
+           round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6)
+             AS intercept,
+           round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2,
+           round(regr_avgx(value, CAST(user_id AS DOUBLE)), 6) AS avgx,
+           round(regr_avgy(value, CAST(user_id AS DOUBLE)), 6) AS avgy
+    FROM events GROUP BY event_type
+    """,
+)
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard linear-regression aggregates (regr_slope/intercept/
+    r2/count/avgx/avgy): a least-squares fit per group in ONE distributed
+    pass — each is an algebraic aggregate (sums of x, y, xy, x², y²), so
+    map-side combine applies and the shuffle carries six doubles per
+    group regardless of input size."""
+    e = load(spark, sf_dir, "events")
+    y, x = F.col("value"), F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+    )

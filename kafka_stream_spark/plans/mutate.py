@@ -1,0 +1,226 @@
+"""Data-mutation & reshape operators: MERGE upsert, changelog compaction,
+unpivot/melt, deterministic dataset splitting.
+
+The reference's only mutation is record-at-a-time INSERT with a swallow-on-
+duplicate (kafka_s.py:621-629) and a hand-rolled "reload the dim when a
+count changes" refresh (kafka_s.py:198-238). A warehouse engine needs the
+set-oriented forms: MERGE (upsert a whole batch in one plan), changelog →
+latest-state compaction (what Kafka log compaction does to the reference's
+CDC topic, expressed relationally), UNPIVOT (the inverse of A2's pivot,
+kafka_s.py:298-310), and reproducible train/val/test splits for the
+training-data pipeline extensions (SURVEY.md §2.13).
+
+Scale notes: MERGE is one full-outer shuffle join on the key — at 100 TB
+both sides hash-partition on the merge key and AQE handles skew; no
+driver-side row loop (the reference does one round-trip per record).
+Compaction is one window shuffle, partition-pruned by key prefix when the
+log is bucketed. The hash split is a pure map-side stage: no shuffle at
+all until the per-split aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_hash, token_hash_sql
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) as a single full-outer join plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      FROM customer WHERE c_nationkey < 13
+    ),
+    source AS (
+      SELECT o_custkey, round(sum(o_totalprice) * 0.001, 2) AS delta
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      coalesce(t.c_custkey, s.o_custkey) AS c_custkey,
+      coalesce(t.c_name, 'NEW#' || CAST(s.o_custkey AS VARCHAR)) AS c_name,
+      round(coalesce(t.c_acctbal, 0.0) + coalesce(s.delta, 0.0), 2)
+        AS c_acctbal,
+      CASE WHEN t.c_custkey IS NULL THEN 'insert'
+           WHEN s.o_custkey IS NULL THEN 'keep'
+           ELSE 'update' END AS merge_action
+    FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.o_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (Delta/Iceberg-style upsert) as one relational
+    plan: target FULL OUTER JOIN source on the merge key, then per-row
+    WHEN MATCHED → update / WHEN NOT MATCHED → insert / else keep.
+
+    Target = customers of nations 0-12 (so the source genuinely carries
+    both matched and unmatched keys); source = per-customer order spend.
+    The reference's analog is its insert-or-skip Mongo write
+    (kafka_s.py:614-630) done one record at a time — here the whole batch
+    merges in a single shuffle join that Catalyst plans like any other
+    join (broadcast if the source is small, sort-merge otherwise).
+    """
+    target = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 13)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+    source = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 0.001, 2).alias("delta"))
+    )
+    t, s = target.alias("t"), source.alias("s")
+    merged = t.join(s, F.col("t.c_custkey") == F.col("s.o_custkey"), "full_outer")
+    return merged.select(
+        F.coalesce("t.c_custkey", "s.o_custkey").alias("c_custkey"),
+        F.coalesce(
+            "t.c_name",
+            F.concat(F.lit("NEW#"), F.col("s.o_custkey").cast("string")),
+        ).alias("c_name"),
+        F.round(
+            F.coalesce("t.c_acctbal", F.lit(0.0))
+            + F.coalesce("s.delta", F.lit(0.0)),
+            2,
+        ).alias("c_acctbal"),
+        F.when(F.col("t.c_custkey").isNull(), "insert")
+        .when(F.col("s.o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog → latest-state compaction (Kafka log-compaction analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_latest",
+    oracle="""
+    SELECT user_id, event_type, value AS latest_value, ts AS latest_ts
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: materialize the latest state per key from an
+    append-only event log — exactly what Kafka log compaction does to the
+    reference's CDC topic (kafka_s.py:68,149-161), expressed as one
+    window. Key = (user_id, event_type); version order = (ts, event_id)
+    with event_id as the deterministic tie-break.
+
+    Scale: one shuffle on the key; at 100 TB the same plan works as an
+    incremental merge (new micro-batch unioned with the prior compact
+    snapshot, re-windowed per key partition).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("latest_value"),
+            F.col("ts").alias("latest_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — the inverse of the reference's A2 pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric, count(*) AS n, round(sum(val), 2) AS total
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+    GROUP BY l_returnflag, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns → long (metric, value) rows,
+    the inverse of A2's pivot (kafka_s.py:298-310). Uses the literal
+    ``DataFrame.unpivot`` API (Catalyst Expand — one pass over the input,
+    NOT the 3-scan UNION ALL the oracle spells out), then aggregates per
+    (flag, metric) to pin the reshape's semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (reproducible sampling)
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE_SQL = """
+CASE WHEN bucket < 80 THEN 'train'
+     WHEN bucket < 90 THEN 'val'
+     ELSE 'test' END
+"""
+
+
+@query(
+    "q_hash_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc
+    FROM (
+      SELECT doc_id, n_chars,
+             {_SPLIT_CASE_SQL.replace("bucket",
+               token_hash_sql("CAST(doc_id AS VARCHAR)") + " % 100")} AS split
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by content-stable hash
+    (md5 of the doc key → bucket 0-99), the standard way a training-data
+    pipeline splits a corpus so the assignment survives reruns, engine
+    changes, and repartitioning — unlike ``df.sample`` whose output
+    depends on partition layout. Pure map-side (no shuffle) until the
+    per-split audit aggregate; at 100 TB the split column is written as a
+    partition key so downstream readers prune to one split."""
+    d = load(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

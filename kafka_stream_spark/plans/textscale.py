@@ -1,0 +1,168 @@
+"""Scale-path text similarity and information-theoretic quality scoring.
+
+Two additions over llm_ext's dedup family (SURVEY.md §2.14 X14-X17):
+
+* ``q_jaccard_prefix`` — an exact set-similarity self-join with PREFIX
+  FILTERING (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08 "PPJoin"):
+  order each doc's token set by global rarity, keep only the first
+  ``n - ceil(t*n) + 1`` tokens, and generate candidate pairs from prefix
+  collisions. Every pair with Jaccard ≥ t provably shares a prefix token,
+  so the join is EXACT — same output as the O(n²) pairwise scan the
+  DuckDB oracle runs — while the plan's pair space is only prefix-token
+  collisions. This is the missing scale path between q_ngram_jaccard
+  (exact but quadratic) and q_near_dedup (sub-quadratic but
+  probabilistic).
+
+* ``q_char_entropy`` — per-document character-level Shannon entropy, a
+  standard training-data quality signal (gibberish/boilerplate detector):
+  low-entropy docs are repetitive filler, suspiciously high entropy is
+  often binary junk. Computed with the algebraic identity
+  H = log2(n) - Σ c·log2(c) / n so one aggregation pass suffices.
+
+Scale notes: prefix filtering's token-frequency table is tiny relative to
+the corpus (vocabulary, not tokens) and broadcasts; the candidate join
+shuffles only (prefix_token → doc) pairs — rare tokens first means the
+hottest tokens never enter a prefix, which is also the skew story: the
+high-df tokens that would make a token-join explode are exactly the ones
+prefix ordering pushes out. Entropy is explode + two map-side-combinable
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..functions.hashing import MERSENNE_P, token_hash_sql
+from ..sources.tables import load
+from .registry import query
+
+#: Jaccard threshold for the prefix-filtered join (set similarity, on
+#: distinct hashed tokens — 1-grams, vs q_ngram_jaccard's 3-gram shingles).
+TAU = 0.95
+
+_SETS_SQL = f"""(
+  SELECT doc_id, list_distinct(list_transform(
+    {text.tokens_sql('text')},
+    t -> {token_hash_sql('t')} % {MERSENNE_P})) AS ts
+  FROM documents)"""
+
+
+@query(
+    "q_jaccard_prefix",
+    oracle=f"""
+    WITH s AS (SELECT * FROM {_SETS_SQL}),
+    e AS (SELECT doc_id, unnest(ts) AS tok, len(ts) AS n FROM s),
+    i AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(o * 1.0 / (na + nb - o), 6) AS jaccard
+    FROM i
+    WHERE o * 1.0 / (na + nb - o) >= {TAU}
+    """,
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-similarity self-join at threshold t via prefix
+    filtering. Pipeline: hash tokens to int64 (portable md5, no string
+    compares downstream) → global document-frequency table (vocabulary-
+    sized, broadcast) → per-doc token list sorted rare-first by (df, tok)
+    → slice the first ``n - ceil(t*n) + 1`` tokens → candidate pairs from
+    prefix-token collisions → verify exact Jaccard on the full sets.
+
+    The oracle brute-forces ALL qualifying pairs via a full token join;
+    matching it proves the prefix filter lost nothing (completeness is
+    the PPJoin prefix lemma; the gate re-proves it on this corpus)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(text.hashed_tokens_mod(F.col("text"))).alias("ts"),
+    ).persist()
+
+    exploded = sets.select("doc_id", F.explode("ts").alias("tok"))
+    tokdf = exploded.groupBy("tok").agg(F.count("*").alias("df"))
+
+    # rare-first global order: sort each doc's tokens by (df, tok)
+    ordered = (
+        exploded.join(F.broadcast(tokdf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s.getField("tok"),
+            ).alias("ord_ts")
+        )
+    )
+    n = F.size("ord_ts")
+    prefix_len = (n - F.ceil(n * F.lit(TAU)) + 1).cast("int")
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice("ord_ts", 1, prefix_len)).alias("ptok")
+    )
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jacc = inter * F.lit(1.0) / (F.size("ts_a") + F.size("ts_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= TAU)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents
+    ),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(c) AS n_counted,
+           count(*) AS distinct_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+             AS entropy_bits
+    FROM freq GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (quality scoring for
+    the training-data pipeline; cf. llm_ext's heuristic q_quality_score).
+    H = -Σ p·log2(p) rewritten as log2(n) - Σ c·log2(c)/n so the whole
+    thing is two groupBys with map-side combine and zero floating
+    divisions until the final scalar. Characters come from
+    ``regexp_extract_all(text, '.')`` — identical newline-exclusion
+    semantics in Java regex and DuckDB's RE2."""
+    d = load(spark, sf_dir, "documents")
+    freq = d.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch")
+    ).groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return freq.groupBy("doc_id").agg(
+        n.alias("n_counted"),
+        F.count("*").alias("distinct_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("entropy_bits"),
+    )

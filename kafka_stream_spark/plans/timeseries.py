@@ -1,0 +1,133 @@
+"""Time-series operators over the event stream: calendar gap-fill with
+forward-fill, and event-time range-frame moving averages.
+
+The reference processes events in arrival order with no event-time
+semantics at all (SURVEY.md §2.8 T4) — these are the hypertable-style
+operations a stream-analytics engine layers on top: densify a sparse
+per-key series onto a regular calendar (gap-fill + LOCF interpolation)
+and smooth it with a time-interval window frame.
+
+Scale notes: gap-fill's calendar is generated per key from two scalar
+bounds (a tiny broadcast), so the only real shuffle is the bucket
+aggregate itself; the forward-fill window re-uses the same (key)
+partitioning, and Spark's EnsureRequirements collapses the two exchanges
+into one. The RANGE-frame moving average is a single window over
+(key, time) — at 100 TB both partition by key and stay skew-safe as long
+as per-key history fits an executor (else pre-aggregate to buckets first,
+exactly what the gap-fill query does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    calendar AS (
+      SELECT et.event_type, cal.hr
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) cal
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             round(sum(value), 2) AS sum_v, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.hr,
+           coalesce(h.n, 0) AS n,
+           CASE WHEN h.hr IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(h.sum_v IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v
+    FROM calendar c LEFT JOIN hourly h
+      ON c.event_type = h.event_type AND c.hr = h.hr
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward-fill (LOCF): aggregate the sparse
+    event stream to hourly buckets, expand every key onto the full hour
+    calendar via ``sequence()`` + explode, left-join, and carry the last
+    observed value across gaps with ``last(..., ignorenulls)``. The
+    timescale "time_bucket_gapfill + locf" pattern in four declarative
+    steps — no UDF, no driver loop."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.sum("value"), 2).alias("sum_v"), F.count("*").alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    calendar = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(F.col("sum_v").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("sum_v", ignorenulls=True).over(w).alias("filled_v"),
+        )
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    SELECT event_id, event_type,
+           round(avg(value) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+             AS mavg_1h,
+           count(*) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_in_window
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time moving average: RANGE frame of the trailing hour per
+    event type, keyed on microsecond epoch so the frame is a true time
+    interval (not a row count — sparse and dense regions get the same
+    1-hour lookback). Ties in ts land in the same frame in both engines
+    (RANGE peers), so no tie-break column is needed."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.avg("value").over(w), 6).alias("mavg_1h"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
