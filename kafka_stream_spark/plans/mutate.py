@@ -41,7 +41,7 @@ from .registry import query
     ),
     source AS (
       SELECT o_custkey, round(sum(o_totalprice) * 0.001, 2) AS delta
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
     )
     SELECT
       coalesce(t.c_custkey, s.o_custkey) AS c_custkey,
@@ -59,8 +59,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: target FULL OUTER JOIN source on the merge key, then per-row
     WHEN MATCHED → update / WHEN NOT MATCHED → insert / else keep.
 
-    Target = customers of nations 0-12 (so the source genuinely carries
-    both matched and unmatched keys); source = per-customer order spend.
+    Target = customers of nations 0-12; source = per-customer spend on
+    big-ticket orders (>350k) — chosen so the merge genuinely exercises
+    all three branches on the testdata: matched-update, source-only
+    insert, and target-only keep.
     The reference's analog is its insert-or-skip Mongo write
     (kafka_s.py:614-630) done one record at a time — here the whole batch
     merges in a single shuffle join that Catalyst plans like any other
@@ -73,6 +75,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice") * 0.001, 2).alias("delta"))
     )

@@ -1,0 +1,96 @@
+"""Semantics pins for the mutation/reshape, timeseries, and prefix-join
+operators (plans.mutate / plans.agg_ext / plans.timeseries /
+plans.textscale)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.plans.mutate import q_cdc_latest, q_merge_upsert
+from kafka_stream_spark.plans.textscale import TAU, q_char_entropy, q_jaccard_prefix
+from kafka_stream_spark.plans.timeseries import q_gap_fill
+
+
+def test_merge_covers_all_three_actions(spark, sf_dir):
+    """The merge source/target split must genuinely exercise update,
+    insert AND keep branches, and the key stays unique after the merge."""
+    out = q_merge_upsert(spark, sf_dir)
+    actions = {
+        r["merge_action"]: r["n"]
+        for r in out.groupBy("merge_action").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(actions) == {"update", "insert", "keep"}
+    assert out.count() == out.select("c_custkey").distinct().count()
+
+
+def test_cdc_latest_is_one_row_per_key_and_truly_latest(spark, sf_dir):
+    out = q_cdc_latest(spark, sf_dir)
+    keys = out.select("user_id", "event_type")
+    assert keys.count() == keys.distinct().count()
+    # the compacted ts per key equals the max ts per key in the raw log
+    from kafka_stream_spark.sources.tables import load
+
+    raw_max = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    joined = out.join(raw_max, ["user_id", "event_type"])
+    assert joined.filter(F.col("latest_ts") != F.col("max_ts")).count() == 0
+
+
+def test_gap_fill_calendar_is_dense_and_locf_carries(spark, sf_dir):
+    out = q_gap_fill(spark, sf_dir).cache()
+    # dense: every event_type has the same number of hour buckets
+    per_type = out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert len({r["n"] for r in per_type}) == 1
+    # LOCF: once a type has seen any value, filled_v is never NULL again
+    w_ok = out.filter(
+        (F.col("is_gap") == 1) & F.col("filled_v").isNull()
+    )
+    first_seen = (
+        out.filter(F.col("is_gap") == 0)
+        .groupBy("event_type")
+        .agg(F.min("hr").alias("first_hr"))
+    )
+    bad = w_ok.join(first_seen, "event_type").filter(F.col("hr") > F.col("first_hr"))
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_prefix_join_equals_brute_force(spark, sf_dir):
+    """Completeness of the prefix filter on real data: the candidate-
+    pruned join returns EXACTLY the pairs the O(n²) scan finds."""
+    from kafka_stream_spark.functions import text
+    from kafka_stream_spark.sources.tables import load
+
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_jaccard_prefix(spark, sf_dir).collect()
+    }
+    sets = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(text.hashed_tokens_mod(F.col("text"))).alias("ts")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jacc = inter * F.lit(1.0) / (F.size("ts_a") + F.size("ts_b") - inter)
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    assert fast == brute and len(fast) > 0
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ log2(distinct chars), attained only at uniform/constant."""
+    rows = q_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["distinct_chars"]) + 1e-9
