@@ -60,6 +60,13 @@ HEADLINE = [
     "q_window_funcs",
     "q_stream_pipeline",  # full streaming path (source→enrich→3 sinks)
     "q_training_pipeline",  # composed quality→dedup→chunk pipeline
+    "q_merge_upsert",     # MERGE as one full-outer join
+    "q_cdc_latest",       # changelog → latest-state compaction
+    "q_sessionize",       # gaps-and-islands batch sessionization
+    "q_gap_fill",         # calendar densify + LOCF
+    "q_moving_avg",       # event-time RANGE-frame smoothing
+    "q_jaccard_prefix",   # prefix-filtered exact similarity join
+    "q_hash_split",       # deterministic corpus split
 ]
 
 

@@ -117,6 +117,64 @@ def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
+           bit_xor(user_id) AS b_xor,
+           count(CASE WHEN user_id & 1 = 1 THEN 1 END) AS n_odd
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor) plus a masked
+    count — flag-register rollups over integer columns. Algebraic and
+    commutative → full map-side combine; the shuffle carries one long
+    per group per aggregate."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("b_and"),
+        F.bit_or("user_id").alias("b_or"),
+        F.bit_xor("user_id").alias("b_xor"),
+        F.count(F.when(F.col("user_id").bitwiseAND(1) == 1, 1)).alias("n_odd"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(CASE WHEN json_extract_string(props, '$.missing')
+                      IS NULL THEN 1 END) AS n_no_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction: ``get_json_object`` path queries
+    over the events' JSON props payload (the engine's analog of the
+    reference's BSON envelope fields, kafka_s.py:157,170-174), with a
+    missing-path probe. Extraction is a codegen'd JVM expression — the
+    JSON never reaches Python. At 100 TB the parse cost dominates, so
+    hot paths should be promoted to top-level parquet columns at ingest;
+    this query is the ad-hoc-exploration form."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(
+            F.when(F.get_json_object("props", "$.missing").isNull(), 1)
+        ).alias("n_no_missing"),
+    )
+
+
+@query(
     "q_regr_agg",
     oracle="""
     SELECT event_type,

@@ -312,3 +312,70 @@ def run_windowed_event_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked STREAM-STREAM inner join (ad-attribution shape): each
+    purchase joins the clicks of the same user that happened within
+    ``attribution_window`` BEFORE it. The reference has no two-stream
+    operator at all (SURVEY.md §2.9); Spark buffers both sides in state
+    and the event-time range condition + both watermarks bound that
+    state — without them the buffers grow forever, which is the
+    100 TB-scale failure mode this helper exists to demonstrate
+    avoiding.
+
+    State cleanup math: a click can only match purchases up to
+    ``attribution_window`` later, so once the purchase-side watermark
+    passes click.ts + window the click is evicted (and vice versa).
+    """
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(clicks_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purchases_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Stream-stream join: correctness vs the batch join, cross-restart
+state buffering, and window exclusion."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.streaming.pipeline import run_stream_stream_join
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_stream_stream_join_matches_batch_and_buffers_across_restart(
+    spark, tmp_path
+):
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purch")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(minutes):
+        return BASE + dt.timedelta(minutes=minutes)
+
+    # round 1: clicks only — no purchases yet, join emits nothing but
+    # MUST buffer the clicks in state
+    clicks1 = [
+        (1, t(0), 7, "click", 0.0),
+        (2, t(10), 7, "click", 0.0),
+        (3, t(0), 8, "click", 0.0),
+    ]
+    _rows(spark, clicks1).write.mode("append").parquet(clicks_dir)
+    _rows(spark, []).write.mode("append").parquet(purch_dir)
+    q = run_stream_stream_join(spark, clicks_dir, purch_dir, out, ckpt)
+    assert q.awaitTermination(120)
+
+    # round 2 (restart from checkpoint): purchases arrive — one inside
+    # the 1h window of user 7's clicks, one 90min after user 8's click
+    # (outside the window → excluded), one for a user with no clicks
+    purch2 = [
+        (100, t(30), 7, "purchase", 9.5),
+        (101, t(90), 8, "purchase", 4.0),
+        (102, t(30), 9, "purchase", 1.0),
+    ]
+    _rows(spark, purch2).write.mode("append").parquet(purch_dir)
+    q = run_stream_stream_join(spark, clicks_dir, purch_dir, out, ckpt)
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 7's purchase attributes to BOTH in-window clicks (1 and 2),
+    # proving round-1 state survived the restart; 101/102 match nothing
+    assert got == {(1, 100), (2, 100)}
+
+    # differential: the streaming result equals the batch join
+    c = spark.read.parquet(clicks_dir).filter(F.col("event_type") == "click")
+    p = spark.read.parquet(purch_dir).filter(F.col("event_type") == "purchase")
+    batch = (
+        p.alias("p")
+        .join(
+            c.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("c.event_id").alias("click_id"), F.col("p.event_id").alias("purchase_id"))
+    )
+    assert {(r["click_id"], r["purchase_id"]) for r in batch.collect()} == got
