@@ -204,3 +204,19 @@ def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avgx"),
         F.round(F.regr_avgy(y, x), 6).alias("avgy"),
     )
+
+
+@query("q_approx_percentile")  # rows-only: GK-sketch ranks are engine-specific
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (``approx_percentile``) — the scale path q_percentiles' docstring
+    points to: O(accuracy) state per group instead of O(distinct values),
+    mergeable across partitions, rank error ≤ n/accuracy. Rows-only in
+    the gate (sketch internals differ per engine); the companion exact
+    query IS hash-matched, and the bench runs this form."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("ap99"),
+    )

@@ -100,3 +100,46 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 — watermarked STREAM-STREAM inner join under the full oracle:
+    the events table split into a click stream and a purchase stream,
+    joined on user within a 1-hour attribution window by the REAL
+    two-stream stateful join (state bounded by watermark + window), then
+    compared against the plain SQL range join. Streaming and batch
+    semantics agreeing on the same inputs is the whole claim of the
+    unified engine; this query makes the two-stream case part of the
+    gate rather than only a unit test."""
+    from ..streaming.pipeline import run_stream_stream_join
+
+    base = tempfile.mkdtemp(prefix="kss_sjoin_")
+    clicks_dir, purch_dir = f"{base}/clicks", f"{base}/purch"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "click").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(purch_dir)
+    q = run_stream_stream_join(spark, clicks_dir, purch_dir, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-stream join did not drain within 300s")
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
