@@ -70,3 +70,65 @@ def connected_components(
             f"connected components did not converge in {max_rounds} rounds"
         )
     return labels.select("v", F.col("p").alias("component")), rounds
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected-as-given edge list ([a, b], treated
+    symmetrically so there are no dangling nodes) → (node, rank).
+
+    Each iteration is one join + one aggregate:
+        r'(v) = (1-d)/N + d · Σ_{u ∈ in(v)} r(u) / outdeg(u)
+    — the Brin/Page formulation as two shuffles per round, both on the
+    node key, so a cluster reuses one hash partitioning across all
+    rounds. Ranks are localCheckpoint-ed per round to keep the lineage
+    flat (same discipline as connected_components above). N and the
+    degree table are computed once; degrees broadcast when small.
+
+    At 100 TB-scale graphs the same loop holds: the iteration state is
+    one double per node, the edge table is the only big operand, and it
+    is scanned (not mutated) every round — the classic Pregel-on-
+    DataFrames shape.
+    """
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("outdeg")).persist()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    ranks = deg.select("a", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("node")
+            .agg(F.sum("w").alias("in_mass"))
+        )
+        ranks = (
+            deg.select(F.col("a"), F.col("outdeg"))
+            .join(contrib, deg["a"] == contrib["node"], "left")
+            .select(
+                "a",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    deg.unpersist()
+    return ranks.select(F.col("a").alias("node"), "rank")

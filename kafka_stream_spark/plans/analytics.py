@@ -125,3 +125,60 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_in_bucket")
     )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE pair."""
+    return f"""
+    m_{out} AS (
+      SELECT s.b AS node, sum(r.rank / dd.outdeg) AS mass
+      FROM sym s JOIN {prev} r ON s.a = r.a JOIN deg dd ON s.a = dd.a
+      GROUP BY s.b),
+    {out} AS (
+      SELECT d.a,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * coalesce(m.mass, 0) AS rank
+      FROM deg d LEFT JOIN m_{out} m ON d.a = m.node)"""
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS a,
+                      'c' || CAST(o.o_custkey AS VARCHAR) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a, count(*) AS outdeg FROM sym GROUP BY a),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT a, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM deg),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')},
+    {_pr_iter_sql('r2', 'r3')}
+    SELECT a AS node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 — PageRank (3 iterations, d=0.85) over the supplier↔customer
+    shipment graph (distinct (l_suppkey, o_custkey) pairs via
+    lineitem ⋈ orders, symmetrized so no node dangles). The iterative-
+    numeric companion to q_dedup_clusters' label propagation: per round
+    one edge⋈rank join + one aggregate, node-keyed shuffles throughout
+    (operators/graph.pagerank). The oracle unrolls all three iterations
+    as CTE chains — every intermediate rank distribution is pinned, not
+    just the final one."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -33,3 +33,29 @@ def test_star_graph(spark):
     got, rounds = _run(spark, 50, [(0, i) for i in range(1, 50)])
     assert set(got.values()) == {0}
     assert rounds <= 4
+
+
+def test_pagerank_mass_conservation_and_positivity(spark, sf_dir):
+    """Σ ranks = 1 (symmetrized graph has no dangling mass leak) and
+    every node gets at least the teleport floor (1-d)/N."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_spark.operators.graph import pagerank
+    from kafka_stream_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85).cache()
+    n = ranks.count()
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    floor = 0.15 / n
+    assert ranks.filter(F.col("rank") < floor - 1e-12).count() == 0
