@@ -185,3 +185,130 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("mavg_1h"),
         F.count("*").over(w).alias("n_in_window"),
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT user_id, event_type, value AS version_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a changelog: each version of
+    a key gets a validity interval [valid_from, valid_to) with valid_to =
+    next version's timestamp (NULL = still current). The interval table
+    q_range_join / as-of lookups consume, built from the same log
+    q_cdc_latest compacts — one lead() window on the key, deterministic
+    via the (ts, event_id) tie-break. At scale: one shuffle on the key;
+    incremental maintenance re-windows only keys present in the new
+    batch plus their prior current rows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("version_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT event_type,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twa,
+           round(avg(value), 6) AS plain_avg,
+           count(*) AS n_intervals
+    FROM d WHERE dt_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the timescale `time_weight('LOCF')` shape):
+    each observation holds until the next one, so its weight is the
+    interval length — Σ v·Δt / Σ Δt. Irregularly-sampled series make
+    plain avg() lie (burst periods dominate); the query returns both so
+    the difference is visible. One lead() window then one aggregate,
+    both on the same key partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dt_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    d = e.select("event_type", "value", dt_us.alias("dt_us")).filter(
+        F.col("dt_us").isNotNull()
+    )
+    return d.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6).alias(
+            "twa"
+        ),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events)
+    SELECT event_type, hr,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n_ticks,
+           round(sum(value), 2) AS volume
+    FROM ordered GROUP BY event_type, hr
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (series, hour) — the financial rollup
+    the reference's stock-announcement domain implies but never computes
+    (its MySQL sinks store raw rows only, kafka_s.py:470-556). open and
+    close are the first/last tick under the deterministic (ts, event_id)
+    order, expressed as rank-1 conditional aggregates so the whole bar
+    is ONE window pass + ONE aggregate on the same (series, bucket)
+    key — no self-joins. This is also the continuous-rollup store shape
+    (X39) a streaming deployment maintains incrementally."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    key = ["event_type", "hr"]
+    asc = Window.partitionBy(*key).orderBy("ts", "event_id")
+    desc = Window.partitionBy(*key).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ordered = e.select(
+        "event_type",
+        "hr",
+        "value",
+        F.row_number().over(asc).alias("rn_open"),
+        F.row_number().over(desc).alias("rn_close"),
+    )
+    return ordered.groupBy(*key).agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )

@@ -74,3 +74,49 @@ def test_stream_stream_join_matches_batch_and_buffers_across_restart(
         .select(F.col("c.event_id").alias("click_id"), F.col("p.event_id").alias("purchase_id"))
     )
     assert {(r["click_id"], r["purchase_id"]) for r in batch.collect()} == got
+
+
+def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
+    """The bounded-state streaming dedup: duplicates arriving within the
+    watermark horizon are dropped across micro-batches, but state is
+    evictable (unlike plain dropDuplicates, whose state grows forever —
+    the 100 TB-stream failure mode)."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(inp)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    t0 = BASE
+    _rows(
+        spark,
+        [
+            (1, t0, 7, "click", 1.0),
+            (1, t0, 7, "click", 1.0),  # in-batch duplicate
+            (2, t0, 8, "click", 2.0),
+        ],
+    ).write.mode("append").parquet(inp)
+    assert run().awaitTermination(120)
+
+    # next batch: same event_id again, still within the watermark window
+    _rows(spark, [(1, t0, 7, "click", 1.0), (3, t0, 9, "click", 3.0)]).write.mode(
+        "append"
+    ).parquet(inp)
+    assert run().awaitTermination(120)
+
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]
