@@ -438,6 +438,37 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pivot_dynamic",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+           round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0), 2) AS error,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase,
+           round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0), 2) AS signup,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 alt 2 — ``.pivot()`` WITHOUT a value list: Spark runs a
+    distinct-discovery job on the pivot column first (capped by
+    spark.sql.pivotMaxValues), then compiles the same conditional
+    aggregate as the explicit form. Two jobs instead of one — fine for
+    ad-hoc exploration, but at 100 TB pass the value list explicitly
+    (q_pivot_wide) and skip the discovery scan."""
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type")
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    cols = [c for c in p.columns if c != "cohort"]
+    return p.select(
+        "cohort", *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in cols]
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 dedup
 # ---------------------------------------------------------------------------

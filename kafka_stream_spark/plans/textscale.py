@@ -30,7 +30,7 @@ aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text
@@ -178,4 +178,73 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
         ).alias("entropy_bits"),
+    )
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    WITH heads AS (
+      SELECT doc_id, lang, substr(text, 1, 40) AS head FROM documents)
+    SELECT doc_id, lang,
+           levenshtein(head,
+                       lag(head) OVER (PARTITION BY lang ORDER BY doc_id))
+             AS dist_to_prev
+    FROM heads
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between each document's 40-char head and
+    its predecessor's (per language, doc_id order) — the character-level
+    near-dup signal complementing the token-level Jaccard family. Both
+    engines implement the standard unit-cost edit distance. Bounding the
+    operand to a fixed prefix is the scale discipline: levenshtein is
+    O(m·n) per pair, so at 100 TB you band by a cheap key and cap the
+    operand length, exactly as here."""
+    d = load(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("head")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return heads.select(
+        "doc_id",
+        "lang",
+        F.levenshtein("head", F.lag("head").over(w)).alias("dist_to_prev"),
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({text.tokens_sql('text')}) AS token
+      FROM documents),
+    counted AS (
+      SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rk
+      FROM counted)
+    SELECT lang, token, cnt, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 heavy hitters (most frequent tokens) per language:
+    explode → count → rank, ties broken lexicographically so the result
+    is deterministic. The count is map-side combinable and the rank
+    window only sees the (lang, token) aggregate — the scan's token
+    explosion never shuffles raw. At 100 TB swap the exact count for a
+    count-min sketch only if the vocabulary itself outgrows memory."""
+    d = load(spark, sf_dir, "documents")
+    counted = (
+        d.select("lang", F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "token", "cnt", "rk")
     )
