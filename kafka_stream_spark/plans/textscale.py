@@ -248,3 +248,105 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("lang", "token", "cnt", "rk")
     )
+
+
+_GOPHER_WC_MIN = 20
+_REP_MAX = 0.2
+_SYM_MAX = 0.1
+
+
+@query(
+    "q_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {text.tokens_sql('text')} AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, toks, len(toks) AS wc,
+             {text.shingles_sql('toks')} AS sh
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             wc,
+             round(list_sum(list_transform(toks,
+                     x -> CAST(length(x) AS DOUBLE))) / wc, 6) AS mean_wlen,
+             round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6)
+               AS rep_ratio,
+             round((length(text) - length(replace(text, '#', ''))) * 1.0
+                   / wc, 6) AS sym_ratio,
+             len(list_intersect(list_distinct(list_transform(toks,
+                     x -> lower(x))),
+                 {list(text.STOPWORDS)})) AS n_stop
+      FROM s)
+    SELECT doc_id, wc, mean_wlen, rep_ratio, sym_ratio, n_stop,
+           CASE WHEN wc >= {_GOPHER_WC_MIN}
+                 AND mean_wlen BETWEEN 3 AND 10
+                 AND rep_ratio < {_REP_MAX}
+                 AND sym_ratio < {_SYM_MAX}
+                 AND n_stop >= 2
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style quality-filter battery per document
+    (Rae et al. 2021 §A1.1; Penedo et al. 2023): word count floor, mean
+    word length band, duplicate-3-gram repetition ratio, symbol-to-word
+    ratio, and stopword presence, composed into one keep/drop flag. The
+    published filters are exactly this shape — cheap per-doc token
+    statistics — so the whole battery is one narrow projection pass, no
+    shuffle at all until someone aggregates the flags. Complements
+    q_quality_score (heuristic score) and q_char_entropy (information-
+    theoretic) as the third quality lens."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    s = d.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        F.size(toks).alias("wc"),
+        text.shingles(toks).alias("sh"),
+    )
+
+    def _len_d(x):
+        return F.length(x).cast("double")
+
+    mean_wlen = F.round(
+        F.aggregate(
+            F.transform("toks", _len_d), F.lit(0.0), lambda acc, x: acc + x
+        )
+        / F.col("wc"),
+        6,
+    )
+    rep_ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct("sh")) * F.lit(1.0) / F.size("sh"),
+        6,
+    )
+    sym_ratio = F.round(
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        * F.lit(1.0)
+        / F.col("wc"),
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("toks", F.lower)),
+            F.array(*[F.lit(s_) for s_ in text.STOPWORDS]),
+        )
+    )
+    m = s.select(
+        "doc_id",
+        "wc",
+        mean_wlen.alias("mean_wlen"),
+        rep_ratio.alias("rep_ratio"),
+        sym_ratio.alias("sym_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    keep = (
+        (F.col("wc") >= _GOPHER_WC_MIN)
+        & F.col("mean_wlen").between(3, 10)
+        & (F.col("rep_ratio") < _REP_MAX)
+        & (F.col("sym_ratio") < _SYM_MAX)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.withColumn("keep", keep.cast("int"))
