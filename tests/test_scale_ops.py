@@ -100,3 +100,35 @@ def test_dim_joins_broadcast_not_sortmerge(spark, sf_dir):
         plan = _plan(QUERIES[q](spark, sf_dir))
         assert "SortMergeJoin" not in plan, q
         assert "Broadcast" in plan, q
+
+
+def test_aqe_converts_sortmerge_to_broadcast_at_runtime(spark, sf_dir):
+    """With static broadcast disabled, the initial plan is a sort-merge
+    join; AQE's runtime size statistics convert it to a broadcast hash
+    join after the filtered side materializes tiny — the mechanism that
+    rescues mis-estimated plans at 100 TB (stats lie, runtime doesn't)."""
+    # load first: the loader applies the engine's runtime confs on first
+    # use and would overwrite the override below
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast for STATIC planning only; AQE keeps its own
+    # threshold, so the conversion can only come from runtime stats
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        static_plan = _plan(j)
+        assert "SortMergeJoin" in static_plan
+        assert "BroadcastHashJoin" not in static_plan
+        j.collect()  # run → AQE re-plans with true sizes
+        final_plan = _plan(j)
+        assert "isFinalPlan=true" in final_plan
+        assert "BroadcastHashJoin" in final_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
