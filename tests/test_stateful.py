@@ -51,3 +51,63 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     assert got[1] == (3, 17.0, 2)  # 2 events batch1 + 1 event batch2
     assert got[2] == (1, 1.0, 1)
     assert got[3] == (1, 7.0, 1)
+
+
+def test_event_time_timeout_closes_and_evicts_idle_keys(spark, tmp_path):
+    """A key idle past 30 min of EVENT time is closed when the watermark
+    passes: terminal closed=1 row emitted, state evicted (a fresh event
+    afterwards restarts the count from zero). Deterministic — driven by
+    event timestamps, not sleeps."""
+    import datetime as dt
+
+    from kafka_stream_spark.operators.stateful import expiring_user_sessions
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def run():
+        ev = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            expiring_user_sessions(ev)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, t(0), 7, "click", 2.0), (2, t(5), 7, "click", 3.0)], schema
+    ).write.mode("append").parquet(inp)
+    run()
+
+    # user 8 events at +60min push the watermark (10 min lag) to +50min,
+    # past user 7 last-event+30min=+35min -> user 7 times out
+    spark.createDataFrame([(3, t(60), 8, "view", 1.0)], schema).write.mode(
+        "append"
+    ).parquet(inp)
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    closed7 = [r for r in rows if r["user_id"] == 7 and r["closed"] == 1]
+    assert len(closed7) == 1
+    assert closed7[0]["n_events"] == 2 and closed7[0]["sum_value"] == 5.0
+
+    # eviction: user 7 reappears -> counts restart from zero
+    spark.createDataFrame([(4, t(70), 7, "click", 10.0)], schema).write.mode(
+        "append"
+    ).parquet(inp)
+    run()
+    latest7 = [
+        r for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 7 and r["closed"] == 0
+    ]
+    assert {(r["n_events"], r["sum_value"]) for r in latest7} >= {(1, 10.0), (2, 5.0)}
