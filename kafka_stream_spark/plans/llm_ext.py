@@ -277,9 +277,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_cosine_topk",
-    oracle=f"""
+def _exact_topk_oracle(k: int = 5) -> str:
+    return f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -290,9 +289,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q_id, n_id, score,
              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
       FROM scored
-    ) WHERE rn <= 5
-    """,
-)
+    ) WHERE rn <= {k}
+    """
+
+
+@query("q_cosine_topk", oracle=_exact_topk_oracle())
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — brute-force cosine top-k: small query set broadcast against
     the corpus, one map-side pass, per-query top-k via ranking window on
@@ -1172,4 +1173,51 @@ def q_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sq_dist",
             "centroid_sum",
         )
+    )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH exact3 AS (
+      SELECT q_id, n_id FROM ({_exact_topk_oracle(3)})
+    ),
+    ivf AS (
+      SELECT q_id, n_id FROM ({_ivf_oracle()})
+    ),
+    hits AS (
+      SELECT e.q_id, count(i.n_id) AS n_hits
+      FROM exact3 e LEFT JOIN ivf i
+        ON e.q_id = i.q_id AND e.n_id = i.n_id
+      GROUP BY e.q_id)
+    SELECT q_id, n_hits, round(n_hits / 3.0, 6) AS recall_at_3
+    FROM hits
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3e — ANN QUALITY EVALUATION: recall@3 of the IVF index
+    (q_ann_ivf, nprobe=2) against the exact brute-force neighbors
+    (q_cosine_topk), per query. The metric every production vector
+    search tunes nprobe/n_centroids against — here it is itself a
+    distributed query: both pipelines run, join on (query, neighbor),
+    hits/k. The oracle recomputes BOTH pipelines in SQL and the same
+    recall arithmetic, so the measured quality number is engine-verified,
+    not self-reported."""
+    exact3 = q_cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3).select(
+        "q_id", "n_id"
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("i_q"), F.col("n_id").alias("i_n")
+    )
+    hits = (
+        exact3.join(
+            ivf,
+            (F.col("q_id") == F.col("i_q")) & (F.col("n_id") == F.col("i_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("i_n").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id", "n_hits", F.round(F.col("n_hits") / 3.0, 6).alias("recall_at_3")
     )
