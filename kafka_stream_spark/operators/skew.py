@@ -64,3 +64,32 @@ def key_salt(n_salts: int, *key_cols: Column) -> Column:
     join. (A row-position salt cannot do this — two DataFrames never
     agree on row order.)"""
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_salts))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join resilient to BIG-side key skew: each big row gets a
+    deterministic salt in [0, n_salts); the small side is replicated
+    once per salt; the join key becomes (key, salt), splitting one hot
+    key's reducer into n_salts parallel ones.
+
+    The manual fallback for when AQE skew-join can't help — e.g. the
+    skewed stage feeds a window or the small side is too big to
+    broadcast but small enough to replicate n_salts×. The salt comes
+    from xxhash64 of the whole row (deterministic under replay, no
+    ``rand()`` in the plan), and the helper strips its own plumbing so
+    output columns = plain-join columns."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_r = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumnRenamed(key, "__rkey")
+    joined = big_s.join(
+        small_r,
+        (F.col(key) == F.col("__rkey")) & (big_s["__salt"] == small_r["__salt"]),
+    )
+    return joined.drop("__salt").drop("__rkey")

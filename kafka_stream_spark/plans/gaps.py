@@ -272,3 +272,39 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+      SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nk FROM supplier
+      )
+      EXCEPT ALL
+      SELECT n_nationkey AS nk FROM nation WHERE n_regionkey < 2
+    ) GROUP BY nk
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11b — the BAG-semantics set operations (INTERSECT ALL / EXCEPT
+    ALL): multiplicity-aware — a key occurring 70× in customers and 3×
+    in suppliers intersects to 3 copies, and EXCEPT ALL subtracts
+    per-occurrence, not per-value. Spark plans both as aggregate+join on
+    counts (no row explosion); the final groupBy makes the multiset
+    hash-comparable."""
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    nat01 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") < 2)
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    return (
+        cust.intersectAll(supp)
+        .exceptAll(nat01)
+        .groupBy("nk")
+        .agg(F.count("*").alias("n"))
+    )

@@ -132,3 +132,41 @@ def test_aqe_converts_sortmerge_to_broadcast_at_runtime(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted equi-join (big-side skew splitter) returns exactly the
+    plain join's rows, including duplicate-key multiplicity."""
+    from kafka_stream_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    # skew: fold every user into 3 hot keys
+    big = ev.withColumn("k", F.col("user_id") % 3)
+    small = (
+        load(spark, sf_dir, "nation")
+        .select((F.col("n_nationkey") % 3).alias("k"), "n_name")
+    )  # duplicate keys on the small side too (multiplicity must survive)
+    got = salted_join(big, small, "k").groupBy("k", "n_name").count()
+    want = big.join(small, "k").groupBy("k", "n_name").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_observation_in_pipeline_audit_metrics(spark, sf_dir):
+    """``observe()``: audit counters riding the pipeline's single pass —
+    no second scan for row counts at 100 TB (the reference's self.page
+    counter, kafka_s.py:71,175-176, done the engine way for batch)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    li = load(spark, sf_dir, "lineitem")
+    df = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_seen"),
+    ).filter(F.col("l_quantity") > 25)
+    kept = df.count()
+    metrics = obs.get
+    total = li.count()
+    assert metrics["rows_seen"] == total and kept < total
+    want_qty = li.agg(F.round(F.sum("l_quantity"), 2)).first()[0]
+    assert metrics["qty_seen"] == want_qty
