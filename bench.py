@@ -67,6 +67,10 @@ HEADLINE = [
     "q_moving_avg",       # event-time RANGE-frame smoothing
     "q_jaccard_prefix",   # prefix-filtered exact similarity join
     "q_hash_split",       # deterministic corpus split
+    "q_decontaminate",    # benchmark n-gram contamination check
+    "q_dup_ngram_fraction",  # corpus-level repetition metric
+    "q_dataset_mix",      # stratified hash-threshold mixing
+    "q_zorder_layout",    # Morton clustering key + bounding boxes
 ]
 
 

@@ -14,6 +14,7 @@ from . import agg_ext  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import core  # noqa: E402,F401
+from . import datasetops  # noqa: E402,F401
 from . import gaps  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
 from . import joins_ext  # noqa: E402,F401

@@ -1,0 +1,335 @@
+"""Dataset-construction operators for LLM training pipelines.
+
+Four operations every large-scale corpus build needs that the dedup /
+quality families (llm_ext, textscale) don't yet cover:
+
+* ``q_decontaminate`` — benchmark decontamination: flag corpus documents
+  sharing any word 5-gram with a held-out benchmark set (the standard
+  n-gram-overlap test-set-contamination check used by GPT-3/PaLM/Llama
+  dataset reports). The benchmark here is a deterministic slice of the
+  corpus (``doc_id % 97 = 0``) so the oracle can re-derive it.
+* ``q_dup_ngram_fraction`` — per-document duplicate-n-gram fraction
+  (share of a doc's distinct 5-grams appearing in ≥2 docs corpus-wide),
+  the Gopher/RefinedWeb "repetition" signal at corpus rather than
+  intra-doc granularity.
+* ``q_dataset_mix`` — deterministic stratified sampling with per-source
+  mixing weights (dataset mixture construction). Hash-threshold
+  sampling, not ``rand()``: reproducible across engines, retries, and
+  cluster sizes.
+* ``q_zorder_layout`` — Z-order (Morton) clustering key over two scan
+  dimensions, with per-bucket min/max ranges proving the locality that
+  write-time layout clustering buys for file skipping.
+
+Scale notes (100 TB):
+- Benchmark gram sets are tiny (benchmarks are MBs, corpora are TBs) →
+  the contamination check is a map-side broadcast semi-join; the corpus
+  never shuffles. Here both sides derive from `documents`, so the
+  broadcast is on the 1/97 slice.
+- The duplicate-gram inverted index shuffles (gram, doc_id) pairs only;
+  at production scale hash grams to int64 first (functions.hashing) so
+  the shuffle carries 8-byte keys — kept as strings here so the oracle
+  join is collision-free by construction.
+- Mixing weights as integer basis-point thresholds on a portable hash:
+  membership is a pure map-side filter, stable under repartitioning.
+- Z-values are integer bit-interleaves; sorting by them at write time
+  gives every file a bounding box in BOTH dimensions (the min/max
+  columns this query emits are exactly the file-skipping statistics a
+  lakehouse format would store).
+
+Reference parity: the reference pipeline has no training-data layer —
+these extend SURVEY.md §2.14's X-series (X90–X93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_hash, token_hash_sql
+from ..sources.tables import load
+from .registry import query
+
+#: words per shingle for the contamination / repetition checks
+NGRAM = 5
+#: benchmark slice: every 97th doc_id
+BENCH_MOD = 97
+
+_GRAMS_SQL = f"""(
+  WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+             FROM documents),
+  idx AS (SELECT doc_id, source, w,
+                 unnest(generate_series(1, len(w) - {NGRAM - 1})) AS i
+          FROM w)
+  SELECT doc_id, source,
+         array_to_string(w[i:i + {NGRAM - 1}], ' ') AS gram
+  FROM idx)"""
+
+
+def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, gram) — one row per word 5-gram occurrence.
+
+    ``sequence(1, size-4)`` would DESCEND for docs shorter than the
+    shingle (Spark generates start-down-to-stop), so short docs are
+    filtered out before the transform rather than guarded inside it.
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.col("text"), " ")
+    )
+    return (
+        d.filter(F.size("w") >= NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {NGRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH g AS (SELECT * FROM {_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    probe AS (SELECT DISTINCT doc_id, source FROM documents
+              WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+      SELECT DISTINCT g.doc_id
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % {BENCH_MOD} <> 0)
+    SELECT p.source,
+           count(*) AS n_docs,
+           count(h.doc_id) AS n_contaminated
+    FROM probe p LEFT JOIN hits h ON p.doc_id = h.doc_id
+    GROUP BY p.source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per source, how many documents share at
+    least one word 5-gram with the benchmark slice (``doc_id % 97 = 0``).
+
+    Plan: benchmark grams are DISTINCT'd then broadcast — the corpus-side
+    gram stream is filtered map-side by a broadcast LEFT SEMI join, so
+    the only shuffle is the final per-source count. At 100 TB the
+    benchmark side (real eval suites) is KBs–MBs of grams; the corpus
+    never moves."""
+    g = _grams(spark, sf_dir)
+    bench = (
+        g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "source")
+    )
+    return (
+        probe.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "q_dup_ngram_fraction",
+    oracle=f"""
+    WITH g AS (SELECT DISTINCT doc_id, source, gram FROM {_GRAMS_SQL}),
+    df AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id, g.source,
+             count(*) AS n_grams,
+             sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM g JOIN df USING (gram)
+      GROUP BY g.doc_id, g.source)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_dup * 1.0 / n_grams), 6) AS avg_dup_frac,
+           sum(CASE WHEN n_dup * 2 >= n_grams THEN 1 ELSE 0 END)
+             AS n_docs_half_dup
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-5-gram fraction per document, aggregated to
+    source granularity: the repetition metric Gopher §A1.4 computes
+    intra-document, lifted to "how much of this doc is boilerplate that
+    exists elsewhere in the corpus".
+
+    Plan: distinct (doc, gram) → gram document-frequency (partial agg,
+    the inverted index) → join back → per-doc ratio → per-source avg.
+    Two shuffles on the gram key, both carrying (gram, int) pairs."""
+    g = _grams(spark, sf_dir).select("doc_id", "source", "gram").distinct()
+    gdf = g.groupBy("gram").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        g.join(gdf, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(F.col("n_dup") * F.lit(1.0) / F.col("n_grams")), 6
+        ).alias("avg_dup_frac"),
+        F.sum(
+            F.when(F.col("n_dup") * 2 >= F.col("n_grams"), 1).otherwise(0)
+        ).alias("n_docs_half_dup"),
+    )
+
+
+#: per-source sampling rates in basis points of 10_000 (mixing weights):
+#: src0–4 keep all, src5–9 half, src10–14 quarter, src15+ 10%.
+_MIX_CASE_SQL = """CASE
+    WHEN sid < 5 THEN 10000 WHEN sid < 10 THEN 5000
+    WHEN sid < 15 THEN 2500 ELSE 1000 END"""
+
+
+@query(
+    "q_dataset_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, n_chars,
+             CAST(substr(source, 4) AS INT) AS sid,
+             {token_hash_sql("CAST(doc_id AS VARCHAR)")} % 10000 AS u
+      FROM documents),
+    r AS (SELECT *, {_MIX_CASE_SQL} AS rate_bp FROM t)
+    SELECT source,
+           count(*) AS n_total,
+           sum(CASE WHEN u < rate_bp THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN u < rate_bp THEN n_chars ELSE 0 END) AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified dataset mixing: each source stratum keeps
+    a configured fraction of documents, membership decided by a portable
+    hash of the doc_id against an integer basis-point threshold —
+    ``sampleBy`` semantics without ``rand()``, so the sample is
+    reproducible across engines, retries, and partitionings (a training
+    corpus must be rebuildable bit-for-bit).
+
+    Plan: pure map-side filter + one partial-agg shuffle; at 100 TB the
+    sample predicate rides the scan and composes with column pruning."""
+    d = load(spark, sf_dir, "documents")
+    sid = F.substring("source", 4, 10).cast("int")
+    u = token_hash(F.col("doc_id").cast("string")) % 10000
+    rate = (
+        F.when(sid < 5, 10000)
+        .when(sid < 10, 5000)
+        .when(sid < 15, 2500)
+        .otherwise(1000)
+    )
+    kept = F.col("u") < F.col("rate_bp")
+    return (
+        d.select(
+            "source", "n_chars", u.alias("u"), rate.alias("rate_bp")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+#: Z-order resolution: 4 bits per dimension → 8-bit z-value, 16 buckets.
+ZBITS = 4
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS dy
+      FROM orders),
+    stats AS (SELECT min(ck) AS minc, max(ck) AS maxc,
+                     min(dy) AS mind, max(dy) AS maxd FROM base),
+    q AS (
+      SELECT ck, dy,
+             ((ck - minc) * {1 << ZBITS}) // (maxc - minc + 1) AS qx,
+             ((dy - mind) * {1 << ZBITS}) // (maxd - mind + 1) AS qy
+      FROM base CROSS JOIN stats),
+    z AS (
+      SELECT ck, dy,
+             {" + ".join(
+                 f"((qx >> {i}) & 1) * {1 << (2 * i)}"
+                 f" + ((qy >> {i}) & 1) * {1 << (2 * i + 1)}"
+                 for i in range(ZBITS)
+             )} AS zval
+      FROM q)
+    SELECT zval // {1 << ZBITS} AS zbucket,
+           count(*) AS cnt,
+           min(ck) AS min_cust, max(ck) AS max_cust,
+           min(dy) AS min_day, max(dy) AS max_day
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order epoch-day),
+    reduced to per-bucket row counts and min/max ranges in BOTH
+    dimensions — the bounding-box statistics that make multi-dimensional
+    file skipping work. Sorting 100 TB by ``zval`` at write time bounds
+    every file's (custkey, date) rectangle, so a point or range predicate
+    on EITHER column prunes most files; a plain sort on one column only
+    prunes that column.
+
+    All arithmetic is integer (quantize by integer division, interleave
+    by shift/mask), so the oracle comparison is exact — no float
+    boundary drift between engines."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("dy"),
+    )
+    stats = base.agg(
+        F.min("ck").alias("minc"),
+        F.max("ck").alias("maxc"),
+        F.min("dy").alias("mind"),
+        F.max("dy").alias("maxd"),
+    )
+    lvl = 1 << ZBITS
+    q = base.crossJoin(F.broadcast(stats)).select(
+        "ck",
+        "dy",
+        F.expr(f"((ck - minc) * {lvl}) DIV (maxc - minc + 1)").alias("qx"),
+        F.expr(f"((dy - mind) * {lvl}) DIV (maxd - mind + 1)").alias("qy"),
+    )
+    zval = None
+    for i in range(ZBITS):
+        term = F.shiftleft(
+            F.shiftright(F.col("qx"), i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(F.col("qy"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        zval = term if zval is None else zval + term
+    z = q.select("ck", "dy", zval.alias("zval"))
+    return (
+        z.withColumn("zbucket", F.expr(f"zval DIV {lvl}"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("ck").alias("min_cust"),
+            F.max("ck").alias("max_cust"),
+            F.min("dy").alias("min_day"),
+            F.max("dy").alias("max_day"),
+        )
+    )
