@@ -170,3 +170,57 @@ def test_observation_in_pipeline_audit_metrics(spark, sf_dir):
     assert metrics["rows_seen"] == total and kept < total
     want_qty = li.agg(F.round(F.sum("l_quantity"), 2)).first()[0]
     assert metrics["qty_seen"] == want_qty
+
+
+def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective filter on the
+    creation (orders) side of a shuffle join injects a bloom-filter
+    subquery evaluated against the application (lineitem) side's scan,
+    so most fact rows die before the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~2% that can possibly join; locally we only lower the
+    application-side size threshold (default 10 GB) to let the
+    optimizer consider the small test scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("o_orderkey") % 50 == 0)
+    )
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        with_bloom = {tuple(r) for r in j.collect()}
+        # same answer with the bloom filter disabled
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        j2 = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert "might_contain" not in _plan(j2)
+        assert {tuple(r) for r in j2.collect()} == with_bloom
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
