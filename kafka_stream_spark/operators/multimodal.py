@@ -97,3 +97,49 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, stride: int = 4
+) -> DataFrame:
+    """(doc_id, payload: binary) → one row per SAMPLED frame: the
+    video-frame-sampling plumbing shape (1 input row → N output rows,
+    Arrow-batched, schema declared up front).
+
+    A real build calls ``_decode_video_frames`` (ffmpeg) to get pixel
+    frames; without media libs the payload is treated as a raw
+    fixed-size-frame container — split into ``frame_size``-byte frames,
+    keep every ``stride``-th — which keeps the operator total and
+    deterministic while exercising the exact production contract.
+
+    Scale notes: frames never leave the executor as one blob (mapInPandas
+    streams Arrow batches), the expansion factor is bounded by
+    ``1/stride``, and the output carries hashes, not frame bytes, so the
+    downstream shuffle is O(frames sampled × 16 bytes).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_len", "frame_hash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = -(-len(payload) // frame_size)
+                for idx in range(0, n_frames, stride):
+                    frame = payload[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(frame))
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1048,6 +1048,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(d)
 
 
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (SELECT doc_id, text, n,
+                 unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1,
+                                        4)) AS frame_idx
+          FROM b)
+    SELECT doc_id, frame_idx,
+           least(64, n - frame_idx * 64) AS frame_len,
+           md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_hash
+    FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — frame sampling over a multimodal binary column: every 4th
+    64-byte frame of each payload, one output row per sampled frame
+    (mapInPandas, 1→N expansion, hashes only downstream — see
+    operators.multimodal.sample_frames for the contract and scale notes).
+
+    The corpus is pure ASCII (`octet_length(encode(text)) = length(text)`
+    for every row), so the oracle's character slicing addresses the same
+    bytes the engine's binary slicing does."""
+    from ..operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(d, frame_size=64, stride=4)
+
+
 def _sq_dist(a, b):
     """Squared-L2 distance between two array<double> columns — pure fold."""
     diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))

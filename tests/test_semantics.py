@@ -108,3 +108,21 @@ def test_pushdown_reaches_parquet_scan(spark, sf_dir):
     plan = buf.getvalue()
     assert "PushedFilters: [" in plan
     assert "IsNotNull(p_type)" in plan
+
+def test_sample_frames_edges(spark):
+    """Frame sampler: tail frame is short, exact-multiple payload has no
+    tail, sub-frame payload yields exactly frame 0."""
+    import hashlib
+
+    from kafka_stream_spark.operators.multimodal import sample_frames
+
+    rows = [(1, b"a" * 130), (2, b"b" * 128), (3, b"c" * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_len"], r["frame_hash"])
+        for r in sample_frames(df, frame_size=64, stride=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0), (3, 0)}
+    assert got[(1, 2)] == (2, hashlib.md5(b"aa").hexdigest())
+    assert got[(2, 0)] == (64, hashlib.md5(b"b" * 64).hexdigest())
+    assert got[(3, 0)] == (5, hashlib.md5(b"c" * 5).hexdigest())
