@@ -182,3 +182,126 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "q_equidepth_hist",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT o_orderpriority, quartile,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per priority class via ntile(4): equal row
+    counts per bucket, data-dependent bounds (q_histogram is the
+    equi-width twin). o_orderkey tie-break makes the bucket assignment
+    total-order-deterministic in both engines. Scale note: a global
+    ntile is a single-partition sort — partitioning by priority keeps
+    each sort shard-sized; for an UNpartitioned equi-depth histogram at
+    100 TB use approx percentiles as cut points instead (q_percentiles /
+    q_approx_percentile)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_rank_dist",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderkey, o_orderpriority, o_totalprice, pct_rank, cume
+    FROM t WHERE rn <= 10
+    """,
+)
+def q_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (the remaining rank-family window
+    functions): where each of the 10 globally most expensive orders sits
+    within its priority class's price distribution. Tie-breaks on
+    o_orderkey everywhere so both engines agree exactly."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    top = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.row_number().over(top).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_skew_metrics",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT count(*) AS n_keys,
+           sum(cnt) AS total_rows,
+           round(max(cnt) * 1.0 / sum(cnt), 6) AS top_key_share,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(max(cnt) * 1.0 / avg(cnt), 4) AS skew_factor
+    FROM c
+    """,
+)
+def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a prospective shuffle key: cardinality,
+    hottest-key share, count quantiles, and max/mean skew factor — the
+    numbers that decide between a plain groupBy, AQE skew handling, and
+    the salted two-phase aggregate (operators.skew). Two partial-agg
+    passes; the second aggregates |keys| rows, so it's O(cardinality)
+    regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.round(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 6).alias(
+            "top_key_share"
+        ),
+        F.round(F.percentile("cnt", 0.5), 4).alias("p50_cnt"),
+        F.round(F.percentile("cnt", 0.99), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") * F.lit(1.0) / F.avg("cnt"), 4).alias(
+            "skew_factor"
+        ),
+    )
