@@ -305,3 +305,51 @@ def q_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+@query(
+    "q_event_pattern",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, length(seq) AS seq_len,
+           CAST(regexp_matches(seq, 's[^e]*p') AS INT) AS matched
+    FROM s
+    """,
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern matching (MATCH_RECOGNIZE / FlinkCEP
+    analog): per user, did a signup lead to a purchase with NO
+    intervening error? Each user's history is collapsed to a char-encoded
+    sequence (one char per event, ts+event_id total order) and the
+    pattern is a plain regex — negation, Kleene closure, and ordering
+    constraints for free, in a single groupBy pass.
+
+    Scale notes: state per user is their event-type string (bytes, not
+    rows); the shuffle is the one groupBy. Per-user histories at 100 TB
+    are bounded (events/user, not corpus size); for unbounded streams the
+    same encoding lives in applyInPandasWithState with the regex run on
+    state updates (cf. operators.stateful)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s.getField("ch"),
+            ),
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_like("seq", F.lit("s[^e]*p")).cast("int").alias("matched"),
+    )
