@@ -94,3 +94,52 @@ def test_char_entropy_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert -1e-9 <= r["entropy_bits"] <= math.log2(r["distinct_chars"]) + 1e-9
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partition(
+    spark, sf_dir, tmp_path
+):
+    """partitionOverwriteMode=dynamic: an overwrite that produces rows
+    for ONE partition replaces only that partition — the backfill
+    pattern (rewrite one day/source) that at 100 TB must not clobber
+    the other 99.9% of the table. Static mode (the default) would drop
+    every partition first."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_spark.sources.tables import load
+
+    tbl = str(tmp_path / "events_by_type")
+    e = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e.write.partitionBy("event_type").parquet(tbl)
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(tbl).groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = (
+            e.filter(F.col("event_type") == "error")
+            .withColumn("value", F.lit(0.0))
+            .limit(7)
+        )
+        patch.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", mode_before
+        )
+    after = spark.read.parquet(tbl)
+    counts = {
+        r["event_type"]: r["n"]
+        for r in after.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # the patched partition shrank to the patch; every other survived
+    assert counts["error"] == 7
+    for k, n in before.items():
+        if k != "error":
+            assert counts[k] == n, k
+    assert after.filter(
+        (F.col("event_type") == "error") & (F.col("value") != 0.0)
+    ).count() == 0
