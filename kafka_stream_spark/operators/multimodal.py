@@ -24,6 +24,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -143,3 +144,50 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("resizer", StringType()),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
+    """(doc_id, payload: binary) → payload resized to a byte budget: the
+    image-resize plumbing shape (binary in, smaller binary out, 1:1
+    rows, Arrow round-trip both directions).
+
+    A real build decodes pixels and re-encodes at the target resolution
+    (``_decode_image`` → PIL thumbnail); without media libs the
+    deterministic stand-in is byte truncation to ``target_bytes``, which
+    preserves the operator's contract — output payload is never larger
+    than the budget, row count is unchanged, and the transform is pure.
+
+    Scale notes: resize SHRINKS data mid-pipeline, so it belongs before
+    any shuffle of payloads; binary columns ride Arrow buffers (no
+    base64 inflation) and per-batch memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` x target size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "payload", "n_bytes", "resizer")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    resized = _decode_image(payload)  # pragma: no cover
+                    name = DECODER_VERSION
+                except NotImplementedError:
+                    resized = payload[:target_bytes]
+                    name = "stub-truncate-v0"
+                out["doc_id"].append(doc_id)
+                out["payload"].append(resized)
+                out["n_bytes"].append(len(resized))
+                out["resizer"].append(name)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

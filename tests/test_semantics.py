@@ -126,3 +126,20 @@ def test_sample_frames_edges(spark):
     assert got[(1, 2)] == (2, hashlib.md5(b"aa").hexdigest())
     assert got[(2, 0)] == (64, hashlib.md5(b"b" * 64).hexdigest())
     assert got[(3, 0)] == (5, hashlib.md5(b"c" * 5).hexdigest())
+
+
+def test_resize_payloads_contract(spark):
+    """Resize plumbing: 1:1 rows, output never exceeds the byte budget,
+    short payloads pass through unchanged, transform is deterministic."""
+    from kafka_stream_spark.operators.multimodal import resize_payloads
+
+    rows = [(1, b"x" * 500), (2, b"y" * 10), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (bytes(r["payload"]), r["n_bytes"], r["resizer"])
+        for r in resize_payloads(df, target_bytes=96).collect()
+    }
+    assert len(got) == 3
+    assert got[1] == (b"x" * 96, 96, "stub-truncate-v0")
+    assert got[2] == (b"y" * 10, 10, "stub-truncate-v0")
+    assert got[3] == (b"", 0, "stub-truncate-v0")
