@@ -71,6 +71,7 @@ HEADLINE = [
     "q_dup_ngram_fraction",  # corpus-level repetition metric
     "q_dataset_mix",      # stratified hash-threshold mixing
     "q_zorder_layout",    # Morton clustering key + bounding boxes
+    "q_corpus_build",     # composed quality→decontam→mix funnel
 ]
 
 

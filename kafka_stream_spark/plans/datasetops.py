@@ -333,3 +333,101 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("max_day"),
         )
     )
+
+
+@query(
+    "q_corpus_build",
+    oracle=f"""
+    WITH g AS (SELECT * FROM {_GRAMS_SQL}),
+    bench_grams AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench_grams USING (gram)
+      WHERE g.doc_id % {BENCH_MOD} <> 0),
+    flags AS (
+      SELECT d.source, d.doc_id,
+             len(string_split(d.text, ' ')) AS n_words,
+             (len(string_split(d.text, ' ')) >= 30
+              AND d.n_chars * 1.0 / len(string_split(d.text, ' ')) BETWEEN 3 AND 13)
+               AS q,
+             d.doc_id % {BENCH_MOD} = 0 AS bench,
+             h.doc_id IS NOT NULL AS cont,
+             {token_hash_sql("CAST(d.doc_id AS VARCHAR)")} % 10000
+               < (CASE WHEN CAST(substr(d.source, 4) AS INT) < 5 THEN 10000
+                       WHEN CAST(substr(d.source, 4) AS INT) < 10 THEN 5000
+                       WHEN CAST(substr(d.source, 4) AS INT) < 15 THEN 2500
+                       ELSE 1000 END) AS kept
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+    SELECT source,
+           count(*) AS n_in,
+           sum(CASE WHEN q THEN 1 ELSE 0 END) AS n_quality,
+           sum(CASE WHEN q AND NOT bench AND NOT cont THEN 1 ELSE 0 END)
+             AS n_clean,
+           sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
+                    THEN 1 ELSE 0 END) AS n_final,
+           sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
+                    THEN n_words ELSE 0 END) AS final_tokens
+    FROM flags GROUP BY source
+    """,
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build funnel, composed end-to-end: quality gate (word
+    count + mean word length) → benchmark holdout + decontamination
+    (5-gram overlap, broadcast semi-join) → stratified mixing
+    (hash-threshold) — with per-source counts after EVERY stage, so the
+    output is the funnel report a dataset card needs (n_in → n_quality
+    → n_clean → n_final + surviving token budget).
+
+    Plan shape: all stage predicates become FLAGS computed in one pass
+    over documents (one broadcast semi-join feeds the contamination
+    flag), then a single partial-agg shuffle emits every stage count —
+    no stage materializes an intermediate corpus, which is the property
+    that matters at 100 TB (the naive pipeline writes the corpus three
+    times; this writes counts once). The full-fidelity stages stay
+    available as q_gopher_filters / q_decontaminate / q_dataset_mix /
+    q_training_pipeline."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_words", F.size(F.split("text", " "))
+    )
+    mean_wl = F.col("n_chars") * F.lit(1.0) / F.col("n_words")
+    q = (F.col("n_words") >= 30) & mean_wl.between(3, 13)
+    bench = F.col("doc_id") % BENCH_MOD == 0
+
+    g = _grams(spark, sf_dir)
+    bench_grams = g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    hits = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    sid = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(sid < 5, 10000)
+        .when(sid < 10, 5000)
+        .when(sid < 15, 2500)
+        .otherwise(1000)
+    )
+    kept = token_hash(F.col("doc_id").cast("string")) % 10000 < rate
+
+    flags = d.join(hits, "doc_id", "left").select(
+        "source",
+        "n_words",
+        q.alias("q"),
+        bench.alias("bench"),
+        F.col("hit").isNotNull().alias("cont"),
+        kept.alias("kept"),
+    )
+    clean = F.col("q") & ~F.col("bench") & ~F.col("cont")
+    final = clean & F.col("kept")
+    one = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        one(F.col("q")).alias("n_quality"),
+        one(clean).alias("n_clean"),
+        one(final).alias("n_final"),
+        F.sum(F.when(final, F.col("n_words")).otherwise(0)).alias(
+            "final_tokens"
+        ),
+    )
