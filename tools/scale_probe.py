@@ -38,6 +38,15 @@ PROBE = [
     "q_cosine_topk",
     "q_ann_lsh",
     "q_simhash",
+    "q_jaccard_prefix",
+    "q_decontaminate",
+    "q_dup_ngram_fraction",
+    "q_dataset_mix",
+    "q_corpus_build",
+    "q_zorder_layout",
+    "q_event_pattern",
+    "q_tpch_q8",
+    "q_tpch_q21",
 ]
 
 KEY_OFFSETS = {
