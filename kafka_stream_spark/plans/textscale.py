@@ -357,3 +357,84 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop") >= 2)
     )
     return m.withColumn("keep", keep.cast("int"))
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH s AS (SELECT * FROM {_SETS_SQL}),
+    ex AS (SELECT doc_id, unnest(ts) AS tok, len(ts) AS n FROM s),
+    i AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS o,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (SELECT a, b FROM i WHERE o * 1.0 / (na + nb - o) >= {TAU}),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT sum(d * (d - 1) / 2) FROM deg) AS n_wedges,
+           n_triangles,
+           round(3.0 * n_triangles
+                 / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+             AS clustering_coeff
+    FROM tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the exact
+    similarity graph (edges = doc pairs with Jaccard ≥ t, a<b oriented).
+    The a<b<c orientation makes each triangle a single join path
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — the standard trick that kills the
+    6× overcount AND caps the join fan-out by the smaller endpoint's
+    out-degree (Suri & Vassilvitskii's MapReduce formulation). Near-dup
+    corpora are clique-heavy, so the coefficient ~1 is itself a data
+    diagnostic: twin FAMILIES, not chains.
+
+    Scale notes: two shuffle joins on long keys over the edge list —
+    |E| log |E| work, independent of corpus text size; degrees and
+    wedges are one partial agg each."""
+    pairs = q_jaccard_prefix(spark, sf_dir)
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).persist()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        wedges.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_wedges").cast("double").alias("n_wedges"),
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
