@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import hashing
 from ..sources.tables import load
 from .registry import query
 
@@ -219,4 +220,106 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("ap99"),
+    )
+
+
+#: count-min sketch geometry: 4 hash rows × 1024 buckets
+_CMS_D, _CMS_W = 4, 1024
+
+
+@query(
+    "q_count_min",
+    oracle=f"""
+    WITH h AS (SELECT event_type,
+                      {hashing.token_hash_sql('event_type')} AS hh
+               FROM events),
+    rows_p(rid, a, b) AS (VALUES {", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:4])
+    )}),
+    cells AS (
+      SELECT rid,
+             (((a * (hh % {hashing.MERSENNE_P})) + b)
+              % {hashing.MERSENNE_P}) % {_CMS_W} AS bucket
+      FROM h CROSS JOIN rows_p),
+    counters AS (
+      SELECT rid, bucket, count(*) AS c FROM cells GROUP BY rid, bucket),
+    keys AS (
+      SELECT event_type, any_value(hh) AS hh, count(*) AS exact_count
+      FROM h GROUP BY event_type),
+    probes AS (
+      SELECT k.event_type, k.exact_count, r.rid,
+             (((r.a * (k.hh % {hashing.MERSENNE_P})) + r.b)
+              % {hashing.MERSENNE_P}) % {_CMS_W} AS bucket
+      FROM keys k CROSS JOIN rows_p r)
+    SELECT p.event_type,
+           min(c.c) AS cms_count,
+           any_value(p.exact_count) AS exact_count,
+           min(c.c) - any_value(p.exact_count) AS overcount
+    FROM probes p JOIN counters c
+      ON c.rid = p.rid AND c.bucket = p.bucket
+    GROUP BY p.event_type
+    """,
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from RELATIONAL ops with the engine's
+    portable hash family (functions.hashing) instead of an opaque
+    engine-specific sketch: counters are a groupBy over (row, bucket)
+    cells — which makes the sketch mergeable across partitions, files,
+    and days by plain addition — and a point query is a min over the
+    key's d cells. Because both engines hash identically, the whole
+    sketch (collisions included) is oracle-checked exactly, unlike the
+    HLL/GK built-ins (q_approx_distinct / q_approx_percentile, rows-only).
+
+    Scale notes: the counter table is d×w rows REGARDLESS of corpus size
+    (here 4×1024); the build is one partial-agg shuffle of bounded
+    cardinality, and overcount ≤ εN with ε = e/w holds by the usual CMS
+    bound."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", hashing.token_hash(F.col("event_type")).alias("hh")
+    )
+    cells = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rid"),
+                        (
+                            hashing.perm_hash(F.col("hh"), a, b) % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:_CMS_D])
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.rid", "cell.bucket")
+    counters = cells.groupBy("rid", "bucket").agg(F.count("*").alias("c"))
+    keys = h.groupBy("event_type").agg(
+        F.any_value("hh").alias("hh"), F.count("*").alias("exact_count")
+    )
+    probes = keys.select(
+        "event_type",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rid"),
+                        (
+                            hashing.perm_hash(F.col("hh"), a, b) % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[:_CMS_D])
+                ]
+            )
+        ).alias("cell"),
+    ).select("event_type", "exact_count", "cell.rid", "cell.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["rid", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.min("c").alias("cms_count"),
+            F.any_value("exact_count").alias("exact_count"),
+            (F.min("c") - F.any_value("exact_count")).alias("overcount"),
+        )
     )
