@@ -323,3 +323,98 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.any_value("exact_count")).alias("overcount"),
         )
     )
+
+
+#: portable-HLL geometry: 256 registers (8-bit bucket index)
+_HLL_M = 256
+
+
+@query(
+    "q_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             {hashing.token_hash_sql('CAST(user_id AS VARCHAR)')} AS hh
+      FROM events),
+    parts AS (
+      SELECT event_type, hh % {_HLL_M} AS bucket,
+             53 - length(bin(hh // {_HLL_M})) AS rank
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket, max(rank) AS m_j
+      FROM parts GROUP BY event_type, bucket),
+    est AS (
+      SELECT event_type,
+             count(*) AS npres,
+             sum(pow(2.0, -m_j)) AS s
+      FROM regs GROUP BY event_type),
+    scored AS (
+      SELECT event_type,
+             (0.7213 / (1 + 1.079 / {_HLL_M}.0)) * {_HLL_M} * {_HLL_M}
+               / (s + ({_HLL_M} - npres)) AS raw,
+             {_HLL_M} - npres AS v
+      FROM est),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT s.event_type,
+           round(CASE WHEN s.raw <= 2.5 * {_HLL_M} AND s.v > 0
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / s.v)
+                      ELSE s.raw END, 4) AS hll_estimate,
+           e.exact_distinct
+    FROM scored s JOIN ex e ON s.event_type = e.event_type
+    """,
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from scratch as relational ops over the portable hash
+    (Flajolet et al. 2007, incl. the small-range linear-counting
+    correction): registers are a groupBy max over (key, bucket) — like
+    the count-min counters (q_count_min) they merge by relational max,
+    so per-file/per-day sketches union for free. rank = 53 -
+    length(bin(h DIV 256)) uses integer/string ops only (both engines'
+    ``bin`` drops leading zeros identically), so even the float
+    estimator consumes bit-identical registers and the whole estimate
+    hash-matches the oracle — the portable twin of the engine-specific
+    q_approx_distinct.
+
+    Scale notes: 256 registers per key regardless of corpus size; one
+    partial-agg shuffle; the exact-distinct comparison column is the
+    expensive side, not the sketch."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        hashing.token_hash(F.col("user_id").cast("string")).alias("hh"),
+    )
+    parts = h.select(
+        "event_type",
+        (F.col("hh") % _HLL_M).alias("bucket"),
+        (F.lit(53) - F.length(F.bin(F.expr(f"hh DIV {_HLL_M}")))).alias("rank"),
+    )
+    regs = parts.groupBy("event_type", "bucket").agg(F.max("rank").alias("m_j"))
+    est = regs.groupBy("event_type").agg(
+        F.count("*").alias("npres"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))
+    raw = (
+        F.lit(alpha)
+        * _HLL_M
+        * _HLL_M
+        / (F.col("s") + (F.lit(_HLL_M) - F.col("npres")))
+    )
+    v = F.lit(_HLL_M) - F.col("npres")
+    scored = est.select(
+        "event_type", raw.alias("raw"), v.alias("v")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    estimate = F.when(
+        (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) * 1.0 / F.col("v")),
+    ).otherwise(F.col("raw"))
+    return scored.join(exact, "event_type").select(
+        "event_type",
+        F.round(estimate, 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
