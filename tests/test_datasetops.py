@@ -124,3 +124,38 @@ def test_zorder_buckets_are_local(spark, sf_dir):
         assert c_span <= 0.55, (r["zbucket"], c_span)
         assert d_span <= 0.55, (r["zbucket"], d_span)
     assert len(rows) == 1 << ZBITS
+
+
+def test_count_min_overcount_nonnegative_and_bounded(spark, sf_dir):
+    """CMS invariants: estimate >= exact always (min of upper-biased
+    counters), and overcount <= eN with e = e/w for the 4x1024 grid."""
+    rows = QUERIES["q_count_min"](spark, sf_dir).collect()
+    total = sum(r["exact_count"] for r in rows)
+    import math
+
+    bound = math.e / 1024 * total
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_count"] == r["exact_count"] + r["overcount"]
+        assert r["overcount"] <= max(bound, 1), r
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """HLL with 256 registers has ~6.5% relative standard error; assert
+    every per-type estimate lands within 4 sigma of exact."""
+    for r in QUERIES["q_hll_portable"](spark, sf_dir).collect():
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        assert rel <= 4 * 1.04 / (256 ** 0.5), (r, rel)
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    """Triangles <= wedges/3 by definition; clustering coefficient in
+    [0, 1]; on a twin-family corpus the graph is clique-heavy (high
+    coefficient)."""
+    r = QUERIES["q_triangle_count"](spark, sf_dir).collect()[0]
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["clustering_coeff"] <= 1.0
+    assert r["n_edges"] > 0 and r["n_triangles"] > 0
+    assert r["clustering_coeff"] > 0.5
