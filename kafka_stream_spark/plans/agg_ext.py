@@ -418,3 +418,118 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(estimate, 4).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+#: portable bloom geometry: 4096 bits, 3 hash probes
+_BF_M, _BF_K = 4096, 3
+
+
+@query(
+    "q_bloom_portable",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_custkey,
+             {hashing.token_hash_sql('CAST(o_custkey AS VARCHAR)')} AS hh
+      FROM orders WHERE o_orderstatus = 'F'),
+    kp(kid, a, b) AS (VALUES {", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(hashing.MINHASH_PARAMS[4:7])
+    )}),
+    bits AS (
+      SELECT DISTINCT
+             (((kp.a * (build.hh % {hashing.MERSENNE_P})) + kp.b)
+              % {hashing.MERSENNE_P}) % {_BF_M} AS bitpos
+      FROM build CROSS JOIN kp),
+    probe AS (
+      SELECT c_custkey,
+             {hashing.token_hash_sql('CAST(c_custkey AS VARCHAR)')} AS hh
+      FROM customer),
+    checks AS (
+      SELECT p.c_custkey,
+             count(bits.bitpos) AS n_set
+      FROM probe p CROSS JOIN kp
+      LEFT JOIN bits ON bits.bitpos =
+        (((kp.a * (p.hh % {hashing.MERSENNE_P})) + kp.b)
+         % {hashing.MERSENNE_P}) % {_BF_M}
+      GROUP BY p.c_custkey),
+    exact AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderstatus = 'F')
+    SELECT (SELECT count(*) FROM probe) AS n_probed,
+           (SELECT count(*) FROM exact) AS n_members,
+           sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END) AS n_pass,
+           sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END)
+             - (SELECT count(*) FROM exact) AS n_false_pos
+    FROM checks
+    """,
+)
+def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter from scratch as relational ops (Bloom 1970): the
+    build side's distinct keys set k=3 bit positions in an m=4096-bit
+    space; a probe key passes iff all its positions are set. The bitmap
+    is a DISTINCT over ≤m ints — shippable to every executor when the
+    exact key set is NOT broadcastable, which is the semi-join
+    pre-filter move at 100 TB (cf. the engine-native runtime version
+    plan-asserted in tests/test_scale_ops.py; this is its explicit,
+    engine-portable form). Both engines hash identically, so pass/fail
+    per key — false positives included — hash-matches the oracle.
+
+    No false negatives is structural (members set their own bits), so
+    n_pass = n_members + false-positive non-members and the reported
+    n_false_pos is exact; its expectation follows the usual
+    (1 - e^(-kn/m))^k bound."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    build = o.select("o_custkey").distinct().select(
+        hashing.token_hash(F.col("o_custkey").cast("string")).alias("hh")
+    )
+    kp = hashing.MINHASH_PARAMS[4 : 4 + _BF_K]
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        (hashing.perm_hash(F.col("hh"), a, b) % _BF_M).alias(
+                            f"p{i}"
+                        )
+                        for i, (a, b) in enumerate(kp)
+                    ]
+                )
+            ).alias("bitpos")
+        )
+        .distinct()
+    )
+    probe = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        hashing.token_hash(F.col("c_custkey").cast("string")).alias("hh"),
+    )
+    probed = probe.select(
+        "c_custkey",
+        F.posexplode(
+            F.array(
+                *[
+                    (hashing.perm_hash(F.col("hh"), a, b) % _BF_M)
+                    for a, b in kp
+                ]
+            )
+        ).alias("kid", "bitpos"),
+    )
+    checks = (
+        probed.join(F.broadcast(bits.withColumn("set1", F.lit(1))), "bitpos", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("set1").alias("n_set"))
+    )
+    n_probed = probe.agg(F.count("*").alias("n_probed"))
+    n_members = (
+        o.select("o_custkey").distinct().agg(F.count("*").alias("n_members"))
+    )
+    passed = checks.agg(
+        F.sum((F.col("n_set") == _BF_K).cast("long")).alias("n_pass")
+    )
+    return (
+        n_probed.crossJoin(n_members)
+        .crossJoin(passed)
+        .select(
+            "n_probed",
+            "n_members",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_members")).alias("n_false_pos"),
+        )
+    )
