@@ -227,3 +227,209 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)) AS violations
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion battery (the dbt-test / Great-Expectations
+    shape as one engine query): PK uniqueness, two referential-integrity
+    checks, range and null rules — each emitted as (rule, violations)
+    so a zero row is evidence, not silence. Plan notes: uniqueness is a
+    partial-agg groupBy (count>1 survivors only), FK checks are
+    broadcast anti-join-shaped left joins; all six rules scan their
+    table once and nothing materializes but the per-rule count — at
+    100 TB this is the nightly audit pass, not six separate jobs."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(rule: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(rule).alias("rule"), F.col("violations")
+        )
+
+    pk = one(
+        "orders_pk_unique",
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("violations")),
+    )
+    fk_o = one(
+        "orders_fk_customer",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    fk_l = one(
+        "lineitem_fk_orders",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    qty = one(
+        "lineitem_qty_positive",
+        li.filter(F.col("l_quantity") <= 0).agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        li.filter(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count("*").alias("violations")),
+    )
+    nn = one(
+        "orders_date_not_null",
+        o.filter(F.col("o_orderdate").isNull()).agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    return pk.union(fk_o).union(fk_l).union(qty).union(disc).union(nn)
+
+
+@query(
+    "q_table_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(o_orderkey) AS n_filled,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS ndv,
+           round(min(o_orderkey), 4) AS min_v,
+           round(max(o_orderkey), 4) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey), 4), round(max(o_custkey), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(o_totalprice),
+           count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+    FROM orders
+    """,
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (filled/null counts, NDV,
+    min/max) in ONE scan — the stats a cost-based optimizer or a file-
+    skipping index wants. All columns' aggregates ride the same pass and
+    unpivot into (col, stats) rows at the end; at 100 TB swap the exact
+    NDV for q_hll_portable's registers to keep the pass single-shuffle."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        *[
+            f
+            for col in ["o_orderkey", "o_custkey", "o_totalprice"]
+            for f in (
+                F.count(col).alias(f"{col}__filled"),
+                (F.count("*") - F.count(col)).alias(f"{col}__null"),
+                F.count_distinct(col).alias(f"{col}__ndv"),
+                F.round(F.min(col), 4).alias(f"{col}__min"),
+                F.round(F.max(col), 4).alias(f"{col}__max"),
+            )
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(col).alias("col"),
+            F.col(f"{col}__filled").alias("n_filled"),
+            F.col(f"{col}__null").alias("n_null"),
+            F.col(f"{col}__ndv").alias("ndv"),
+            F.col(f"{col}__min").cast("double").alias("min_v"),
+            F.col(f"{col}__max").cast("double").alias("max_v"),
+        )
+        for col in ["o_orderkey", "o_custkey", "o_totalprice"]
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderkey % 13 <> 0),
+    snap_b AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 10 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-07-01 00:00:00'),
+    d AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b
+        ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, count(*) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION: diff two table snapshots into an
+    insert/update/delete/unchanged changelog (the inverse of
+    q_cdc_latest, which compacts one). Snapshots here are deterministic
+    transforms of orders (B extends the date horizon, bumps some prices,
+    and A withholds the keys B "deleted") so both engines derive
+    identical inputs. One full-outer shuffle join on the key — the same
+    plan MERGE uses, so at 100 TB the diff co-partitions with the
+    upsert that consumes it."""
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(
+        (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 13 != 0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    snap_b = o.filter(
+        F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 10 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    d = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "update")
+        .otherwise("unchanged")
+    )
+    return d.select(change.alias("change_type")).groupBy("change_type").agg(
+        F.count("*").alias("n")
+    )
