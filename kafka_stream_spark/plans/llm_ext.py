@@ -1252,3 +1252,120 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "q_id", "n_hits", F.round(F.col("n_hits") / 3.0, 6).alias("recall_at_3")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity selection
+# ---------------------------------------------------------------------------
+
+_MMR_LAM, _MMR_K = 0.7, 4
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled to K levels (same strategy as the kmeans /
+    PageRank oracles: bounded iteration → explicit CTE per step)."""
+
+    def cos(a: str, b: str) -> str:
+        return f"round({vectors.cosine_sql(a, b)}, 6)"
+
+    sql = f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, {cos('e.embedding', 'p.p')} AS rel
+      FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0),
+    s1 AS (SELECT vec_id, embedding, rel, rel AS mmr FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT * FROM s1)"""
+    for t in range(2, _MMR_K + 1):
+        sql += f""",
+    m{t} AS (
+      SELECT c.vec_id, c.embedding, c.rel,
+             round({_MMR_LAM} * c.rel - {round(1 - _MMR_LAM, 10)}
+                   * max({cos('c.embedding', 's.embedding')}), 6) AS mmr
+      FROM cand c CROSS JOIN sel{t - 1} s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.embedding, c.rel),
+    s{t} AS (SELECT vec_id, embedding, rel, mmr FROM m{t}
+             ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+    parts = [
+        f"SELECT {t} AS sel_order, vec_id, rel, mmr FROM s{t}"
+        for t in range(1, _MMR_K + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@query("q_mmr_select", oracle=_mmr_oracle())
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) diverse
+    subset selection: greedily pick K=4 vectors maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversity-aware sampling step of a training-data curation pipeline
+    (pure top-k by relevance picks near-duplicates; MMR provably
+    doesn't). Step 1's score is the bare relevance (empty selected set).
+
+    Greedy selection is inherently sequential in K, so the driver loops
+    K times (K is tiny and user-chosen — same bounded-iteration shape as
+    the kmeans trainer); each step is one distributed pass: score all
+    candidates against the ≤K-row broadcast selected set, partial-agg
+    max, TakeOrdered(1). The corpus is never shuffled. Scores are
+    rounded to 6 before ranking on BOTH engines so argmax ties break
+    identically (then by vec_id)."""
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(vectors.cosine(F.col("embedding"), F.col("p")), 6).alias(
+                "rel"
+            ),
+        )
+        .persist()
+    )
+    out: list[tuple[int, int, float, float]] = []
+    sel_ids: list[int] = []
+    for t in range(1, _MMR_K + 1):
+        if t == 1:
+            top = cand.orderBy(F.desc("rel"), "vec_id").limit(1).collect()[0]
+            mmr = top["rel"]
+        else:
+            sel = e.filter(F.col("vec_id").isin(sel_ids)).select(
+                F.col("embedding").alias("s_emb")
+            )
+            top = (
+                cand.filter(~F.col("vec_id").isin(sel_ids))
+                .crossJoin(F.broadcast(sel))
+                .groupBy("vec_id", "rel")
+                .agg(
+                    F.max(
+                        F.round(
+                            vectors.cosine(F.col("embedding"), F.col("s_emb")),
+                            6,
+                        )
+                    ).alias("msim")
+                )
+                .select(
+                    "vec_id",
+                    "rel",
+                    F.round(
+                        _MMR_LAM * F.col("rel")
+                        - (1 - _MMR_LAM) * F.col("msim"),
+                        6,
+                    ).alias("mmr"),
+                )
+                .orderBy(F.desc("mmr"), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            mmr = top["mmr"]
+        sel_ids.append(top["vec_id"])
+        out.append((t, top["vec_id"], float(top["rel"]), float(mmr)))
+    cand.unpersist()
+    return spark.createDataFrame(
+        out, "sel_order int, vec_id long, rel double, mmr double"
+    )
