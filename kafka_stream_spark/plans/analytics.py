@@ -353,3 +353,51 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").alias("seq_len"),
         F.regexp_like("seq", F.lit("s[^e]*p")).cast("int").alias("matched"),
     )
+
+
+@query(
+    "q_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(f.q1), 4) AS q1,
+           round(any_value(f.q3), 4) AS q3,
+           sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                      OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact interpolated
+    quartiles (identical in both engines), 1.5×IQR fences, and the
+    out-of-fence count — the robust anomaly screen that feeds a quality
+    firewall. Two passes over the group key: the quantile aggregate
+    (groups-only output, broadcast back) then one conditional count, so
+    the fact table is scanned twice but shuffled zero times beyond the
+    quantile partials."""
+    e = load(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("q1"), 4).alias("q1"),
+            F.round(F.any_value("q3"), 4).alias("q3"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+    )
