@@ -146,7 +146,8 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(CASE WHEN json_extract_string(props, '$.missing')
@@ -455,9 +456,10 @@ _BF_M, _BF_K = 4096, 3
               WHERE o_orderstatus = 'F')
     SELECT (SELECT count(*) FROM probe) AS n_probed,
            (SELECT count(*) FROM exact) AS n_members,
-           sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END) AS n_pass,
-           sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END)
-             - (SELECT count(*) FROM exact) AS n_false_pos
+           CAST(sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN n_set = {_BF_K} THEN 1 ELSE 0 END)
+                - (SELECT count(*) FROM exact) AS BIGINT) AS n_false_pos
     FROM checks
     """,
 )

@@ -276,7 +276,7 @@ def q_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
     SELECT count(*) AS n_keys,
-           sum(cnt) AS total_rows,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
            round(max(cnt) * 1.0 / sum(cnt), 6) AS top_key_share,
            round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
            round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
@@ -367,9 +367,9 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(any_value(f.q1), 4) AS q1,
            round(any_value(f.q3), 4) AS q3,
-           sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+           CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
                       OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
-                    THEN 1 ELSE 0 END) AS n_outliers
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN fences f ON e.event_type = f.event_type
     GROUP BY e.event_type
     """,

@@ -157,8 +157,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            round(avg(n_dup * 1.0 / n_grams), 6) AS avg_dup_frac,
-           sum(CASE WHEN n_dup * 2 >= n_grams THEN 1 ELSE 0 END)
-             AS n_docs_half_dup
+           CAST(sum(CASE WHEN n_dup * 2 >= n_grams THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_docs_half_dup
     FROM per_doc GROUP BY source
     """,
 )
@@ -210,8 +210,10 @@ _MIX_CASE_SQL = """CASE
     r AS (SELECT *, {_MIX_CASE_SQL} AS rate_bp FROM t)
     SELECT source,
            count(*) AS n_total,
-           sum(CASE WHEN u < rate_bp THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN u < rate_bp THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(sum(CASE WHEN u < rate_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN u < rate_bp THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
     FROM r GROUP BY source
     """,
 )
@@ -360,13 +362,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
     SELECT source,
            count(*) AS n_in,
-           sum(CASE WHEN q THEN 1 ELSE 0 END) AS n_quality,
-           sum(CASE WHEN q AND NOT bench AND NOT cont THEN 1 ELSE 0 END)
-             AS n_clean,
-           sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
-                    THEN 1 ELSE 0 END) AS n_final,
-           sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
-                    THEN n_words ELSE 0 END) AS final_tokens
+           CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN q AND NOT bench AND NOT cont THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(sum(CASE WHEN q AND NOT bench AND NOT cont AND kept
+                    THEN n_words ELSE 0 END) AS BIGINT) AS final_tokens
     FROM flags GROUP BY source
     """,
 )

@@ -381,7 +381,8 @@ def _roundtrip(
 
 
 _SRC_ORACLE = """
-    SELECT event_type, count(*) AS n, sum(event_id) AS sum_ids,
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
            count(DISTINCT user_id) AS uniq_users
     FROM events GROUP BY event_type
 """

@@ -540,7 +540,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e, stats s
     )
     SELECT vec_id,
-           list_aggregate(codes, 'sum') AS code_checksum,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_checksum,
            round(list_aggregate(
              list_transform(range(len(codes)), i ->
                abs(CAST(mns[i + 1] AS DOUBLE)

@@ -195,7 +195,8 @@ CASE WHEN bucket < 80 THEN 'train'
 @query(
     "q_hash_split",
     oracle=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc
     FROM (
       SELECT doc_id, n_chars,

@@ -159,7 +159,7 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
     SELECT doc_id,
-           sum(c) AS n_counted,
+           CAST(sum(c) AS BIGINT) AS n_counted,
            count(*) AS distinct_chars,
            round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
              AS entropy_bits

@@ -26,7 +26,9 @@ def _norm(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        # Strict: the driver hashes raw values, so any ULP-level divergence
+        # between Spark and DuckDB must be rounded away INSIDE the query.
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, bool):
@@ -84,6 +86,16 @@ def main() -> int:
             continue
         dcols = sorted(dcols_raw)
         problems = []
+        # The driver fetches the oracle via pandas, where HUGEINT/DECIMAL
+        # become float64 while Spark emits int64 → guaranteed hash
+        # mismatch even with equal values. Force a CAST in the oracle.
+        fragile = [
+            (c, str(t))
+            for c, t in zip(ddf.columns, ddf.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        ]
+        if fragile:
+            problems.append(f"fragile duckdb types (add CAST): {fragile}")
         if scols != dcols:
             problems.append(f"schema: spark={scols} duckdb={dcols}")
         if len(srows) != len(drows):
