@@ -159,7 +159,17 @@ def q_assemble_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multi_sink")  # rows-only: sink side effects aren't SQL-expressible
+@query(
+    "q_multi_sink",
+    # The side effects aren't SQL-expressible, but the OUTPUT is: each
+    # sink's read-back count must equal the declarative pipeline count.
+    oracle=f"""
+    WITH pipe AS ({_board_pipeline_oracle(NEEQ)}),
+    n AS (SELECT count(*) AS c FROM pipe)
+    SELECT s.sink, CAST(n.c AS BIGINT) AS rows_written
+    FROM (VALUES ('announcements'), ('sentiment'), ('offline_csv')) s(sink), n
+    """,
+)
 def q_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — multi-sink fan-out: the same matched batch written to two
     table sinks and one CSV sink (kafka_s.py:343-345,470-556,614-630;
@@ -180,7 +190,11 @@ def q_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if fmt == "csv":
             writer = writer.option("header", "true")
         getattr(writer, fmt)(path)
-        counts.append((sink, spark.read.format(fmt).load(path).count()))
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            # mirror the write options, or the header reads back as data
+            reader = reader.option("header", "true").option("multiLine", "true")
+        counts.append((sink, reader.load(path).count()))
     out.unpersist()
     shutil.rmtree(base, ignore_errors=True)  # counts are already collected
     return spark.createDataFrame(counts, schema=["sink", "rows_written"])

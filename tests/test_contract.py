@@ -17,7 +17,6 @@ def test_registry_contract():
     # rows-only set is small and intentional
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "q_multi_sink",       # sink side effects
         "q_current_ts",       # wall-clock nondeterministic
         "q_uuid3_key",        # DuckDB md5 is VARCHAR-only (namespace bytes)
         "q_approx_distinct",  # HLL estimate is engine-specific
