@@ -72,6 +72,11 @@ HEADLINE = [
     "q_dataset_mix",      # stratified hash-threshold mixing
     "q_zorder_layout",    # Morton clustering key + bounding boxes
     "q_corpus_build",     # composed quality→decontam→mix funnel
+    "q_max_concurrency",  # sweep-line interval overlap
+    "q_ewma",             # unrolled exponential smoothing window
+    "q_markov_transitions",  # sequence transition matrix
+    "q_bm25",             # BM25 retrieval scoring
+    "q_robust_scale",     # median/MAD robust outlier screen
 ]
 
 

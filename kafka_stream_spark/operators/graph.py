@@ -34,7 +34,16 @@ def connected_components(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
 
-    labels = vertices.select("v", F.col("v").alias("p")).localCheckpoint(eager=True)
+    # Iterate over edge ENDPOINTS only: isolated vertices can never change
+    # label, and in an LSH near-dup graph they are the overwhelming
+    # majority. Per-round join size scales with the edge set, not the
+    # corpus; the full vertex set appears once, in the final left join.
+    labels = (
+        sym.select("a")
+        .distinct()
+        .select(F.col("a").alias("v"), F.col("a").alias("p"))
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -69,7 +78,10 @@ def connected_components(
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds"
         )
-    return labels.select("v", F.col("p").alias("component")), rounds
+    full = vertices.join(labels, "v", "left").select(
+        "v", F.coalesce("p", "v").alias("component")
+    )
+    return full, rounds
 
 
 def pagerank(

@@ -401,3 +401,66 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out.cast("long")).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_robust_scale",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             any_value(m.med) AS med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(m.med), 4) AS med,
+           round(any_value(m.mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling / outlier screen by median + MAD (the
+    Iglewicz-Hodges modified z-score, |0.6745·(x-med)/MAD| > 3.5):
+    unlike q_iqr_outliers' Tukey fences this is the estimator family
+    that tolerates up to 50% contamination — the screen production data
+    quality monitors actually run.
+
+    Two grouped exact-quantile passes (median, then MAD) joined back on
+    the group key, then one counting pass: three aggregates over the
+    same (event_type) partitioning, which AQE plans as broadcast joins
+    since the per-group fence table is |groups| rows. The scale path
+    swaps percentile() for approx_percentile with no other change."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            ),
+        )
+    )
+    z = F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum((z > 3.5).cast("long")).alias("n_outliers"),
+        )
+    )

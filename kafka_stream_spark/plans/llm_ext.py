@@ -1369,3 +1369,96 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "sel_order int, vec_id long, rel double, mmr double"
     )
+
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({text.tokens_sql('text')}) AS dl,
+             unnest({text.tokens_sql('text')}) AS term
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs,
+                     sum(len({text.tokens_sql('text')})) * 1.0 / count(*)
+                       AS avgdl
+              FROM documents),
+    tf AS (
+      SELECT doc_id, any_value(dl) AS dl, term, count(*) AS tf
+      FROM toks WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones, the Okapi form
+    with the +1 idf floor) for a fixed term set — the ranking function
+    actual search-over-corpus uses where q_tf_idf is the teaching form.
+
+    Scale shape: tokens explode → filter to query terms BEFORE any
+    shuffle (the per-term tf aggregate only ever sees |terms| rows per
+    doc), df and the corpus stats are scalar/vocab-sized broadcasts,
+    and the final top-k is a sort of |matching docs| scored rows. The
+    rank is computed on the ROUNDED score so float ULPs can't flip
+    ordering between engines."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.select(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(text.tokens(F.col("text")))) / F.count("*")).alias(
+            "avgdl"
+        ),
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    toks = d.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("dl"),
+        F.explode(text.tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.any_value("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

@@ -313,3 +313,159 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.round(F.sum("value"), 2).alias("volume"),
     )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 10 MINUTE, -1, event_id FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             CAST(sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS active
+      FROM deltas
+    )
+    SELECT event_type, max(active) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics by sweep line: each event holds a
+    resource for 10 minutes; the peak number of simultaneously-open
+    intervals per event_type is the classic capacity-planning question
+    the reference's single-threaded consumer could never ask
+    (kafka_s.py:155-159 — one record in flight at a time).
+
+    Sweep line as relational ops: explode each interval into a +1/-1
+    delta row, running-sum per key in (time, delta) order (-1 sorts
+    first, so touching intervals never overlap), take the max. Two
+    narrow columns cross the shuffle; the window and the final max reuse
+    ONE (event_type) partitioning. At 100 TB this stays a single
+    pass — no interval self-join, which is the O(n²) trap."""
+    e = load(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.union(ends).withColumn("active", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("active").alias("max_concurrent")
+    )
+
+
+_EWMA_ALPHA = 0.25
+_EWMA_DEPTH = 16
+
+
+def _ewma_weights() -> list[float]:
+    return [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_DEPTH)]
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             {', '.join(f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{k}" for k in range(1, _EWMA_DEPTH))}
+      FROM events
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round((value
+                  {' '.join(f"+ CASE WHEN l{k} IS NOT NULL THEN l{k} * {(1.0 - _EWMA_ALPHA) ** k!r} ELSE 0 END" for k in range(1, _EWMA_DEPTH))})
+                 / (1
+                  {' '.join(f"+ CASE WHEN l{k} IS NOT NULL THEN {(1.0 - _EWMA_ALPHA) ** k!r} ELSE 0 END" for k in range(1, _EWMA_DEPTH))}),
+                 6) AS ewma
+    FROM ordered
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series — the decay
+    smoothing every monitoring/trading stack wants and the reference's
+    row-at-a-time loop could only do with driver-held state. Bounded to
+    the last 16 observations (weight (1-α)^k < 1% beyond that at
+    α=0.25) and normalized over the weights actually present, so the
+    expression is a FIXED unrolled sum of lag() terms: one window pass,
+    whole-stage codegen, zero driver state, identical semantics in the
+    SQL oracle. At 100 TB it partitions by user and scales like any
+    other single window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = _ewma_weights()
+    lags = [F.col("value")] + [
+        F.lag("value", k).over(w) for k in range(1, _EWMA_DEPTH)
+    ]
+    num = lags[0]
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_DEPTH):
+        num = num + F.when(lags[k].isNotNull(), lags[k] * weights[k]).otherwise(0.0)
+        den = den + F.when(lags[k].isNotNull(), F.lit(weights[k])).otherwise(0.0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(n * 1.0 / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                AS BIGINT), 6) AS p
+    FROM t
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-mining
+    summary behind session-flow and funnel diagnostics (the model the
+    CEP operator q_event_pattern matches against, learned from data).
+
+    One lag() window in (user, time) order, one (prev, next) count
+    aggregate, and a vocabulary-sized window normalization — the big
+    data crosses the wire once, partitioned by user; the transition
+    table itself is |types|² rows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
