@@ -77,6 +77,10 @@ HEADLINE = [
     "q_markov_transitions",  # sequence transition matrix
     "q_bm25",             # BM25 retrieval scoring
     "q_robust_scale",     # median/MAD robust outlier screen
+    "q_chi_square",       # contingency-table independence statistic
+    "q_drift_psi",        # population-stability drift between halves
+    "q_ks_test",          # two-sample ECDF gap over the value grid
+    "q_embedding_dim_stats",  # per-dim vector profile, map-combine pass
 ]
 
 

@@ -6,7 +6,7 @@ aggregation, self-joins on time buckets) with a full oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
@@ -464,3 +464,282 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((z > 3.5).cast("long")).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS n FROM baskets),
+    item AS (SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_xy
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.n_xy,
+           round(p.n_xy * 1.0 / u.n, 6) AS support,
+           round(p.n_xy * 1.0 / ia.n_item, 6) AS confidence,
+           round((p.n_xy * 1.0 / ia.n_item) / (ic.n_item * 1.0 / u.n), 6)
+             AS lift
+    FROM pair p
+    JOIN item ia ON p.ante = ia.event_type
+    JOIN item ic ON p.cons = ic.event_type
+    CROSS JOIN n_users u
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over per-user baskets (market-basket
+    support/confidence/lift — the unordered companion to
+    q_markov_transitions' sequential model). The basket table is the
+    DISTINCT (user, item) projection; the pair join runs on user_id, so
+    its width is bounded by per-user basket size (|item vocabulary|),
+    never by event volume; item counts and the user total are broadcast
+    scalars/vocab tables."""
+    e = load(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct().persist()
+    n_users = baskets.select("user_id").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count("*").alias("n_xy"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("ante"), F.col("n_item").alias("n_ante")
+    )
+    ic = item.select(
+        F.col("event_type").alias("cons"), F.col("n_item").alias("n_cons")
+    )
+    out = (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            "n_xy",
+            F.round(F.col("n_xy") / F.lit(n_users), 6).alias("support"),
+            F.round(F.col("n_xy") / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_xy") / F.col("n_ante"))
+                / (F.col("n_cons") / F.lit(n_users)),
+                6,
+            ).alias("lift"),
+        )
+    )
+    baskets.unpersist()
+    return out
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bucket,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT round(sum(
+             (obs.o - rt.r * ct.c * 1.0 / n.n)
+             * (obs.o - rt.r * ct.c * 1.0 / n.n)
+             / (rt.r * ct.c * 1.0 / n.n)), 4) AS chi2,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (bucket) CROSS JOIN n
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic between event_type and
+    the value's 25-wide bucket — the contingency-table test behind
+    "did this categorical distribution shift?" alerts. One grouped count
+    builds the contingency cells; the margins are tiny re-aggregations
+    of those cells (never a second scan), joined back broadcast. Exact
+    integer counts everywhere until the final expected-count division.
+
+    Cells with zero observations contribute (0-e)²/e only if the cell
+    exists in the cross product; both engines restrict to OBSERVED
+    cells, so the statistic is over the same support by construction."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+    ).agg(F.count("*").alias("o"))
+    obs.persist()
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("bucket").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o")).collect()[0][0]
+    n_r = rt.count()
+    n_c = ct.count()
+    exp = F.col("r") * F.col("c") / F.lit(float(n))
+    out = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "bucket")
+        .agg(
+            F.round(
+                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
+            ).alias("chi2"),
+            F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+        )
+    )
+    obs.unpersist()
+    return out
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo,
+             (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events
+    ),
+    tagged AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+             CASE WHEN epoch_us(ts) < b.mid THEN 'ref' ELSE 'cur' END AS half
+      FROM events CROSS JOIN bounds b
+    ),
+    cnt AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM tagged GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cnt)
+    SELECT count(*) AS n_buckets,
+           round(sum((n_ref * 1.0 / t_ref - n_cur * 1.0 / t_cur)
+                     * ln((n_ref * 1.0 / t_ref) / (n_cur * 1.0 / t_cur))),
+                 6) AS psi
+    FROM cnt CROSS JOIN tot
+    WHERE n_ref > 0 AND n_cur > 0
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between the first and second time
+    halves of the stream — the drift metric model-monitoring stacks
+    compute per feature per day. The time midpoint comes from a scalar
+    min/max aggregate broadcast back (no driver action); the PSI itself
+    is one grouped count and a bucket-table-sized reduction. Buckets
+    missing from either half are excluded (the observed-support
+    convention, stated in both engines' predicates)."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("mid"),
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        F.when(F.unix_micros("ts") < F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("half"),
+    )
+    cnt = tagged.groupBy("bucket").agg(
+        F.sum((F.col("half") == "ref").cast("long")).alias("n_ref"),
+        F.sum((F.col("half") == "cur").cast("long")).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    return (
+        cnt.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.round(
+                F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6
+            ).alias("psi"),
+        )
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (SELECT value, CAST(sum(a) AS BIGINT) AS na,
+                 CAST(sum(b) AS BIGINT) AS nb
+          FROM s GROUP BY value),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                   CAST(sum(nb) AS BIGINT) AS tb FROM g),
+    c AS (
+      SELECT CAST(sum(na) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ca,
+             CAST(sum(nb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cb
+      FROM g
+    )
+    SELECT t.ta AS n_a, t.tb AS n_b,
+           round(max(abs(c.ca * 1.0 / t.ta - c.cb * 1.0 / t.tb)), 6)
+             AS ks_stat
+    FROM c CROSS JOIN tot t GROUP BY t.ta, t.tb
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (click vs view value
+    distributions): max |ECDF_a − ECDF_b| over the merged value grid.
+
+    The stream is first reduced to per-distinct-value counts (the only
+    full-volume shuffle); the ECDF running sums then run over that
+    grid — a single-partition window, which is exactly the KS
+    structural limit, and why the pre-aggregation matters: at 100 TB
+    the window's input is |distinct values| rows, not |events|. (For a
+    truly unbounded grid, bucket values first — the PSI query's move.)"""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("na"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("nb"),
+    )
+    g.persist()
+    tot = g.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    out = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("ta").alias("n_a"), F.col("tb").alias("n_b"))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat")
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out

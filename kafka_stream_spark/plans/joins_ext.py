@@ -399,3 +399,11 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink round-trip with explicit schema."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query("q_orc_source", oracle=_SRC_ORACLE)
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the third columnar-ecosystem format
+    next to parquet (native scan) and the text formats; same lossless
+    proof through the engine's own write→read path."""
+    return _roundtrip(spark, sf_dir, "orc")

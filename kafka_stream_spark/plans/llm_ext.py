@@ -1462,3 +1462,45 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "q_embedding_dim_stats",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 8)) AS dim),
+    x AS (
+      SELECT e.label, d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS v
+      FROM embeddings e CROSS JOIN dims d
+    )
+    SELECT label, dim, count(*) AS n,
+           round(avg(v), 6) AS mean,
+           round(var_pop(v), 6) AS var,
+           round(min(v), 6) AS mn,
+           round(max(v), 6) AS mx
+    FROM x GROUP BY label, dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column (first
+    8 dims, per class label): the feature-health check run before any
+    ANN index build — dead dims, scale mismatches and class separation
+    all show up here. posexplode keeps the dim index aligned with the
+    value; everything after is one partial-aggregated groupBy whose
+    output is |labels|×|dims| rows. At 100 TB this is a single
+    map-combine pass over the vector table; no shuffle carries vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.var_pop("v"), 6).alias("var"),
+        F.round(F.min("v"), 6).alias("mn"),
+        F.round(F.max("v"), 6).alias("mx"),
+    )
