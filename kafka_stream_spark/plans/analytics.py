@@ -501,7 +501,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars/vocab tables."""
     e = load(spark, sf_dir, "events")
     baskets = e.select("user_id", "event_type").distinct().persist()
-    n_users = baskets.select("user_id").distinct().count()
+    nu = baskets.agg(F.countDistinct("user_id").alias("n_users"))
     item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
     a, b = baskets.alias("a"), baskets.alias("b")
     pair = (
@@ -525,20 +525,20 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pair.join(F.broadcast(ia), "ante")
         .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nu))
         .select(
             "ante",
             "cons",
             "n_xy",
-            F.round(F.col("n_xy") / F.lit(n_users), 6).alias("support"),
+            F.round(F.col("n_xy") / F.col("n_users"), 6).alias("support"),
             F.round(F.col("n_xy") / F.col("n_ante"), 6).alias("confidence"),
             F.round(
                 (F.col("n_xy") / F.col("n_ante"))
-                / (F.col("n_cons") / F.lit(n_users)),
+                / (F.col("n_cons") / F.col("n_users")),
                 6,
             ).alias("lift"),
         )
     )
-    baskets.unpersist()
     return out
 
 
@@ -578,25 +578,30 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") / 25).cast("long").alias("bucket"),
     ).agg(F.count("*").alias("o"))
-    obs.persist()
-    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
-    ct = obs.groupBy("bucket").agg(F.sum("o").alias("c"))
-    n = obs.agg(F.sum("o")).collect()[0][0]
-    n_r = rt.count()
-    n_c = ct.count()
-    exp = F.col("r") * F.col("c") / F.lit(float(n))
-    out = (
-        obs.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "bucket")
-        .agg(
-            F.round(
-                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
-            ).alias("chi2"),
-            F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
-        )
+    # margins as windows over the cell table (|types|×|buckets| rows) —
+    # zero driver actions, one plan; the unpartitioned window is fine
+    # because its input is the contingency table, never the event log
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("bucket")
+    wn = Window.partitionBy()
+    x = obs.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wn).alias("n"),
     )
-    obs.unpersist()
-    return out
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return x.agg(
+        F.round(
+            F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("bucket") - 1)
+        ).cast("long").alias("dof"),
+    )
 
 
 @query(

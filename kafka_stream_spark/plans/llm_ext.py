@@ -1423,13 +1423,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is computed on the ROUNDED score so float ULPs can't flip
     ordering between engines."""
     d = load(spark, sf_dir, "documents")
-    stats = d.select(
+    # corpus stats as a 1-row broadcast riding the plan — no driver action
+    stats = d.agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.size(text.tokens(F.col("text")))) / F.count("*")).alias(
             "avgdl"
         ),
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    )
     toks = d.select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).alias("dl"),
@@ -1440,7 +1440,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
-        1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     term_score = (
         idf
@@ -1448,11 +1448,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (_BM25_K1 + 1)
         / (
             F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("score"))
     )
