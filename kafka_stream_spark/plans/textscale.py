@@ -110,17 +110,28 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes = ordered.select(
         "doc_id",
         n.alias("n"),
-        F.explode(F.slice("ord_ts", 1, prefix_len)).alias("ptok"),
+        F.posexplode(F.slice("ord_ts", 1, prefix_len)).alias("pos", "ptok"),
     ).persist()
 
-    # Candidate generation with the SIZE FILTER fused into the join
-    # condition: Jaccard ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|), so
-    # size-discrepant pairs are dropped inside the codegen'd join —
-    # BEFORE the distinct's shuffle and the array verify. On the
-    # near-dup-heavy testdata this is a ~4.6× candidate cut (9.7M→2.1M
-    # at sf0.1); it's also the filter that survives 100 TB, since it
-    # needs only the two set sizes already riding along with the prefix.
+    # Candidate generation with the SIZE and POSITIONAL filters fused
+    # into the join condition (both codegen'd, both applied BEFORE the
+    # distinct's shuffle and the array verify):
+    #  - size filter: Jaccard ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|)
+    #    (~4.6× candidate cut, 9.7M→2.1M at sf0.1);
+    #  - positional filter (PPJoin's second lemma): a collision at
+    #    0-indexed prefix positions (pa, pb) caps the achievable overlap
+    #    at min(|a|−pa, |b|−pb) — tokens before the collision point are,
+    #    by the shared global order, disjoint between the two docs — and
+    #    Jaccard ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉. Both bounds
+    #    need only (n, pos) already riding with the prefix token, so the
+    #    filter survives 100 TB unchanged.
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    min_overlap = F.ceil(
+        (F.col("a.n") + F.col("b.n")) * F.lit(TAU / (1.0 + TAU))
+    )
+    overlap_ubound = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
@@ -129,7 +140,8 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.greatest("a.n", "b.n") * F.lit(TAU)
                 <= F.least("a.n", "b.n")
-            ),
+            )
+            & (overlap_ubound >= min_overlap),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
