@@ -116,8 +116,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram stream is filtered map-side by a broadcast LEFT SEMI join, so
     the only shuffle is the final per-source count. At 100 TB the
     benchmark side (real eval suites) is KBs–MBs of grams; the corpus
-    never moves."""
-    g = _grams(spark, sf_dir)
+    never moves. Grams travel as xxhash64 longs: the broadcast table and
+    every hash-probe compare 8 bytes, not five-word strings."""
+    g = _grams(spark, sf_dir).withColumn("gram", F.xxhash64("gram"))
     bench = (
         g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
     )
@@ -170,8 +171,16 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: distinct (doc, gram) → gram document-frequency (partial agg,
     the inverted index) → join back → per-doc ratio → per-source avg.
-    Two shuffles on the gram key, both carrying (gram, int) pairs."""
-    g = _grams(spark, sf_dir).select("doc_id", "source", "gram").distinct()
+    Two shuffles on the gram key. The gram is collapsed to xxhash64
+    BEFORE the first exchange: gram identity is all the metric needs, so
+    the shuffles carry 8-byte keys instead of ~30-byte five-word strings
+    (the scale form the module docstring prescribes; a 64-bit space makes
+    cross-gram collisions vanishingly rare at any corpus size)."""
+    g = (
+        _grams(spark, sf_dir)
+        .select("doc_id", "source", F.xxhash64("gram").alias("gram"))
+        .distinct()
+    )
     gdf = g.groupBy("gram").agg(F.count("*").alias("ndocs"))
     per_doc = (
         g.join(gdf, "gram")
