@@ -43,17 +43,28 @@ def _ensure_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; schema comes from parquet footer metadata.
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk; Spark reads it as a long
-    (nanosAsLong) and we floor it to microseconds — the same truncation
-    DuckDB applies when it reads the file, so both engines see identical
-    timestamps.
+    ``events.ts`` normalizes to TIMESTAMP (with the session's pinned UTC
+    zone) regardless of how the parquet stores it:
+
+    - TIMESTAMP(NANOS) on disk → Spark reads a long (nanosAsLong) →
+      floored to µs, the same truncation DuckDB applies on read;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers
+      TIMESTAMP_NTZ → cast to TIMESTAMP, a wall-clock no-op under the
+      UTC session zone, matching DuckDB's naive read.
+
+    Every engine query therefore sees one ts type with deterministic
+    UTC semantics at any scale factor.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

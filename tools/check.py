@@ -60,9 +60,11 @@ def main() -> int:
         )
 
     failures, rows_only = [], []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -114,8 +116,9 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
 
     print(
-        f"\n{len(qs) - len(failures) - len(rows_only)} ok, "
-        f"{len(rows_only)} rows-only, {len(failures)} FAILED of {len(qs)}"
+        f"\n{n_run - len(failures) - len(rows_only)} ok, "
+        f"{len(rows_only)} rows-only, {len(failures)} FAILED of {n_run} run"
+        f" ({len(qs)} registered)"
     )
     return 1 if failures else 0
 
