@@ -12,7 +12,9 @@ from .registry import ORACLES, QUERIES, query
 # importing the modules populates the registry
 from . import agg_ext  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
+from . import breadth2  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import datasetops  # noqa: E402,F401
 from . import gaps  # noqa: E402,F401
@@ -21,6 +23,7 @@ from . import joins_ext  # noqa: E402,F401
 from . import mutate  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import quality_ext  # noqa: E402,F401
 from . import stateful_q  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
 from . import textscale  # noqa: E402,F401

@@ -1,0 +1,345 @@
+"""Analytics breadth, round 2: serial autocorrelation, linear gap
+interpolation, referential-integrity audit, per-column table profiling,
+graph degree distribution, and mergeable-HLL distinct sketches.
+
+The reference has no analytics layer at all (SURVEY.md §2.9); these
+extend the X-series with the remaining warehouse-operational queries a
+drop-in engine needs: data-quality audits (FK orphans, column profile),
+time-series diagnostics (autocorrelation, interpolation — the linear
+sibling of q_gap_fill's LOCF), and the degree histogram over the same
+shipment graph q_pagerank walks.
+
+Scale notes (100 TB):
+- FK audit: each check is a left-anti join; dim sides (nation/region/
+  customer/orders keys) broadcast, the fact side never shuffles. The
+  UNION of per-check counts is a handful of scalar rows.
+- Column profile: ONE full-scan aggregate computes every column's
+  stats map-side (count/nulls/distinct/min/max per column in a single
+  agg row), then explodes to the per-column report — never one scan
+  per column.
+- Autocorrelation: lag window + corr aggregate share the event_type
+  partitioning — one shuffle total.
+- Interpolation: same one-shuffle shape as q_gap_fill; prev/next
+  anchors come from two IGNORE NULLS window passes over the same
+  partitioning, which EnsureRequirements collapses onto one exchange.
+- Degree distribution: two cascaded aggregates, the second over a
+  domain of size ≤ max-degree (tiny).
+- HLL sketches: constant-size mergeable state per group — the
+  re-aggregatable distinct-count store; union(groups) ≡ global is the
+  property that lets a 100 TB corpus keep per-partition sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events
+    )
+    SELECT event_type,
+           round(corr(value, prev_value), 6) AS acf_lag1,
+           count(prev_value) AS n_pairs
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 serial autocorrelation per series: pair each value with its
+    predecessor ((ts, event_id) order — unique tie-break) and correlate.
+    The standard white-noise / trend diagnostic over metric streams;
+    lag window and corr share one event_type shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev_value", F.lag("value").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("value", "prev_value"), 6).alias("acf_lag1"),
+        F.count("prev_value").alias("n_pairs"),
+    )
+
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    calendar AS (
+      SELECT et.event_type, cal.hr
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                  FROM bounds) cal
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT c.event_type, c.hr, h.v,
+             epoch_us(c.hr) AS t,
+             last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN h.v IS NOT NULL THEN epoch_us(c.hr) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.hr
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN h.v IS NOT NULL THEN epoch_us(c.hr) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY c.event_type ORDER BY c.hr
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM calendar c LEFT JOIN hourly h
+        ON c.event_type = h.event_type AND c.hr = h.hr
+    )
+    SELECT event_type, hr,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+             ELSE coalesce(pv, nv)
+           END, 6) AS v_interp
+    FROM joined
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (timescale ``interpolate`` shape, the
+    sibling of q_gap_fill's LOCF): densify hourly buckets onto the
+    calendar, then fill each gap on the line between its last observed
+    and next observed neighbor — edge gaps fall back to the available
+    side. Anchors come from IGNORE NULLS frames, so arbitrarily long
+    gap runs interpolate in one pass, no iteration."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    calendar = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col("hr"))
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    j = (
+        calendar.join(hourly, ["event_type", "hr"], "left")
+        .withColumn("t", t)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(fwd))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("t") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    return j.select(
+        "event_type",
+        "hr",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+            )
+            .otherwise(F.coalesce("pv", "nv")),
+            6,
+        ).alias("v_interp"),
+    )
+
+
+@query(
+    "q_fk_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', count(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*) FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*) FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*) FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'nation->region', count(*) FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    """,
+)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan count per foreign key, each
+    as a left-anti join against the referenced key set. Key sets are
+    broadcast-sized (even orders' key column at 100 TB is a pruned
+    single-column scan), so every check is a map-side Bloom-style
+    probe; counts union into a six-row report."""
+    t = {n: load(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")}
+    checks = [
+        ("lineitem->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+        ("orders->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("customer->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+        ("nation->region", t["nation"], "n_regionkey",
+         t["region"], "r_regionkey"),
+    ]
+    out = None
+    for fk_name, child, ck, parent, pk in checks:
+        orphans = child.join(
+            F.broadcast(parent.select(pk)),
+            child[ck] == F.col(pk),
+            "left_anti",
+        ).agg(F.count("*").alias("n_orphans")).select(
+            F.lit(fk_name).alias("fk"), "n_orphans"
+        )
+        out = orphans if out is None else out.unionAll(orphans)
+    return out
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(o_orderkey) AS n_filled,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus),
+           count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority),
+           count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile (filled/null/distinct/min/max) of the
+    orders table — the dataset-card / data-quality summary pass. ONE
+    aggregate row computes every column's stats in a single scan
+    (count and count-distinct combine map-side), then a literal
+    unpivot emits the per-column report; never one scan per column.
+    min/max stringified so heterogeneous column types share a schema."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__filled"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__filled, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_filled, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+@query(
+    "q_degree_dist",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT c, count(*) AS degree FROM edges GROUP BY c)
+    SELECT degree, count(*) AS n_customers
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔customer shipment graph
+    (same graph q_pagerank walks): distinct edges → per-customer degree
+    → degree histogram. Two cascaded aggregates; the second groups over
+    ≤ max-degree values, so it collapses to a broadcast-sized result
+    regardless of corpus size."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_customers"))
+
+
+@query("q_hll_merge")  # rows-only: Datasketches HLL has no DuckDB twin
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-type
+    user sketches plus the 'ALL' row re-aggregated by UNIONING THE
+    SKETCHES, not rescanning — the constant-size state that lets a
+    100 TB store keep per-partition distinct counts and roll them up.
+    Deterministic for a fixed sketch impl, but DuckDB's HLL is a
+    different estimator → rows-only; exactness vs count(DISTINCT) is
+    asserted in tests/test_scale_ops.py."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    groups = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return groups.unionAll(merged)

@@ -1,0 +1,238 @@
+"""Function-family breadth, round 2: math, encoding, cryptographic
+hashes, bit manipulation, map functions, extended array functions, and
+the cross-join operator.
+
+Same contract as plans.breadth: each query pins one family against the
+DuckDB oracle and documents cross-engine quirks in place. These finish
+the standard warehouse scalar surface the reference (SURVEY.md §2.3 —
+~10 scalar functions total) never had.
+
+All pure projection passes: no shuffle, fully inside whole-stage
+codegen, trivially scale-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+           abs(l_quantity - 25) AS ab,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS sg,
+           CAST(l_orderkey % 7 AS BIGINT) AS md,
+           round(sqrt(l_quantity), 6) AS sq,
+           round(pow(l_discount + 1, 3), 6) AS pw,
+           round(exp(l_tax), 6) AS ex,
+           round(ln(l_extendedprice), 6) AS lg,
+           round(log10(l_extendedprice), 6) AS l10,
+           greatest(l_quantity, 10.0) AS gr,
+           least(l_quantity, 10.0) AS ls
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (round/floor/ceil/abs/sign/mod/sqrt/pow/
+    exp/ln/log10/greatest/least). Transcendentals rounded to 6 places:
+    both engines evaluate in IEEE double, and rounding pins the printed
+    repr on the rare half-ULP divergence."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").alias("flr"),
+        F.ceil("l_extendedprice").alias("cl"),
+        F.abs(F.col("l_quantity") - 25).alias("ab"),
+        F.signum(F.col("l_quantity") - 25).alias("sg"),
+        (F.col("l_orderkey") % 7).alias("md"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pw"),
+        F.round(F.exp("l_tax"), 6).alias("ex"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("gr"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("ls"),
+    )
+
+
+@query(
+    "q_encoding_funcs",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(source)) AS b64,
+           lower(hex(source)) AS hx,
+           decode(from_base64(to_base64(encode(source)))) AS roundtrip,
+           ascii(source) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS letter
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def q_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding family: base64/unbase64 round-trip, hex, ascii, chr.
+    hex() is lower()-wrapped — Spark emits upper-case digits, DuckDB
+    lower-case; the bytes are identical."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    src_bin = F.encode("source", "utf-8")
+    return d.select(
+        "doc_id",
+        F.base64(src_bin).alias("b64"),
+        F.lower(F.hex("source")).alias("hx"),
+        F.decode(F.unbase64(F.base64(src_bin)), "utf-8").alias("roundtrip"),
+        F.ascii("source").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+           length(md5(text)) AS md5_len
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family: md5 + sha2-256, hex-string output
+    identical across engines. Spark's xxhash64/murmur3 `hash()` are
+    engine-internal seeds with no DuckDB twin — the portable-hash path
+    for cross-engine keys is functions.hashing (md5-derived), used by
+    every sketch operator."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
+
+
+@query(
+    "q_bit_funcs",
+    oracle="""
+    SELECT event_id,
+           user_id << 3 AS shl,
+           user_id >> 2 AS shr,
+           xor(user_id, event_id) AS x,
+           user_id & 255 AS masked,
+           user_id | 4096 AS set_bit,
+           bit_count(user_id) AS popcount
+    FROM events WHERE event_id <= 500
+    """,
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation family: shifts, xor, and/or masks, popcount —
+    the scalar complement to q_bitwise_agg's aggregates. All int64
+    two's-complement, bit-identical across engines."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    return e.select(
+        "event_id",
+        F.shiftleft(F.col("user_id"), 3).alias("shl"),
+        F.shiftright(F.col("user_id"), 2).alias("shr"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("x"),
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("masked"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("set_bit"),
+        F.bit_count("user_id").alias("popcount"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT doc_id,
+           list_sort(map_keys(map(['lang','source'], [lang, source])))
+             AS ks,
+           map_extract(map(['lang','source'], [lang, source]), 'lang')[1]
+             AS lang_val,
+           cardinality(map(['lang','source'], [lang, source])) AS sz
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type family: construct, keys (sorted — Spark preserves
+    insertion order, DuckDB its own; sort pins both), point lookup,
+    size. Maps carry the reference's dict-shaped payloads
+    (kafka_s.py:157 BSON record) as first-class columns."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        m.getItem("lang").alias("lang_val"),
+        F.size(m).alias("sz"),
+    )
+
+
+@query(
+    "q_array_funcs2",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id <= 100 AND len(string_split(text, ' ')) >= 12
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(w[1:8], w[5:12]))) AS un,
+           list_sort(list_distinct(list_filter(w[1:8],
+             x -> list_contains(w[5:12], x)))) AS inter,
+           list_sort(list_distinct(list_filter(w[1:8],
+             x -> NOT list_contains(w[5:12], x)))) AS ex,
+           flatten([w[1:2], w[3:4]]) AS fl,
+           list_transform(w[1:3], (x, i) -> x || '_' || w[i + 4]) AS zipped,
+           range(1, 4) AS seq
+    FROM t
+    """,
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended array family: set union/intersect/except (expressed as
+    the same sort∘distinct∘filter composition on both engines — Spark's
+    native array_intersect keeps first-array order, DuckDB has no twin,
+    so the portable spelling is explicit), flatten, zip_with, sequence.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    t = d.withColumn("w", F.split("text", " ")).filter(F.size("w") >= 12)
+    a, b = F.slice("w", 1, 8), F.slice("w", 5, 8)
+    return t.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.concat(a, b))).alias("un"),
+        F.array_sort(
+            F.array_distinct(F.filter(a, lambda x: F.array_contains(b, x)))
+        ).alias("inter"),
+        F.array_sort(
+            F.array_distinct(F.filter(a, lambda x: ~F.array_contains(b, x)))
+        ).alias("ex"),
+        F.flatten(F.array(F.slice("w", 1, 2), F.slice("w", 3, 2))).alias("fl"),
+        F.zip_with(
+            F.slice("w", 1, 3),
+            F.slice("w", 5, 3),
+            lambda x, y: F.concat_ws("_", x, y),
+        ).alias("zipped"),
+        F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (crossJoin API — Spark refuses
+    implicit ones). Only sane between broadcast-sized sides; the rule
+    theta-join (q_rule_match) is its production use: tiny rules table ×
+    stream, planned as BroadcastNestedLoopJoin."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")

@@ -1,0 +1,159 @@
+"""Text-quality operators, round 2: PII redaction and containment-based
+near-duplicate detection.
+
+* ``q_pii_redact`` — the scrubbing pass every training-data pipeline
+  runs before release: regex-redact emails, phone numbers, and IPv4
+  addresses, with per-category match counts for audit. The corpus text
+  carries no PII (deterministic synthetic words), so each document is
+  salted with derived PII built from its doc_id — the redactor's input
+  is still fully deterministic and oracle-reproducible.
+* ``q_containment`` — asymmetric set-containment similarity
+  |A∩B|/min(|A|,|B|) over shingle sets. Jaccard misses the
+  near-superset case (a doc embedded inside a much larger one scores
+  low); containment is the standard complement (Broder 1997's two
+  resemblance measures). Lang-blocked pairwise — the correctness twin
+  of the prefix-filtered / LSH scale paths, like q_ngram_jaccard.
+
+Scale notes: redaction is a pure projection (regexp_replace in
+whole-stage codegen, no shuffle, trivially 100 TB-safe). Containment at
+scale rides the same LSH/prefix-filter machinery as Jaccard (minhash
+sketches estimate containment with |A| in the denominator); the
+pairwise form here exists to pin semantics, and is excluded from bench
+like every O(n²) twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources.tables import load
+from .registry import query
+
+#: RE2- and Java-compatible patterns (no lookaround, no backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') ||
+             ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(raw, '{IPV4_RE}')) AS INT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g')) AS redacted_hash
+    FROM salted
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / NANP phone numbers /
+    IPv4 addresses in one projection pass. Patterns are written in the
+    RE2∩Java-regex subset so both engines match identical spans; the
+    redacted text is md5'd (the full text would bloat the compare, the
+    hash pins every byte)."""
+    d = load(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("raw"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return salted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("raw", F.lit(PHONE_RE), 0)).alias("n_phone"),
+        F.size(F.regexp_extract_all("raw", F.lit(IPV4_RE), 0)).alias("n_ip"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH h AS (SELECT doc_id, lang, hs
+               FROM {text.hashed_shingle_table_sql(', lang')})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.hs, v -> list_contains(b.hs, v))) * 1.0
+                 / least(len(a.hs), len(b.hs)), 6) AS containment
+    FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.hs, v -> list_contains(b.hs, v))) * 1.0
+          / least(len(a.hs), len(b.hs)) >= 0.5
+    """
+
+
+@query("q_containment", oracle=_containment_oracle())
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.5 over
+    3-gram shingle-hash sets, lang-blocked. Catches the near-superset
+    duplicates (quote inside an article, doc + boilerplate) whose
+    Jaccard is diluted by the size difference. Pairwise correctness
+    twin — the scale path is the same minhash sketch with the smaller
+    set's size as denominator."""
+    d = load(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            "doc_id",
+            "lang",
+            text.hashed_tokens_mod(F.col("text")).alias("th"),
+            text.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                text.shingle_hashes(F.col("th"), F.col("toks"))
+            ).alias("hs"),
+        )
+        .persist()
+    )
+    a, b = h.alias("a"), h.alias("b")
+    inter = F.size(
+        F.filter(F.col("a.hs"), lambda v: F.array_contains(F.col("b.hs"), v))
+    )
+    cont = inter * F.lit(1.0) / F.least(F.size("a.hs"), F.size("b.hs"))
+    result = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .localCheckpoint(eager=True)  # release h below, no session leak
+    )
+    h.unpersist()
+    return result

@@ -21,6 +21,7 @@ def test_registry_contract():
         "q_uuid3_key",        # DuckDB md5 is VARCHAR-only (namespace bytes)
         "q_approx_distinct",  # HLL estimate is engine-specific
         "q_approx_percentile",  # GK-sketch ranks are engine-specific
+        "q_hll_merge",        # DataSketches HLL has no DuckDB twin
     }, rows_only
 
 

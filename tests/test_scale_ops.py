@@ -224,3 +224,26 @@ def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_hll_sketch_union_of_groups_equals_global(spark, sf_dir):
+    """Mergeability — THE property that makes HLL a 100 TB operator:
+    unioning per-group sketches must give the same estimate as one
+    global sketch, and land within the sketch's rated error of exact."""
+    from kafka_stream_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    merged = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        e.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = e.select("user_id").distinct().count()
+    assert merged == direct  # sketch union is lossless re-aggregation
+    assert abs(merged - exact) / exact < 0.05
