@@ -81,6 +81,13 @@ HEADLINE = [
     "q_drift_psi",        # population-stability drift between halves
     "q_ks_test",          # two-sample ECDF gap over the value grid
     "q_embedding_dim_stats",  # per-dim vector profile, map-combine pass
+    "q_autocorr",         # lag-1 ACF, one-shuffle window+corr
+    "q_interpolate",      # linear gap-fill, IGNORE NULLS anchors
+    "q_fk_orphans",       # referential-integrity anti-join battery
+    "q_profile_table",    # single-scan column profile
+    "q_degree_dist",      # shipment-graph degree histogram
+    "q_hll_merge",        # mergeable distinct sketches
+    "q_pii_redact",       # regex scrub projection pass
 ]
 
 

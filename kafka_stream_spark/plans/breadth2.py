@@ -236,3 +236,79 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (always an observed value — the companion
+    of q_percentiles' interpolated continuous form; the right choice for
+    ordinal/categorical-coded metrics where interpolation is
+    meaningless). Same lower-rank convention in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("p95"),
+    )
+
+
+@query(
+    "q_bool_agg",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 100) AS any_large,
+           CAST(count_if(value > 50) AS BIGINT) AS n_over_50,
+           CAST(count_if(user_id % 2 = 0) AS BIGINT) AS n_even_user
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/any/count_if — SQL:2023
+    BOOLEAN aggregates). All map-side combinable single-bit state."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.every(F.col("value") > 0).alias("all_pos"),
+        F.some(F.col("value") > 100).alias("any_large"),
+        F.count_if(F.col("value") > 50).alias("n_over_50"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+    )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT doc_id,
+           try_cast(source AS INTEGER) AS bad_int,
+           try_cast(CAST(doc_id AS VARCHAR) AS INTEGER) AS good_int,
+           CASE WHEN doc_id % 10 = 0 THEN NULL
+                ELSE CAST(n_chars AS DOUBLE) / (doc_id % 10) END AS safe_div
+    FROM documents WHERE doc_id <= 200
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation family: try_cast and try_divide return
+    NULL instead of failing the job — at 100 TB one malformed row must
+    never kill a 6-hour pipeline. The oracle spells try_divide as the
+    equivalent CASE (DuckDB's x/0 convention differs)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return d.select(
+        "doc_id",
+        F.try_to_number("source", F.lit("999999")).cast("int").alias("bad_int"),
+        F.col("doc_id").cast("string").cast("int").alias("good_int"),
+        F.try_divide(
+            F.col("n_chars").cast("double"), F.col("doc_id") % 10
+        ).alias("safe_div"),
+    )

@@ -407,3 +407,42 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to parquet (native scan) and the text formats; same lossless
     proof through the engine's own write→read path."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query("q_text_source", oracle=_SRC_ORACLE)
+def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink round-trip: rows serialized to
+    tab-delimited lines via the text format (one string column per
+    line — the raw-log ingest path), read back as lines, and re-parsed
+    with split(). The lossless-aggregate proof matches the other
+    formats; this is the shape Kafka byte-payload or syslog ingestion
+    takes before any schema is applied."""
+    base = tempfile.mkdtemp(prefix="kss_text_")
+    path = os.path.join(base, "text")
+    e = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "\t",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    e.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    back = lines.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        parts.getItem(1).cast("long").alias("user_id"),
+        parts.getItem(2).alias("event_type"),
+    )
+    result = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .localCheckpoint(eager=True)  # materialize so the scratch dir can go
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result

@@ -322,6 +322,7 @@ def run_stream_stream_join(
     checkpoint_dir: str,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> StreamingQuery:
     """Watermarked STREAM-STREAM inner join (ad-attribution shape): each
     purchase joins the clicks of the same user that happened within
@@ -335,6 +336,12 @@ def run_stream_stream_join(
     State cleanup math: a click can only match purchases up to
     ``attribution_window`` later, so once the purchase-side watermark
     passes click.ts + window the click is evicted (and vice versa).
+
+    ``join_type='left_outer'`` (purchases left) additionally emits each
+    unmatched purchase with NULL click columns — but only once the
+    watermark proves no matching click can still arrive; until then the
+    row sits in state. Outer results are therefore watermark-delayed by
+    construction, the price of exactly-once null emission.
     """
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     clicks = (
@@ -366,10 +373,10 @@ def run_stream_stream_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
-        "inner",
+        join_type,
     ).select(
-        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
-        "purchase_value",
+        F.col("p_user_id").alias("user_id"), "click_id", "purchase_id",
+        "click_ts", "purchase_ts", "purchase_value",
     )
     return (
         joined.writeStream.format("parquet")

@@ -143,3 +143,52 @@ def test_resize_payloads_contract(spark):
     assert got[1] == (b"x" * 96, 96, "stub-truncate-v0")
     assert got[2] == (b"y" * 10, 10, "stub-truncate-v0")
     assert got[3] == (b"", 0, "stub-truncate-v0")
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """The raw-asset ingest path: spark.read.format('binaryFile') lifts
+    opaque files (images/audio at production; fixed bytes here) into
+    (path, content) rows, which feed operators.multimodal untouched —
+    the exact on-ramp a 100 TB media corpus takes into the engine."""
+    from kafka_stream_spark.operators.multimodal import extract_features
+
+    payloads = {
+        "a.bin": b"alpha-payload-0123456789",
+        "b.bin": b"beta-payload-x" * 3,
+        "c.bin": b"\x00\x01\x02binary\xff",
+    }
+    src = tmp_path / "assets"
+    src.mkdir()
+    for name, data in payloads.items():
+        (src / name).write_bytes(data)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(src))
+    )
+    assert {r["length"] for r in files.collect()} == {
+        len(v) for v in payloads.values()
+    }
+
+    # extract_features' contract keys assets by a LONG doc_id — derive
+    # one from the file name (ascii of the first letter), as an asset
+    # catalog would assign ids at ingest
+    d = files.select(
+        F.ascii(F.element_at(F.split(F.col("path"), "/"), -1)).cast(
+            "long"
+        ).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("content").cast("long").alias("n_chars"),
+        ).alias("meta"),
+    )
+    feats = {r["doc_id"]: r for r in extract_features(d).collect()}
+    import hashlib
+
+    expected = {ord(name[0]): data for name, data in payloads.items()}
+    assert set(feats) == set(expected)
+    for key, data in expected.items():
+        assert feats[key]["n_bytes"] == len(data)
+        assert feats[key]["content_hash"] == hashlib.md5(data).hexdigest()

@@ -120,3 +120,56 @@ def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer two-stream join: an unmatched purchase must emit with
+    NULL click columns — but only after the watermark proves no match
+    can still arrive. Run 1 buffers it silently; a far-future sentinel
+    click in run 2 advances the watermark and flushes the null row."""
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purch")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(minutes):
+        return BASE + dt.timedelta(minutes=minutes)
+
+    _rows(spark, [(1, t(0), 7, "click", 0.0)]).write.mode("append").parquet(
+        clicks_dir
+    )
+    _rows(
+        spark,
+        [(100, t(30), 7, "purchase", 9.5), (101, t(30), 9, "purchase", 2.0)],
+    ).write.mode("append").parquet(purch_dir)
+    q = run_stream_stream_join(
+        spark, clicks_dir, purch_dir, out, ckpt, join_type="left_outer"
+    )
+    assert q.awaitTermination(120)
+    after_run1 = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the match emits immediately; the unmatched purchase must NOT have
+    # produced its null row yet (its window is still open)
+    assert after_run1 == {(100, 1)}
+
+    # sentinels 10 days later on BOTH streams: the operator watermark is
+    # the MIN across inputs, so each side must advance past every
+    # round-1 window before eviction can flush the null row
+    _rows(spark, [(2, t(14400), 999, "click", 0.0)]).write.mode(
+        "append"
+    ).parquet(clicks_dir)
+    _rows(spark, [(102, t(14400), 998, "purchase", 0.0)]).write.mode(
+        "append"
+    ).parquet(purch_dir)
+    q = run_stream_stream_join(
+        spark, clicks_dir, purch_dir, out, ckpt, join_type="left_outer"
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["purchase_id"], r["click_id"], r["user_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(100, 1, 7), (101, None, 9)}
