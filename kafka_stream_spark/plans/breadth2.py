@@ -312,3 +312,120 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double"), F.col("doc_id") % 10
         ).alias("safe_div"),
     )
+
+
+_NOT_IN_SQL = """
+    SELECT 'not_in_clean' AS variant, count(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0)
+    UNION ALL
+    SELECT 'not_in_with_null', count(*)
+    FROM orders
+    WHERE o_custkey NOT IN
+      (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END
+       FROM customer)
+    UNION ALL
+    SELECT 'not_exists_with_null', count(*)
+    FROM orders o
+    WHERE NOT EXISTS
+      (SELECT 1 FROM customer c
+       WHERE (CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END)
+             = o.o_custkey)
+"""
+
+
+@query("q_not_in_nulls", oracle=_NOT_IN_SQL)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued NOT IN semantics — the classic SQL trap, pinned
+    across engines: one NULL in the subquery list makes NOT IN return
+    UNKNOWN for every probe (count = 0), while NOT EXISTS over the same
+    nullable key keeps its natural anti-join meaning. A drop-in engine
+    must reproduce the trap, not silently 'fix' it. Both rewrites plan
+    as broadcast null-aware anti joins — no extra shuffle for the
+    null check."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           grouping(year(o_orderdate)) AS g_yr,
+           grouping(month(o_orderdate)) AS g_mo,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (month ⊂ year ⊂ grand total) with
+    grouping() flags disambiguating NULL-as-subtotal from NULL data —
+    the time-dimension materialized-rollup shape (one Expand + one
+    aggregate, subtotals come from the same single scan)."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    ).withColumn("mo", F.month("o_orderdate"))
+    return (
+        o.rollup("yr", "mo")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("mo").cast("int").alias("g_mo"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("yr", "mo", "g_yr", "g_mo", "n", "revenue")
+    )
+
+
+@query(
+    "q_pysource_scan",
+    oracle="""
+    WITH gen AS (
+      SELECT i AS seq,
+             CASE WHEN (i * 7) % 10 < 3
+                  THEN ['i', 'u', 'd'][((i * 7) % 10 % 3) + 1]
+                  ELSE 'i' END AS op,
+             '83' || lpad(CAST(i % 500 AS VARCHAR), 4, '0') AS st_code,
+             'doc ' || CAST(i % 97 AS VARCHAR) || ' body '
+                || CAST((i * 31) % 1000 AS VARCHAR) AS title
+      FROM range(2000) t(i)
+    )
+    SELECT op, count(*) AS n,
+           CAST(min(seq) AS BIGINT) AS min_seq,
+           CAST(max(seq) AS BIGINT) AS max_seq,
+           count(DISTINCT st_code) AS n_codes,
+           count(DISTINCT title) AS n_titles
+    FROM gen GROUP BY op
+    """,
+)
+def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CONNECTOR under the oracle gate: the cdcgen Python
+    DataSource (sources/pysource — Spark 4 `pyspark.sql.datasource` API,
+    parallel partitions + filter pushdown into the source) scanned and
+    aggregated, against a DuckDB oracle that regenerates the same
+    deterministic relation from `range()`. Proves the connector yields
+    exactly the declared relation at any partitioning — the contract a
+    replacement for the reference's hand-rolled Kafka consumer loop
+    (kafka_s.py:149-161) must keep."""
+    from ..sources.pysource import register
+
+    register(spark)
+    gen = (
+        spark.read.format("cdcgen")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return gen.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.countDistinct("st_code").alias("n_codes"),
+        F.countDistinct("title").alias("n_titles"),
+    )

@@ -157,3 +157,87 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h.unpersist()
     return result
+
+
+def _minhash_est_oracle() -> str:
+    from ..functions import hashing
+
+    sig = hashing.minhash_signature_sql("hs")
+    return f"""
+    WITH h AS (SELECT doc_id, lang, hs
+               FROM {text.hashed_shingle_table_sql(', lang')}),
+    s AS (SELECT doc_id, lang, hs, {sig} AS sig FROM h),
+    paired AS (
+      SELECT doc_id, lang, hs, sig,
+             lag(doc_id) OVER w AS prev_id,
+             lag(hs) OVER w AS prev_hs,
+             lag(sig) OVER w AS prev_sig
+      FROM s WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    )
+    SELECT prev_id AS doc_a, doc_id AS doc_b,
+           round(len(list_filter(hs, v -> list_contains(prev_hs, v))) * 1.0
+                 / (len(hs) + len(prev_hs)
+                    - len(list_filter(hs, v -> list_contains(prev_hs, v)))),
+                 6) AS jaccard_exact,
+           round(len(list_filter(range(32),
+                     i -> sig[i + 1] = prev_sig[i + 1])) / 32.0, 6)
+             AS jaccard_est
+    FROM paired WHERE prev_id IS NOT NULL
+    """
+
+
+@query("q_minhash_est", oracle=_minhash_est_oracle())
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration — the dedup analog of q_ann_recall:
+    for consecutive same-lang document pairs, the 32-slot signature
+    agreement fraction (the LSH estimator of Jaccard) next to the exact
+    shingle-set Jaccard it estimates. Publishing the estimator's error
+    distribution as a query is how a 100 TB pipeline audits its dedup
+    threshold before committing to it; both numbers are deterministic,
+    so even the sketch sits under the strict value-hash gate."""
+    from ..functions import hashing
+
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            text.shingle_hashes(
+                text.hashed_tokens_mod(F.col("text")),
+                text.tokens(F.col("text")),
+            )
+        ).alias("hs"),
+    ).withColumn("sig", hashing.minhash_signature(F.col("hs")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = s.select(
+        "doc_id",
+        "hs",
+        "sig",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("hs").over(w).alias("prev_hs"),
+        F.lag("sig").over(w).alias("prev_sig"),
+    ).filter(F.col("prev_id").isNotNull())
+    inter = F.size(
+        F.filter(F.col("hs"), lambda v: F.array_contains(F.col("prev_hs"), v))
+    )
+    exact = inter * F.lit(1.0) / (
+        F.size("hs") + F.size("prev_hs") - inter
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: F.element_at(F.col("sig"), i + 1)
+                == F.element_at(F.col("prev_sig"), i + 1),
+            )
+        )
+        / F.lit(32.0)
+    )
+    return paired.select(
+        F.col("prev_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(est, 6).alias("jaccard_est"),
+    )

@@ -31,6 +31,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # small dims (nation/region/rules) must broadcast, never shuffle
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # let custom Python data sources (sources/pysource) participate in
+    # filter pushdown via DataSourceReader.pushFilters
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,76 @@
+"""Custom Python DataSource connector (sources/pysource): parallel batch
+read, filter pushdown into the source, and the micro-batch stream twin
+replaying the same relation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.sources.pysource import _row, register
+
+
+def test_batch_read_matches_python_and_parallelizes(spark):
+    register(spark)
+    df = (
+        spark.read.format("cdcgen")
+        .option("rows", "500")
+        .option("partitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(_row(i) for i in range(500))
+
+
+def test_filter_pushdown_into_python_source(spark):
+    register(spark)
+    df = (
+        spark.read.format("cdcgen")
+        .option("rows", "500")
+        .load()
+        .filter(F.col("op") == "i")
+    )
+    expected = [list(_row(i)) for i in range(500) if _row(i)[1] == "i"]
+    assert len(expected) < 500  # the predicate is selective
+    assert sorted(map(tuple, expected)) == sorted(tuple(r) for r in df.collect())
+    # non-op predicates stay with Spark and still apply
+    df2 = (
+        spark.read.format("cdcgen")
+        .option("rows", "500")
+        .load()
+        .filter((F.col("op") == "i") & (F.col("seq") >= 250))
+    )
+    assert sorted(tuple(r) for r in df2.collect()) == sorted(
+        tuple(r) for r in expected if r[0] >= 250
+    )
+
+
+def test_stream_reader_replays_full_relation(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("cdcgen")
+        .option("rows", "300")
+        .option("batch_size", "75")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # SimpleDataSourceStreamReader has no end-of-data signal (a live feed
+    # never ends) — poll the sink until the full relation has landed
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 300:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(1)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == sorted(_row(i) for i in range(300))
