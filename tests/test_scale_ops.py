@@ -247,3 +247,32 @@ def test_hll_sketch_union_of_groups_equals_global(spark, sf_dir):
     exact = e.select("user_id").distinct().count()
     assert merged == direct  # sketch union is lossless re-aggregation
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_small_file_compaction_and_write_sizing(spark, sf_dir, tmp_path):
+    """Write-side file sizing — the operational lever against the
+    small-files problem at 100 TB: maxRecordsPerFile caps file size at
+    write time; a coalesce(1) rewrite compacts the fragments without
+    changing the relation."""
+    import glob
+
+    from kafka_stream_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n = e.count()
+    frag = str(tmp_path / "frag")
+    e.coalesce(1).write.option("maxRecordsPerFile", 500).mode(
+        "overwrite"
+    ).parquet(frag)
+    frag_files = glob.glob(f"{frag}/*.parquet")
+    # one writer task + 500-row cap => ceil(n/500) files
+    assert len(frag_files) == -(-n // 500)
+
+    compact = str(tmp_path / "compact")
+    spark.read.parquet(frag).coalesce(1).write.mode("overwrite").parquet(
+        compact
+    )
+    assert len(glob.glob(f"{compact}/*.parquet")) == 1
+    before = {tuple(r) for r in e.collect()}
+    after = {tuple(r) for r in spark.read.parquet(compact).collect()}
+    assert before == after
