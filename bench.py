@@ -88,6 +88,8 @@ HEADLINE = [
     "q_degree_dist",      # shipment-graph degree histogram
     "q_hll_merge",        # mergeable distinct sketches
     "q_pii_redact",       # regex scrub projection pass
+    "q_variant_json",     # VARIANT parse-once path extraction
+    "q_minhash_est",      # sketch calibration pass
 ]
 
 

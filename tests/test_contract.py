@@ -45,4 +45,6 @@ def test_oracles_reference_known_tables_only():
                 "numbered", "h", "s", "b", "t", "m", "u", "w", "v", "c", "p",
                 "tf", "df", "n", "cdc", "labels", "edges", "reach", "cent",
                 "assign_scored", "assigned", "probes", "tf_counts",
+                # DuckDB table functions (not table names)
+                "range", "generate_series",
             }, (name, tbl)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_stream_spark.operators.stateful import running_user_stats
@@ -111,3 +112,80 @@ def test_event_time_timeout_closes_and_evicts_idle_keys(spark, tmp_path):
         if r["user_id"] == 7 and r["closed"] == 0
     ]
     assert {(r["n_events"], r["sum_value"]) for r in latest7} >= {(1, 10.0), (2, 5.0)}
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas (StatefulProcessor +
+    ValueState): running per-user stats equal the batch aggregate.
+    The API's driver worker needs google.protobuf, absent in this
+    container — the test gates on it and documents the modern-API twin
+    of running_user_stats (applyInPandasWithState), which IS exercised
+    above."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._st = handle.getValueState("st", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (
+                self._st.get() if self._st.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src, ck, out = (
+        str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, user_id long, value double",
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    res = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["user_id"], r["n"], r["total"])
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch

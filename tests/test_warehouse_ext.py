@@ -143,3 +143,37 @@ def test_dynamic_partition_overwrite_touches_only_written_partition(
     assert after.filter(
         (F.col("event_type") == "error") & (F.col("value") != 0.0)
     ).count() == 0
+
+
+def test_managed_table_ddl_insert_analyze(spark, sf_dir, tmp_path):
+    """Catalog surface: CREATE TABLE ... USING parquet, INSERT INTO
+    (append + column-list), ANALYZE TABLE feeding optimizer statistics,
+    DROP TABLE. The reference's DDL lives in MySQL out-of-band; a
+    drop-in engine owns its own catalog."""
+    from kafka_stream_spark.sources.tables import load
+
+    spark.sql("DROP TABLE IF EXISTS boards_managed")
+    spark.sql(
+        "CREATE TABLE boards_managed (code STRING, title STRING, score INT) "
+        f"USING parquet LOCATION '{tmp_path}/boards_managed'"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO boards_managed VALUES "
+            "('830001', 'alpha', 2), ('830002', 'beta', 5)"
+        )
+        spark.sql(
+            "INSERT INTO boards_managed (code, title, score) "
+            "SELECT source, substr(text, 1, 16), CAST(n_chars % 10 AS INT) "
+            f"FROM parquet.`{sf_dir}/documents.parquet` WHERE doc_id < 8"
+        )
+        n = spark.table("boards_managed").count()
+        exp = 2 + load(spark, sf_dir, "documents").filter("doc_id < 8").count()
+        assert n == exp
+
+        spark.sql("ANALYZE TABLE boards_managed COMPUTE STATISTICS")
+        stats = spark.sql("DESCRIBE EXTENDED boards_managed").collect()
+        stat_row = [r for r in stats if r["col_name"] == "Statistics"]
+        assert stat_row and "rows" in stat_row[0]["data_type"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS boards_managed")
