@@ -429,3 +429,71 @@ def q_pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("st_code").alias("n_codes"),
         F.countDistinct("title").alias("n_titles"),
     )
+
+
+@query(
+    "q_printf",
+    oracle="""
+    SELECT event_id,
+           printf('%07d', event_id) AS padded,
+           printf('%s=%0.3f', event_type, value) AS kv,
+           printf('%x', user_id) AS hex_user
+    FROM events WHERE event_id <= 300
+    """,
+)
+def q_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style formatted strings (format_string ↔ printf): zero-padded
+    ids, key=value rendering, hex. Both engines use printf semantics,
+    so the bytes match exactly — the report/export formatting path."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    return e.select(
+        "event_id",
+        F.format_string("%07d", "event_id").alias("padded"),
+        F.format_string("%s=%.3f", F.col("event_type"), F.col("value")).alias("kv"),
+        F.format_string("%x", "user_id").alias("hex_user"),
+    )
+
+
+@query(
+    "q_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://site' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&src=' || source AS url
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (parse_url HOST/PATH/QUERY/QUERY-key/PROTOCOL) over
+    deterministic derived URLs — the web-corpus provenance columns every
+    crawl pipeline extracts (domain-level dedup/mixing keys). The
+    oracle re-derives each component with regexes; equality pins Spark's
+    java.net.URI-based parser to the grammar on these URL shapes."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+            F.lit("?lang="), F.col("lang"),
+            F.lit("&src="), F.col("source"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
