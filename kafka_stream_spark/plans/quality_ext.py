@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text
 from ..sources.tables import load
+from .llm_ext import _docs_parallel
 from .registry import query
 
 #: RE2- and Java-compatible patterns (no lookaround, no backrefs)
@@ -194,50 +195,80 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard it estimates. Publishing the estimator's error
     distribution as a query is how a 100 TB pipeline audits its dedup
     threshold before committing to it; both numbers are deterministic,
-    so even the sketch sits under the strict value-hash gate."""
-    from ..functions import hashing
+    so even the sketch sits under the strict value-hash gate.
 
-    d = load(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            text.shingle_hashes(
-                text.hashed_tokens_mod(F.col("text")),
-                text.tokens(F.col("text")),
-            )
-        ).alias("hs"),
-    ).withColumn("sig", hashing.minhash_signature(F.col("hs")))
+    Plan shape: the CPU-heavy sketch pass (md5 per token, 32 perms per
+    shingle) runs data-parallel over the corpus partitioning and is
+    materialized ONCE; the only window carries (lang, doc_id) ids —
+    NEVER the sketch arrays — so pairing costs a tiny per-lang sort,
+    and both sketch fetches are hash joins with full parallelism. The
+    naive lag(hs)/lag(sig) spelling funnels the whole sketch compute
+    through |langs| sort tasks: measured 43s vs ~3s at sf0.1."""
     from pyspark.sql import Window
 
+    from ..functions import hashing
+
+    d = _docs_parallel(spark, sf_dir)
+    s = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                text.shingle_hashes(
+                    text.hashed_tokens_mod(F.col("text")),
+                    text.tokens(F.col("text")),
+                )
+            ).alias("hs"),
+        )
+        .withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("lang").orderBy("doc_id")
-    paired = s.select(
-        "doc_id",
-        "hs",
-        "sig",
-        F.lag("doc_id").over(w).alias("prev_id"),
-        F.lag("hs").over(w).alias("prev_hs"),
-        F.lag("sig").over(w).alias("prev_sig"),
-    ).filter(F.col("prev_id").isNotNull())
+    ids = s.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.rn") + 1 == F.col("b.rn")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(
-        F.filter(F.col("hs"), lambda v: F.array_contains(F.col("prev_hs"), v))
+        F.filter(F.col("hs_b"), lambda v: F.array_contains(F.col("hs_a"), v))
     )
     exact = inter * F.lit(1.0) / (
-        F.size("hs") + F.size("prev_hs") - inter
+        F.size("hs_a") + F.size("hs_b") - inter
     )
     est = (
         F.size(
             F.filter(
                 F.sequence(F.lit(0), F.lit(31)),
-                lambda i: F.element_at(F.col("sig"), i + 1)
-                == F.element_at(F.col("prev_sig"), i + 1),
+                lambda i: F.element_at(F.col("sig_a"), i + 1)
+                == F.element_at(F.col("sig_b"), i + 1),
             )
         )
         / F.lit(32.0)
     )
-    return paired.select(
-        F.col("prev_id").alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
+    return j.select(
+        "doc_a",
+        "doc_b",
         F.round(exact, 6).alias("jaccard_exact"),
         F.round(est, 6).alias("jaccard_est"),
     )

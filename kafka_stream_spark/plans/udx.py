@@ -191,3 +191,65 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+def _reconcile(key, orders_pdf, lines_pdf):
+    import math
+
+    import pandas as pd
+
+    def round_half_up(x: float) -> float:
+        # SQL ROUND is half-away-from-zero; Python's round() is
+        # banker's — on an exact .xx5 cent boundary they diverge
+        return math.floor(x * 100 + 0.5) / 100 if x >= 0 else -(
+            math.floor(-x * 100 + 0.5) / 100
+        )
+
+    (orderkey,) = key
+    billed = float(orders_pdf["o_totalprice"].iloc[0]) if len(orders_pdf) else 0.0
+    computed = float(
+        (lines_pdf["l_extendedprice"] * (1 - lines_pdf["l_discount"])).sum()
+    )
+    return pd.DataFrame(
+        {
+            "o_orderkey": [orderkey],
+            "n_lines": [len(lines_pdf)],
+            "computed": [round_half_up(computed)],
+            "billed": [round_half_up(billed)],
+        }
+    )
+
+
+@query(
+    "q_cogroup",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0),
+                 2) AS computed,
+           round(any_value(o.o_totalprice), 2) AS billed
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided custom-merge surface:
+    orders and their lineitems arrive as PAIRED pandas frames per key
+    and a Python reconciliation emits billed-vs-computed totals. The
+    relational twin (join + group) is the oracle; like
+    q_apply_in_pandas, the query exists to pin the cogroup API — at
+    scale prefer the join unless the merge logic genuinely needs
+    imperative pandas (model scoring over aligned series, custom
+    curve-fitting per entity)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            _reconcile,
+            schema="o_orderkey long, n_lines long, computed double, "
+            "billed double",
+        )
+    )
