@@ -47,6 +47,14 @@ PROBE = [
     "q_event_pattern",
     "q_tpch_q8",
     "q_tpch_q21",
+    # round-2 operators
+    "q_autocorr",
+    "q_interpolate",
+    "q_fk_orphans",
+    "q_pii_redact",
+    "q_variant_json",
+    "q_minhash_est",
+    "q_degree_dist",
 ]
 
 KEY_OFFSETS = {
