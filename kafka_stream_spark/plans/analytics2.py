@@ -343,3 +343,170 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
     return groups.unionAll(merged)
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+    SELECT event_id, event_type,
+           round(corr(value, CAST(epoch_us(ts) AS DOUBLE)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS trend_corr
+    FROM events
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling value↔time correlation over a trailing 50-event frame —
+    the windowed-trend detector (corr as a WINDOW aggregate, not just
+    grouped): near +1 sustained climb, near 0 noise. One window pass
+    sharing the event_type shuffle with every other per-series op."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    t = F.unix_micros("ts").cast("double")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.corr(F.col("value"), t).over(w), 6).alias("trend_corr"),
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(sum(is_first) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS users_so_far
+    FROM flagged
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count (cumulative unique users per series) —
+    COUNT(DISTINCT) is not a window function in either engine, so the
+    standard rewrite: flag each user's first occurrence (row_number = 1
+    over (series, user)) and running-sum the flags. Two windows, both
+    hash-partitioned on the series key, no distinct state at all."""
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "is_first",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_run).alias("users_so_far"),
+    )
+
+
+@query(
+    "q_rfm_segment",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+    FROM rfm
+    """,
+)
+def q_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quartiles)
+    — the classic warehouse scoring query: one grouped aggregate, three
+    ntile windows over the customer-sized result (tie-broken on the key
+    for cross-engine determinism). The windows order a table that is
+    |customers|, not |orders| — aggregate first, rank small."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias(
+            "r_quartile"
+        ),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias(
+            "f_quartile"
+        ),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias(
+            "m_quartile"
+        ),
+    )
+
+
+@query(
+    "q_percent_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT c_nationkey, n_regionkey, revenue,
+           round(revenue * 100.0 / sum(revenue) OVER (
+             PARTITION BY n_regionkey), 4) AS pct_of_region,
+           round(revenue * 100.0 / sum(revenue) OVER (), 4) AS pct_of_total
+    FROM rev
+    """,
+)
+def q_percent_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region and of
+    the grand total via window sums over the AGGREGATED (nation-sized)
+    table — the share-of-total report pattern. The empty-frame global
+    window is fine precisely because it runs over 25 rows, not the fact
+    table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("n_regionkey")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "c_nationkey",
+        "n_regionkey",
+        "revenue",
+        F.round(
+            F.col("revenue") * 100.0 / F.sum("revenue").over(w_region), 4
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("revenue") * 100.0 / F.sum("revenue").over(w_all), 4
+        ).alias("pct_of_total"),
+    )

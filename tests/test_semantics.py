@@ -192,3 +192,87 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     for key, data in expected.items():
         assert feats[key]["n_bytes"] == len(data)
         assert feats[key]["content_hash"] == hashlib.md5(data).hexdigest()
+
+
+def test_malformed_records_quarantined_not_fatal(spark, tmp_path):
+    """Ingest robustness: one bad row must never kill a 100 TB job.
+    PERMISSIVE JSON parsing quarantines malformed lines into
+    _corrupt_record (nulls elsewhere); DROPMALFORMED CSV silently sheds
+    them; FAILFAST is the opt-in strict mode."""
+    import pytest
+
+    jpath = tmp_path / "mixed.json"
+    jpath.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": null}\n'
+        '{"id": 3, "v": "not-a-double"}\n'
+    )
+    schema = "id BIGINT, v DOUBLE, _corrupt_record STRING"
+    rows = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(jpath))
+        .collect()
+    )
+    by_corrupt = {r["_corrupt_record"] is not None: [] for r in rows}
+    for r in rows:
+        by_corrupt[r["_corrupt_record"] is not None].append(r)
+    good, bad = by_corrupt[False], by_corrupt[True]
+    assert {r["id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line AND the type-mismatch line
+
+    cpath = tmp_path / "mixed.csv"
+    cpath.write_text("1,10.5\nnot,a,valid,row,at,all\n3,7.25\n")
+    dropped = (
+        spark.read.schema("id BIGINT, v DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(cpath))
+        .collect()
+    )
+    assert {(r["id"], r["v"]) for r in dropped} == {(1, 10.5), (3, 7.25)}
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        spark.read.schema("id BIGINT, v DOUBLE").option(
+            "mode", "FAILFAST"
+        ).json(str(jpath)).collect()
+
+
+def test_bounded_micro_batches_maxfiles(spark, tmp_path):
+    """Backpressure: maxFilesPerTrigger=1 bounds every micro-batch to
+    one input file — the knob that keeps per-batch state and memory flat
+    no matter how large the backlog, verified via per-batch row caps."""
+    import glob
+
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(90)], "id long, v double"
+    )
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    n_files = len(glob.glob(f"{src}/*.parquet"))
+    assert n_files == 3
+
+    batches = []
+    q = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    for p in q.recentProgress:
+        if p["numInputRows"] > 0:
+            batches.append(p["numInputRows"])
+    assert len(batches) == n_files  # one batch per file
+    assert max(batches) <= 90 / 3 + 1
+    assert spark.read.parquet(out).count() == 90
