@@ -510,3 +510,37 @@ def q_percent_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") * 100.0 / F.sum("revenue").over(w_all), 4
         ).alias("pct_of_total"),
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (Spark 4
+    bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count): per-(group, bucket) bitmaps OR-merge into the group
+    total — the re-aggregatable EXACT middle ground between
+    count(DISTINCT) (exact, not mergeable across rollups without the
+    raw keys) and HLL (mergeable, approximate). A 100 TB store keeps
+    per-partition bitmaps and rolls them up by OR; the oracle's plain
+    count(DISTINCT) proves bit-exactness."""
+    e = load(spark, sf_dir, "events")
+    # bitmap positions are 1-based: id 0 would land at position -1 and
+    # vanish (measured: 149 vs 150 distinct). Shift the key domain +1 —
+    # a pure relabeling, so counts are unchanged.
+    e = e.withColumn("uid1", F.col("user_id") + 1)
+    buckets = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(uid1)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(uid1))").alias("b")
+    )
+    return buckets.groupBy("event_type").agg(
+        F.expr("bitmap_count(bitmap_or_agg(b))").cast("long").alias(
+            "distinct_users"
+        )
+    )
