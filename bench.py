@@ -90,6 +90,9 @@ HEADLINE = [
     "q_pii_redact",       # regex scrub projection pass
     "q_variant_json",     # VARIANT parse-once path extraction
     "q_minhash_est",      # sketch calibration pass
+    "q_rolling_corr",     # windowed corr trend detector
+    "q_cumulative_distinct",  # running-distinct window rewrite
+    "q_bitmap_distinct",  # mergeable exact-distinct bitmaps
 ]
 
 
