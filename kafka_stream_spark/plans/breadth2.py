@@ -497,3 +497,59 @@ def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "q_dense_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+    """,
+)
+def q_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties (gapped vs gapless numbering) —
+    both are pure functions of the ORDER BY value, so ties make the
+    result deterministic without a tie-break column, unlike
+    row_number."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> length(w) >= 8)
+               AS ws
+      FROM documents WHERE doc_id <= 300
+    )
+    SELECT t.doc_id, u.u AS long_token
+    FROM t LEFT JOIN LATERAL (SELECT unnest(t.ws) AS u) u ON true
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — null-preserving expansion: a document with NO
+    qualifying tokens still yields one row (long_token NULL) instead of
+    vanishing. The LEFT-JOIN-LATERAL oracle is exactly the relational
+    reading of outer explode; plain explode would silently drop those
+    parents, the classic fan-out bug in quality-funnel joins."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    ws = F.filter(
+        F.split("text", " "), lambda w: F.length(w) >= 8
+    )
+    return d.select(
+        "doc_id", F.explode_outer(ws).alias("long_token")
+    )
