@@ -553,3 +553,55 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(ws).alias("long_token")
     )
+
+
+@query(
+    "q_collect_set",
+    oracle="""
+    SELECT lang,
+           list_sort(list_distinct(list(source))) AS sources,
+           len(list_distinct(list(source))) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation (collect_set, sorted — set order is
+    engine-arbitrary, sort pins both): the per-group vocabulary
+    gatherer. Bounded state only when the distinct domain is (like
+    here) naturally small; for unbounded domains use X81's counted
+    top-k instead."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.size(F.collect_set("source")).alias("n_sources"),
+    )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50
+    ),
+    v2 AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id >= 450 AND doc_id < 500
+    )
+    SELECT doc_id, lang, n_chars FROM v1
+    UNION ALL BY NAME
+    SELECT doc_id, lang, source FROM v2
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshots with different column sets
+    align BY NAME (missing columns → NULL) instead of by position —
+    how an append-log table absorbs a schema change without rewriting
+    history. Positional UNION would silently misalign; allowMissing
+    makes the evolution explicit."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") < 50).select("doc_id", "lang", "n_chars")
+    v2 = (
+        d.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+        .select("doc_id", "lang", "source")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
