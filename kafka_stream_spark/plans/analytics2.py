@@ -544,3 +544,59 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users"
         )
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, event_type,
+           round(CAST(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS med_25
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a trailing 25-event frame — the robust
+    smoother (q_moving_avg's mean is outlier-sensitive; the median
+    ignores spikes entirely). Exact interpolated percentile as a WINDOW
+    aggregate; both engines use the linear-interpolation estimator."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(w), 6
+        ).alias("med_25"),
+    )
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, x.s_name, x.s_acctbal
+FROM region r,
+LATERAL (
+  SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 2) x
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-2
+    suppliers per region written as a per-row dependent subquery — the
+    SQL-standard alternative to the window-rank rewrite
+    (q_rank_topk_per_group), planned by Catalyst as a decorrelated
+    rank join rather than N subquery executions. Identical SQL runs on
+    both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
