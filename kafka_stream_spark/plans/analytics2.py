@@ -203,29 +203,34 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan count per foreign key, each
-    as a left-anti join against the referenced key set. Key sets are
-    broadcast-sized (even orders' key column at 100 TB is a pruned
-    single-column scan), so every check is a map-side Bloom-style
-    probe; counts union into a six-row report."""
+    as a left-anti join against the referenced key set. Genuinely small
+    dims (nation/region/supplier/part at this ratio) are broadcast; for
+    the big parents (orders, customer — billions of rows at 100 TB) the
+    anti-join is left to AQE, which picks a shuffle anti-join (or
+    converts to broadcast at runtime if the pruned key column turns out
+    small) — a forced broadcast there would OOM the driver."""
     t = {n: load(spark, sf_dir, n) for n in
          ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")}
+    # (fk_name, child, child_key, parent, parent_key, parent_is_small)
     checks = [
         ("lineitem->orders", t["lineitem"], "l_orderkey",
-         t["orders"], "o_orderkey"),
-        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+         t["orders"], "o_orderkey", False),
+        ("lineitem->part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey", True),
         ("lineitem->supplier", t["lineitem"], "l_suppkey",
-         t["supplier"], "s_suppkey"),
+         t["supplier"], "s_suppkey", True),
         ("orders->customer", t["orders"], "o_custkey",
-         t["customer"], "c_custkey"),
+         t["customer"], "c_custkey", False),
         ("customer->nation", t["customer"], "c_nationkey",
-         t["nation"], "n_nationkey"),
+         t["nation"], "n_nationkey", True),
         ("nation->region", t["nation"], "n_regionkey",
-         t["region"], "r_regionkey"),
+         t["region"], "r_regionkey", True),
     ]
     out = None
-    for fk_name, child, ck, parent, pk in checks:
+    for fk_name, child, ck, parent, pk, small in checks:
+        keys = parent.select(pk)
         orphans = child.join(
-            F.broadcast(parent.select(pk)),
+            F.broadcast(keys) if small else keys,
             child[ck] == F.col(pk),
             "left_anti",
         ).agg(F.count("*").alias("n_orphans")).select(

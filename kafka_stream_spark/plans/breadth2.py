@@ -149,8 +149,9 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT doc_id,
-           list_sort(map_keys(map(['lang','source'], [lang, source])))
-             AS ks,
+           array_to_string(
+             list_sort(map_keys(map(['lang','source'], [lang, source]))),
+             ',') AS ks,
            map_extract(map(['lang','source'], [lang, source]), 'lang')[1]
              AS lang_val,
            cardinality(map(['lang','source'], [lang, source])) AS sz
@@ -161,7 +162,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type family: construct, keys (sorted — Spark preserves
     insertion order, DuckDB its own; sort pins both), point lookup,
     size. Maps carry the reference's dict-shaped payloads
-    (kafka_s.py:157 BSON record) as first-class columns."""
+    (kafka_s.py:157 BSON record) as first-class columns. Every output
+    column is scalar (array_join'd) so the driver's value hasher never
+    sees a list — see tools/check.py's scalar-output lint."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     m = F.map_from_arrays(
         F.array(F.lit("lang"), F.lit("source")),
@@ -169,7 +172,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
         m.getItem("lang").alias("lang_val"),
         F.size(m).alias("sz"),
     )
@@ -183,14 +186,17 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id <= 100 AND len(string_split(text, ' ')) >= 12
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_concat(w[1:8], w[5:12]))) AS un,
-           list_sort(list_distinct(list_filter(w[1:8],
-             x -> list_contains(w[5:12], x)))) AS inter,
-           list_sort(list_distinct(list_filter(w[1:8],
-             x -> NOT list_contains(w[5:12], x)))) AS ex,
-           flatten([w[1:2], w[3:4]]) AS fl,
-           list_transform(w[1:3], (x, i) -> x || '_' || w[i + 4]) AS zipped,
-           range(1, 4) AS seq
+           array_to_string(
+             list_sort(list_distinct(list_concat(w[1:8], w[5:12]))), ',')
+             AS un,
+           array_to_string(list_sort(list_distinct(list_filter(w[1:8],
+             x -> list_contains(w[5:12], x)))), ',') AS inter,
+           array_to_string(list_sort(list_distinct(list_filter(w[1:8],
+             x -> NOT list_contains(w[5:12], x)))), ',') AS ex,
+           array_to_string(flatten([w[1:2], w[3:4]]), ',') AS fl,
+           array_to_string(list_transform(w[1:3],
+             (x, i) -> x || '_' || w[i + 4]), ',') AS zipped,
+           array_to_string(range(1, 4), ',') AS seq
     FROM t
     """,
 )
@@ -199,26 +205,37 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sort∘distinct∘filter composition on both engines — Spark's
     native array_intersect keeps first-array order, DuckDB has no twin,
     so the portable spelling is explicit), flatten, zip_with, sequence.
-    """
+    Outputs are array_join'd to scalars for the driver's value hasher
+    (lists are unhashable on the pandas side)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     t = d.withColumn("w", F.split("text", " ")).filter(F.size("w") >= 12)
     a, b = F.slice("w", 1, 8), F.slice("w", 5, 8)
+
+    def j(col):
+        return F.array_join(col, ",")
+
     return t.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.concat(a, b))).alias("un"),
-        F.array_sort(
-            F.array_distinct(F.filter(a, lambda x: F.array_contains(b, x)))
+        j(F.array_sort(F.array_distinct(F.concat(a, b)))).alias("un"),
+        j(
+            F.array_sort(
+                F.array_distinct(F.filter(a, lambda x: F.array_contains(b, x)))
+            )
         ).alias("inter"),
-        F.array_sort(
-            F.array_distinct(F.filter(a, lambda x: ~F.array_contains(b, x)))
+        j(
+            F.array_sort(
+                F.array_distinct(F.filter(a, lambda x: ~F.array_contains(b, x)))
+            )
         ).alias("ex"),
-        F.flatten(F.array(F.slice("w", 1, 2), F.slice("w", 3, 2))).alias("fl"),
-        F.zip_with(
-            F.slice("w", 1, 3),
-            F.slice("w", 5, 3),
-            lambda x, y: F.concat_ws("_", x, y),
+        j(F.flatten(F.array(F.slice("w", 1, 2), F.slice("w", 3, 2)))).alias("fl"),
+        j(
+            F.zip_with(
+                F.slice("w", 1, 3),
+                F.slice("w", 5, 3),
+                lambda x, y: F.concat_ws("_", x, y),
+            )
         ).alias("zipped"),
-        F.sequence(F.lit(1), F.lit(3)).alias("seq"),
+        j(F.sequence(F.lit(1), F.lit(3))).alias("seq"),
     )
 
 
@@ -559,7 +576,8 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_set",
     oracle="""
     SELECT lang,
-           list_sort(list_distinct(list(source))) AS sources,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+             AS sources,
            len(list_distinct(list(source))) AS n_sources
     FROM documents GROUP BY lang
     """,
@@ -569,10 +587,12 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-arbitrary, sort pins both): the per-group vocabulary
     gatherer. Bounded state only when the distinct domain is (like
     here) naturally small; for unbounded domains use X81's counted
-    top-k instead."""
+    top-k instead. The set column is array_join'd to a scalar for the
+    driver's value hasher."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",")
+        .alias("sources"),
         F.size(F.collect_set("source")).alias("n_sources"),
     )
 

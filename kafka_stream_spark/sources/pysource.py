@@ -78,11 +78,16 @@ class CdcGenReader(DataSourceReader):
         and hand every other predicate back to Spark."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("op",):
-                self.op_filter = {f.value}
+                s = {f.value}
             elif isinstance(f, In) and f.attribute == ("op",):
-                self.op_filter = set(f.values)
+                # In.value is a tuple of values (there is no .values field).
+                s = set(f.value)
             else:
                 yield f
+                continue
+            # Accepted filters must ALL hold: intersect successive op
+            # predicates rather than letting the last one win.
+            self.op_filter = s if self.op_filter is None else self.op_filter & s
 
     def partitions(self) -> Sequence[InputPartition]:
         k = min(self.n_parts, self.n) or 1

@@ -45,6 +45,30 @@ def test_filter_pushdown_into_python_source(spark):
     )
 
 
+def test_in_filter_pushdown_into_python_source(spark):
+    register(spark)
+    df = (
+        spark.read.format("cdcgen")
+        .option("rows", "500")
+        .load()
+        .filter(F.col("op").isin("i", "u"))
+    )
+    expected = sorted(
+        tuple(_row(i)) for i in range(500) if _row(i)[1] in ("i", "u")
+    )
+    assert len(expected) < 500
+    assert expected == sorted(tuple(r) for r in df.collect())
+    # conjunction of two op predicates: both must apply (intersection)
+    df2 = (
+        spark.read.format("cdcgen")
+        .option("rows", "500")
+        .load()
+        .filter(F.col("op").isin("i", "u") & (F.col("op") == "u"))
+    )
+    expected2 = sorted(tuple(_row(i)) for i in range(500) if _row(i)[1] == "u")
+    assert expected2 == sorted(tuple(r) for r in df2.collect())
+
+
 def test_stream_reader_replays_full_relation(spark, tmp_path):
     register(spark)
     out = str(tmp_path / "out")

@@ -43,6 +43,51 @@ def row_multiset(rows, cols_sorted, col_index) -> Counter:
     return out
 
 
+def lint_oracle_output(columns, types, rows) -> list[str]:
+    """Driver-compatibility lint over a DuckDB oracle result.
+
+    * HUGEINT/DECIMAL columns arrive as float64 via pandas while Spark
+      emits int64 → hash mismatch even with equal values: force a CAST.
+    * list/struct/map columns are unhashable numpy.ndarray cells in the
+      driver's pandas canonicalizer → hard ERR: array_join both sides.
+    * DOUBLEs that were never round()ed drift at ULP level between
+      engines; flag reprs with >8 fractional digits.
+    """
+    problems: list[str] = []
+    types = [str(t) for t in types]
+    fragile = [
+        (c, t)
+        for c, t in zip(columns, types)
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+    ]
+    if fragile:
+        problems.append(f"fragile duckdb types (add CAST): {fragile}")
+    nested = [
+        (c, t)
+        for c, t in zip(columns, types)
+        if any(t.upper().startswith(p) for p in ("STRUCT", "MAP", "UNION"))
+        or "[]" in t
+    ]
+    if nested:
+        problems.append(f"non-scalar oracle columns (array_join them): {nested}")
+    for ci, (c, t) in enumerate(zip(columns, types)):
+        if t not in ("DOUBLE", "FLOAT"):
+            continue
+        for r in rows[:200]:
+            v = r[ci]
+            if v is None or v != v:
+                continue
+            rep = repr(float(v))
+            frac = rep.split(".")[1].split("e")[0] if "." in rep else ""
+            if len(frac) > 8 and "e" not in rep:
+                problems.append(
+                    f"unrounded DOUBLE column {c!r} (sample {v!r}) — "
+                    "wrap in round(x, k) on both sides"
+                )
+                break
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -88,16 +133,7 @@ def main() -> int:
             continue
         dcols = sorted(dcols_raw)
         problems = []
-        # The driver fetches the oracle via pandas, where HUGEINT/DECIMAL
-        # become float64 while Spark emits int64 → guaranteed hash
-        # mismatch even with equal values. Force a CAST in the oracle.
-        fragile = [
-            (c, str(t))
-            for c, t in zip(ddf.columns, ddf.types)
-            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
-        ]
-        if fragile:
-            problems.append(f"fragile duckdb types (add CAST): {fragile}")
+        problems.extend(lint_oracle_output(ddf.columns, ddf.types, drows))
         if scols != dcols:
             problems.append(f"schema: spark={scols} duckdb={dcols}")
         if len(srows) != len(drows):
