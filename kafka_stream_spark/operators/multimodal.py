@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas UDFs over mapInPandas.
 
-The container has no image/audio/video libraries, so modality-specific
-decoding is stubbed behind clearly-marked NotImplementedError branches
-with a deterministic fallback feature set (byte length + md5) — the
-Spark-side contract (schema, batch shape, partition behavior) is real and
-tested. Swapping in PIL/librosa/ffmpeg later changes only the body of
-``_decode_*``.
+Uncompressed raster formats (24-bit BMP, binary PPM) are decoded to
+REAL PIXELS in pure Python — width/height/mean-luminance features and
+nearest-neighbor resize need no external library. Compressed formats
+(PNG/JPEG) and audio/video remain behind clearly-marked
+NotImplementedError branches with a deterministic fallback feature set
+(byte length + md5) — the Spark-side contract (schema, batch shape,
+partition behavior) is identical either way, so swapping in
+PIL/librosa/ffmpeg later changes only the body of ``_decode_*``.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize as one driver-side blob; keep
@@ -18,6 +20,7 @@ payload sizes are skewed.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Any
 
@@ -25,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -37,16 +42,137 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("content_hash", StringType()),
         StructField("decoder", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_lum", DoubleType()),
     ]
 )
 
 DECODER_VERSION = "stub-decoder-v0"
 
 
+# ---------------------------------------------------------------------------
+# pure-Python raster codecs (real pixels, no external libs)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """24bpp uncompressed BMP → (width, height, top-down RGB bytes).
+
+    Layout (public BITMAPFILEHEADER/BITMAPINFOHEADER spec): 'BM', pixel
+    offset at byte 10, width/height int32 at 18/22 (negative height =
+    top-down), bpp uint16 at 28 (must be 24), compression at 30 (must
+    be 0 = BI_RGB); rows are BGR, padded to 4-byte multiples, stored
+    bottom-up unless height < 0.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24bpp uncompressed BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) & ~3
+    if pix_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = []
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for r in order:
+        row = payload[pix_off + r * stride : pix_off + r * stride + width * 3]
+        rgb = bytearray(width * 3)
+        rgb[0::3] = row[2::3]  # B,G,R on disk → R,G,B out
+        rgb[1::3] = row[1::3]
+        rgb[2::3] = row[0::3]
+        rows.append(bytes(rgb))
+    return width, height, b"".join(rows)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """(width, height, top-down RGB bytes) → 24bpp bottom-up BMP."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[r * width * 3 : (r + 1) * width * 3]
+        bgr = bytearray(width * 3)
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        body += bgr + pad
+    pix_off = 54
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6, maxval 255) → (width, height, top-down RGB)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens (comments '#...' allowed), then a single whitespace
+    # byte, then raw RGB.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM pixel array")
+    return width, height, payload[pos : pos + need]
+
+
+def _pixel_features(width: int, height: int, rgb: bytes, name: str) -> dict[str, Any]:
+    """Real-pixel feature row: dims, mean luminance (Rec.601), and a
+    content hash over the CANONICAL top-down RGB bytes — so the same
+    image stored as BMP and PPM hashes identically."""
+    n = width * height
+    lum = (
+        0.299 * sum(rgb[0::3]) + 0.587 * sum(rgb[1::3]) + 0.114 * sum(rgb[2::3])
+    ) / n
+    return {
+        "n_bytes": len(rgb),
+        "content_hash": hashlib.md5(rgb).hexdigest(),
+        "decoder": name,
+        "width": width,
+        "height": height,
+        "mean_lum": round(lum, 6),
+    }
+
+
 def _decode_image(payload: bytes) -> dict[str, Any]:
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+        return _pixel_features(w, h, rgb, "bmp-rgb24-v1")
+    if payload[:2] == b"P6":
+        w, h, rgb = decode_ppm(payload)
+        return _pixel_features(w, h, rgb, "ppm-p6-v1")
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not in this container; "
-        "deterministic byte-level features are used instead"
+        "compressed image decode (PNG/JPEG) requires PIL/opencv — not in "
+        "this container; deterministic byte-level features are used instead"
     )
 
 
@@ -66,6 +192,9 @@ def _byte_features(payload: bytes) -> dict[str, Any]:
         "n_bytes": len(payload),
         "content_hash": hashlib.md5(payload).hexdigest(),
         "decoder": DECODER_VERSION,
+        "width": None,
+        "height": None,
+        "mean_lum": None,
     }
 
 
@@ -161,11 +290,12 @@ def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
     image-resize plumbing shape (binary in, smaller binary out, 1:1
     rows, Arrow round-trip both directions).
 
-    A real build decodes pixels and re-encodes at the target resolution
-    (``_decode_image`` → PIL thumbnail); without media libs the
-    deterministic stand-in is byte truncation to ``target_bytes``, which
-    preserves the operator's contract — output payload is never larger
-    than the budget, row count is unchanged, and the transform is pure.
+    BMP payloads get a REAL resize: decode to pixels, halve dimensions
+    by nearest-neighbor until the re-encoded BMP fits ``target_bytes``
+    (floor 1×1), re-encode. Non-decodable payloads fall back to byte
+    truncation, which preserves the operator's contract — output
+    payload is never larger than max(budget, minimal 1×1 image), row
+    count is unchanged, and the transform is pure.
 
     Scale notes: resize SHRINKS data mid-pipeline, so it belongs before
     any shuffle of payloads; binary columns ride Arrow buffers (no
@@ -179,9 +309,14 @@ def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 try:
-                    resized = _decode_image(payload)  # pragma: no cover
-                    name = DECODER_VERSION
-                except NotImplementedError:
+                    w, h, rgb = decode_bmp(payload)
+                    while True:
+                        resized = encode_bmp(w, h, rgb)
+                        if len(resized) <= target_bytes or (w == 1 and h == 1):
+                            break
+                        w, h, rgb = _halve_nn(w, h, rgb)
+                    name = "bmp-nn-halve-v1"
+                except (ValueError, NotImplementedError):
                     resized = payload[:target_bytes]
                     name = "stub-truncate-v0"
                 out["doc_id"].append(doc_id)
@@ -191,3 +326,17 @@ def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def _halve_nn(w: int, h: int, rgb: bytes) -> tuple[int, int, bytes]:
+    """Nearest-neighbor 2× downsample (top-left sample per 2×2 block)."""
+    nw, nh = max(1, w // 2), max(1, h // 2)
+    out = bytearray(nw * nh * 3)
+    for y in range(nh):
+        src_row = (y * 2) * w * 3
+        dst_row = y * nw * 3
+        for x in range(nw):
+            s = src_row + (x * 2) * 3
+            d = dst_row + x * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return nw, nh, bytes(out)

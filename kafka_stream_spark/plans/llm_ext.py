@@ -1026,16 +1026,21 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_features",
     oracle="""
     SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-           md5(text) AS content_hash, 'stub-decoder-v0' AS decoder
+           md5(text) AS content_hash, 'stub-decoder-v0' AS decoder,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS DOUBLE) AS mean_lum
     FROM documents
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 — multimodal column carrier + feature extraction via
-    mapInPandas. The payload here is text-as-binary (the container has no
-    image/audio libs — see operators.multimodal for the real decode stubs)
-    but the Spark plumbing is the production shape: binary column + typed
-    metadata in, Arrow-batched pandas out, schema declared up front."""
+    mapInPandas. The payload here is text-as-binary, so the pixel
+    columns (width/height/mean_lum) are NULL on every row — real pixel
+    decoding (pure-Python 24bpp BMP and P6 PPM, no external libs) lives
+    on the image/ mime branch and is pytest-exercised on generated
+    payloads (tests/test_multimodal.py). The Spark plumbing is the
+    production shape either way: binary column + typed metadata in,
+    Arrow-batched pandas out, schema declared up front."""
     from ..operators.multimodal import extract_features
 
     d = load(spark, sf_dir, "documents").select(

@@ -118,8 +118,9 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingle-hash sets, lang-blocked. Catches the near-superset
     duplicates (quote inside an article, doc + boilerplate) whose
     Jaccard is diluted by the size difference. Pairwise correctness
-    twin — the scale path is the same minhash sketch with the smaller
-    set's size as denominator."""
+    twin of q_containment_lsh — the banded scale path implemented
+    below; this exact form is excluded from bench like every O(n²)
+    twin."""
     d = load(spark, sf_dir, "documents")
     h = (
         d.select(
@@ -153,6 +154,99 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.round(cont, 6).alias("containment"),
         )
+        .filter(F.col("containment") >= 0.5)
+        .localCheckpoint(eager=True)  # release h below, no session leak
+    )
+    h.unpersist()
+    return result
+
+
+def _containment_lsh_oracle() -> str:
+    from ..functions import hashing
+
+    sig = hashing.minhash_signature_sql("hs")
+    bk = hashing.band_keys_sql("sig")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, hs FROM {text.hashed_shingle_table_sql()}
+    ), s AS (
+      SELECT doc_id, hs, {sig} AS sig FROM h
+    ), b AS (
+      SELECT doc_id, unnest({bk}) AS band_key FROM s
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM b x JOIN b y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(ha.hs, v -> list_contains(hb.hs, v))) * 1.0
+                 / least(len(ha.hs), len(hb.hs)), 6) AS containment
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.doc_a
+    JOIN h hb ON hb.doc_id = c.doc_b
+    WHERE len(list_filter(ha.hs, v -> list_contains(hb.hs, v))) * 1.0
+          / least(len(ha.hs), len(hb.hs)) >= 0.5
+    """
+
+
+@query("q_containment_lsh", oracle=_containment_lsh_oracle())
+def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs, SCALE PATH: MinHash-LSH band-bucket
+    candidate generation (8 bands × 4 rows over the 32-slot signature)
+    followed by exact |A∩B| / min(|A|,|B|) verification ≥ 0.5 on
+    candidates only — the banded twin of q_containment's pairwise form,
+    exactly as q_near_dedup is the banded twin of q_ngram_jaccard.
+
+    Scale shape: signatures are one map-side pass; the LSH join
+    shuffles only (band_key, doc_id) pairs; shingle sets travel only to
+    the candidate verify. A near-superset pair shares most of the
+    smaller set's shingles, so its Jaccard — which the bands estimate —
+    is ≥ containment·min/(|A|+|B|-inter); bands at these parameters
+    recall containment ≥ 0.5 pairs whose size ratio is bounded, the
+    standard LSH-containment trade-off (Broder 1997; sketch engines
+    ship the identical compromise). The DuckDB oracle reproduces the
+    same deterministic candidate set, so recall choices cannot hide."""
+    from ..functions import hashing
+
+    d = load(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            "doc_id",
+            text.hashed_tokens_mod(F.col("text")).alias("th"),
+            text.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                text.shingle_hashes(F.col("th"), F.col("toks"))
+            ).alias("hs"),
+        )
+        .persist()
+    )
+    s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+    b = s.select(
+        "doc_id", F.explode(hashing.band_keys(F.col("sig"))).alias("band_key")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha, hb = h.alias("ha"), h.alias("hb")
+    inter = F.size(
+        F.filter(F.col("ha.hs"), lambda v: F.array_contains(F.col("hb.hs"), v))
+    )
+    cont = F.round(
+        inter * F.lit(1.0) / F.least(F.size("ha.hs"), F.size("hb.hs")), 6
+    )
+    result = (
+        cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
+        .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= 0.5)
         .localCheckpoint(eager=True)  # release h below, no session leak
     )

@@ -1,0 +1,110 @@
+"""Real-pixel multimodal decode (operators/multimodal): pure-Python
+24bpp BMP and P6 PPM codecs produce actual pixel features
+(width/height/mean luminance, canonical-RGB content hash) through the
+same mapInPandas plumbing the stubbed formats share, and BMP resize is
+a genuine nearest-neighbor downsample, not truncation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kafka_stream_spark.operators.multimodal import (
+    _halve_nn,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    extract_features,
+    resize_payloads,
+)
+
+
+def _gradient_rgb(w: int, h: int) -> bytes:
+    """Deterministic w×h test image: R ramps with x, G with y, B fixed."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes(((x * 255) // max(1, w - 1), (y * 255) // max(1, h - 1), 40))
+    return bytes(out)
+
+
+def _ppm_bytes(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + rgb
+
+
+def test_bmp_round_trip_with_row_padding():
+    # width 3 → 9-byte rows padded to 12: exercises stride handling
+    rgb = _gradient_rgb(3, 2)
+    w, h, got = decode_bmp(encode_bmp(3, 2, rgb))
+    assert (w, h, got) == (3, 2, rgb)
+
+
+def test_bmp_and_ppm_same_pixels_same_hash():
+    rgb = _gradient_rgb(4, 4)
+    bw, bh, brgb = decode_bmp(encode_bmp(4, 4, rgb))
+    pw, ph, prgb = decode_ppm(_ppm_bytes(4, 4, rgb))
+    assert (bw, bh) == (pw, ph) == (4, 4)
+    assert hashlib.md5(brgb).hexdigest() == hashlib.md5(prgb).hexdigest()
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    bad_bpp = bytearray(encode_bmp(2, 2, _gradient_rgb(2, 2)))
+    bad_bpp[28] = 8  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_halve_nn_picks_top_left_samples():
+    rgb = _gradient_rgb(4, 4)
+    nw, nh, small = _halve_nn(4, 4, rgb)
+    assert (nw, nh) == (2, 2)
+    # (0,0) sample of output = (0,0) of input; (1,0) = input (2,0)
+    assert small[0:3] == rgb[0:3]
+    assert small[3:6] == rgb[6:9]
+
+
+def test_extract_features_decodes_real_pixels(spark):
+    rgb = _gradient_rgb(4, 4)
+    payloads = [
+        (1, encode_bmp(4, 4, rgb), {"mime": "image/bmp"}),
+        (2, _ppm_bytes(4, 4, rgb), {"mime": "image/x-portable-pixmap"}),
+        (3, b"plain text payload", {"mime": "text/plain"}),
+    ]
+    df = spark.createDataFrame(
+        payloads, "doc_id LONG, payload BINARY, meta MAP<STRING,STRING>"
+    )
+    rows = {r["doc_id"]: r for r in extract_features(df).collect()}
+    bmp, ppm, txt = rows[1], rows[2], rows[3]
+    assert bmp["decoder"] == "bmp-rgb24-v1" and ppm["decoder"] == "ppm-p6-v1"
+    assert (bmp["width"], bmp["height"]) == (4, 4) == (ppm["width"], ppm["height"])
+    # same pixels → same canonical hash regardless of container format
+    assert bmp["content_hash"] == ppm["content_hash"]
+    assert bmp["mean_lum"] == ppm["mean_lum"]
+    # hand-computed Rec.601 mean luminance of the gradient
+    n = 16
+    lum = (
+        0.299 * sum(rgb[0::3]) + 0.587 * sum(rgb[1::3]) + 0.114 * sum(rgb[2::3])
+    ) / n
+    assert bmp["mean_lum"] == round(lum, 6)
+    # non-image payloads keep the byte-level fallback with NULL pixel cols
+    assert txt["decoder"] == "stub-decoder-v0"
+    assert txt["width"] is None and txt["mean_lum"] is None
+
+
+def test_resize_really_downsamples_bmp(spark):
+    big = encode_bmp(16, 16, _gradient_rgb(16, 16))
+    df = spark.createDataFrame(
+        [(1, big), (2, b"x" * 500)], "doc_id LONG, payload BINARY"
+    )
+    rows = {r["doc_id"]: r for r in resize_payloads(df, target_bytes=200).collect()}
+    out = rows[1]
+    assert out["resizer"] == "bmp-nn-halve-v1"
+    assert out["n_bytes"] <= 200
+    # the resized payload is itself a valid, smaller BMP
+    w, h, rgb = decode_bmp(bytes(out["payload"]))
+    assert w < 16 and h < 16 and len(rgb) == w * h * 3
+    # non-image path keeps the documented truncation fallback
+    assert rows[2]["resizer"] == "stub-truncate-v0" and rows[2]["n_bytes"] == 200
