@@ -270,18 +270,34 @@ def q_current_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_uuid3_key")  # rows-only: DuckDB md5 can't take the namespace
-# BYTES (VARCHAR-only); bit-for-bit exactness vs uuid.uuid3 is unit-tested
+def _uuid3_oracle() -> str:
+    from ..functions.md5_sql import uuid3_hex_sql
+
+    return uuid3_hex_sql(
+        "SELECT doc_id, source || ':' || lang || ':' || "
+        "CAST(doc_id AS VARCHAR) AS nm FROM documents WHERE doc_id <= 100",
+        ["doc_id"],
+        "yqid_exact",
+    )
+
+
+@query("q_uuid3_key", oracle=_uuid3_oracle())
 def q_uuid3_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 exact form — bit-for-bit reference keys via uuid3(NAMESPACE_DNS,
     s).replace('-','') (kafka_s.py:460-468), computed as pure Column
     expressions (md5 over namespace‖name + version/variant bit surgery) —
-    codegen-safe, so even exact-compat keys cost no Python round trip."""
-    d = load(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
-    return d.select(
-        "doc_id",
-        keys.uuid3_key(F.concat_ws("", "text", "source")).alias("yqid_exact"),
+    codegen-safe, so even exact-compat keys cost no Python round trip.
+
+    DuckDB's md5() is VARCHAR-only and the RFC 4122 namespace bytes are
+    not valid UTF-8, so the oracle instead runs MD5 COMPILED TO SQL
+    (functions/md5_sql: the key is ≤ 39 ASCII bytes ⇒ namespace ‖ name ‖
+    padding is one 512-bit block ⇒ 64 unrolled rounds as CTEs) — the
+    exact-key scheme sits under the full value-hash gate, not rows-only."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    name = F.concat_ws(
+        ":", "source", "lang", F.col("doc_id").cast("string")
     )
+    return d.select("doc_id", keys.uuid3_key(name).alias("yqid_exact"))
 
 
 # ---------------------------------------------------------------------------
