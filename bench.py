@@ -93,6 +93,12 @@ HEADLINE = [
     "q_rolling_corr",     # windowed corr trend detector
     "q_cumulative_distinct",  # running-distinct window rewrite
     "q_bitmap_distinct",  # mergeable exact-distinct bitmaps
+    "q_containment_lsh",  # banded containment near-dup (scale path)
+    "q_bigram_lm",        # bigram-LM perplexity filter
+    "q_bpe_pairs",        # BPE pair-count vocab induction
+    "q_keywords",         # per-doc TF-IDF keyword extraction
+    "q_winsorize",        # percentile-clipped robust stats
+    "q_quantile_sketch",  # portable 128-bucket quantile estimator
 ]
 
 

@@ -224,6 +224,148 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_quantile_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             l_extendedprice FROM lineitem
+    ),
+    st AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM c),
+    hist AS (
+      SELECT ((c.c - st.mn) * 128) // (st.mx - st.mn + 1) AS b,
+             count(*) AS cnt
+      FROM c, st GROUP BY 1
+    ),
+    cum AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b) AS cum FROM hist),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    tgt AS (
+      SELECT q, greatest(CAST(ceil(q * st.n) AS BIGINT), 1) AS target,
+             st.mn, st.mx FROM qs, st
+    ),
+    pick AS (
+      SELECT t.q, t.target, t.mn, t.mx, c.b, c.cnt, c.cum,
+             row_number() OVER (PARTITION BY t.q ORDER BY c.b) AS rn
+      FROM tgt t JOIN cum c ON c.cum >= t.target
+    ),
+    est AS (
+      SELECT q,
+             round((mn + (b + (target - (cum - cnt)) * 1.0 / cnt)
+                    * (mx - mn + 1) / 128.0) / 100.0, 6) AS est
+      FROM pick WHERE rn = 1
+    ),
+    exacts AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS e50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS e90,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS e99
+      FROM lineitem
+    ),
+    ex AS (
+      SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+             unnest([e50, e90, e99]) AS exact FROM exacts
+    )
+    SELECT est.q, est.est, ex.exact,
+           round(abs(est.est - ex.exact), 6) AS abs_err
+    FROM est JOIN ex ON est.q = ex.q
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 — PORTABLE approximate quantiles: a 128-bucket equi-width
+    histogram sketch with linear interpolation inside the crossing
+    bucket, reported next to the exact percentile it estimates (the
+    calibration pattern of q_minhash_est/q_ann_recall). Unlike the
+    GK sketch behind q_approx_percentile (engine-specific internals ⇒
+    rows-only), this estimator is pure arithmetic, so the DuckDB twin
+    reproduces it bit-for-bit and the VALUE-HASH gate covers an
+    approximate-quantile path end to end.
+
+    Determinism: bucket assignment runs on integer cents with integer
+    division — no float ULP at bucket edges; the only float math is the
+    final interpolation, written as the identical expression on both
+    engines. Scale shape: one min/max/count pass reduced to a broadcast
+    row, one combinable 128-ary histogram shuffle (the sketch is
+    mergeable — union-by-bucket-sum, how a 1000-executor cluster or a
+    streaming rollup would maintain it), and driver-free estimation
+    over the 128-row cumulative table."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        "l_extendedprice",
+    )
+    st = c.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("*").alias("n")
+    )
+    hist = (
+        c.crossJoin(F.broadcast(st))
+        .select(
+            F.expr("(c - mn) * 128 DIV (mx - mn + 1)").alias("b"),
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    tgt = qs.crossJoin(F.broadcast(st)).select(
+        "q",
+        F.greatest(F.ceil(F.col("q") * F.col("n")).cast("long"), F.lit(1))
+        .alias("target"),
+        "mn",
+        "mx",
+    )
+    pick = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("b")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = pick.select(
+        "q",
+        F.round(
+            (
+                F.col("mn")
+                + (
+                    F.col("b")
+                    + (F.col("target") - (F.col("cum") - F.col("cnt")))
+                    * F.lit(1.0)
+                    / F.col("cnt")
+                )
+                * (F.col("mx") - F.col("mn") + 1)
+                / F.lit(128.0)
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("est"),
+    )
+    exacts = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("e50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("e90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("e99"),
+    )
+    ex = exacts.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.array("e50", "e90", "e99"),
+            )
+        ).alias("q", "exact")
+    )
+    return est.join(ex, "q").select(
+        "q",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )
+
+
 #: count-min sketch geometry: 4 hash rows × 1024 buckets
 _CMS_D, _CMS_W = 4, 1024
 

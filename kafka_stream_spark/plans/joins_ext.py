@@ -409,6 +409,36 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+@query("q_xml_source", oracle=_SRC_ORACLE)
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 ships the XML data source
+    natively): rows serialized as <row> elements and read back with the
+    same explicit schema — the enterprise-feed ingest shape (SOAP
+    exports, sitemap/feed files) next to CSV/JSON/ORC/text. Same
+    lossless-aggregate proof as the other formats."""
+    base = tempfile.mkdtemp(prefix="kss_xml_")
+    path = os.path.join(base, "xml")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    e.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("event_id long, user_id long, event_type string")
+        .load(path)
+    )
+    result = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .localCheckpoint(eager=True)  # materialize so the scratch dir can go
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 @query("q_text_source", oracle=_SRC_ORACLE)
 def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text source/sink round-trip: rows serialized to

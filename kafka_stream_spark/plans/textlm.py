@@ -1,0 +1,278 @@
+"""Statistical language-model operators for training-data curation
+(round 3 extensions X167-X170).
+
+The standard web-scale pipeline (CCNet, RefinedWeb, Dolma — all public)
+filters documents by n-gram LM perplexity, induces tokenizer vocab from
+pair frequencies, and extracts salient terms per document. These are the
+same corpus-statistics shapes the engine already runs (token explode →
+count shuffle → broadcast-back), composed into four new oracled
+operators:
+
+* ``q_bigram_lm`` — train an add-one-smoothed bigram LM over the corpus
+  and score every document by average negative log2 probability (the
+  perplexity filter). Two aggregation passes over exploded bigrams plus
+  one join back; the LM table shuffles on the bigram key, documents
+  re-join on the same key, so at 100 TB the heavy stage is one
+  well-partitioned count shuffle, not a model broadcast.
+* ``q_bpe_pairs`` — one BPE induction step: the 20 most frequent
+  adjacent character pairs inside tokens. Map-side explode to
+  (pair, count) then a single combinable count shuffle.
+* ``q_winsorize`` — clip a metric at its global P05/P95 and report
+  per-group means before/after: the standard heavy-tail guard before
+  any threshold tuning. Quantiles are a two-row broadcast; the clip is
+  a pure projection.
+* ``q_keywords`` — top-3 TF-IDF terms per document, tie-broken
+  alphabetically, array_join'd scalar output. IDF is a broadcast dim
+  (vocab-sized); per-doc ranking is a window over the doc's own terms,
+  partitioned by doc_id — no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources.tables import load
+from .registry import query
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent token pairs per document."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("pos", "w1"),
+        F.col("t"),
+    ).select(
+        "doc_id", "w1", F.element_at("t", F.col("pos") + 2).alias("w2")
+    )
+
+
+_BIGRAMS_SQL = f"""
+    tok AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS t FROM documents
+      WHERE len({text.tokens_sql('text')}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM tok
+    )
+"""
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+    scored AS (
+      SELECT b.doc_id,
+             -log2((c2.c12 + 1.0) / (c1.c1 + v.vocab)) AS nll
+      FROM bg b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 — bigram-LM perplexity scoring: train add-one-smoothed
+    bigram probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) over the
+    whole corpus, then score each document by its mean -log2 P — the
+    CCNet-style quality signal (high avg_nll ⇒ unusual text).
+
+    Plan: one bigram explode feeds three aggregations (pair counts,
+    unigram counts, vocab scalar) and the scoring join; pair and
+    unigram counts are partial-aggregated map-side before their
+    shuffles, the vocab is a broadcast scalar, and scoring re-joins on
+    the same (w1, w2) keys the counts shuffled on. Documents and model
+    co-partition, so the 100 TB cost is two count shuffles + one
+    re-join — no driver-side model."""
+    bg = _doc_bigrams(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("vocab"))
+    nll = -F.log2(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({text.tokens_sql('text')}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substring(w, i + 1, 2) AS pair
+      FROM tok, unnest(range(length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 — BPE vocabulary induction, step one: the 20 most frequent
+    adjacent character pairs inside tokens (exactly what a byte-pair
+    tokenizer would merge first; iterating this query IS BPE training).
+
+    Plan: explode each token into its length-2 substrings map-side,
+    then ONE combinable count shuffle on the pair key (≤ a few thousand
+    distinct pairs, so partial aggregation collapses almost everything
+    before the wire); deterministic (count DESC, pair ASC) top-20."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(text.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT event_type,
+           round(avg(value), 6) AS mean_raw,
+           round(avg(least(greatest(value, q.lo), q.hi)), 6) AS mean_wins,
+           round(CAST(sum(CASE WHEN value < q.lo OR value > q.hi
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS clipped_frac
+    FROM events, q
+    GROUP BY event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 — winsorized statistics: clip the metric at global P05/P95
+    (exact percentile_cont), report raw vs clipped means and the
+    clipped fraction per group — the heavy-tail guard run before any
+    mean-based threshold is trusted.
+
+    Plan: the quantile pair is one exact-percentile aggregation
+    reduced to a single broadcast row; the clip itself is a pure
+    projection feeding a combinable group-agg — at 100 TB this is one
+    stats pass + one map-side-combined shuffle, the same shape as
+    q_robust_scale."""
+    e = load(spark, sf_dir, "events")
+    q = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_wins"),
+            F.round(
+                F.sum(out_of.cast("double")) / F.count("*"), 6
+            ).alias("clipped_frac"),
+        )
+    )
+
+
+@query(
+    "q_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({text.tokens_sql('text')}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS s
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, w) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           array_to_string(list(w ORDER BY rn), ',') AS top_terms
+    FROM ranked WHERE rn <= 3 GROUP BY doc_id
+    """,
+)
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 — per-document keyword extraction: top-3 terms by
+    tf·idf (idf = ln((N+1)/(df+1)), ties broken alphabetically),
+    emitted as one comma-joined scalar per doc.
+
+    Plan: term frequencies shuffle on (doc_id, w); document
+    frequencies are a vocab-sized side that joins back on the term key;
+    ranking is a per-doc window (partitioned by doc_id — embarrassingly
+    parallel, no global sort). Output carries 3 words per doc, so the
+    final shuffle is tiny regardless of corpus size."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("s"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("w"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= 3
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "w"))
+            ).getField("w"),
+            ",",
+        ).alias("top_terms")
+    )
