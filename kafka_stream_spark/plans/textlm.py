@@ -211,6 +211,157 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: inverted-list length cap: terms appearing in more documents than this
+#: are dropped from the similarity join (stop-term cut) — THE lever that
+#: bounds the per-term fan-out at any corpus size
+_DF_MAX = 50
+_COS_TAU = 0.35
+
+
+@query(
+    "q_tfidf_cosine",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({text.tokens_sql('text')}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    wt AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS wgt
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+      WHERE df.df <= {_DF_MAX}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM wt GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.wgt * b.wgt) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_COS_TAU}
+    """,
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 — sparse TF-IDF cosine similarity join via an INVERTED
+    INDEX: doc pairs whose tf·idf vectors have cosine ≥ τ, computed by
+    joining postings on the term key and summing weight products — the
+    lexical complement of the dense-embedding ANN family (X14/X30) and
+    the set-based Jaccard family (X16/X68).
+
+    Scale design: the stop-term cut (df ≤ {_DF_MAX}) bounds every
+    inverted list, so the term self-join fans out O(df²) per term with
+    df capped — the standard bound that keeps text similarity joins
+    tractable at corpus scale (high-df terms carry ~zero idf weight
+    anyway, so the cut loses nothing the threshold would keep). Norms
+    are computed over the SAME pruned vectors on both engines; weights
+    shuffle on the term key, pair dots on the (doc_a, doc_b) key."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    wt = (
+        tf.join(df.filter(F.col("df") <= _DF_MAX), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("wgt"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    a, b = wt.alias("a"), wt.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= _COS_TAU)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_impute",
+    oracle="""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS grp_med
+      FROM masked WHERE v IS NOT NULL GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           round(avg(coalesce(m.v, d.grp_med)), 6) AS mean_imputed,
+           round(any_value(d.grp_med), 6) AS grp_med
+    FROM masked m JOIN med d ON m.event_type = d.event_type
+    GROUP BY m.event_type
+    """,
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 — group-median null imputation: missing metric values (a
+    deterministic event_id % 7 mask stands in for real nulls — the
+    driver corpus has none) are filled with their group's exact median;
+    the report shows imputation volume and the post-fill mean per group.
+
+    Plan: medians are one exact-percentile aggregation on the group
+    key; the fill is a same-key broadcast-or-shuffle join feeding a
+    combinable aggregate — two shuffles total on one key, no row ever
+    leaves its group partition."""
+    e = load(spark, sf_dir, "events")
+    masked = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = (
+        masked.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(v, 0.5)").alias("grp_med"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").isNull().cast("bigint")).alias("n_imputed"),
+            F.round(F.avg(F.coalesce("v", "grp_med")), 6).alias("mean_imputed"),
+            F.round(F.any_value("grp_med"), 6).alias("grp_med"),
+        )
+    )
+
+
 @query(
     "q_keywords",
     oracle=f"""
