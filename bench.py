@@ -99,6 +99,12 @@ HEADLINE = [
     "q_keywords",         # per-doc TF-IDF keyword extraction
     "q_winsorize",        # percentile-clipped robust stats
     "q_quantile_sketch",  # portable 128-bucket quantile estimator
+    "q_anomaly_zscore",   # trailing-window event-rate alerts
+    "q_funnel_timing",    # conversion-delay percentiles
+    "q_token_pmi",        # df-banded collocation mining
+    "q_weighted_sample",  # deterministic weighted sampling
+    "q_tfidf_cosine",     # inverted-index sparse cosine join
+    "q_impute",           # group-median null imputation
 ]
 
 

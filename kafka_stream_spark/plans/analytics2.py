@@ -605,3 +605,116 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hr, cnt,
+             avg(cnt) OVER w AS mu,
+             stddev_samp(cnt) OVER w AS sd
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, cnt,
+           round((cnt - mu) / sd, 6) AS z
+    FROM scored
+    WHERE sd > 0 AND abs((cnt - mu) / sd) > 2
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 — event-rate anomaly detection: hourly counts per event
+    type scored against the TRAILING 24-hour window's mean/stddev
+    (frame excludes the current hour — the score must not see itself);
+    |z| > 2 rows are the alert stream. The ops-monitoring twin of
+    q_drift_psi's offline distribution check.
+
+    Plan: one count aggregation collapses events to |types|x|hours|
+    rows, so the window pass runs over a tiny keyed series; at 100 TB
+    the only full-data stage is the combinable hourly count."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return scored.filter((F.col("sd") > 0) & (F.abs(z) > 2)).select(
+        "event_type", "hr", "cnt", F.round(z, 6).alias("z")
+    )
+
+
+@query(
+    "q_funnel_timing",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.first_view, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id, v.first_view
+    ),
+    d AS (
+      SELECT CAST(date_diff('second', first_view, first_click) AS BIGINT)
+               AS secs
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+           round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+           round(avg(secs), 6) AS mean_secs
+    FROM d
+    """,
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 — funnel latency: for users who clicked after their first
+    view (q_funnel's first transition), the view→click delay
+    distribution (median / p90 / mean seconds). Conversion COUNTS say
+    whether a funnel works; conversion TIMES say where it drags — the
+    product-analytics companion the count-only funnel can't answer.
+
+    Plan: two min-aggregations on user_id and one same-key join — the
+    delay column is |converting users| long, so the percentile pass is
+    over a reduced table, not raw events."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    secs = (
+        F.unix_timestamp("first_click") - F.unix_timestamp("first_view")
+    ).cast("bigint")
+    d = c.select(secs.alias("secs"))
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.5)"), 6).alias("p50_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_secs"),
+        F.round(F.avg("secs"), 6).alias("mean_secs"),
+    )

@@ -442,3 +442,46 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_tokens"
         ),
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((({token_hash_sql("CAST(doc_id AS VARCHAR)")}) % 1000000 + 1)
+                 / 1000001.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(k, 6) AS key
+    FROM keyed ORDER BY k, doc_id LIMIT 25
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (hash-seeded exponential-key
+    A-ES, Efraimidis-Spirakis): each row draws u from its md5 hash,
+    keys on -ln(u)/w, and the k smallest keys ARE a weighted sample
+    without replacement — longer documents proportionally more likely,
+    yet every engine, retry, and cluster size draws the SAME sample
+    (rand()-based sampleBy can't be oracle-checked and isn't
+    reproducible under re-partitioning).
+
+    Scale shape: the key is a pure projection; top-k = per-partition
+    top-k then a 25-row final merge (Spark's sort+limit already plans
+    TakeOrderedAndProject — no global sort materializes)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (token_hash(F.col("doc_id").cast("string")) % 1000000 + 1)
+        / F.lit(1000001.0)
+    )
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(25)
+        .select("doc_id", "weight", F.round("k", 6).alias("key"))
+    )

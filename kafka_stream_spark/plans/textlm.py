@@ -427,3 +427,82 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("top_terms")
     )
+
+
+#: PMI content-word band: tokens in too few docs are noise, tokens in
+#: too many are stopwords AND blow up the per-doc pair fan-out
+_PMI_DF_MIN, _PMI_DF_MAX = 5, 50
+_PMI_MIN_CO = 5
+
+
+@query(
+    "q_token_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({text.tokens_sql('text')}) AS w
+      FROM documents
+    ),
+    df AS (
+      SELECT w, count(*) AS df FROM tok GROUP BY w
+      HAVING count(*) BETWEEN {_PMI_DF_MIN} AND {_PMI_DF_MAX}
+    ),
+    ft AS (SELECT tok.doc_id, tok.w, df.df FROM tok JOIN df ON tok.w = df.w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    co AS (
+      SELECT a.w AS w1, b.w AS w2,
+             count(*) AS n_ab,
+             any_value(a.df) AS df1, any_value(b.df) AS df2
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {_PMI_MIN_CO}
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * 1.0 * n.n_docs / (df1 * df2)), 6) AS pmi
+    FROM co CROSS JOIN n
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 — token co-occurrence PMI: pointwise mutual information
+    ln(P(a,b) / (P(a)P(b))) over document-level co-occurrence for
+    content-band tokens — the collocation / related-term signal behind
+    phrase mining and query expansion.
+
+    Scale design: the df band [{_PMI_DF_MIN}, {_PMI_DF_MAX}] is applied
+    BEFORE pairing, so the per-document self-join fans out over
+    content words only (stopwords would make it quadratic in doc
+    length); co-occurrence counts shuffle on the (w1, w2) pair key
+    with map-side combine, and the doc-count scalar broadcasts."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    df = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(_PMI_DF_MIN, _PMI_DF_MAX))
+    )
+    ft = tok.join(df, "w").select("doc_id", "w", "df")
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a, b = ft.alias("a"), ft.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.any_value(F.col("a.df")).alias("df1"),
+            F.any_value(F.col("b.df")).alias("df2"),
+        )
+        .filter(F.col("n_ab") >= _PMI_MIN_CO)
+    )
+    pmi = F.log(
+        F.col("n_ab") * F.lit(1.0) * F.col("n_docs")
+        / (F.col("df1") * F.col("df2"))
+    )
+    return co.crossJoin(F.broadcast(n)).select(
+        "w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi")
+    )
