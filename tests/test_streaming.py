@@ -308,3 +308,58 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path, sf_dir):
     assert e and set(e) <= set(b)
     for k, v in e.items():
         assert b[k] == v
+
+
+def test_streaming_quantile_sketch_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """The mergeable histogram store must equal the full-history batch
+    sketch after every arrival wave, and its quantile estimates must
+    track the exact percentiles within one bucket width."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        SKETCH_BUCKETS,
+        SKETCH_HI,
+        SKETCH_LO,
+        estimate_quantile,
+        run_streaming_quantile_sketch,
+        sketch_bucket,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_hist(df):
+        return {
+            (r["b"], r["cnt"])
+            for r in df.select(sketch_bucket(F.col("value")).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    def store_hist():
+        return {(r["b"], r["cnt"]) for r in spark.read.parquet(out).collect()}
+
+    first.write.mode("append").parquet(inp)
+    assert run_streaming_quantile_sketch(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_hist() == batch_hist(first)
+
+    second.write.mode("append").parquet(inp)
+    assert run_streaming_quantile_sketch(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_hist() == batch_hist(e)
+
+    # estimates from the merged store track exact percentiles within a
+    # bucket width
+    width = (SKETCH_HI - SKETCH_LO) / SKETCH_BUCKETS
+    exact = e.agg(
+        F.expr("percentile(value, array(0.5, 0.9))").alias("p")
+    ).collect()[0]["p"]
+    hist = list(store_hist())
+    assert abs(estimate_quantile(hist, 0.5) - exact[0]) <= width
+    assert abs(estimate_quantile(hist, 0.9) - exact[1]) <= width
