@@ -18,11 +18,12 @@ def test_registry_contract():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "q_current_ts",       # wall-clock nondeterministic
-        "q_uuid3_key",        # DuckDB md5 is VARCHAR-only (namespace bytes)
         "q_approx_distinct",  # HLL estimate is engine-specific
         "q_approx_percentile",  # GK-sketch ranks are engine-specific
         "q_hll_merge",        # DataSketches HLL has no DuckDB twin
     }, rows_only
+    # q_uuid3_key is NOT rows-only despite DuckDB's VARCHAR-only md5:
+    # its oracle compiles MD5 itself to SQL (functions/md5_sql)
 
 
 def test_oracles_reference_known_tables_only():
