@@ -105,6 +105,7 @@ HEADLINE = [
     "q_weighted_sample",  # deterministic weighted sampling
     "q_tfidf_cosine",     # inverted-index sparse cosine join
     "q_impute",           # group-median null imputation
+    "q_simhash_dedup",    # hamming-banded SimHash dedup (scale path)
 ]
 
 

@@ -340,3 +340,74 @@ def _halve_nn(w: int, h: int, rgb: bytes) -> tuple[int, int, bytes]:
             d = dst_row + x * 3
             out[d : d + 3] = rgb[s : s + 3]
     return nw, nh, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (real pixels → 64-bit aHash)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def ahash64(width: int, height: int, rgb: bytes) -> int:
+    """Average-hash: grayscale → 8x8 average-pool → threshold at the
+    mean → 64-bit fingerprint (bit 8*y+x set iff cell >= mean). The
+    classic perceptual near-dup key for images: container format,
+    minor noise, and moderate resizing do not move it far in hamming
+    space, so image dedup becomes the same banded-hamming join the
+    text side runs (q_simhash_dedup)."""
+    cells = [0.0] * 64
+    counts = [0] * 64
+    for y in range(height):
+        cy = min(7, y * 8 // height)
+        row = y * width * 3
+        for x in range(width):
+            p = row + x * 3
+            lum = 0.299 * rgb[p] + 0.587 * rgb[p + 1] + 0.114 * rgb[p + 2]
+            c = cy * 8 + min(7, x * 8 // width)
+            cells[c] += lum
+            counts[c] += 1
+    avgs = [cells[i] / counts[i] if counts[i] else 0.0 for i in range(64)]
+    mean = sum(avgs) / 64
+    h = 0
+    for i, v in enumerate(avgs):
+        if v >= mean:
+            h |= 1 << i
+    # keep it in signed-int64 range for Spark's LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) → (doc_id, phash, decoder): aHash for
+    decodable rasters (BMP/PPM), null phash for everything else — the
+    image-dedup key extractor, Arrow-batched like every decode op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": [], "decoder": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    if payload[:2] == b"BM":
+                        w, h, rgb = decode_bmp(payload)
+                        name = "bmp-rgb24-v1"
+                    elif payload[:2] == b"P6":
+                        w, h, rgb = decode_ppm(payload)
+                        name = "ppm-p6-v1"
+                    else:
+                        raise NotImplementedError
+                    ph = ahash64(w, h, rgb)
+                except (ValueError, NotImplementedError):
+                    ph, name = None, DECODER_VERSION
+                out["doc_id"].append(doc_id)
+                out["phash"].append(ph)
+                out["decoder"].append(name)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)

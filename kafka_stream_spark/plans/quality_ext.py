@@ -366,3 +366,116 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("jaccard_exact"),
         F.round(est, 6).alias("jaccard_est"),
     )
+
+
+def _simhash60_sql() -> str:
+    """60-bit SimHash as a DuckDB expression over ``th`` (distinct
+    60-bit token hashes)."""
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(th, "
+        f"h -> 2 * ((h >> {j}) & 1) - 1), 'sum') > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(60)
+    )
+    return terms
+
+
+def _simhash_dedup_oracle() -> str:
+    from ..functions.hashing import token_hash_sql
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(list_transform(
+               {text.tokens_sql('text')}, t -> {token_hash_sql('t')})) AS th
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {_simhash60_sql()} AS sig FROM tok)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+@query("q_simhash_dedup", oracle=_simhash_dedup_oracle())
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-banded near-dedup (the Manku-Jain-Sarma web
+    dedup, public): 60-bit SimHash per doc, candidates from 4 bands x
+    15 bits, exact verify bit_count(xor) <= 3 on candidates only.
+
+    The pigeonhole theorem makes band recall COMPLETE here: any pair
+    within hamming 3 differs in at most 3 of the 4 bands, so at least
+    one band matches exactly — which is why the oracle can be the
+    brute-force pairwise join and still agree bit-for-bit with the
+    banded engine path.
+
+    Plan shape: the signature is ONE fold over the token-hash array
+    (votes for all 60 bits accumulate in a single array pass — not 60
+    separate folds); the band join shuffles (band_key, doc_id, sig)
+    only — 24 bytes/row regardless of document size; exact verify is
+    integer xor+popcount on candidates. 100 TB-ready like q_near_dedup,
+    with cheaper verification (no shingle-set intersection)."""
+    from ..functions.hashing import token_hash
+
+    d = load(spark, sf_dir, "documents")
+    th = F.array_distinct(
+        F.transform(text.tokens(F.col("text")), lambda t: token_hash(t))
+    )
+    votes = F.aggregate(
+        F.col("th"),
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda a, j: a
+            + F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) * 2
+            - 1,
+        ),
+    )
+    sig_expr = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda v, j: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    s = (
+        d.select("doc_id", th.alias("th"))
+        .select("doc_id", sig_expr.alias("sig"))
+        .persist()
+    )
+    bands = s.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: k * F.lit(32768)
+                + F.call_function("shiftright", F.col("sig"), k * 15)
+                .bitwiseAND(F.lit(0x7FFF)),
+            )
+        ).alias("band_key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    result = (
+        x.join(
+            y,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # release s below, no session leak
+    )
+    s.unpersist()
+    return result

@@ -108,3 +108,36 @@ def test_resize_really_downsamples_bmp(spark):
     assert w < 16 and h < 16 and len(rgb) == w * h * 3
     # non-image path keeps the documented truncation fallback
     assert rows[2]["resizer"] == "stub-truncate-v0" and rows[2]["n_bytes"] == 200
+
+
+def test_ahash_stable_across_containers_and_noise(spark):
+    from kafka_stream_spark.operators.multimodal import ahash64, perceptual_hash
+
+    rgb = _gradient_rgb(16, 16)
+    # flip a couple of pixels slightly — perceptually the same image
+    noisy = bytearray(rgb)
+    noisy[0] = min(255, noisy[0] + 4)
+    noisy[100] = max(0, noisy[100] - 4)
+    inverted = bytes(255 - b for b in rgb)
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_bmp(16, 16, rgb)),
+            (2, _ppm_bytes(16, 16, rgb)),
+            (3, encode_bmp(16, 16, bytes(noisy))),
+            (4, encode_bmp(16, 16, inverted)),
+            (5, b"not an image"),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r["doc_id"]: r for r in perceptual_hash(df).collect()}
+    # same pixels, different container → identical hash
+    assert rows[1]["phash"] == rows[2]["phash"] == ahash64(16, 16, rgb)
+    # tiny perturbation → small hamming distance
+    ham = bin((rows[1]["phash"] ^ rows[3]["phash"]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+    # inverted image → far away
+    ham_inv = bin((rows[1]["phash"] ^ rows[4]["phash"]) & ((1 << 64) - 1)).count("1")
+    assert ham_inv >= 32
+    # non-image rows carry a null hash, not an error
+    assert rows[5]["phash"] is None
