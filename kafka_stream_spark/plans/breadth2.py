@@ -310,8 +310,9 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            try_cast(source AS INTEGER) AS bad_int,
            try_cast(CAST(doc_id AS VARCHAR) AS INTEGER) AS good_int,
-           CASE WHEN doc_id % 10 = 0 THEN NULL
-                ELSE CAST(n_chars AS DOUBLE) / (doc_id % 10) END AS safe_div
+           round(CASE WHEN doc_id % 10 = 0 THEN NULL
+                ELSE CAST(n_chars AS DOUBLE) / (doc_id % 10) END, 6)
+             AS safe_div
     FROM documents WHERE doc_id <= 200
     """,
 )
@@ -325,8 +326,9 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.try_to_number("source", F.lit("999999")).cast("int").alias("bad_int"),
         F.col("doc_id").cast("string").cast("int").alias("good_int"),
-        F.try_divide(
-            F.col("n_chars").cast("double"), F.col("doc_id") % 10
+        F.round(
+            F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 10),
+            6,
         ).alias("safe_div"),
     )
 

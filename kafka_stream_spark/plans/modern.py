@@ -156,3 +156,82 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+@query(
+    "q_param_sql",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries :status / :floor placeholders and values bind at
+    execution — the injection-safe templating surface a query service
+    exposes (the reference string-formats its SQL together,
+    kafka_s.py:300-316, the classic injection shape). Catalyst sees
+    literals after binding, so constant folding and pushdown work
+    exactly as with inline values."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_chars_m
+    FROM documents WHERE doc_id <= 200
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — batches
+    arrive as pyarrow RecordBatches with NO pandas conversion, the
+    lowest-overhead Python hook for byte-level work (here: UTF-8 byte
+    length vs char length per doc). At 100 TB this is the preferred
+    escape hatch when pandas' boxing would dominate: Arrow buffers in,
+    Arrow buffers out, one memcpy either side."""
+    import pyarrow as pa
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+
+    def work(batches):
+        for batch in batches:
+            # Arrow length kernels return int32 — cast to match the
+            # declared int64 schema (a mismatch fails at read time)
+            tbl = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pa.compute.cast(
+                        pa.compute.binary_length(
+                            pa.compute.cast(batch.column("text"), pa.binary())
+                        ),
+                        pa.int64(),
+                    ),
+                    "n_chars_m": pa.compute.cast(
+                        pa.compute.utf8_length(batch.column("text")),
+                        pa.int64(),
+                    ),
+                }
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    return d.mapInArrow(work, schema="doc_id long, n_bytes long, n_chars_m long")
