@@ -55,6 +55,20 @@ PROBE = [
     "q_variant_json",
     "q_minhash_est",
     "q_degree_dist",
+    # round-3 operators
+    "q_containment_lsh",
+    "q_simhash_dedup",
+    "q_bigram_lm",
+    "q_bpe_pairs",
+    "q_tfidf_cosine",
+    "q_keywords",
+    "q_token_pmi",
+    "q_quantile_sketch",
+    "q_winsorize",
+    "q_weighted_sample",
+    "q_anomaly_zscore",
+    "q_label_prop",
+    "q_khop_reach",
 ]
 
 KEY_OFFSETS = {
