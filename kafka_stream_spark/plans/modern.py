@@ -235,3 +235,39 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield out
 
     return d.mapInArrow(work, schema="doc_id long, n_bytes long, n_chars_m long")
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+  FROM months, bounds WHERE m < hi
+)
+SELECT months.m, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+FROM months
+LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+GROUP BY months.m
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): a month spine unrolled
+    from the data's own min/max bounds, LEFT-joined back so empty
+    months surface as zero rows — the gap-revealing calendar the
+    fixed-step q_gap_fill builds procedurally, now in the SQL-standard
+    recursive form. The IDENTICAL SQL string runs on both engines.
+
+    Scale: recursion depth = number of months (tiny, driver-safe); the
+    only data-scale stage is the month-key aggregate join, one shuffle
+    with map-side combine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -86,3 +86,36 @@ def test_envelope_decode_in_spark(spark):
     assert out.filter(F.col("op") == "d").count() == 2
     # insert-only gate (the reference's `if 'o' in data` branch) is a filter
     assert out.filter(F.col("op") == "i").count() == 5
+
+
+def test_bson_cdc_stream_end_to_end(spark, tmp_path):
+    """S2 in streaming form: binary BSON envelopes arriving as a file
+    stream are decoded executor-side (mapInPandas works unchanged on
+    streaming DataFrames), the insert-only gate filters op='i', and the
+    sink receives typed rows — the reference's consume loop
+    (kafka_s.py:149-167) as one declarative pipeline."""
+    envs = [(_insert_env(i),) for i in range(20)]
+    payloads = [(encode_doc(e[0]),) for e in envs]
+    payloads.append((encode_doc({"o": {"$set": {"title": "upd"}}}),))
+    payloads.append((b"junk bytes",))
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(payloads, "value BINARY").write.parquet(inp)
+
+    stream = spark.readStream.schema("value BINARY").parquet(inp)
+    typed = decode_envelopes(stream).filter(F.col("op") == "i")
+    q = (
+        typed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    codes = {r["st_code"] for r in got.collect()}
+    assert codes == {f"83{i:04d}" for i in range(20)}
+    assert got.filter(F.col("publish_date").isNull()).count() == 0
