@@ -1511,3 +1511,86 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("mn"),
         F.round(F.max("v"), 6).alias("mx"),
     )
+
+
+def _image_phash_oracle() -> str:
+    """aHash of the embedding-derived 8x8 grayscale image, unrolled to
+    scalar SQL: pixel byte b_i = clamp(round((e_i + 1) * 127.5)); with
+    one pixel per pooling cell, cell luminance = 0.299*b + 0.587*b +
+    0.114*b (same literal order as operators.multimodal.ahash64), mean
+    = left-associated sum / 64, bit i set iff lum_i >= mean. Bit 63
+    contributes the signed value -2^63 (Python's ahash64 wraps to
+    signed int64) and is added FIRST so partial sums stay in range."""
+    def b(i: int) -> str:
+        return (
+            f"least(greatest(CAST(round((CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" + 1.0::DOUBLE) * 127.5::DOUBLE) AS BIGINT), 0), 255)"
+        )
+
+    lums = [
+        f"(0.299::DOUBLE * {b(i)} + 0.587::DOUBLE * {b(i)}"
+        f" + 0.114::DOUBLE * {b(i)})"
+        for i in range(64)
+    ]
+    mean = "(" + " + ".join(f"l[{i + 1}]" for i in range(64)) + ") / 64::DOUBLE"
+    bit_terms = ["CASE WHEN l[64] >= m THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"]
+    for i in range(62, -1, -1):
+        bit_terms.append(
+            f"CASE WHEN l[{i + 1}] >= m THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        )
+    return f"""
+    WITH lum AS (
+      SELECT vec_id, [{", ".join(lums)}] AS l FROM embeddings
+    ),
+    withmean AS (SELECT vec_id, l, {mean} AS m FROM lum)
+    SELECT vec_id, {" + ".join(bit_terms)} AS phash
+    FROM withmean
+    """
+
+
+@query("q_image_phash", oracle=_image_phash_oracle())
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 — the multimodal pixel stack UNDER THE VALUE-HASH GATE:
+    each embedding quantizes to an 8x8 grayscale image, is encoded to
+    real BMP bytes, decoded back through the pure-Python codec, and
+    perceptually hashed (operators.multimodal.ahash64) — while the
+    DuckDB oracle recomputes the identical aHash arithmetically from
+    the same quantized bytes. A hash match therefore proves the BMP
+    encoder, decoder, and aHash agree bit-for-bit on every image.
+
+    Scale shape: quantization is a JVM-side projection; the two
+    mapInPandas hops (encode, then decode+hash) are Arrow-batched maps
+    with no shuffle anywhere; output is 8 bytes per image."""
+    from ..operators.multimodal import encode_bmp, perceptual_hash
+
+    emb = load(spark, sf_dir, "embeddings")
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                gray = bytes(int(v) for v in vals)
+                rgb = b"".join(bytes((g, g, g)) for g in gray)
+                payloads.append(encode_bmp(8, 8, rgb))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    return perceptual_hash(imgs).select(
+        F.col("doc_id").alias("vec_id"), "phash"
+    )
