@@ -485,3 +485,57 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("doc_id", "weight", F.round("k", 6).alias("key"))
     )
+
+
+#: Laplace scale b = sensitivity/epsilon; counts have sensitivity 1
+_DP_EPS = 1.0
+
+
+@query(
+    "q_dp_noise",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, n,
+             (({token_hash_sql("event_type")}) % 1000000 + 1) / 1000002.0
+               AS u
+      FROM counts
+    )
+    SELECT event_type, n,
+           round(n - (1.0 / {_DP_EPS}) * CAST(sign(u - 0.5) AS DOUBLE)
+                 * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_n,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM seeded
+    """,
+)
+def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of group counts: calibrated
+    Laplace(1/ε) noise via inverse-CDF sampling — u drawn from the
+    group key's md5 hash rather than rand(), so the release is
+    REPRODUCIBLE and oracle-checkable while keeping the exact Laplace
+    shape (a production system would swap the hash seed for a secret
+    per-release salt; the mechanism and calibration are identical).
+    The standard privacy gate before sharing corpus statistics
+    outside the training-data boundary.
+
+    Plan: one combinable count shuffle; the noise is a scalar
+    projection over |groups| rows."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = (
+        (token_hash(F.col("event_type")) % 1000000 + 1) / F.lit(1000002.0)
+    )
+    noise = (
+        (F.lit(1.0) / _DP_EPS)
+        * F.signum(u - F.lit(0.5)).cast("double")
+        * F.log(1 - 2 * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") - noise, 6).alias("noisy_n"),
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+    )

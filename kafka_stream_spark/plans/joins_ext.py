@@ -476,3 +476,79 @@ def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, user_id, ts, value, event_type,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag_order
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER win AS last_view_ts,
+             last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER win AS last_view_value
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag_order, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN last_view_ts >= ts - INTERVAL 1 HOUR
+                THEN last_view_ts END AS matched_view_ts,
+           CASE WHEN last_view_ts >= ts - INTERVAL 1 HOUR
+                THEN last_view_value END AS matched_view_value,
+           CAST(last_view_ts IS NOT NULL
+                AND last_view_ts < ts - INTERVAL 1 HOUR AS BOOLEAN)
+             AS stale_dropped
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with TOLERANCE (pandas merge_asof(tolerance=...) / kdb
+    wj semantics): the latest same-user view at-or-before each purchase
+    COUNTS ONLY within a 1-hour lookback — staler matches surface as
+    NULL plus an audit flag instead of silently attributing a
+    day-old view. Same single-shuffle merge form as q_asof_join; the
+    tolerance is a post-window projection, so the plan cost is
+    identical to the untolerated join."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag_order"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    w = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(win)
+        .alias("last_view_ts"),
+        F.last(F.when(is_view, F.col("value")), ignorenulls=True)
+        .over(win)
+        .alias("last_view_value"),
+    )
+    in_tol = F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return w.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("last_view_ts")).alias("matched_view_ts"),
+        F.when(in_tol, F.col("last_view_value")).alias("matched_view_value"),
+        (F.col("last_view_ts").isNotNull() & ~in_tol).alias("stale_dropped"),
+    )
