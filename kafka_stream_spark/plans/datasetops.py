@@ -539,3 +539,66 @@ def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") - noise, 6).alias("noisy_n"),
         F.lit(float(_DP_EPS)).alias("epsilon"),
     )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "q_rendezvous",
+    oracle=f"""
+    WITH cand AS (
+      SELECT d.doc_id, s.shard,
+             {token_hash_sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)")}
+               AS w
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_N_SHARDS})) AS shard) s
+    ),
+    assign AS (
+      SELECT doc_id, shard, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, shard) AS rn
+      FROM cand
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assign WHERE rn = 1 GROUP BY shard
+    """,
+)
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: each document joins
+    the shard whose hash(doc, shard) weight is highest — the
+    assignment scheme whose defining property is MINIMAL RESHUFFLING
+    (removing one shard moves only that shard's keys, unlike mod-N
+    which moves nearly everything). The per-shard occupancy report
+    doubles as the balance audit.
+
+    Plan: the candidate set is a map-side explode (N_SHARDS rows per
+    key — no join against a shard table at scale, the weights are
+    computed inline), winner per key via one hash aggregation, then a
+    combinable occupancy count."""
+    d = load(spark, sf_dir, "documents")
+    cand = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SHARDS - 1))).alias("shard"),
+    ).withColumn(
+        "w",
+        token_hash(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("shard").cast("string"),
+            )
+        ),
+    )
+    assign = cand.groupBy("doc_id").agg(
+        F.min_by(
+            "shard", F.struct((-F.col("w")).alias("nw"), F.col("shard"))
+        ).alias("shard")
+    )
+    return assign.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
