@@ -271,3 +271,23 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_GBA_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("q_group_by_all", oracle=_GBA_SQL)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (SQL:2023-adjacent shorthand, Spark 4 + DuckDB):
+    every non-aggregated select item becomes a grouping key — kills the
+    copy-the-select-list drift bug in wide reports. IDENTICAL SQL runs
+    on both engines; the plan is the ordinary combinable hash
+    aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GBA_SQL)

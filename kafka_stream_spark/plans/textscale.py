@@ -450,3 +450,62 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH heads AS (
+      SELECT doc_id, lang, substr(text, 1, 40) AS head,
+             string_split(text, ' ')[1] AS w1,
+             length(substr(text, 1, 40)) // 10 AS lband
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+    FROM heads a
+    JOIN heads b
+      ON a.lang = b.lang AND a.w1 = b.w1 AND a.lband = b.lband
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution scale
+    path the sequential q_edit_distance demo points at: candidates
+    blocked on (lang, first token, length band) so the quadratic
+    levenshtein verify runs only inside blocks, then exact distance
+    ≤ 5 on 40-char heads. Length banding is sound (edit distance ≥
+    length difference, so near-matches can't sit far apart in length);
+    production blocking adds more keys (phonetic, q-gram) the same
+    way — every key is just another equi-join column.
+
+    Plan: one shuffle on the composite block key; no cross product —
+    the O(m²) verify is bounded per block."""
+    d = load(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("head"),
+        F.split("text", " ").getItem(0).alias("w1"),
+        (F.length(F.substring("text", 1, 40)) / 10)
+        .cast("int")
+        .alias("lband"),
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.lband") == F.col("b.lband"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
