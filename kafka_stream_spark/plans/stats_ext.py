@@ -1,0 +1,506 @@
+"""Statistical-inference operators (round-3 extensions X180-X186).
+
+The reference pipeline classifies records with hand-written rules
+(/root/reference/kafka_stream/kafka_s.py:300-340); an analytics engine
+replacing it needs the standard inferential battery that sits behind
+real dashboards and data-quality gates: rank tests, effect sizes,
+survival curves, A/B significance, and dependence measures. Each is a
+pure composition of aggregates + windows — no UDFs — with a full DuckDB
+oracle.
+
+Scale notes (shared): the tests below reduce the raw table to either a
+handful of scalars (Welch, z-test) or a table keyed by DISTINCT metric
+values / event times (Mann-Whitney ranks, Kaplan-Meier risk sets).
+The distinct-value tables are bounded by metric precision, orders of
+magnitude smaller than the fact table, so the only global window runs
+over an already-collapsed input; the heavy input is touched once by a
+map-side-combinable groupBy. For genuinely unbounded continuous
+metrics, the documented fallback is the engine's quantile-sketch
+binning (plans/agg_ext.py q_quantile_sketch) before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH pooled AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), by_val AS (
+      SELECT value, count(*) AS n, sum(g1) AS n1 FROM pooled GROUP BY value
+    ), ranked AS (
+      SELECT value, n, n1,
+             coalesce(sum(n) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM by_val
+    ), stats AS (
+      SELECT sum(n1) AS n1, sum(n - n1) AS n2,
+             sum(n1 * (below + (n + 1) / 2.0)) AS r1,
+             sum(CAST(n AS DOUBLE) * n * n - n) AS tie_term,
+             sum(n) AS nn
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((nn + 1) - tie_term / (nn * (nn - 1.0)))), 4) AS z
+    FROM stats
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal approximation)
+    comparing the `value` distribution of click vs purchase events.
+
+    Average ranks come from the DISTINCT-value table: for a value with
+    n occurrences and `below` pooled observations strictly smaller, the
+    shared midrank is below + (n+1)/2 — no per-row ranking, so the
+    global ORDER BY window runs over |distinct values| rows (bounded by
+    metric precision), not the event log. U, the tie-corrected variance
+    Σ(t³−t), and z then collapse in one aggregate."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        )
+        .groupBy("value")
+        .agg(F.count("*").alias("n"), F.sum("g1").alias("n1"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.withColumn("below", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    stats = ranked.agg(
+        F.sum("n1").alias("n1"),
+        F.sum(F.col("n") - F.col("n1")).alias("n2"),
+        F.sum(F.col("n1") * (F.col("below") + (F.col("n") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("tie_term"),
+        F.sum("n").alias("nn"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie_term") / (F.col("nn") * (F.col("nn") - 1.0))
+        )
+    )
+    return stats.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - mu) / sigma, 4).alias("z"),
+    )
+
+
+@query(
+    "q_welch_t",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ), w AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+             max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+             max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+             max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             4) AS dof
+    FROM w
+    """,
+)
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic with Welch–Satterthwaite
+    degrees of freedom, click vs purchase `value`. One
+    map-side-combinable aggregate per group (count/mean/var), then a
+    two-row conditional pivot — the fact table is scanned exactly once
+    and nothing but six scalars crosses the wire."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+
+    def pick(col: str, et: str):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("m", "click").alias("m1"),
+        pick("v", "click").alias("v1"),
+        pick("n", "purchase").alias("n2"),
+        pick("m", "purchase").alias("m2"),
+        pick("v", "purchase").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 4).alias("dof"),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH pos AS (
+      SELECT c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS i
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round((2.0 * sum(i * c_acctbal) - (count(*) + 1) * sum(c_acctbal))
+                 / (count(*) * sum(c_acctbal)), 4) AS gini
+    FROM pos GROUP BY c_mktsegment
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of positive account balances per
+    market segment, via the rank formula
+    G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-ranked x.
+
+    The row_number window is PARTITIONED by segment, so each group
+    sorts independently across the cluster — no global sort, no
+    single-reducer stage; exactly one shuffle on the segment key."""
+    pos = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = pos.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("c_acctbal"))
+                - (F.count("*") + 1) * F.sum("c_acctbal")
+            )
+            / (F.count("*") * F.sum("c_acctbal")),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             date_diff('day', min(ts), max(ts)) AS t,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ), subj AS (
+      SELECT t, CASE WHEN last_ts <= cutoff THEN 1 ELSE 0 END AS observed
+      FROM span, horizon
+    ), by_t AS (
+      SELECT t, sum(observed) AS d, count(*) - sum(observed) AS c
+      FROM subj GROUP BY t
+    ), km AS (
+      SELECT t, d,
+             (SELECT count(*) FROM subj) -
+             coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)), 4) AS survival
+    FROM km WHERE d > 0 ORDER BY t
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes
+    (days between a user's first and last event), right-censoring users
+    whose last event falls inside the final 7-day horizon (they may
+    still be alive). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), evaluated as
+    exp(Σ ln(1 − d/n)) so the running product is a cumulative-sum
+    window.
+
+    The event log collapses to one row per user (one combinable
+    groupBy), then to one row per DISTINCT lifetime — the only global
+    window runs over that day-grained table (≤ a few thousand rows at
+    any corpus size)."""
+    e = load(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    subj = span.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        F.when(F.col("last_ts") <= F.col("cutoff"), 1).otherwise(0).alias(
+            "observed"
+        ),
+    )
+    total = subj.agg(F.count("*").alias("n_total"))
+    by_t = subj.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        (F.count("*") - F.sum("observed")).alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    km = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        km.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                    ).over(w_cum)
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d"),
+            "survival",
+        )
+        .orderBy("t")
+    )
+
+
+@query(
+    "q_ab_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2, 3
+    ), v AS (
+      SELECT variant, sum(exposed) AS n, sum(exposed * conv) AS x
+      FROM assign GROUP BY variant
+    ), w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n1,
+             max(CASE WHEN variant = 0 THEN x END) AS x1,
+             max(CASE WHEN variant = 1 THEN n END) AS n2,
+             max(CASE WHEN variant = 1 THEN x END) AS x2
+      FROM v
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(x1 AS DOUBLE) / n1, 4) AS p1,
+           round(CAST(x2 AS DOUBLE) / n2, 4) AS p2,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+               * (1.0 / n1 + 1.0 / n2)), 4) AS z
+    FROM w
+    """,
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test for an A/B experiment:
+    deterministic assignment by user_id parity; the analysis unit is
+    the user-day (exposure = saw a 'view' that day, conversion =
+    purchased the same day — user-level exposure saturates on a dense
+    event log). Collapses to one row per user-day (combinable
+    conditional max), then four scalars — the canonical
+    experiment-readout plan where no per-event data survives the
+    first shuffle."""
+    assign = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    v = assign.groupBy("variant").agg(
+        F.sum("exposed").alias("n"),
+        F.sum(F.col("exposed") * F.col("conv")).alias("x"),
+    )
+
+    def pick(col: str, var: int):
+        return F.max(F.when(F.col("variant") == var, F.col(col)))
+
+    w = v.agg(
+        pick("n", 0).alias("n1"),
+        pick("x", 0).alias("x1"),
+        pick("n", 1).alias("n2"),
+        pick("x", 1).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(p1, 4).alias("p1"),
+        F.round(p2, 4).alias("p2"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            4,
+        ).alias("z"),
+    )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS r, user_id % 4 AS c, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(o) AS row_n FROM obs GROUP BY r),
+    ct AS (SELECT c, sum(o) AS col_n FROM obs GROUP BY c),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    chi AS (
+      SELECT sum(pow(o - row_n * col_n / CAST(n AS DOUBLE), 2)
+               / (row_n * col_n / CAST(n AS DOUBLE))) AS chi2,
+             max(n) AS n,
+             count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+      FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    )
+    SELECT round(chi2, 4) AS chi2,
+           CAST(n AS BIGINT) AS n,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 4) AS cramers_v
+    FROM chi
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × user-cohort
+    contingency table: V = √(χ² / (n·min(r−1, c−1))) — the
+    scale-free companion to q_chi_square's raw statistic. The
+    contingency table is r×c cells (tiny), so the marginal joins are
+    broadcasts; the fact table contributes one combinable count."""
+    e = load(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            F.col("event_type").alias("r"), (F.col("user_id") % 4).alias("c")
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_n"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    chi = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"),
+            F.max("n").alias("n"),
+            F.count_distinct("r").alias("nr"),
+            F.count_distinct("c").alias("nc"),
+        )
+    )
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type AS x, CAST(floor(value / 100) AS BIGINT) AS y,
+             count(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ), mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y),
+    tot AS (SELECT sum(nxy) AS n FROM joint)
+    SELECT round(sum((CAST(nxy AS DOUBLE) / n)
+             * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 4)
+             AS mi_nats,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    between event type and the value's 100-wide bucket — the
+    dependence screen used for feature selection before model
+    training. Joint and marginal tables are |types|×|buckets| cells;
+    every join after the first combinable count is a broadcast."""
+    e = load(spark, sf_dir, "events")
+    joint = (
+        e.select(
+            F.col("event_type").alias("x"),
+            F.floor(F.col("value") / 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    p = F.col("nxy").cast("double") / F.col("n")
+    lift = (
+        F.col("nxy").cast("double")
+        * F.col("n")
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(p * F.log(lift)), 4).alias("mi_nats"),
+            F.count("*").cast("long").alias("n_cells"),
+        )
+    )
