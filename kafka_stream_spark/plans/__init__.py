@@ -18,6 +18,7 @@ from . import breadth2  # noqa: E402,F401
 from . import core  # noqa: E402,F401
 from . import datasetops  # noqa: E402,F401
 from . import gaps  # noqa: E402,F401
+from . import geo  # noqa: E402,F401
 from . import graph_ext  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
 from . import ml_ext  # noqa: E402,F401
