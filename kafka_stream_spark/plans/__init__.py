@@ -26,6 +26,7 @@ from . import joins_ext  # noqa: E402,F401
 from . import modern  # noqa: E402,F401
 from . import mutate  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import timeseries_ext  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import quality_ext  # noqa: E402,F401
 from . import stateful_q  # noqa: E402,F401

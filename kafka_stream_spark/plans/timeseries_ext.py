@@ -1,0 +1,187 @@
+"""Time-series extensions, round 3 (X195-X197): changepoint
+detection, seasonal decomposition, and marketing attribution.
+
+Shared scale shape: the event log collapses to a per-day (or
+per-user-ordered) table in one combinable shuffle; every window after
+that runs over the collapsed table. Day-of-week is computed as
+(days since 1970-01-01) % 7 — engine-neutral, sidestepping the
+Spark-vs-DuckDB dayofweek numbering mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily
+    ), walk AS (
+      SELECT day,
+             sum((n - mu) / sd) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily CROSS JOIN stats
+    )
+    SELECT day AS change_day, round(abs(s), 4) AS cusum_peak,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days
+    FROM walk ORDER BY round(abs(s), 4) DESC, day LIMIT 1
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily event-count series: the
+    day where the cumulative sum of standardized deviations peaks in
+    magnitude is the maximum-likelihood single changepoint of a mean
+    shift. One combinable daily rollup, a broadcast two-scalar stats
+    row, then a cumulative window over the day table (thousands of
+    rows at any corpus size); argmax on the ROUNDED statistic so the
+    pick is ULP-stable across engines."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "s", F.sum((F.col("n") - F.col("mu")) / F.col("sd")).over(w)
+    )
+    return (
+        walk.withColumn("cusum_peak", F.round(F.abs("s"), 4))
+        .orderBy(F.desc("cusum_peak"), "day")
+        .limit(1)
+        .crossJoin(F.broadcast(n_days))
+        .select(F.col("day").alias("change_day"), "cusum_peak", "n_days")
+    )
+
+
+@query(
+    "q_seasonal_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, sum(value) AS total
+      FROM events GROUP BY 1
+    ), dow AS (
+      SELECT date_diff('day', DATE '1970-01-01', day) % 7 AS dow, total
+      FROM daily
+    ), base AS (SELECT avg(total) AS overall FROM daily)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(total), 4) AS avg_total,
+           round(avg(total) / overall, 4) AS seasonal_index
+    FROM dow CROSS JOIN base GROUP BY dow, overall
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices (avg daily total ÷ overall avg
+    daily total) — the multiplicative-decomposition seasonal factor a
+    forecaster divides out before trend fitting. Two combinable
+    aggregations and a broadcast scalar; dow = epoch-days % 7 keeps
+    the bucketing engine-neutral."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    dow = daily.select(
+        (F.datediff(F.col("day"), epoch) % 7).cast("long").alias("dow"),
+        "total",
+    )
+    base = daily.agg(F.avg("total").alias("overall"))
+    return (
+        dow.crossJoin(F.broadcast(base))
+        .groupBy("dow", "overall")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.avg("total"), 4).alias("avg_total"),
+            F.round(F.avg("total") / F.first("overall"), 4).alias(
+                "seasonal_index"
+            ),
+        )
+        .select("dow", "n_days", "avg_total", "seasonal_index")
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type = 'click' THEN
+               CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+                 WHEN 0 THEN 'organic' WHEN 1 THEN 'paid' ELSE 'social' END
+             END AS channel,
+             value
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, is_conv, value,
+             last_value(channel IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_conv, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_touch
+      FROM touches
+    )
+    SELECT coalesce(last_touch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS revenue
+    FROM carried WHERE is_conv = 1 GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent preceding click's channel (channel derived
+    deterministically from the click's props payload; same-timestamp
+    clicks sort before the purchase via the is_conv ordering key).
+    The carry is a per-user ordered window with IGNORE NULLS last() —
+    partitioned by user, so it parallelizes across the cluster with
+    one shuffle on user_id; no self-join of the event log against
+    itself."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    touches = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_conv"
+        ),
+        F.when(
+            F.col("event_type") == "click",
+            F.when(k % 3 == 0, "organic")
+            .when(k % 3 == 1, "paid")
+            .otherwise("social"),
+        ).alias("channel"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = touches.withColumn(
+        "last_touch", F.last("channel", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_conv") == 1)
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
