@@ -1,4 +1,4 @@
-"""Geospatial operators (round-3 extensions X193-X194).
+"""Geospatial operators (round-3 extensions X208-X209).
 
 Spatial radius joins are the geo equivalent of the engine's LSH
 near-dup joins: bucket space into grid cells, equi-join on cell ids

@@ -1,5 +1,5 @@
 """Classical-ML and advanced-text operators (round-3 extensions
-X187-X192).
+X202-X207).
 
 The reference classifies records with hand-maintained rule strings
 (/root/reference/kafka_stream/kafka_s.py:300-340). These operators are

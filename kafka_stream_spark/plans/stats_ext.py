@@ -1,4 +1,4 @@
-"""Statistical-inference operators (round-3 extensions X180-X186).
+"""Statistical-inference operators (round-3 extensions X195-X201).
 
 The reference pipeline classifies records with hand-written rules
 (/root/reference/kafka_stream/kafka_s.py:300-340); an analytics engine

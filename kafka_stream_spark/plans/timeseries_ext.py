@@ -1,4 +1,4 @@
-"""Time-series extensions, round 3 (X195-X197): changepoint
+"""Time-series extensions, round 3 (X210-X212): changepoint
 detection, seasonal decomposition, and marketing attribution.
 
 Shared scale shape: the event log collapses to a per-day (or
