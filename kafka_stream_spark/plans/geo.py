@@ -96,6 +96,10 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by local point density, never n². (The oracle spells the same
     neighborhood as a coarse theta filter — fine at oracle scale,
     while the engine side keeps the scalable equi-join form.)"""
+    return _radius_pairs(spark, sf_dir)
+
+
+def _radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     offsets = F.array(
         *[
@@ -183,3 +187,113 @@ def q_geo_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("band_diag_km"),
     )
+
+
+from ..operators.graph import connected_components  # noqa: E402
+
+
+_PAIRS_SQL = f"""
+    o(di, dj) AS (VALUES
+      (-1,-2),(-1,-1),(-1,0),(-1,1),(-1,2),
+      ( 0,-2),( 0,-1),( 0,0),( 0,1),( 0,2),
+      ( 1,-2),( 1,-1),( 1,0),( 1,1),( 1,2)),
+    pairs AS (
+      SELECT a.k AS k1, b.k AS k2
+      FROM pts a CROSS JOIN o JOIN pts b
+        ON floor(b.lat) = floor(a.lat) + o.di
+       AND floor(b.lon) = floor(a.lon) + o.dj
+      WHERE a.k < b.k
+        AND round(2 * {_EARTH_KM} * asin(sqrt(
+              pow(sin(radians(b.lat - a.lat) / 2), 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) <= 100.0
+    )
+"""
+
+
+@query(
+    "q_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS ({_POINTS_SQL}),
+    {_PAIRS_SQL},
+    sym AS (
+      SELECT k1 AS a, k2 AS b FROM pairs
+      UNION ALL SELECT k2, k1 FROM pairs
+    ),
+    deg AS (SELECT a AS k, count(*) AS n FROM sym GROUP BY a),
+    core AS (SELECT k FROM deg WHERE n + 1 >= 3),
+    core_edges AS (
+      SELECT s.a, s.b FROM sym s
+      JOIN core c1 ON s.a = c1.k JOIN core c2 ON s.b = c2.k
+    ),
+    lab(k, lab) AS (
+      SELECT k, k FROM core
+      UNION
+      SELECT e.b, l.lab FROM lab l JOIN core_edges e ON e.a = l.k
+    ),
+    comp AS (SELECT k, min(lab) AS cluster FROM lab GROUP BY k),
+    border AS (
+      SELECT s.a AS k, min(c.cluster) AS cluster
+      FROM sym s JOIN comp c ON s.b = c.k
+      WHERE s.a NOT IN (SELECT k FROM core)
+      GROUP BY s.a
+    )
+    SELECT k, CAST(cluster AS BIGINT) AS cluster, 'core' AS role FROM comp
+    UNION ALL
+    SELECT k, CAST(cluster AS BIGINT), 'border' FROM border
+    UNION ALL
+    SELECT p.k, CAST(-1 AS BIGINT), 'noise' FROM pts p
+    WHERE p.k NOT IN (SELECT k FROM comp)
+      AND p.k NOT IN (SELECT k FROM border)
+    """,
+)
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (eps = 100 km, minPts = 3) composed from the
+    engine's own primitives: the cell-blocked radius join supplies
+    eps-neighborhoods (no all-pairs), degree counts mark core points,
+    pointer-jumping connected components (operators/graph.py — the
+    same O(log d) machinery behind q_dedup_clusters) labels the
+    core-core graph, and border points take the MIN neighboring core
+    cluster so assignment is deterministic (textbook DBSCAN leaves
+    border ties order-dependent; an oracle-gated engine cannot).
+    Noise keeps cluster −1. The oracle recomputes the same fixpoint
+    with a recursive-CTE transitive closure.
+
+    Scale: every stage is a key-partitioned join/agg over the
+    candidate-pair table, whose size is bound by local density —
+    exactly the LSH-dedup shape, applied to space instead of text."""
+    pairs = _radius_pairs(spark, sf_dir).select("k1", "k2")
+    sym = pairs.union(
+        pairs.select(F.col("k2").alias("k1"), F.col("k1").alias("k2"))
+    ).persist()
+    deg = sym.groupBy(F.col("k1").alias("k")).agg(F.count("*").alias("n"))
+    core = deg.filter(F.col("n") + 1 >= 3).select("k")
+    core_edges = (
+        sym.join(core.withColumnRenamed("k", "k1"), "k1")
+        .join(core.withColumnRenamed("k", "k2"), "k2")
+        .select(F.col("k1").alias("a"), F.col("k2").alias("b"))
+    )
+    comp, _rounds = connected_components(
+        core.select(F.col("k").alias("v")), core_edges
+    )
+    comp = comp.select(F.col("v").alias("k"), F.col("component").alias("cluster"))
+    border = (
+        sym.join(comp.withColumnRenamed("k", "k2"), "k2")
+        .join(core.withColumnRenamed("k", "k1"), "k1", "left_anti")
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    pts = _points(spark, sf_dir).select("k")
+    labeled = comp.select("k", "cluster", F.lit("core").alias("role")).union(
+        border.select("k", "cluster", F.lit("border").alias("role"))
+    )
+    noise = (
+        pts.join(labeled.select("k"), "k", "left_anti")
+        .select("k", F.lit(-1).cast("long").alias("cluster"),
+                F.lit("noise").alias("role"))
+    )
+    out = labeled.select(
+        "k", F.col("cluster").cast("long").alias("cluster"), "role"
+    ).union(noise)
+    sym.unpersist()
+    return out

@@ -185,3 +185,69 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_clamped_balance",
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(
+             list_prepend(0.0, list(
+               CASE WHEN event_type = 'view' THEN value ELSE -value END
+               ORDER BY ts, event_id)),
+             (acc, x) -> greatest(acc + x, 0.0)), 4) AS final_balance,
+           CAST(count(*) AS BIGINT) AS n_txns
+    FROM events WHERE event_type IN ('view', 'click')
+    GROUP BY user_id
+    """,
+)
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance b := max(b + x, 0) per user
+    (credits = view values, debits = click values, ordered by
+    (ts, event_id)). The clamp makes this a genuine nonlinear
+    recurrence — NOT expressible as any window aggregate (a clamp in
+    the middle changes every later prefix sum), which is exactly the
+    case for applyInPandas: per-key Arrow batches, sequential fold
+    inside the executor, one shuffle on user_id and nothing else.
+    The oracle folds the same sequence with DuckDB's list_reduce
+    lambda — identical operation order, so doubles match bit-for-bit
+    before the final round."""
+    import pandas as pd
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "view", F.col("value"))
+            .otherwise(-F.col("value"))
+            .alias("signed"),
+        )
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0.0
+        for x in pdf["signed"]:
+            bal = max(bal + x, 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "raw_balance": [bal],
+                "n_txns": [len(pdf)],
+            }
+        )
+
+    # round Spark-side: F.round is HALF_UP like DuckDB's round for the
+    # non-negative clamped balance, where Python's round() is banker's
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fold, "user_id long, raw_balance double, n_txns long")
+        .select(
+            "user_id",
+            F.round("raw_balance", 4).alias("final_balance"),
+            "n_txns",
+        )
+    )
