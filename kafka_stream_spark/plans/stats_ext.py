@@ -504,3 +504,53 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_cells"),
         )
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT sum(n) AS nt FROM obs)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / nt, 4) AS observed_p,
+           round(log10(1 + 1.0 / d), 4) AS benford_p,
+           round(pow(CAST(n AS DOUBLE) / nt - log10(1 + 1.0 / d), 2)
+                 / log10(1 + 1.0 / d) * nt, 4) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY d
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    forensic data-quality screen (fabricated or truncated numeric
+    columns drift from P(d) = log10(1+1/d)). First digit extracted by
+    floor-then-string truncation (explicit floor: DuckDB's double→BIGINT
+    cast ROUNDS while Spark's truncates); one combinable 9-bucket count, χ² terms per
+    digit against the Benford expectation."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    bp = F.log10(1 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            F.round(p, 4).alias("observed_p"),
+            F.round(bp, 4).alias("benford_p"),
+            F.round(F.pow(p - bp, 2) / bp * F.col("nt"), 4).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )

@@ -251,3 +251,36 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_txns",
         )
     )
+
+
+@query(
+    "q_growth_rate",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, round(revenue, 4) AS revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+    FROM monthly ORDER BY month
+    """,
+)
+def q_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the ubiquitous dashboard
+    ratio, spelled as a lag window over the monthly rollup (the
+    combinable groupBy touches the fact table once; the global-order
+    lag runs over |months| rows). First month's growth is NULL by
+    definition."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    ).orderBy("month")
