@@ -106,6 +106,16 @@ HEADLINE = [
     "q_tfidf_cosine",     # inverted-index sparse cosine join
     "q_impute",           # group-median null imputation
     "q_simhash_dedup",    # hamming-banded SimHash dedup (scale path)
+    "q_naive_bayes",      # NB train+score as one query (broadcast model)
+    "q_geo_radius_join",  # cell-blocked haversine radius join
+    "q_dbscan",           # density clustering over the radius graph
+    "q_jaro_winkler",     # blocked JW fuzzy match (Arrow pandas UDF)
+    "q_item_cooccur",     # co-purchase lift, basket-bounded pair join
+    "q_attribution",      # last-touch carry window
+    "q_clamped_balance",  # applyInPandas nonlinear fold
+    "q_mann_whitney",     # distinct-value midrank test
+    "q_kaplan_meier",     # survival curve over collapsed lifetimes
+    "q_cusum",            # daily-rollup changepoint scan
 ]
 
 

@@ -173,3 +173,89 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+_WEDGES_SQL = """
+    we0 AS (
+      SELECT l.l_suppkey * 2 AS a, o.o_custkey * 2 + 1 AS b,
+             min(l.l_quantity) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    wsym AS (SELECT a, b, w FROM we0 UNION ALL SELECT b, a, w FROM we0)
+"""
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.min("l_quantity").alias("w"))
+    )
+    rev = e0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    return e0.union(rev)
+
+
+@query(
+    "q_sssp",
+    oracle=f"""
+    WITH {_WEDGES_SQL},
+    d0 AS (SELECT CAST(2 AS BIGINT) AS v, 0.0 AS dist),
+    d1 AS (
+      SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d0
+        UNION ALL
+        SELECT e.b AS v, d.dist + e.w FROM d0 d JOIN wsym e ON e.a = d.v
+      ) GROUP BY v),
+    d2 AS (
+      SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d1
+        UNION ALL
+        SELECT e.b AS v, d.dist + e.w FROM d1 d JOIN wsym e ON e.a = d.v
+      ) GROUP BY v),
+    d3 AS (
+      SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d2
+        UNION ALL
+        SELECT e.b AS v, d.dist + e.w FROM d2 d JOIN wsym e ON e.a = d.v
+      ) GROUP BY v),
+    d4 AS (
+      SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d3
+        UNION ALL
+        SELECT e.b AS v, d.dist + e.w FROM d3 d JOIN wsym e ON e.a = d.v
+      ) GROUP BY v)
+    SELECT v, round(dist, 4) AS dist FROM d4
+    """,
+)
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217 — single-source shortest paths (Bellman-Ford, 4 unrolled
+    relaxation rounds ⇒ exact over paths of ≤ 4 edges) from supplier 1
+    over the shipment graph, edge weight = min quantity ever shipped
+    on the supplier—customer link. Each round is ONE join (current
+    tentative distances ⋈ edges) + ONE min-combine shuffle on the
+    vertex key — the Pregel superstep shape, all long keys, distances
+    localCheckpoint-ed per round so the 4-round lineage stays flat.
+    Both engines relax in the same order-insensitive min-combine form,
+    so distances agree exactly."""
+    wsym = _weighted_edges(spark, sf_dir).persist()
+    dist = spark.createDataFrame(
+        [(2, 0.0)], "v long, dist double"
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        relaxed = (
+            wsym.join(dist.select(F.col("v").alias("a"), "dist"), "a")
+            .select(F.col("b").alias("v"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    wsym.unpersist()
+    return dist.select("v", F.round("dist", 4).alias("dist"))

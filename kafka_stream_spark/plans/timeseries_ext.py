@@ -284,3 +284,95 @@ def q_growth_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 4).alias("revenue"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     ).orderBy("month")
+
+
+@query(
+    "q_holt_forecast",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT segment, revenue,
+             row_number() OVER (PARTITION BY segment ORDER BY month) AS i
+      FROM monthly
+    ), n AS (SELECT segment, max(i) AS n FROM seq GROUP BY segment),
+    holt(segment, i, l, b) AS (
+      SELECT segment, 1, CAST(revenue AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.segment, h.i + 1,
+             0.5 * s.revenue + 0.5 * (h.l + h.b),
+             0.3 * (0.5 * s.revenue + 0.5 * (h.l + h.b) - h.l) + 0.7 * h.b
+      FROM holt h JOIN seq s ON s.segment = h.segment AND s.i = h.i + 1
+    )
+    SELECT h.segment, CAST(n.n AS BIGINT) AS n_months,
+           round(h.l, 4) AS level, round(h.b, 4) AS trend,
+           round(h.l + h.b, 4) AS forecast_1,
+           round(h.l + 3 * h.b, 4) AS forecast_3
+    FROM holt h JOIN n ON h.segment = n.segment AND h.i = n.n
+    """,
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3, l₀=first
+    value, b₀=0) over each market segment's monthly revenue, with 1-
+    and 3-step-ahead linear forecasts. The coupled level/trend
+    recurrence — like X214's clamp — cannot be a window aggregate, so
+    each segment's series folds inside applyInPandas after one
+    combinable monthly rollup; the shuffle carries (segment, month,
+    revenue) only. The oracle steps the identical recurrence with a
+    recursive CTE (a struct-accumulator list_reduce fold was tried
+    first and abandoned — DuckDB v1.0.0 evaluates multi-field struct
+    lambdas inconsistently), so doubles agree bit-for-bit before
+    rounding."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        vals = list(pdf["revenue"])
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "segment": [pdf["segment"].iloc[0]],
+                "n_months": [len(vals)],
+                "level_raw": [l],
+                "trend_raw": [b],
+            }
+        )
+
+    return (
+        monthly.groupBy("segment")
+        .applyInPandas(
+            fit, "segment string, n_months long, level_raw double, trend_raw double"
+        )
+        .select(
+            "segment",
+            "n_months",
+            F.round("level_raw", 4).alias("level"),
+            F.round("trend_raw", 4).alias("trend"),
+            F.round(F.col("level_raw") + F.col("trend_raw"), 4).alias(
+                "forecast_1"
+            ),
+            F.round(F.col("level_raw") + 3 * F.col("trend_raw"), 4).alias(
+                "forecast_3"
+            ),
+        )
+    )
