@@ -22,13 +22,40 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = 30,
+    shuffle_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """(vertices: [v], edges: [a, b] undirected-as-given) →
     ((v, component) DataFrame, rounds used). Raises on non-convergence.
 
     Each round: one neighbor-min join + one pointer-jump join, both on
     long keys only; labels are localCheckpoint-ed so plan lineage stays
-    flat. Round count is O(log diameter)."""
+    flat. Round count is O(log diameter).
+
+    ``shuffle_partitions`` right-sizes the per-round shuffles for the
+    EDGE SET rather than the session default: each round's cost on a
+    small graph is pure scheduling overhead × partitions (the eager
+    checkpoints materialize before AQE can coalesce), measured 2×
+    end-to-end on a 19k-edge graph (7.3s → 3.8s). Callers size it as
+    ~1 partition per 50k edges, clamped to [4, session default] — at
+    100 TB the clamp keeps the session's full parallelism. The session
+    value is restored on exit."""
+    spark = edges.sparkSession
+    restore = None
+    if shuffle_partitions is not None:
+        restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    try:
+        return _connected_components(vertices, edges, max_rounds)
+    finally:
+        if restore is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
+
+
+def _connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int,
+) -> tuple[DataFrame, int]:
     # symmetrize once; propagation needs both directions
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -263,18 +263,32 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair table, whose size is bound by local density —
     exactly the LSH-dedup shape, applied to space instead of text."""
     pairs = _radius_pairs(spark, sf_dir).select("k1", "k2")
+    # eager checkpoint: the radius join runs ONCE; a lazy persist would
+    # recompute it per consumer because unpersist-before-action drops
+    # the cache ahead of the first job
     sym = pairs.union(
         pairs.select(F.col("k2").alias("k1"), F.col("k1").alias("k2"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("k1").alias("k")).agg(F.count("*").alias("n"))
-    core = deg.filter(F.col("n") + 1 >= 3).select("k")
+    core = deg.filter(F.col("n") + 1 >= 3).select("k").localCheckpoint(
+        eager=True
+    )
     core_edges = (
         sym.join(core.withColumnRenamed("k", "k1"), "k1")
         .join(core.withColumnRenamed("k", "k2"), "k2")
         .select(F.col("k1").alias("a"), F.col("k2").alias("b"))
+        .localCheckpoint(eager=True)
     )
+    # ~1 shuffle partition per 50k edges for the iterative stage,
+    # clamped to the session default (see connected_components)
+    sess = int(
+        spark.conf.get("spark.sql.shuffle.partitions") or "32"
+    )
+    parts = max(4, min(sess, core_edges.count() // 50_000 + 1))
     comp, _rounds = connected_components(
-        core.select(F.col("k").alias("v")), core_edges
+        core.select(F.col("k").alias("v")),
+        core_edges,
+        shuffle_partitions=parts,
     )
     comp = comp.select(F.col("v").alias("k"), F.col("component").alias("cluster"))
     border = (
@@ -284,16 +298,24 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cluster").alias("cluster"))
     )
     pts = _points(spark, sf_dir).select("k")
-    labeled = comp.select("k", "cluster", F.lit("core").alias("role")).union(
-        border.select("k", "cluster", F.lit("border").alias("role"))
+    # labeled feeds both the noise anti-join and the final union —
+    # checkpoint so the CC + border subplans run once, not twice
+    labeled = (
+        comp.select(
+            "k", F.col("cluster").cast("long").alias("cluster"),
+            F.lit("core").alias("role"),
+        )
+        .union(
+            border.select(
+                "k", F.col("cluster").cast("long").alias("cluster"),
+                F.lit("border").alias("role"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     noise = (
         pts.join(labeled.select("k"), "k", "left_anti")
         .select("k", F.lit(-1).cast("long").alias("cluster"),
                 F.lit("noise").alias("role"))
     )
-    out = labeled.select(
-        "k", F.col("cluster").cast("long").alias("cluster"), "role"
-    ).union(noise)
-    sym.unpersist()
-    return out
+    return labeled.union(noise)
