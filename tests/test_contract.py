@@ -21,6 +21,7 @@ def test_registry_contract():
         "q_approx_distinct",  # HLL estimate is engine-specific
         "q_approx_percentile",  # GK-sketch ranks are engine-specific
         "q_hll_merge",        # DataSketches HLL has no DuckDB twin
+        "q_compression_ratio",  # zlib has no SQL analog (pytest-pinned)
     }, rows_only
     # q_uuid3_key is NOT rows-only despite DuckDB's VARCHAR-only md5:
     # its oracle compiles MD5 itself to SQL (functions/md5_sql)

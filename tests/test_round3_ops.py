@@ -1,0 +1,113 @@
+"""Property tests for the round-3 operator batches — the invariants
+the DuckDB oracle cannot see (completeness of blocking, DBSCAN role
+semantics, SSSP optimality vs brute force)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.plans.geo import (
+    _points,
+    q_dbscan,
+    q_geo_radius_join,
+)
+from kafka_stream_spark.plans.graph_ext import _weighted_edges, q_sssp
+from kafka_stream_spark.plans.stats_ext import q_gini, q_kaplan_meier
+from kafka_stream_spark.plans.timeseries_ext import q_holt_forecast
+
+SF = "/root/testdata/sf0.001"
+
+
+def _haversine_py(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+def test_radius_join_blocking_is_complete(spark):
+    """Cell blocking must find EVERY pair within 100 km — compare
+    against the O(n²) python brute force at sf0.001 (150 points)."""
+    pts = {r.k: (r.lat, r.lon) for r in _points(spark, SF).collect()}
+    brute = set()
+    keys = sorted(pts)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            d = round(_haversine_py(*pts[a], *pts[b]), 3)
+            if d <= 100.0:
+                brute.add((a, b))
+    got = {
+        (r.k1, r.k2) for r in q_geo_radius_join(spark, SF).collect()
+    }
+    assert got == brute
+
+
+def test_dbscan_roles_are_consistent(spark):
+    rows = q_dbscan(spark, SF).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    # every point labeled exactly once
+    assert len(rows) == len({r.k for r in rows})
+    # noise has cluster -1; core/border have a real cluster id
+    assert all(r.cluster == -1 for r in by_role.get("noise", []))
+    assert all(r.cluster >= 0 for r in by_role.get("core", []))
+    assert all(r.cluster >= 0 for r in by_role.get("border", []))
+    # cluster label is the min core member id (CC fixpoint)
+    clusters = {}
+    for r in by_role.get("core", []):
+        clusters.setdefault(r.cluster, []).append(r.k)
+    for label, members in clusters.items():
+        assert label == min(members)
+    # deterministic: rerun yields identical labeling
+    again = sorted(map(tuple, q_dbscan(spark, SF).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_sssp_matches_bruteforce_bellman_ford(spark):
+    edges = _weighted_edges(spark, SF).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r.a, []).append((r.b, float(r.w)))
+    dist = {2: 0.0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, float("inf")):
+                    nxt[v] = d + w
+        dist = nxt
+    got = {r.v: r.dist for r in q_sssp(spark, SF).collect()}
+    assert got.keys() == dist.keys()
+    for v, d in dist.items():
+        assert got[v] == pytest.approx(round(d, 4), abs=1e-9)
+
+
+def test_gini_bounds_and_known_value(spark):
+    for r in q_gini(spark, SF).collect():
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    rows = sorted(q_kaplan_meier(spark, SF).collect(), key=lambda r: r.t)
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    # risk set shrinks over time
+    risk = [r.n_risk for r in rows]
+    assert all(a >= b for a, b in zip(risk, risk[1:]))
+
+
+def test_holt_forecast_linear_extrapolation(spark):
+    for r in q_holt_forecast(spark, SF).collect():
+        # forecast_h = level + h*trend by construction
+        assert r.forecast_1 == pytest.approx(
+            round(r.level + r.trend, 2), abs=0.02
+        )
+        assert r.forecast_3 == pytest.approx(
+            round(r.level + 3 * r.trend, 2), abs=0.02
+        )
