@@ -481,3 +481,169 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "ratio_bucket")
     )
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.nid AS na, b.nid AS nb
+      FROM names a JOIN names b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_name < b.p_name
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.93
+    ),
+    sym AS (SELECT na, nb FROM pairs UNION ALL SELECT nb, na FROM pairs),
+    lab(nid, lab) AS (
+      SELECT nid, nid FROM names
+      UNION
+      SELECT s.nb, l.lab FROM lab l JOIN sym s ON s.na = l.nid
+    ),
+    comp AS (SELECT nid, min(lab) AS entity_id FROM lab GROUP BY nid)
+    SELECT n.p_name AS name, c.entity_id,
+           count(*) OVER (PARTITION BY c.entity_id) AS entity_size
+    FROM names n JOIN comp c ON n.nid = c.nid
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: block on the first name token,
+    score candidates with Jaro-Winkler ≥ 0.93, close matches
+    transitively (connected components over the match graph), and
+    assign each surface form the component-minimum id as its canonical
+    entity. The full composite a master-data pipeline runs — blocking
+    keeps it off the cross product, the match graph carries integer
+    ids only (name → min(p_partkey) once, up front), and the CC is
+    the engine's O(log d) pointer-jumping operator. Oracle: DuckDB's
+    native JW + a recursive-CTE closure — both the scorer and the
+    fixpoint are independently recomputed."""
+    from ..operators.graph import connected_components
+
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"))
+        .localCheckpoint(eager=True)
+    )
+    blk = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("nid").alias("na"),
+        blk.alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("nid").alias("nb"),
+        blk.alias("blk"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("jw", F.round(_jw_udf("name_a", "name_b"), 4))
+        .filter(F.col("jw") >= 0.93)
+        .select(F.col("na").alias("a"), F.col("nb").alias("b"))
+    )
+    comp, _ = connected_components(
+        names.select(F.col("nid").alias("v")), pairs, shuffle_partitions=4
+    )
+    w = Window.partitionBy("entity_id")
+    return (
+        names.join(comp, names.nid == comp.v)
+        .select(
+            F.col("p_name").alias("name"),
+            F.col("component").alias("entity_id"),
+        )
+        .withColumn("entity_size", F.count("*").over(w))
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(10, |stratum|)
+    documents per language, ordered by md5(doc_id) — a hash order both
+    engines reproduce, so the sample is stable across retries,
+    partitionings and engines (TABLESAMPLE is none of those). The
+    per-stratum rank is a PARTITIONED window — each stratum sorts
+    independently; at 100 TB replace the full sort with the same
+    hash-threshold trick q_dataset_mix uses, then rank only the
+    survivors (documented two-phase refinement)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@query(
+    "q_hof_funcs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(e, x -> x * x)), 4) AS norm_sq,
+           CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(e, x -> abs(x) > 2)) > 0 AS INTEGER)
+             AS has_big,
+           round(list_dot_product(e, list_reverse(e)), 4) AS dot_rev,
+           round(list_sort(e)[1], 4) AS min_elem,
+           round(list_sort(e)[len(e)], 4) AS max_elem
+    FROM v
+    """,
+)
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function family parity: transform / filter /
+    exists / aggregate-fold / zip_with / sort over embedding vectors —
+    Spark's lambda Column surface vs DuckDB's list_* lambdas. These
+    are the primitives every vector operator here builds on (cosine,
+    quantization, dim-stats); this row pins them individually. Floats
+    are cast to double BEFORE any fold on both engines (FLOAT[]
+    arithmetic would diverge), then rounded. Pure projection pass."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", e.alias("e"))
+    )
+    zero = F.lit(0.0).cast("double")
+    fold_sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(F.col("e"), F.reverse(F.col("e")), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return v.select(
+        "vec_id",
+        F.round(fold_sq, 4).alias("norm_sq"),
+        F.size(F.filter(F.col("e"), lambda x: x > 0))
+        .cast("long")
+        .alias("n_pos"),
+        F.exists(F.col("e"), lambda x: F.abs(x) > 2)
+        .cast("int")
+        .alias("has_big"),
+        F.round(dot_rev, 4).alias("dot_rev"),
+        F.round(F.array_min("e"), 4).alias("min_elem"),
+        F.round(F.array_max("e"), 4).alias("max_elem"),
+    )
