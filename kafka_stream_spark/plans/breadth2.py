@@ -13,7 +13,7 @@ codegen, trivially scale-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
@@ -627,3 +627,68 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+_AGG_FILTER_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_fulfilled,
+           round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 4)
+             AS avg_large,
+           CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderdate >=
+             DATE '1997-01-01') AS BIGINT) AS custs_since_97
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("q_agg_filter", oracle=_AGG_FILTER_SQL)
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222 — SQL:2003 aggregate FILTER clause, run from the IDENTICAL
+    SQL string on both engines (Spark 4 and DuckDB both implement it).
+    The declarative form of the CASE-WHEN conditional-aggregation
+    pattern used across this repo — one combinable pass however it's
+    spelled, but the FILTER spelling survives copy-paste from other
+    warehouses."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+@query(
+    "q_null_ordering",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS metric
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey, round(metric, 4) AS metric,
+           CAST(row_number() OVER (ORDER BY metric ASC NULLS FIRST,
+                                   o_orderkey) AS BIGINT) AS rn_nf,
+           CAST(row_number() OVER (ORDER BY metric DESC NULLS LAST,
+                                   o_orderkey) AS BIGINT) AS rn_nl
+    FROM src
+    """,
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223 — explicit NULLS FIRST / NULLS LAST ordering parity. The
+    engines DISAGREE by default (Spark sorts nulls first on ASC,
+    DuckDB last), so every ORDER BY on a nullable key in a portable
+    pipeline must pin placement explicitly — this row proves both
+    directions with deterministic key tie-breaks."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("metric"),
+    )
+    w_nf = Window.orderBy(F.asc_nulls_first("metric"), "o_orderkey")
+    w_nl = Window.orderBy(F.desc_nulls_last("metric"), "o_orderkey")
+    return src.select(
+        "o_orderkey",
+        F.round("metric", 4).alias("metric"),
+        F.row_number().over(w_nf).cast("long").alias("rn_nf"),
+        F.row_number().over(w_nl).cast("long").alias("rn_nl"),
+    )

@@ -390,3 +390,119 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_lttb",
+    oracle="""
+    WITH series AS (
+      SELECT event_type AS etype,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ), sized AS (
+      SELECT etype, x, y,
+             row_number() OVER (PARTITION BY etype ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY etype) AS n
+      FROM series
+    ), bucketed AS (
+      SELECT *, CAST(floor((rn - 1) * 12.0 / n) AS BIGINT) AS bucket
+      FROM sized
+    ), bstats AS (
+      SELECT etype, bucket, avg(x) AS ax, avg(y) AS ay
+      FROM bucketed GROUP BY 1, 2
+    ), anchors AS (
+      SELECT etype, bucket,
+             lag(ax) OVER (PARTITION BY etype ORDER BY bucket) AS px,
+             lag(ay) OVER (PARTITION BY etype ORDER BY bucket) AS py,
+             lead(ax) OVER (PARTITION BY etype ORDER BY bucket) AS nx,
+             lead(ay) OVER (PARTITION BY etype ORDER BY bucket) AS ny
+      FROM bstats
+    ), scored AS (
+      SELECT b.etype, b.bucket, b.x, b.y, b.rn, b.n,
+             CASE
+               WHEN b.bucket = 0 THEN CAST(-b.rn AS DOUBLE)
+               WHEN b.bucket = 11 THEN CAST(b.rn AS DOUBLE)
+               ELSE round(abs((a.px - a.nx) * (b.y - a.py)
+                            - (a.px - b.x) * (a.ny - a.py)), 6)
+             END AS score
+      FROM bucketed b JOIN anchors a
+        ON b.etype = a.etype AND b.bucket = a.bucket
+    ), picked AS (
+      SELECT etype, bucket, x, y,
+             row_number() OVER (PARTITION BY etype, bucket
+                                ORDER BY score DESC, x) AS pick
+      FROM scored
+    )
+    SELECT etype, CAST(bucket AS BIGINT) AS bucket,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+    FROM picked WHERE pick = 1
+    """,
+)
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style series downsampling (12 points per event type),
+    bucket-AVERAGE-anchored: each middle bucket keeps the point whose
+    triangle with the neighboring buckets' centroids is largest;
+    bucket 0 keeps the first point, the last bucket the last point.
+    Anchoring on bucket averages instead of the previously-selected
+    point (classic LTTB) removes the sequential selection chain, so
+    the whole downsample is windows + one join over the per-bucket
+    stats — embarrassingly parallel across series and buckets, which
+    is what a 100 TB dashboard tier needs. (The sequential classic
+    variant is available through the X214/X218 applyInPandas fold
+    pattern when exact LTTB output is required.) Argmax runs on the
+    ROUNDED area with an x tie-break — ULP-stable across engines."""
+    e = load(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    series = e.groupBy(
+        F.col("event_type").alias("etype"),
+        F.datediff(F.col("ts").cast("date"), epoch).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w_rn = Window.partitionBy("etype").orderBy("x")
+    w_n = Window.partitionBy("etype")
+    sized = series.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_n)
+    )
+    bucketed = sized.withColumn(
+        "bucket",
+        F.floor((F.col("rn") - 1) * 12.0 / F.col("n")).cast("long"),
+    )
+    bstats = bucketed.groupBy("etype", "bucket").agg(
+        F.avg("x").alias("ax"), F.avg("y").alias("ay")
+    )
+    w_b = Window.partitionBy("etype").orderBy("bucket")
+    anchors = bstats.select(
+        "etype",
+        "bucket",
+        F.lag("ax").over(w_b).alias("px"),
+        F.lag("ay").over(w_b).alias("py"),
+        F.lead("ax").over(w_b).alias("nx"),
+        F.lead("ay").over(w_b).alias("ny"),
+    )
+    scored = bucketed.join(anchors, ["etype", "bucket"]).withColumn(
+        "score",
+        F.when(F.col("bucket") == 0, (-F.col("rn")).cast("double"))
+        .when(F.col("bucket") == 11, F.col("rn").cast("double"))
+        .otherwise(
+            F.round(
+                F.abs(
+                    (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+                    - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+                ),
+                6,
+            )
+        ),
+    )
+    w_pick = Window.partitionBy("etype", "bucket").orderBy(
+        F.desc("score"), "x"
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "etype",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )

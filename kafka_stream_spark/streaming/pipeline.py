@@ -543,3 +543,105 @@ def run_scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming MinHash-LSH near-dedup: documents arrive as a stream
+    and each micro-batch is deduplicated against EVERY previously
+    ingested document through an accumulating signature store — the
+    continuous-ingestion form of q_near_dedup, which is how a training
+    corpus actually grows.
+
+    Per micro-batch (foreachBatch):
+      1. shingle → 32-slot minhash → 8×4 band keys for the batch (one
+         map pass, identical expressions to the batch path);
+      2. candidates = batch bands ⋈ (store ∪ batch) bands on band_key
+         with doc_a < doc_b — so intra-batch AND cross-history dups
+         surface in the same equi-join;
+      3. exact-Jaccard verify ≥ 0.5 on candidates only; flagged docs
+         append (doc_id, dup_of=min verified partner, jaccard) to the
+         result log;
+      4. the batch's (doc_id, band_key, hs) rows append to the store.
+    The store grows by signature rows only (~100 B/doc·band) — text
+    never enters it; at cluster scale the store is a bucketed table so
+    step 2 is a co-located join. When arrival order follows doc_id,
+    the flagged set provably equals the batch q_near_dedup pair
+    targets (pytest: incremental == batch after every wave)."""
+    from ..functions import hashing, text
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        h = (
+            batch.select(
+                "doc_id",
+                text.hashed_tokens_mod(F.col("text")).alias("th"),
+                text.tokens(F.col("text")).alias("toks"),
+            )
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    text.shingle_hashes(F.col("th"), F.col("toks"))
+                ).alias("hs"),
+            )
+        )
+        s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        bands = s.select(
+            "doc_id",
+            F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"),
+            "hs",
+        ).localCheckpoint(eager=True)
+        if os.path.exists(store_dir):
+            known = sess.read.parquet(store_dir).unionByName(bands)
+        else:
+            known = bands
+        x, y = known.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("x.hs").alias("hs_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("y.hs").alias("hs_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        inter = F.size(
+            F.filter(
+                F.col("hs_a"), lambda v: F.array_contains(F.col("hs_b"), v)
+            )
+        )
+        jacc = inter * F.lit(1.0) / (
+            F.size("hs_a") + F.size("hs_b") - inter
+        )
+        dups = (
+            cand.withColumn("jaccard", F.round(jacc, 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(
+                F.min("doc_a").alias("dup_of"),
+                F.max("jaccard").alias("max_jaccard"),
+            )
+        )
+        dups.write.mode("append").parquet(out_dir)
+        bands.write.mode("append").parquet(store_dir)
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

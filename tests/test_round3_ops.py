@@ -111,3 +111,49 @@ def test_holt_forecast_linear_extrapolation(spark):
         assert r.forecast_3 == pytest.approx(
             round(r.level + 3 * r.trend, 2), abs=0.02
         )
+
+
+def test_streaming_near_dedup_equals_batch(spark, tmp_path):
+    """Feeding the corpus in doc_id order, the streaming store must
+    flag exactly the doc_b side of the batch LSH pair set — after
+    every wave, over the subset seen so far."""
+    from kafka_stream_spark.plans.llm_ext import near_dup_pairs
+    from kafka_stream_spark.streaming.pipeline import run_streaming_near_dedup
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    median = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    wave1 = docs.filter(F.col("doc_id") <= median)
+    wave2 = docs.filter(F.col("doc_id") > median)
+
+    pairs = near_dup_pairs(spark, sf).collect()
+    batch_all = {}
+    for r in pairs:
+        cur = batch_all.get(r.doc_b)
+        batch_all[r.doc_b] = min(cur, r.doc_a) if cur is not None else r.doc_a
+    wave1_ids = {r.doc_id for r in wave1.select("doc_id").collect()}
+    batch_w1 = {
+        b: a for b, a in batch_all.items()
+        if b in wave1_ids and a in wave1_ids
+    }
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "ckpt")
+
+    def flagged():
+        import os
+
+        if not os.path.exists(out):
+            return {}
+        df = spark.read.parquet(out)
+        return {r.doc_id: r.dup_of for r in df.collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_near_dedup(spark, inp, store, out, ckpt).awaitTermination(300)
+    assert flagged() == batch_w1
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_near_dedup(spark, inp, store, out, ckpt).awaitTermination(300)
+    assert flagged() == batch_all
