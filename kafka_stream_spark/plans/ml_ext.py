@@ -647,3 +647,178 @@ def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("e"), 4).alias("min_elem"),
         F.round(F.array_max("e"), 4).alias("max_elem"),
     )
+
+
+@query(
+    "q_quantile_norm",
+    oracle="""
+    WITH g AS (
+      SELECT value, row_number() OVER (ORDER BY value, event_id) AS gr,
+             count(*) OVER () AS gn
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM events
+    ),
+    mapped AS (
+      SELECT s.event_id, s.event_type, s.value,
+             CAST(ceil(CAST(s.r AS DOUBLE) * g0.gn / s.m) AS BIGINT)
+               AS target_rank
+      FROM s CROSS JOIN (SELECT max(gn) AS gn FROM g) g0
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(m.value), 4) AS raw_mean,
+           round(avg(g.value), 4) AS norm_mean
+    FROM mapped m JOIN g ON g.gr = m.target_rank
+    GROUP BY m.event_type
+    """,
+)
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each event type's `value` distribution
+    is mapped onto the GLOBAL distribution by rank (within-group rank
+    r of m maps to the global order statistic at ⌈r·N/m⌉) — the
+    bioinformatics/feature-prep standard that forces identical
+    marginals across groups before comparison. Deterministic
+    tie-breaks on event_id make both engines' rank tables identical.
+    Reported as per-group raw vs normalized means (normalized means
+    converge; raw means differ). Global ranking at 100 TB swaps in
+    the quantile-sketch binning documented at q_mann_whitney."""
+    e = load(spark, sf_dir, "events")
+    g = e.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("gr"),
+    )
+    gn = e.count()
+    s = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    mapped = s.withColumn(
+        "target_rank",
+        F.ceil(F.col("r").cast("double") * F.lit(gn) / F.col("m")).cast(
+            "long"
+        ),
+    )
+    gg = g.select(F.col("gr").alias("target_rank"), F.col("value").alias("gv"))
+    return (
+        mapped.join(gg, "target_rank")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg("gv"), 4).alias("norm_mean"),
+        )
+    )
+
+
+@query(
+    "q_random_projection",
+    oracle="""
+    WITH dims AS (
+      SELECT d.d, k.k,
+             CASE WHEN ('0x' || substr(md5(d.d || '_' || k.k), 1, 2))::BIGINT
+                       % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+      FROM generate_series(1, 64) AS d(d)
+      CROSS JOIN generate_series(0, 7) AS k(k)
+    ),
+    expanded AS (
+      SELECT e.vec_id, gs.d, CAST(e.embedding[gs.d] AS DOUBLE) AS x
+      FROM embeddings e,
+           generate_series(1, 64) AS gs(d)
+      WHERE e.vec_id % 20 = 0
+    ),
+    proj AS (
+      SELECT ex.vec_id, dims.k, sum(ex.x * dims.sgn) AS p
+      FROM expanded ex JOIN dims ON ex.d = dims.d
+      GROUP BY 1, 2
+    )
+    SELECT pr.vec_id,
+           round(sqrt(sum(pr.p * pr.p) / 8), 4) AS proj_norm,
+           round(n.orig_norm, 4) AS orig_norm
+    FROM proj pr
+    JOIN (
+      SELECT vec_id, sqrt(sum(x * x)) AS orig_norm
+      FROM (SELECT vec_id, CAST(embedding[gs.d] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) AS gs(d)
+            WHERE vec_id % 20 = 0)
+      GROUP BY vec_id
+    ) n ON n.vec_id = pr.vec_id
+    GROUP BY pr.vec_id, n.orig_norm
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→8 dims with a
+    DETERMINISTIC ±1 Rademacher matrix derived from md5(d_k) — the
+    dimensionality-reduction pass that makes ANN affordable, with
+    reproducibility across engines/retries (a seeded RNG is not).
+    Projected norms (scaled by 1/√k) estimate original norms — JL in
+    action, both columns reported for inspection.
+
+    Plan: posexplode the vectors once, equi-join the BROADCAST 64×8
+    sign matrix, two combinable aggregates keyed by vec_id — vectors
+    shuffle as (vec_id, k, partial) triples, never as arrays."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    expanded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.col("x").cast("double").alias("x"),
+    )
+    dims = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(0, 8).select(F.col("id").alias("k")))
+        .select(
+            "d",
+            "k",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("_", F.col("d"), F.col("k")).cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("sgn"),
+        )
+    )
+    proj = (
+        expanded.join(F.broadcast(dims), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("x") * F.col("sgn")).alias("p"))
+    )
+    norms = expanded.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("orig_norm")
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.sum(F.col("p") * F.col("p")) / 8), 4).alias("proj_norm"))
+        .join(norms, "vec_id")
+        .select("vec_id", "proj_norm", F.round("orig_norm", 4).alias("orig_norm"))
+    )

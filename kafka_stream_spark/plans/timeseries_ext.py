@@ -506,3 +506,87 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("long").alias("y"),
         )
     )
+
+
+@query(
+    "q_segmented_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT avg(y) AS mu, stddev_samp(y) AS sd FROM daily
+    ), walk AS (
+      SELECT day,
+             sum((y - mu) / sd) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily CROSS JOIN stats
+    ), cp AS (
+      SELECT day AS change_day FROM walk
+      ORDER BY round(abs(s), 4) DESC, day LIMIT 1
+    )
+    SELECT cp.change_day,
+           CAST(count(*) FILTER (WHERE d.day <= cp.change_day) AS BIGINT)
+             AS n_before,
+           CAST(count(*) FILTER (WHERE d.day > cp.change_day) AS BIGINT)
+             AS n_after,
+           round(regr_slope(d.y, d.x)
+             FILTER (WHERE d.day <= cp.change_day), 6) AS slope_before,
+           round(regr_slope(d.y, d.x)
+             FILTER (WHERE d.day > cp.change_day), 6) AS slope_after
+    FROM daily d CROSS JOIN cp GROUP BY cp.change_day
+    """,
+)
+def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (piecewise-linear) trend: fit separate least-squares
+    slopes before and after the CUSUM-selected changepoint — the
+    composition a monitoring system actually runs (X210 finds WHERE
+    the break is, this quantifies HOW the trend changed). The
+    changepoint is a broadcast one-row dim; both slopes come from ONE
+    conditional-aggregation pass over the daily rollup (regr_slope
+    under FILTER), so the series is scanned once."""
+    e = load(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), epoch).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    stats = daily.agg(
+        F.avg("y").alias("mu"), F.stddev_samp("y").alias("sd")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "s", F.sum((F.col("y") - F.col("mu")) / F.col("sd")).over(w)
+    )
+    cp = (
+        walk.withColumn("peak", F.round(F.abs("s"), 4))
+        .orderBy(F.desc("peak"), "day")
+        .limit(1)
+        .select(F.col("day").alias("change_day"))
+    )
+    before = F.col("day") <= F.col("change_day")
+    return (
+        daily.crossJoin(F.broadcast(cp))
+        .groupBy("change_day")
+        .agg(
+            F.count(F.when(before, 1)).cast("long").alias("n_before"),
+            F.count(F.when(~before, 1)).cast("long").alias("n_after"),
+            F.round(
+                F.regr_slope(
+                    F.when(before, F.col("y")), F.when(before, F.col("x"))
+                ),
+                6,
+            ).alias("slope_before"),
+            F.round(
+                F.regr_slope(
+                    F.when(~before, F.col("y")), F.when(~before, F.col("x"))
+                ),
+                6,
+            ).alias("slope_after"),
+        )
+        .select(
+            "change_day", "n_before", "n_after", "slope_before", "slope_after"
+        )
+    )
