@@ -1594,3 +1594,165 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(imgs).select(
         F.col("doc_id").alias("vec_id"), "phash"
     )
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH src AS (
+      SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+      FROM documents GROUP BY 1, 2
+    ), w AS (
+      SELECT source, lang, n, chars, pow(n, 0.5) AS raw_w
+      FROM src
+    ), tot AS (SELECT sum(raw_w) AS tw, sum(n) AS tn FROM w)
+    SELECT source, lang, CAST(n AS BIGINT) AS n,
+           CAST(chars AS BIGINT) AS chars,
+           round(raw_w / tw, 6) AS weight,
+           CAST(floor(raw_w / tw * tn) AS BIGINT) AS expected_samples
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixture weights (α = 0.5, the
+    T5/mT5 exponent): sampling probability ∝ n^α, flattening the
+    source distribution so low-resource strata are upsampled — the
+    knob every multilingual/multi-source training mix turns. One
+    combinable rollup + a broadcast normalizer; the per-stratum
+    expected sample counts are what the downstream sampler (X220)
+    consumes."""
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .withColumn("raw_w", F.pow(F.col("n"), 0.5))
+    )
+    tot = src.agg(F.sum("raw_w").alias("tw"), F.sum("n").alias("tn"))
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+        F.round(F.col("raw_w") / F.col("tw"), 6).alias("weight"),
+        F.floor(F.col("raw_w") / F.col("tw") * F.col("tn"))
+        .cast("long")
+        .alias("expected_samples"),
+    )
+
+
+@query(
+    "q_padding_waste",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ), schemes AS (
+      SELECT s.bucket_size, l.doc_id, l.n_tok,
+             CAST(ceil(CAST(l.n_tok AS DOUBLE) / s.bucket_size)
+                  * s.bucket_size AS BIGINT) AS padded
+      FROM lens l CROSS JOIN (VALUES (16), (32), (64)) AS s(bucket_size)
+      WHERE l.n_tok > 0
+    )
+    SELECT CAST(bucket_size AS BIGINT) AS bucket_size,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(sum(padded) AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(sum(n_tok) AS DOUBLE) / sum(padded), 4)
+             AS waste_frac
+    FROM schemes GROUP BY 1
+    """,
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: for bucket
+    sizes 16/32/64 tokens, the fraction of compute spent on padding
+    (padded − real) if each document pads to its bucket ceiling — the
+    measurement that justifies sequence packing in a training
+    pipeline. Token lengths are one map pass; the 3-scheme expansion
+    is a tiny broadcast VALUES cross join; everything aggregates
+    map-side."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    schemes = spark.createDataFrame(
+        [(16,), (32,), (64,)], "bucket_size long"
+    )
+    padded = F.ceil(
+        F.col("n_tok").cast("double") / F.col("bucket_size")
+    ) * F.col("bucket_size")
+    return (
+        lens.crossJoin(F.broadcast(schemes))
+        .withColumn("padded", padded.cast("long"))
+        .groupBy("bucket_size")
+        .agg(
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tok").cast("double") / F.sum("padded"),
+                4,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS ae, label AS albl
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), scored AS (
+      SELECT a.aid, e.vec_id AS cand, e.label AS clbl,
+             round((list_aggregate(list_transform(range(len(a.ae)), i -> CAST(a.ae[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE)), 'sum') / (sqrt(list_aggregate(list_transform(a.ae, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))), 6) AS cos_sim
+      FROM anchors a JOIN embeddings e
+        ON e.vec_id <> a.aid AND e.label <> a.albl
+    ), ranked AS (
+      SELECT aid, cand, clbl, cos_sim,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY cos_sim DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT aid, cand, clbl, cos_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (4% sample), the 3 most cosine-similar vectors with a DIFFERENT
+    label — maximally confusable negatives, the standard retrieval /
+    embedding-finetune data build. Brute-force scoring against the
+    corpus here (the anchor side is the small sample); at full scale
+    the candidate side goes through the X30 IVF index and only probed
+    cells are scored — same ranking tail either way. Rounded scores +
+    id tie-break keep the top-3 cut ULP-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("albl"),
+    )
+    scored = (
+        anchors.join(
+            emb,
+            (F.col("vec_id") != F.col("aid"))
+            & (F.col("label") != F.col("albl")),
+        )
+        .select(
+            "aid",
+            F.col("vec_id").alias("cand"),
+            F.col("label").alias("clbl"),
+            F.round(
+                vectors.cosine(F.col("ae"), F.col("embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy(F.desc("cos_sim"), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("aid", "cand", "clbl", "cos_sim")
+    )
