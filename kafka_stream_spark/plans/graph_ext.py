@@ -259,3 +259,67 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     wsym.unpersist()
     return dist.select("v", F.round("dist", 4).alias("dist"))
+
+
+@query(
+    "q_link_predict",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+    mids AS (SELECT v, d FROM deg WHERE d <= 50),
+    hops AS (
+      SELECT e1.a AS u, e2.b AS v, m.d AS wd
+      FROM sym e1
+      JOIN mids m ON e1.b = m.v
+      JOIN sym e2 ON e2.a = m.v
+      WHERE e1.a < e2.b
+    ),
+    scored AS (
+      SELECT u, v, count(*) AS common,
+             round(sum(1.0 / ln(wd)), 6) AS adamic_adar
+      FROM hops GROUP BY u, v
+    ),
+    nonadj AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN sym e ON e.a = s.u AND e.b = s.v
+      WHERE e.a IS NULL
+    )
+    SELECT u, v, CAST(common AS BIGINT) AS common, adamic_adar
+    FROM nonadj
+    ORDER BY adamic_adar DESC, u, v LIMIT 20
+    """,
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232 — Adamic-Adar link prediction: score non-adjacent vertex
+    pairs by Σ 1/ln(deg(w)) over shared neighbors w — here, suppliers
+    whose customer bases overlap (the "likely next relationship"
+    ranking recommender graphs run). The 2-hop pair join goes THROUGH
+    intermediates only, with a degree cap (≤ 50) on the intermediate
+    — the same hub-cut lever as X176's df-cap, which is what keeps
+    2-hop enumeration from exploding on power-law graphs at 100 TB.
+    Existing edges drop via an anti-join; top-20 on the rounded score
+    with (u,v) tie-break."""
+    sym = _edges(spark, sf_dir).persist()
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    mids = deg.filter(F.col("d") <= 50)
+    e1 = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    e2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    hops = (
+        e1.join(mids.select(F.col("v").alias("w"), "d"), "w")
+        .join(e2, "w")
+        .filter(F.col("u") < F.col("v"))
+    )
+    scored = hops.groupBy("u", "v").agg(
+        F.count("*").alias("common"),
+        F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+    )
+    adj = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    nonadj = scored.join(adj, ["u", "v"], "left_anti")
+    return (
+        nonadj.orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(20)
+        .select(
+            "u", "v", F.col("common").cast("long").alias("common"),
+            "adamic_adar",
+        )
+    )
