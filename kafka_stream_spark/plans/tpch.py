@@ -747,3 +747,280 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 — the four shapes that need `partsupp`, absent from the
+# driver testdata. partsupp is SYNTHESIZED deterministically with the
+# official TPC-H supplier-assignment formula (4 suppliers per part,
+# suppkey = (p + i*(S/4 + (p-1)/S)) mod S, dbgen's spread so a part's
+# suppliers land in different nation bands) and pure-arithmetic
+# availqty/supplycost — identical integer math in Spark and DuckDB, so
+# all four queries sit under the full value-hash oracle gate.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+      SELECT p.p_partkey AS ps_partkey,
+             ((p.p_partkey + i.i * (s.cnt // 4 + (p.p_partkey - 1) // s.cnt))
+               % s.cnt) AS ps_suppkey,
+             (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
+             ((p.p_partkey * 13 + i.i * 17) % 90000) / 100.0 + 100
+               AS ps_supplycost
+      FROM part p
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+      CROSS JOIN (SELECT count(*) AS cnt FROM supplier) s
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    cnt = load(spark, sf_dir, "supplier").count()
+    i = spark.range(0, 4).select(F.col("id").alias("i"))
+    return p.crossJoin(F.broadcast(i)).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        (
+            (
+                F.col("p_partkey")
+                + F.col("i")
+                * (
+                    cnt // 4
+                    + F.floor((F.col("p_partkey") - 1) / cnt).cast("long")
+                )
+            )
+            % cnt
+        ).alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("i") * 11) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("p_partkey") * 13 + F.col("i") * 17) % 90000) / 100.0
+            + 100
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           round(ps.ps_supplycost, 2) AS ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'ASIA'
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for size-15 SMALL parts, the
+    ASIA supplier(s) matching the regional minimum supply cost.
+    The correlated MIN subquery decorrelates to a per-part aggregate
+    joined back on (partkey, supplycost) — spelled that way directly:
+    one combinable min-agg over the region-filtered partsupp, then an
+    equi-join; dims broadcast, top-100 is TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_ps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = asia_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    ).select(F.col("ps_partkey").alias("mc_partkey"), "min_cost")
+    return (
+        asia_ps.join(
+            min_cost,
+            (asia_ps.ps_partkey == min_cost.mc_partkey)
+            & (asia_ps.ps_supplycost == min_cost.min_cost),
+        )
+        .join(p, asia_ps.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 2).alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    scoped AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * ps.ps_availqty AS value
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    ),
+    tot AS (SELECT sum(value) AS tv FROM scoped)
+    SELECT ps_partkey, round(sum(value), 2) AS part_value
+    FROM scoped CROSS JOIN tot
+    GROUP BY ps_partkey, tv
+    HAVING sum(value) > tv * 0.002
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose inventory value inside
+    the scoped nations exceeds a fraction of the total — the HAVING >
+    scalar-subquery shape. The total is a broadcast scalar; both the
+    per-part sum and the total come from the SAME scoped projection,
+    scanned once."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    scoped = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    tot = scoped.agg(F.sum("value").alias("tv"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("value").alias("pv"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("pv") > F.col("tv") * 0.002)
+        .select(
+            "ps_partkey", F.round("pv", 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT IN ('PROMO')
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding one brand, one
+    type family, and a complaint-flagged supplier set (the testdata
+    has no comment column, so the exclusion set is the deterministic
+    s_suppkey % 7 band — same NOT IN anti-join shape). Distinct-count
+    over the partsupp join with every dim broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s.s_name, CAST(s.s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM partsupp ps
+      WHERE ps.ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND ps.ps_availqty > (
+        SELECT 0.5 * coalesce(sum(l.l_quantity), 0)
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey
+          AND l.l_suppkey = ps.ps_suppkey
+          AND l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+      )
+    )
+    AND s.s_nationkey < 13
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess inventory): suppliers in the nation band
+    holding more than half a year's shipped quantity of any 'small%'
+    part. The doubly-nested IN + correlated scalar subquery
+    decorrelates to: per-(part, supp) 1996 shipment sums (combinable
+    agg), LEFT-joined to the small-part partsupp (missing shipments
+    coalesce to 0 — an inner join would silently drop never-shipped
+    excess stock, which is exactly the inventory this query hunts),
+    filter availqty > 0.5·sum, then a semi-join into supplier."""
+    ps = _partsupp(spark, sf_dir)
+    small = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    excess = (
+        ps.join(small, ps.ps_partkey == small.p_partkey)
+        .join(shipped, ["ps_partkey", "ps_suppkey"], "left")
+        .filter(
+            F.col("ps_availqty")
+            > 0.5 * F.coalesce(F.col("qty"), F.lit(0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select(
+            "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey")
+        )
+        .orderBy("s_name")
+    )
