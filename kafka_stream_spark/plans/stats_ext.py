@@ -554,3 +554,230 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# Poisson(1) inverse-CDF thresholds: P(X<=k) for k = 0..4 (then 5+)
+_POIS = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238462, 0.9963401531726563]
+
+
+def _pois_case_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {_POIS[0]} THEN 0 "
+        f"WHEN {u} < {_POIS[1]} THEN 1 "
+        f"WHEN {u} < {_POIS[2]} THEN 2 "
+        f"WHEN {u} < {_POIS[3]} THEN 3 "
+        f"WHEN {u} < {_POIS[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_id, e.value, b.b,
+             ('0x' || substr(md5(e.event_id || '_' || b.b), 1, 6))::BIGINT
+               / 16777216.0 AS u
+      FROM events e
+      CROSS JOIN generate_series(0, 31) AS b(b)
+    ), weighted AS (
+      SELECT b, value, {_pois_case_sql('u')} AS w FROM reps
+    ), means AS (
+      SELECT b, sum(w * value) / sum(w) AS m
+      FROM weighted GROUP BY b HAVING sum(w) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(m), 4) AS boot_mean,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean of `value`
+    — the streaming-friendly bootstrap (each row draws its replicate
+    weights independently, no resampling pass), with the RNG replaced
+    by md5-derived uniforms through the Poisson(1) inverse CDF so
+    every replicate is reproducible across engines, retries and
+    partitionings. 32 replicates expand map-side (row × 32 — one
+    combinable shuffle keyed by replicate), percentile band over the
+    32 replicate means. The classic resample-n-rows bootstrap cannot
+    run distributed without this trick; this is how big-data CIs are
+    actually computed."""
+    e = load(spark, sf_dir, "events")
+    b = spark.range(0, 32).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.col("event_id"), F.col("b")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+    )
+    weighted = e.crossJoin(F.broadcast(b)).select(
+        "b", "value", w.alias("w")
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("value")).alias("sw"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select("b", (F.col("sw") / F.col("n")).alias("m"))
+    )
+    return means.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_conformal",
+    oracle="""
+    WITH train AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      WHERE l_orderkey % 3 = 0
+    ), fit AS (
+      SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a FROM train
+    ), calib AS (
+      SELECT abs(l.l_extendedprice - (f.a + f.b * l.l_quantity)) AS r
+      FROM lineitem l CROSS JOIN fit f WHERE l.l_orderkey % 3 = 1
+    ), ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r) AS rn, count(*) OVER () AS n
+      FROM calib
+    ), qhat AS (
+      SELECT r AS q FROM ranked
+      WHERE rn = CAST(ceil(0.9 * (n + 1)) AS BIGINT)
+    )
+    SELECT round(f.b, 6) AS slope, round(f.a, 4) AS intercept,
+           round(q.q, 4) AS qhat,
+           round(avg(CASE WHEN abs(l.l_extendedprice
+                     - (f.a + f.b * l.l_quantity)) <= q.q
+                     THEN 1.0 ELSE 0.0 END), 4) AS test_coverage
+    FROM lineitem l CROSS JOIN fit f CROSS JOIN qhat q
+    WHERE l.l_orderkey % 3 = 2
+    GROUP BY f.b, f.a, q.q
+    """,
+)
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval: fit price ~ quantity on a
+    train split, take the ⌈0.9(n+1)⌉-th smallest absolute calibration
+    residual as the interval half-width (the finite-sample-valid
+    quantile — RANK-based, so no interpolation ULP risk), then report
+    empirical test coverage (≈ 0.9 by the conformal guarantee,
+    distribution-free). Fit and q̂ are broadcast scalars; each split
+    is scanned once; the only window runs over calibration residuals
+    and at 100 TB swaps in the rank-from-sketch path like
+    q_mann_whitney."""
+    li = load(spark, sf_dir, "lineitem")
+    train = li.filter(F.col("l_orderkey") % 3 == 0)
+    fit = train.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("a"),
+    )
+    calib = (
+        li.filter(F.col("l_orderkey") % 3 == 1)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.abs(
+                F.col("l_extendedprice")
+                - (F.col("a") + F.col("b") * F.col("l_quantity"))
+            ).alias("r")
+        )
+    )
+    w = Window.orderBy("r")
+    ranked = calib.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    qhat = ranked.filter(
+        F.col("rn") == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
+    ).select(F.col("r").alias("q"))
+    test = (
+        li.filter(F.col("l_orderkey") % 3 == 2)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+    )
+    covered = F.when(
+        F.abs(
+            F.col("l_extendedprice")
+            - (F.col("a") + F.col("b") * F.col("l_quantity"))
+        )
+        <= F.col("q"),
+        1.0,
+    ).otherwise(0.0)
+    return test.groupBy("b", "a", "q").agg(
+        F.round(F.avg(covered), 4).alias("test_coverage")
+    ).select(
+        F.round("b", 6).alias("slope"),
+        F.round("a", 4).alias("intercept"),
+        F.round("q", 4).alias("qhat"),
+        "test_coverage",
+    )
+
+
+@query(
+    "q_target_encode",
+    oracle="""
+    WITH labeled AS (
+      SELECT p.p_brand, l.l_orderkey % 5 AS fold,
+             CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), per_fold AS (
+      SELECT p_brand, fold, sum(y) AS s, count(*) AS n
+      FROM labeled GROUP BY 1, 2
+    ), tot AS (
+      SELECT p_brand, sum(s) AS ts, sum(n) AS tn FROM per_fold GROUP BY 1
+    )
+    SELECT f.p_brand, CAST(f.fold AS BIGINT) AS fold,
+           CAST(f.n AS BIGINT) AS n_rows,
+           round((t.ts - f.s) / (t.tn - f.n), 6) AS encoding
+    FROM per_fold f JOIN tot t ON f.p_brand = t.p_brand
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding: each (brand, fold) cell gets the
+    return-rate computed from every OTHER fold — (Σtotal − Σfold) /
+    (ntotal − nfold) — the leakage-safe mean-target feature every
+    tabular-ML pipeline engineers. One labeled join (part dim
+    broadcast), one combinable (brand, fold) rollup, and the
+    complement arithmetic needs only the brand totals joined back —
+    the raw data is never re-scanned per fold."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    labeled = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    per_fold = labeled.groupBy("p_brand", "fold").agg(
+        F.sum("y").alias("s"), F.count("*").alias("n")
+    )
+    tot = per_fold.groupBy("p_brand").agg(
+        F.sum("s").alias("ts"), F.sum("n").alias("tn")
+    )
+    return per_fold.join(F.broadcast(tot), "p_brand").select(
+        "p_brand",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n")), 6
+        ).alias("encoding"),
+    )
