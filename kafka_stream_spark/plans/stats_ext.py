@@ -781,3 +781,145 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") - F.col("s")) / (F.col("tn") - F.col("n")), 6
         ).alias("encoding"),
     )
+
+
+@query(
+    "q_isotonic",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CAST(least(floor(l_quantity / 5), 9) AS BIGINT) AS b,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    ), buckets AS (
+      SELECT b, sum(y) AS s, count(*) AS w, avg(y) AS raw_rate
+      FROM bucketed GROUP BY b
+    ), pairs AS (
+      SELECT j.b AS j, k.b AS k,
+             sum(m.s) / sum(m.w) AS wavg
+      FROM buckets j JOIN buckets k ON j.b <= k.b
+      JOIN buckets m ON m.b BETWEEN j.b AND k.b
+      GROUP BY j.b, k.b
+    ), stage1 AS (
+      SELECT i.b AS i, p.j, min(p.wavg) AS mn
+      FROM buckets i JOIN pairs p ON p.j <= i.b AND p.k >= i.b
+      GROUP BY i.b, p.j
+    ), iso AS (
+      SELECT i, max(mn) AS iso_rate FROM stage1 GROUP BY i
+    )
+    SELECT bk.b AS bucket, CAST(bk.w AS BIGINT) AS n,
+           round(bk.raw_rate, 6) AS raw_rate,
+           round(iso.iso_rate, 6) AS iso_rate
+    FROM buckets bk JOIN iso ON bk.b = iso.i
+    ORDER BY bucket
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of return rate vs quantity
+    bucket, via the exact minimax characterization
+    iso(i) = max_{j≤i} min_{k≥i} wavg(y[j..k]) — the closed form of
+    PAVA, which turns the inherently sequential pool-adjacent-
+    violators scan into pure joins/aggregates over the BUCKET grid.
+    The raw data collapses to ≤10 bucket rows in one combinable pass;
+    the O(B³) minimax runs on that tiny grid (the standard
+    reliability-diagram + isotonic-fit model-calibration op). Output
+    is the raw vs calibrated rate per bucket; iso_rate is
+    non-decreasing by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    bucketed = li.select(
+        F.least(F.floor(F.col("l_quantity") / 5), F.lit(9))
+        .cast("long")
+        .alias("b"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    buckets = bucketed.groupBy("b").agg(
+        F.sum("y").alias("s"),
+        F.count("*").alias("w"),
+        F.avg("y").alias("raw_rate"),
+    ).localCheckpoint(eager=True)
+    j = buckets.select(F.col("b").alias("j"))
+    k = buckets.select(F.col("b").alias("k"))
+    m = buckets.select(F.col("b").alias("m"), "s", "w")
+    pairs = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .join(m, (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum("s") / F.sum("w")).alias("wavg"))
+    )
+    i = buckets.select(F.col("b").alias("i"))
+    stage1 = (
+        i.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("wavg").alias("mn"))
+    )
+    iso = stage1.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        buckets.join(iso, buckets.b == iso.i)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("w").cast("long").alias("n"),
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    ), hit AS (
+      SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cw) AS rn
+      FROM ordered WHERE cw >= tw / 2.0
+    )
+    SELECT h.l_returnflag,
+           round(h.v, 4) AS weighted_median,
+           round(u.unweighted, 4) AS plain_median
+    FROM hit h JOIN (
+      SELECT l_returnflag, median(l_extendedprice) AS unweighted
+      FROM lineitem GROUP BY 1
+    ) u ON h.l_returnflag = u.l_returnflag
+    WHERE h.rn = 1
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first value
+    whose running weight reaches half the group total (rank-based
+    lower weighted median — deterministic, no interpolation), next to
+    the plain median for contrast. One partitioned cumulative-weight
+    window with full tie-breaks; the weighted quantile family that
+    unit-weight percentiles (X8/X73) can't express."""
+    li = load(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w_cum).alias("cw"),
+        F.sum("l_quantity").over(w_tot).alias("tw"),
+    )
+    w_rn = Window.partitionBy("l_returnflag").orderBy("cw")
+    hit = (
+        ordered.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("unweighted")
+    )
+    return hit.join(plain, "l_returnflag").select(
+        "l_returnflag",
+        F.round("v", 4).alias("weighted_median"),
+        F.round("unweighted", 4).alias("plain_median"),
+    )
