@@ -116,6 +116,14 @@ HEADLINE = [
     "q_mann_whitney",     # distinct-value midrank test
     "q_kaplan_meier",     # survival curve over collapsed lifetimes
     "q_cusum",            # daily-rollup changepoint scan
+    "q_tpch_q2",          # min-cost supplier over synthesized partsupp
+    "q_tpch_q11",         # stock-value concentration (HAVING > scalar)
+    "q_entity_resolution", # block → JW → transitive closure composite
+    "q_bootstrap_ci",     # 32-replicate Poisson bootstrap
+    "q_target_encode",    # out-of-fold mean-target features
+    "q_lttb",             # parallel largest-triangle downsampling
+    "q_quantile_norm",    # rank-mapped marginal normalization
+    "q_holt_forecast",    # per-segment Holt fold (applyInPandas)
 ]
 
 

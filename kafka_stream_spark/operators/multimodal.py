@@ -1,14 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by Arrow-batched pandas UDFs over mapInPandas.
 
-Uncompressed raster formats (24-bit BMP, binary PPM) are decoded to
-REAL PIXELS in pure Python — width/height/mean-luminance features and
-nearest-neighbor resize need no external library. Compressed formats
-(PNG/JPEG) and audio/video remain behind clearly-marked
-NotImplementedError branches with a deterministic fallback feature set
-(byte length + md5) — the Spark-side contract (schema, batch shape,
-partition behavior) is identical either way, so swapping in
-PIL/librosa/ffmpeg later changes only the body of ``_decode_*``.
+Uncompressed formats are decoded to REAL SAMPLES in pure Python —
+24-bit BMP / binary PPM to pixels (features, NN resize, aHash) and
+RIFF/PCM WAV to int16 audio samples (rate/duration/RMS/peak, see
+``audio_features``). Compressed formats (PNG/JPEG/mp3/ogg) and video
+remain behind clearly-marked NotImplementedError branches with a
+deterministic fallback feature set (byte length + md5) — the
+Spark-side contract (schema, batch shape, partition behavior) is
+identical either way, so swapping in PIL/librosa/ffmpeg later changes
+only the body of ``_decode_*``.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize as one driver-side blob; keep
@@ -411,3 +412,123 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python WAV (RIFF/PCM) codec — real samples, no external libs.
+# Closes the audio modality the way BMP/PPM closed images: the
+# NotImplementedError boundary now covers only COMPRESSED audio
+# (mp3/ogg/flac), and swapping in soundfile later changes one branch.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        byte_rate, block_align, 16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """(sample_rate, n_channels, samples) from 16-bit PCM WAV.
+
+    Walks RIFF chunks properly (a `LIST`/`INFO` chunk between fmt and
+    data is legal and common), so files from real writers parse too."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    "compressed WAV (non-PCM) needs soundfile"
+                )
+            if bits != 16:
+                raise NotImplementedError("only 16-bit PCM supported")
+        elif cid == b"data":
+            n = len(body) // 2
+            samples = list(struct.unpack(f"<{n}h", body[: n * 2]))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, channels, samples
+
+
+def _decode_audio_wav(payload: bytes) -> dict[str, Any]:
+    rate, channels, samples = decode_wav(payload)
+    n = len(samples) // max(channels, 1)
+    if samples:
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+        peak = max(abs(s) for s in samples) / 32768.0
+    else:
+        rms = peak = 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n,
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "rms": round(rms, 6),
+        "peak": round(peak, 6),
+        "decoder": "wav-pcm16-v1",
+    }
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, meta struct) → AUDIO_SCHEMA rows.
+
+    Real PCM decode for audio/wav payloads; other audio mimes (and
+    corrupt payloads) fall back to a null-feature row carrying the
+    byte hash in `decoder` position semantics — the pipeline stays
+    total. Arrow-batched; payloads never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    feats = _decode_audio_wav(payload)
+                except (ValueError, NotImplementedError, struct.error):
+                    feats = {
+                        "sample_rate": None,
+                        "n_channels": None,
+                        "n_samples": None,
+                        "duration_ms": None,
+                        "rms": None,
+                        "peak": None,
+                        "decoder": "undecodable:"
+                        + hashlib.md5(payload).hexdigest()[:8],
+                    }
+                rows.append({"doc_id": doc_id, **feats})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -141,3 +141,52 @@ def test_ahash_stable_across_containers_and_noise(spark):
     assert ham_inv >= 32
     # non-image rows carry a null hash, not an error
     assert rows[5]["phash"] is None
+
+
+def test_wav_roundtrip_and_features(spark):
+    import math
+
+    from kafka_stream_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    # 440 Hz sine, 0.1s at 8 kHz, amplitude 0.5
+    sine = [
+        int(16384 * math.sin(2 * math.pi * 440 * t / 8000))
+        for t in range(800)
+    ]
+    wav = encode_wav(sine, sample_rate=8000)
+    rate, ch, samples = decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert samples == sine
+
+    rows = spark.createDataFrame(
+        [(1, bytearray(wav), {"mime": "audio/wav"}),
+         (2, bytearray(b"not a wav"), {"mime": "audio/wav"})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    out = {r.doc_id: r for r in audio_features(rows).collect()}
+    good = out[1]
+    assert good.sample_rate == 8000 and good.n_channels == 1
+    assert good.n_samples == 800 and good.duration_ms == 100
+    # RMS of a 0.5-amplitude sine ~ 0.5/sqrt(2)
+    assert abs(good.rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(good.peak - 0.5) < 0.01
+    bad = out[2]
+    assert bad.sample_rate is None and bad.decoder.startswith("undecodable:")
+
+
+def test_wav_parser_skips_extra_chunks(spark):
+    import struct as st
+
+    from kafka_stream_spark.operators.multimodal import decode_wav, encode_wav
+
+    wav = encode_wav([100, -100, 200], sample_rate=4000)
+    # splice a LIST chunk between fmt and data like real writers do
+    fmt_end = 12 + 8 + 16
+    extra = st.pack("<4sI", b"LIST", 4) + b"INFO"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    rate, ch, samples = decode_wav(spliced)
+    assert rate == 4000 and samples == [100, -100, 200]
