@@ -684,3 +684,118 @@ def q_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass") - F.col("n_members")).alias("n_false_pos"),
         )
     )
+
+
+@query(
+    "q_hll_intersect",
+    oracle=f"""
+    WITH members AS (
+      SELECT 'A' AS s, user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'B', user_id FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'U', user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), h AS (
+      SELECT s, {hashing.token_hash_sql("CAST(user_id AS VARCHAR)")} AS hh
+      FROM members
+    ), parts AS (
+      SELECT s, hh % {{m}} AS bucket,
+             53 - length(bin(hh // {{m}})) AS rank
+      FROM h
+    ), regs AS (
+      SELECT s, bucket, max(rank) AS m_j FROM parts GROUP BY 1, 2
+    ), est AS (
+      SELECT s, count(*) AS npres, sum(pow(2.0, -m_j)) AS sm FROM regs
+      GROUP BY s
+    ), scored AS (
+      SELECT s,
+             (0.7213 / (1 + 1.079 / {{m}}.0)) * {{m}} * {{m}}
+               / (sm + ({{m}} - npres)) AS raw,
+             {{m}} - npres AS v
+      FROM est
+    ), sizes AS (
+      SELECT s, CASE WHEN raw <= 2.5 * {{m}} AND v > 0
+                     THEN {{m}} * ln({{m}} * 1.0 / v) ELSE raw END AS n
+      FROM scored
+    ), wide AS (
+      SELECT max(CASE WHEN s = 'A' THEN n END) AS na,
+             max(CASE WHEN s = 'B' THEN n END) AS nb,
+             max(CASE WHEN s = 'U' THEN n END) AS nu
+      FROM sizes
+    )
+    SELECT round(na, 4) AS est_a, round(nb, 4) AS est_b,
+           round(na + nb - nu, 4) AS est_intersection,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'))
+             AS exact_intersection
+    FROM wide
+    """.replace("{m}", str(_HLL_M)),
+)
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |A∩B| estimated by inclusion-exclusion over
+    three portable HLLs (clickers, purchasers, their union — the
+    union sketch is just the SAME register pipeline over the unioned
+    rows, because HLL registers merge by max). This is how overlap
+    questions ("how many users do both?") get answered at 100 TB
+    without a distinct-pair shuffle; the exact INTERSECT runs
+    alongside for calibration. One register pipeline keyed by set
+    label; everything after the partial agg is a 3×256-row table."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.lit("A").alias("s"), "user_id"
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("B").alias("s"), "user_id"
+    )
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.lit("U").alias("s"), "user_id"
+    )
+    members = a.union(b).union(u)
+    h = members.select(
+        "s", hashing.token_hash(F.col("user_id").cast("string")).alias("hh")
+    )
+    parts = h.select(
+        "s",
+        (F.col("hh") % _HLL_M).alias("bucket"),
+        (F.lit(53) - F.length(F.bin(F.expr(f"hh DIV {_HLL_M}")))).alias(
+            "rank"
+        ),
+    )
+    regs = parts.groupBy("s", "bucket").agg(F.max("rank").alias("m_j"))
+    est = regs.groupBy("s").agg(
+        F.count("*").alias("npres"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sm"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / float(_HLL_M))
+    raw = (
+        F.lit(alpha) * _HLL_M * _HLL_M
+        / (F.col("sm") + (F.lit(_HLL_M) - F.col("npres")))
+    )
+    v = F.lit(_HLL_M) - F.col("npres")
+    n = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M) * 1.0 / v),
+    ).otherwise(raw)
+    sizes = est.select("s", n.alias("n"))
+    wide = sizes.agg(
+        F.max(F.when(F.col("s") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("s") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("s") == "U", F.col("n"))).alias("nu"),
+    )
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clickers.intersect(buyers)
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return wide.crossJoin(F.broadcast(exact)).select(
+        F.round("na", 4).alias("est_a"),
+        F.round("nb", 4).alias("est_b"),
+        F.round(F.col("na") + F.col("nb") - F.col("nu"), 4).alias(
+            "est_intersection"
+        ),
+        "exact_intersection",
+    )

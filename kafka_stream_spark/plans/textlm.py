@@ -506,3 +506,76 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.crossJoin(F.broadcast(n)).select(
         "w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi")
     )
+
+
+@query(
+    "q_vocab_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), counts AS (
+      SELECT tok,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM tok GROUP BY tok HAVING count(*) >= 5
+    ), tot AS (
+      SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS v FROM counts
+    ), probs AS (
+      SELECT tok,
+             (c0 + 1.0) / (t0 + v) AS p0,
+             (c1 + 1.0) / (t1 + v) AS p1
+      FROM counts CROSS JOIN tot
+    )
+    SELECT tok,
+           round((p0 - p1) * ln(p0 / p1), 8) AS psi_term,
+           round(sum((p0 - p1) * ln(p0 / p1)) OVER (), 6) AS psi_total
+    FROM probs
+    ORDER BY abs((p0 - p1) * ln(p0 / p1)) DESC, tok
+    LIMIT 10
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves: PSI over add-one-
+    smoothed token distributions on the ≥5-occurrence vocabulary,
+    reporting the 10 largest-drift terms plus the corpus-level PSI —
+    the curation check that catches a scrape whose content silently
+    changed (new boilerplate, language shift) before it poisons a
+    training mix. One combinable token-count shuffle; the probability
+    table is vocabulary-sized."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = (
+        tok.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        )
+        .filter(F.col("c0") + F.col("c1") >= 5)
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("t0"),
+        F.sum("c1").alias("t1"),
+        F.count("*").alias("v"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        ((F.col("c0") + 1.0) / (F.col("t0") + F.col("v"))).alias("p0"),
+        ((F.col("c1") + 1.0) / (F.col("t1") + F.col("v"))).alias("p1"),
+    )
+    term = (F.col("p0") - F.col("p1")) * F.log(F.col("p0") / F.col("p1"))
+    w = Window.partitionBy()
+    return (
+        probs.withColumn("psi_term", F.round(term, 8))
+        .withColumn("psi_total", F.round(F.sum(term).over(w), 6))
+        .orderBy(F.abs(term).desc(), "tok")
+        .limit(10)
+        .select("tok", "psi_term", "psi_total")
+    )
