@@ -923,3 +923,208 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 4).alias("weighted_median"),
         F.round("unweighted", 4).alias("plain_median"),
     )
+
+
+_WLS_SQL = """
+      SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+             sum(w * x * x) AS swxx, sum(w * x * y) AS swxy
+      FROM {src}
+"""
+
+
+@query(
+    "q_huber_fit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_quantity AS x, l_extendedprice AS y, 1.0 AS w
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    m0 AS ({_WLS_SQL.format(src="pts")}),
+    fit0 AS (
+      SELECT (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+             (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+               / sw AS a
+      FROM m0
+    ),
+    r1 AS (
+      SELECT p.x, p.y,
+             CASE WHEN abs(p.y - (f.a + f.b * p.x)) <= 5000 THEN 1.0
+                  ELSE 5000 / abs(p.y - (f.a + f.b * p.x)) END AS w
+      FROM pts p CROSS JOIN fit0 f
+    ),
+    m1 AS ({_WLS_SQL.format(src="r1")}),
+    fit1 AS (
+      SELECT (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+             (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+               / sw AS a
+      FROM m1
+    ),
+    r2 AS (
+      SELECT p.x, p.y,
+             CASE WHEN abs(p.y - (f.a + f.b * p.x)) <= 5000 THEN 1.0
+                  ELSE 5000 / abs(p.y - (f.a + f.b * p.x)) END AS w
+      FROM pts p CROSS JOIN fit1 f
+    ),
+    m2 AS ({_WLS_SQL.format(src="r2")}),
+    fit2 AS (
+      SELECT (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+             (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)
+               / sw AS a
+      FROM m2
+    )
+    SELECT round(f0.b, 6) AS ols_slope, round(f2.b, 6) AS huber_slope,
+           round(f0.a, 4) AS ols_intercept, round(f2.a, 4) AS huber_intercept
+    FROM fit0 f0 CROSS JOIN fit2 f2
+    """,
+)
+def q_huber_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression by IRLS, two unrolled reweighting
+    rounds (w = 1 inside the δ=5000 band, δ/|r| outside): the
+    outlier-resistant fit reported next to plain OLS. Every round is
+    ONE weighted-moment aggregate (5 scalars) + a broadcast of the
+    closed-form (a, b) back onto the points — the fixed-round
+    distributed-IRLS shape; the data is scanned once per round and
+    nothing but scalars cross the wire."""
+
+    def wls(df):
+        m = df.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        b = (
+            F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+        ) / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx"))
+        return m.select(
+            b.alias("b"),
+            ((F.col("swy") - b * F.col("swx")) / F.col("sw")).alias("a"),
+        )
+
+    def reweight(pts, fit):
+        r = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+        return pts.crossJoin(F.broadcast(fit)).select(
+            "x",
+            "y",
+            F.when(r <= 5000, 1.0).otherwise(5000 / r).alias("w"),
+        )
+
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    fit0 = wls(pts).localCheckpoint(eager=True)
+    fit1 = wls(reweight(pts, fit0)).localCheckpoint(eager=True)
+    fit2 = wls(reweight(pts, fit1))
+    return fit0.alias("f0").crossJoin(fit2.alias("f2")).select(
+        F.round(F.col("f0.b"), 6).alias("ols_slope"),
+        F.round(F.col("f2.b"), 6).alias("huber_slope"),
+        F.round(F.col("f0.a"), 4).alias("ols_intercept"),
+        F.round(F.col("f2.a"), 4).alias("huber_intercept"),
+    )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> t <> '')) >= 40
+                  THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ), cells AS (
+      SELECT r1, r2, count(*) AS n FROM rated GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS nt FROM cells),
+    stats AS (
+      SELECT sum(CASE WHEN r1 = r2 THEN n ELSE 0 END) * 1.0 / nt AS po,
+             (sum(CASE WHEN r1 = 1 THEN n ELSE 0 END) * 1.0 / nt)
+               * (sum(CASE WHEN r2 = 1 THEN n ELSE 0 END) * 1.0 / nt)
+             + (sum(CASE WHEN r1 = 0 THEN n ELSE 0 END) * 1.0 / nt)
+               * (sum(CASE WHEN r2 = 0 THEN n ELSE 0 END) * 1.0 / nt)
+               AS pe,
+             max(nt) AS nt
+      FROM cells CROSS JOIN tot GROUP BY nt
+    )
+    SELECT CAST(nt AS BIGINT) AS n, round(po, 6) AS agreement,
+           round((po - pe) / (1 - pe), 6) AS kappa
+    FROM stats
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement between two deterministic
+    quality raters (char-length vs token-count thresholds) — the
+    metric every labeling/curation effort reports before trusting a
+    classifier ensemble. Both raters are projections; the contingency
+    collapses to 4 cells in one combinable pass; κ = (p₀−pₑ)/(1−pₑ)."""
+    d = load(spark, sf_dir, "documents")
+    rated = d.select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("r1"),
+        F.when(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 40,
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    cells = rated.groupBy("r1", "r2").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    c = cells.crossJoin(F.broadcast(tot))
+    po = F.sum(F.when(F.col("r1") == F.col("r2"), F.col("n")).otherwise(0)) / F.max(
+        "nt"
+    )
+    p1a = F.sum(F.when(F.col("r1") == 1, F.col("n")).otherwise(0)) / F.max("nt")
+    p2a = F.sum(F.when(F.col("r2") == 1, F.col("n")).otherwise(0)) / F.max("nt")
+    pe = p1a * p2a + (1 - p1a) * (1 - p2a)
+    return c.agg(
+        F.max("nt").cast("long").alias("n"),
+        F.round(po, 6).alias("agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT t.tok, count(*) AS f
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> '' GROUP BY t.tok
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency-rank curve:
+    regr_slope(ln f, ln rank) ≈ −1 for natural language — the
+    one-number corpus sanity check (synthetic or template-spam
+    corpora flunk it; this synthetic corpus's slope IS the recorded
+    diagnostic). One token-count shuffle; the ranking window runs
+    over the vocabulary table with a deterministic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = counts.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "tok")).alias("r")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+    )
