@@ -178,9 +178,24 @@ def _decode_image(payload: bytes) -> dict[str, Any]:
 
 
 def _decode_audio(payload: bytes) -> dict[str, Any]:
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa — not in this container"
-    )
+    """PCM WAV decodes for real (see decode_wav below); the content
+    hash covers the raw SAMPLES, so the same audio in differently-
+    chunked containers hashes identically (the image decoders' BMP ≡
+    PPM property). Compressed codecs still raise into the byte-level
+    fallback."""
+    try:
+        _rate, _ch, samples = decode_wav(payload)
+    except ValueError as e:  # not RIFF at all → fallback features
+        raise NotImplementedError(str(e)) from e
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    return {
+        "n_bytes": len(payload),
+        "content_hash": hashlib.md5(pcm).hexdigest(),
+        "decoder": "wav-pcm16-v1",
+        "width": None,
+        "height": None,
+        "mean_lum": None,
+    }
 
 
 def _decode_video_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
@@ -430,6 +445,7 @@ AUDIO_SCHEMA = StructType(
         StructField("duration_ms", LongType()),
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
+        StructField("zcr", DoubleType()),
         StructField("decoder", StringType()),
     ]
 )
@@ -487,8 +503,13 @@ def _decode_audio_wav(payload: bytes) -> dict[str, Any]:
     if samples:
         rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
         peak = max(abs(s) for s in samples) / 32768.0
+        # zero-crossing rate: crossings per sample — the cheap
+        # voiced/unvoiced + pitch-class proxy every audio pipeline logs
+        zcr = sum(
+            1 for a, b in zip(samples, samples[1:]) if (a >= 0) != (b >= 0)
+        ) / max(len(samples) - 1, 1)
     else:
-        rms = peak = 0.0
+        rms = peak = zcr = 0.0
     return {
         "sample_rate": rate,
         "n_channels": channels,
@@ -496,6 +517,7 @@ def _decode_audio_wav(payload: bytes) -> dict[str, Any]:
         "duration_ms": int(n * 1000 / rate) if rate else 0,
         "rms": round(rms, 6),
         "peak": round(peak, 6),
+        "zcr": round(zcr, 6),
         "decoder": "wav-pcm16-v1",
     }
 
@@ -523,6 +545,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                         "duration_ms": None,
                         "rms": None,
                         "peak": None,
+                        "zcr": None,
                         "decoder": "undecodable:"
                         + hashlib.md5(payload).hexdigest()[:8],
                     }

@@ -174,6 +174,8 @@ def test_wav_roundtrip_and_features(spark):
     # RMS of a 0.5-amplitude sine ~ 0.5/sqrt(2)
     assert abs(good.rms - 0.5 / math.sqrt(2)) < 0.01
     assert abs(good.peak - 0.5) < 0.01
+    # a 440 Hz tone at 8 kHz crosses zero ~2*440 times/sec -> zcr ~ 0.11
+    assert abs(good.zcr - 2 * 440 / 8000) < 0.005
     bad = out[2]
     assert bad.sample_rate is None and bad.decoder.startswith("undecodable:")
 

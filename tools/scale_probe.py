@@ -69,6 +69,31 @@ PROBE = [
     "q_anomaly_zscore",
     "q_label_prop",
     "q_khop_reach",
+    # round-3 batch 2: stats / ML / geo / timeseries operators
+    "q_mann_whitney",
+    "q_kaplan_meier",
+    "q_naive_bayes",
+    "q_item_cooccur",
+    # q_geo_radius_join / q_dbscan are deliberately NOT probed: key-offset
+    # replication multiplies point DENSITY in a FIXED metric space, so
+    # eps-radius candidates grow quadratically (15k pairs → 627k at 8×)
+    # and the 100 km graph percolates into giant components — an artifact
+    # of the replication transform, not the plan. A real 8× corpus covers
+    # more space at locally-bounded density, where the cell-join's
+    # candidate volume grows ~linearly.
+    "q_attribution",
+    "q_clamped_balance",
+    "q_cusum",
+    "q_lttb",
+    "q_target_encode",
+    "q_bootstrap_ci",
+    "q_quantile_norm",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_entity_resolution",
+    "q_link_predict",
+    "q_vocab_drift",
+    "q_zipf_fit",
 ]
 
 KEY_OFFSETS = {
