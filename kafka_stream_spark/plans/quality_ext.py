@@ -24,7 +24,7 @@ like every O(n²) twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text
@@ -479,3 +479,85 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.unpersist()
     return result
+
+
+@query(
+    "q_class_weights",
+    oracle="""
+    WITH cls AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), tot AS (SELECT sum(n) AS nt, count(*) AS k FROM cls),
+    w AS (
+      SELECT lang, n, CAST(nt AS DOUBLE) / (k * n) AS weight, nt
+      FROM cls CROSS JOIN tot
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n, round(weight, 6) AS class_weight,
+           round(pow(sum(weight * n) OVER (), 2)
+                 / sum(weight * weight * n) OVER (), 4)
+             AS effective_sample_size
+    FROM w
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' formula
+    N/(K·n_c)) with the Kish effective sample size (Σw)²/Σw² the
+    reweighted corpus actually trains on — the imbalance correction +
+    its cost, in one pass. Class table is K rows; everything after
+    the first combinable count is broadcast-sized."""
+    d = load(spark, sf_dir, "documents")
+    cls = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = cls.agg(F.sum("n").alias("nt"), F.count("*").alias("k"))
+    w = cls.crossJoin(F.broadcast(tot)).withColumn(
+        "weight", F.col("nt").cast("double") / (F.col("k") * F.col("n"))
+    )
+    win = Window.partitionBy()
+    ess = F.pow(
+        F.sum(F.col("weight") * F.col("n")).over(win), 2
+    ) / F.sum(F.col("weight") * F.col("weight") * F.col("n")).over(win)
+    return w.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.round("weight", 6).alias("class_weight"),
+        F.round(ess, 4).alias("effective_sample_size"),
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH qid AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS grp_n
+      FROM customer GROUP BY 1, 2, 3
+    ), tot AS (SELECT sum(grp_n) AS nt FROM qid)
+    SELECT CAST(min(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           round(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                 * 1.0 / max(nt), 6) AS frac_below_k5
+    FROM qid CROSS JOIN tot
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (segment, nation, balance-band)
+    quasi-identifier: the minimum equivalence-class size IS the
+    dataset's k, plus how many rows sit in classes smaller than k=5
+    (the re-identifiable tail a release gate must suppress or
+    generalize — the [[q_pii_redact]] companion for structured data).
+    One combinable QID rollup; the audit aggregates its tiny result."""
+    c = load(spark, sf_dir, "customer")
+    qid = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("grp_n"))
+    tot = qid.agg(F.sum("grp_n").alias("nt"))
+    below = F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+    return qid.crossJoin(F.broadcast(tot)).agg(
+        F.min("grp_n").cast("long").alias("k_anonymity"),
+        F.count("*").cast("long").alias("n_groups"),
+        below.cast("long").alias("rows_below_k5"),
+        F.round(below * 1.0 / F.max("nt"), 6).alias("frac_below_k5"),
+    )
