@@ -718,3 +718,94 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_secs"),
         F.round(F.avg("secs"), 6).alias("mean_secs"),
     )
+
+
+@query(
+    "q_outlier_ensemble",
+    oracle="""
+    WITH stats AS (
+      SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3,
+             median(o_totalprice) AS med
+      FROM orders
+    ), mad AS (
+      SELECT median(abs(o_totalprice - s.med)) AS mad_v
+      FROM orders CROSS JOIN stats s
+    ), flagged AS (
+      SELECT o.o_orderkey,
+             CASE WHEN abs(o.o_totalprice - s.mu) / s.sd > 3
+                  THEN 1 ELSE 0 END AS f_z,
+             CASE WHEN o.o_totalprice > s.q3 + 1.5 * (s.q3 - s.q1)
+                    OR o.o_totalprice < s.q1 - 1.5 * (s.q3 - s.q1)
+                  THEN 1 ELSE 0 END AS f_iqr,
+             CASE WHEN abs(o.o_totalprice - s.med)
+                       / (1.4826 * m.mad_v) > 3.5
+                  THEN 1 ELSE 0 END AS f_mad
+      FROM orders o CROSS JOIN stats s CROSS JOIN mad m
+    )
+    SELECT CAST(sum(f_z) AS BIGINT) AS n_zscore,
+           CAST(sum(f_iqr) AS BIGINT) AS n_iqr,
+           CAST(sum(f_mad) AS BIGINT) AS n_mad,
+           CAST(sum(CASE WHEN f_z + f_iqr + f_mad >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_majority,
+           CAST(sum(CASE WHEN f_z + f_iqr + f_mad = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unanimous
+    FROM flagged
+    """,
+)
+def q_outlier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-screen ensemble: z-score (>3σ), Tukey IQR fence, and
+    modified-z on MAD (>3.5) each vote on order totals; majority and
+    unanimous counts quantify how much the screens disagree — the
+    robustness check a data-quality gate runs before trusting any one
+    rule (X108/X112/X115's screens, composed). Two scalar stats rows
+    broadcast; the fact table is scanned once for stats, once for
+    voting, nothing shuffles but scalars."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+        F.median("o_totalprice").alias("med"),
+    )
+    mad = (
+        o.crossJoin(F.broadcast(stats))
+        .agg(
+            F.median(F.abs(F.col("o_totalprice") - F.col("med"))).alias(
+                "mad_v"
+            )
+        )
+    )
+    f = o.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(mad))
+    f_z = F.when(
+        F.abs(F.col("o_totalprice") - F.col("mu")) / F.col("sd") > 3, 1
+    ).otherwise(0)
+    iqr = F.col("q3") - F.col("q1")
+    f_iqr = F.when(
+        (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+        | (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr),
+        1,
+    ).otherwise(0)
+    f_mad = F.when(
+        F.abs(F.col("o_totalprice") - F.col("med"))
+        / (1.4826 * F.col("mad_v"))
+        > 3.5,
+        1,
+    ).otherwise(0)
+    voted = f.select(
+        f_z.alias("f_z"), f_iqr.alias("f_iqr"), f_mad.alias("f_mad")
+    )
+    total = F.col("f_z") + F.col("f_iqr") + F.col("f_mad")
+    return voted.agg(
+        F.sum("f_z").cast("long").alias("n_zscore"),
+        F.sum("f_iqr").cast("long").alias("n_iqr"),
+        F.sum("f_mad").cast("long").alias("n_mad"),
+        F.sum(F.when(total >= 2, 1).otherwise(0)).cast("long").alias(
+            "n_majority"
+        ),
+        F.sum(F.when(total == 3, 1).otherwise(0)).cast("long").alias(
+            "n_unanimous"
+        ),
+    )

@@ -1756,3 +1756,82 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("aid", "cand", "clbl", "cos_sim")
     )
+
+
+@query(
+    "q_centroid_classify",
+    oracle="""
+    WITH train AS (
+      SELECT label, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ), expanded AS (
+      SELECT t.label, gs.d, CAST(t.embedding[gs.d] AS DOUBLE) AS x
+      FROM train t, generate_series(1, 64) AS gs(d)
+    ), centroids AS (
+      SELECT label, d, avg(x) AS c FROM expanded GROUP BY 1, 2
+    ), test AS (
+      SELECT vec_id, label AS true_label, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), test_exp AS (
+      SELECT t.vec_id, t.true_label, gs.d,
+             CAST(t.embedding[gs.d] AS DOUBLE) AS x
+      FROM test t, generate_series(1, 64) AS gs(d)
+    ), dists AS (
+      SELECT te.vec_id, te.true_label, c.label,
+             round(sum(pow(te.x - c.c, 2)), 6) AS d2
+      FROM test_exp te JOIN centroids c ON te.d = c.d
+      GROUP BY 1, 2, 3
+    ), picked AS (
+      SELECT vec_id, true_label, label AS predicted,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, label) AS rn
+      FROM dists
+    )
+    SELECT true_label, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM picked WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (the prototype baseline every
+    embedding evaluation starts from): per-label mean vectors trained
+    on the 80% split, holdout assigned to the closest centroid by
+    squared L2, confusion matrix out. Vectors posexplode into
+    (id, dim, x) triples so centroid training is ONE combinable
+    groupBy over (label, dim) and scoring is an equi-join on the dim
+    key against the BROADCAST centroid table — arrays never shuffle,
+    the same discipline as q_embedding_dim_stats. Distances round
+    before the argmax window; ties break on label."""
+    emb = load(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+
+    def expand(df, *keep):
+        return df.select(
+            *keep, F.posexplode("embedding").alias("d0", "x")
+        ).select(
+            *keep,
+            (F.col("d0") + 1).alias("d"),
+            F.col("x").cast("double").alias("x"),
+        )
+
+    centroids = (
+        expand(train, "label")
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("c"))
+    )
+    test_exp = expand(
+        test.select("vec_id", F.col("label").alias("true_label"), "embedding"),
+        "vec_id",
+        "true_label",
+    )
+    dists = (
+        test_exp.join(F.broadcast(centroids), "d")
+        .groupBy("vec_id", "true_label", "label")
+        .agg(F.round(F.sum(F.pow(F.col("x") - F.col("c"), 2)), 6).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("label").alias("predicted"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
