@@ -185,7 +185,10 @@ def _decode_audio(payload: bytes) -> dict[str, Any]:
     fallback."""
     try:
         _rate, _ch, samples = decode_wav(payload)
-    except ValueError as e:  # not RIFF at all → fallback features
+    except (ValueError, struct.error) as e:
+        # not RIFF / truncated chunk → byte-level fallback features
+        # (struct.error surfaces from unpack_from on short buffers; an
+        # uncaught one would fail the whole mapInPandas task)
         raise NotImplementedError(str(e)) from e
     pcm = struct.pack(f"<{len(samples)}h", *samples)
     return {

@@ -12,7 +12,10 @@ was tried first and rejected: its Marsaglia lattice guarantees a
 minimum point separation, leaving the radius join vacuously empty).
 Latitude is restricted to ±45° so a fixed ±2-cell longitude
 neighborhood is provably sufficient for the 100 km radius (1° lon ≥
-78.7 km when |lat| ≤ 45°; 1° lat ≈ 111.2 km).
+78.7 km when |lat| ≤ 45°; 1° lat ≈ 111.2 km). Antimeridian
+wrap-around (−180° adjacency to +180°) is out of scope for this
+synthetic frame; a production grid adds the two wrapped cell ids to
+the neighborhood list — one more equi-join key, same plan shape.
 """
 
 from __future__ import annotations
