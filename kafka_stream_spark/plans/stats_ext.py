@@ -1128,3 +1128,238 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
     )
+
+
+@query(
+    "q_logrank",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, user_id % 2 AS grp,
+             date_diff('day', min(ts), max(ts)) AS t,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ), subj AS (
+      SELECT grp, t,
+             CASE WHEN last_ts <= cutoff THEN 1 ELSE 0 END AS observed
+      FROM span, horizon
+    ), by_t AS (
+      SELECT t,
+             sum(observed) AS d,
+             sum(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS d1,
+             count(*) AS leave_all,
+             sum(grp) AS leave_1
+      FROM subj GROUP BY t
+    ), risk AS (
+      SELECT t, d, d1,
+             (SELECT count(*) FROM subj)
+               - coalesce(sum(leave_all) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_all,
+             (SELECT sum(grp) FROM subj)
+               - coalesce(sum(leave_1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1
+      FROM by_t
+    )
+    SELECT round(sum(d1), 4) AS observed_1,
+           round(sum(d * n1 * 1.0 / n_all), 4) AS expected_1,
+           round(pow(sum(d1) - sum(d * n1 * 1.0 / n_all), 2)
+             / sum(CASE WHEN n_all > 1
+                   THEN d * (n1 * 1.0 / n_all)
+                        * (1 - n1 * 1.0 / n_all)
+                        * (n_all - d) / (n_all - 1)
+                   ELSE 0 END), 4) AS logrank_chi2
+    FROM risk WHERE d > 0
+    """,
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the two parity cohorts' survival curves
+    (X198's KM companion — THE standard two-group survival
+    comparison): at each event time, observed group-1 deaths vs the
+    hypergeometric expectation d·n₁/n, χ² = (ΣO−ΣE)²/ΣVar. Same
+    collapsed risk-set table as Kaplan-Meier (the event log reduces
+    to one row per user, then per distinct lifetime), so the windows
+    run over day-grained rows regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t"),
+        F.max("ts").alias("last_ts"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    horizon = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    subj = span.crossJoin(F.broadcast(horizon)).select(
+        "grp",
+        "t",
+        F.when(F.col("last_ts") <= F.col("cutoff"), 1).otherwise(0).alias(
+            "observed"
+        ),
+    )
+    totals = subj.agg(
+        F.count("*").alias("tot_all"), F.sum("grp").alias("tot_1")
+    )
+    by_t = subj.groupBy("t").agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.count("*").alias("leave_all"),
+        F.sum("grp").alias("leave_1"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_t.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d",
+        "d1",
+        (
+            F.col("tot_all")
+            - F.coalesce(F.sum("leave_all").over(w_prev), F.lit(0))
+        ).alias("n_all"),
+        (
+            F.col("tot_1")
+            - F.coalesce(F.sum("leave_1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+    )
+    p1 = F.col("n1") * 1.0 / F.col("n_all")
+    var_t = F.when(
+        F.col("n_all") > 1,
+        F.col("d") * p1 * (1 - p1) * (F.col("n_all") - F.col("d"))
+        / (F.col("n_all") - 1),
+    ).otherwise(0.0)
+    return risk.filter(F.col("d") > 0).agg(
+        F.round(F.sum("d1"), 4).alias("observed_1"),
+        F.round(F.sum(F.col("d") * p1), 4).alias("expected_1"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum(F.col("d") * p1), 2) / F.sum(var_t), 4
+        ).alias("logrank_chi2"),
+    )
+
+
+@query(
+    "q_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), by_val AS (
+      SELECT score, count(*) AS n, sum(y) AS n1 FROM scored GROUP BY score
+    ), ranked AS (
+      SELECT n, n1,
+             coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM by_val
+    ), s AS (
+      SELECT sum(n1) AS np, sum(n - n1) AS nn,
+             sum(n1 * (below + (n + 1) / 2.0)) AS r1
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((r1 - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM s
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a purchase-vs-view classifier score,
+    computed exactly via the rank identity AUC = (R₁ − n₁(n₁+1)/2)
+    /(n₁n₀) — the Mann-Whitney U machinery (X195) reused as THE
+    model-evaluation metric, ties handled by midranks (equivalent to
+    trapezoidal ROC interpolation). Distinct-score midrank table, not
+    per-row ranking, so the global window stays collapsed at any
+    scale."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    by_val = (
+        e.select(
+            F.col("value").alias("score"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "y"
+            ),
+        )
+        .groupBy("score")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("n1"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    s = ranked.agg(
+        F.sum("n1").alias("np"),
+        F.sum(F.col("n") - F.col("n1")).alias("nn"),
+        F.sum(F.col("n1") * (F.col("below") + (F.col("n") + 1) / 2.0)).alias(
+            "r1"
+        ),
+    )
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("r1") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_gain_chart",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             event_id
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), ranked AS (
+      SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+      FROM scored
+    ), agg AS (
+      SELECT decile, count(*) AS n, sum(y) AS pos FROM ranked GROUP BY 1
+    ), tot AS (SELECT sum(pos) AS tp, sum(n) AS tn FROM agg)
+    SELECT decile, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+           round(sum(pos) OVER (ORDER BY decile) * 1.0 / tp, 6)
+             AS cum_capture,
+           round((pos * 1.0 / n) / (tp * 1.0 / tn), 4) AS lift
+    FROM agg CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart by score decile: what fraction of
+    all positives the top-k% of scores captures, and each decile's
+    lift over base rate — the campaign-targeting readout next to
+    X231's AUC... one ntile window (deterministic event_id
+    tie-break), one rollup, broadcast totals."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    scored = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "event_id",
+    )
+    ranked = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), "event_id")),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    tot = agg.agg(F.sum("pos").alias("tp"), F.sum("n").alias("tn"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("n_pos"),
+            F.round(F.sum("pos").over(w) * 1.0 / F.col("tp"), 6).alias(
+                "cum_capture"
+            ),
+            F.round(
+                (F.col("pos") * 1.0 / F.col("n"))
+                / (F.col("tp") * 1.0 / F.col("tn")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
