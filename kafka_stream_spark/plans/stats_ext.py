@@ -1363,3 +1363,142 @@ def q_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_brier_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT least(value / 500.0, 1.0) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), binned AS (
+      SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+      FROM scored
+    ), bins AS (
+      SELECT bin, count(*) AS n, avg(p) AS conf, avg(y) AS acc
+      FROM binned GROUP BY bin
+    ), tot AS (SELECT sum(n) AS nt FROM bins)
+    SELECT round((SELECT avg((p - y) * (p - y)) FROM scored), 6)
+             AS brier,
+           round(sum(n * abs(conf - acc)) / max(nt), 6) AS ece,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM bins CROSS JOIN tot
+    """,
+)
+def q_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + expected calibration error for `value/500` as a
+    purchase-probability score: the proper-scoring-rule number and
+    the bin-gap number every calibration report pairs (X236's
+    isotonic fit is the repair; this measures whether it's needed).
+    One pass for the Brier mean, one 10-bin combinable rollup for
+    ECE = Σ nᵇ·|conf−acc|/N."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    scored = e.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias(
+            "y"
+        ),
+    )
+    brier = scored.agg(
+        F.round(
+            F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6
+        ).alias("brier")
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    ece = bins.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc")))
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    return brier.crossJoin(F.broadcast(ece)).select("brier", "ece", "n_bins")
+
+
+@query(
+    "q_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), th(t) AS (VALUES (100.0), (200.0), (300.0), (400.0), (450.0)),
+    cm AS (
+      SELECT t,
+             sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM scored CROSS JOIN th GROUP BY t
+    )
+    SELECT CAST(t AS DOUBLE) AS threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM cm ORDER BY t
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at a 5-threshold sweep — the operating-
+    point view AUC (X252) integrates away. The threshold list is a
+    broadcast VALUES cross join, so ALL confusion matrices come from
+    ONE pass of conditional aggregation (5× row fan-out map-side,
+    never 5 scans); NULLIF guards the empty-prediction edge."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    scored = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    th = spark.createDataFrame(
+        [(100.0,), (200.0,), (300.0,), (400.0,), (450.0,)], "t double"
+    )
+    cm = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("score") < F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return cm.select(
+        F.col("t").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(
+            F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")
