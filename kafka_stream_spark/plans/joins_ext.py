@@ -552,3 +552,51 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_view_value")).alias("matched_view_value"),
         (F.col("last_view_ts").isNotNull() & ~in_tol).alias("stale_dropped"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ), ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             min(o_totalprice) OVER (
+               ORDER BY o_orderdate DESC, o_totalprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_price_newer
+      FROM pts
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM ranked
+    WHERE best_price_newer IS NULL OR o_totalprice < best_price_newer
+    ORDER BY o_orderdate DESC
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): orders not dominated on
+    (newer date, lower price) — the multi-objective shortlist
+    operator from the skyline-query literature (Börzsönyi et al.).
+    The classic quadratic dominance anti-join collapses to ONE sorted
+    window for two dimensions: scan by date descending and keep a row
+    iff its price beats the running minimum among strictly-newer rows
+    (ties on date compare within the frame via the price sort key).
+    At scale the sort is a range-partitioned shuffle; no self-join
+    exists at any size."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        o.withColumn("best_price_newer", F.min("o_totalprice").over(w))
+        .filter(
+            F.col("best_price_newer").isNull()
+            | (F.col("o_totalprice") < F.col("best_price_newer"))
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        .orderBy(F.desc("o_orderdate"))
+    )

@@ -590,3 +590,215 @@ def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "change_day", "n_before", "n_after", "slope_before", "slope_after"
         )
     )
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+    ), med AS (SELECT median(n) AS m FROM daily),
+    signs AS (
+      SELECT day, CASE WHEN n > m THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med WHERE n <> m
+    ), runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                    OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), agg AS (
+      SELECT sum(new_run) AS r, sum(s) AS n1, count(*) - sum(s) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / (pow(n1 + n2, 2) * (n1 + n2 - 1))), 4) AS z
+    FROM agg
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-count series (above/below
+    the median, median-ties dropped per the standard recipe): too few
+    runs ⇒ trending/sticky, too many ⇒ oscillating — the randomness
+    gate before interpreting any autocorrelation. A run starts where
+    lag(s) differs; counting run-starts is one window + one aggregate
+    over the collapsed day table."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    med = daily.agg(F.median("n").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("n") != F.col("m"))
+        .select(
+            "day", F.when(F.col("n") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    w = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("s").alias("n1"),
+        (F.count("*") - F.sum("s")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round((r - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@query(
+    "q_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), mu AS (SELECT avg(x) AS m, count(*) AS n FROM daily),
+    lagged AS (
+      SELECT x - m AS e,
+             lag(x, 1) OVER (ORDER BY day) - m AS e1,
+             lag(x, 2) OVER (ORDER BY day) - m AS e2,
+             lag(x, 3) OVER (ORDER BY day) - m AS e3,
+             lag(x, 4) OVER (ORDER BY day) - m AS e4,
+             lag(x, 5) OVER (ORDER BY day) - m AS e5,
+             n
+      FROM daily CROSS JOIN mu
+    ), acf AS (
+      SELECT max(n) AS n,
+             sum(e * e) AS c0,
+             sum(e * e1) AS c1, sum(e * e2) AS c2, sum(e * e3) AS c3,
+             sum(e * e4) AS c4, sum(e * e5) AS c5
+      FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(c1 / c0, 6) AS rho1,
+           round(n * (n + 2.0) * (
+             pow(c1 / c0, 2) / (n - 1) + pow(c2 / c0, 2) / (n - 2)
+             + pow(c3 / c0, 2) / (n - 3) + pow(c4 / c0, 2) / (n - 4)
+             + pow(c5 / c0, 2) / (n - 5)), 4) AS lb_stat
+    FROM acf
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-5) on the daily series:
+    Q = n(n+2)Σρ²ₖ/(n−k), the joint white-noise test that
+    complements X126's single-lag ACF. All five lag products come
+    from ONE window pass over the collapsed day table (5 lag columns,
+    then one aggregate) — not five self-joins; χ²₅ critical value at
+    5% is 11.07."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    mu = daily.agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    w = Window.orderBy("day")
+    lagged = daily.crossJoin(F.broadcast(mu)).select(
+        (F.col("x") - F.col("m")).alias("e"),
+        *[
+            (F.lag("x", k).over(w) - F.col("m")).alias(f"e{k}")
+            for k in range(1, 6)
+        ],
+        "n",
+    )
+    acf = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("c0"),
+        *[
+            F.sum(F.col("e") * F.col(f"e{k}")).alias(f"c{k}")
+            for k in range(1, 6)
+        ],
+    )
+    n = F.col("n")
+    terms = sum(
+        (
+            F.pow(F.col(f"c{k}") / F.col("c0"), 2) / (n - k)
+            for k in range(2, 6)
+        ),
+        F.pow(F.col("c1") / F.col("c0"), 2) / (n - 1),
+    )
+    return acf.select(
+        n.cast("long").alias("n"),
+        F.round(F.col("c1") / F.col("c0"), 6).alias("rho1"),
+        F.round(n * (n + 2.0) * terms, 4).alias("lb_stat"),
+    )
+
+
+@query(
+    "q_business_days",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', DATE '1970-01-01', o.o_orderdate) AS ea,
+             date_diff('day', DATE '1970-01-01', max(l.l_shipdate)) AS eb
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority, o.o_orderkey, o.o_orderdate
+    ), counted AS (
+      SELECT o_orderpriority, eb - ea AS cal_days,
+             (5 * ((eb + 3) // 7) + least((eb + 3) % 7, 5))
+             - (5 * ((ea + 3) // 7) + least((ea + 3) % 7, 5)) AS bus_days
+      FROM spans WHERE eb >= ea
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(cal_days), 4) AS avg_cal_days,
+           round(avg(bus_days), 4) AS avg_bus_days
+    FROM counted GROUP BY o_orderpriority
+    """,
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) lead time from order date to last
+    shipment, per priority class — SLA reporting needs working days,
+    not calendar days. No calendar explode and no UDF: weekdays in
+    [epoch, d) has the closed form 5·⌊m/7⌋ + min(m mod 7, 5) with
+    m = epoch-days + 3 (1970-01-01 was a Thursday, 3 days past
+    Monday), so the span count is a difference of two such terms —
+    pure integer arithmetic, identical in both engines, O(1) per row
+    where a generate_series calendar join would be O(span)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def g(e):
+        m = e + 3
+        return 5 * F.floor(m / 7) + F.least(m % 7, F.lit(5))
+
+    spans = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), epoch).alias("ea"),
+            F.datediff(F.col("ship"), epoch).alias("eb"),
+        )
+        .filter(F.col("eb") >= F.col("ea"))
+    )
+    counted = spans.select(
+        "o_orderpriority",
+        (F.col("eb") - F.col("ea")).alias("cal_days"),
+        (g(F.col("eb")) - g(F.col("ea"))).alias("bus_days"),
+    )
+    return counted.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.avg("cal_days"), 4).alias("avg_cal_days"),
+        F.round(F.avg("bus_days"), 4).alias("avg_bus_days"),
+    )
