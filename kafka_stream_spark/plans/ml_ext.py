@@ -196,9 +196,15 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vsize = vocab.agg(F.count("*").alias("v"))
     class_tok = train_tok.groupBy("lang", "tok").agg(F.count("*").alias("ctk"))
     class_tot = train_tok.groupBy("lang").agg(F.count("*").alias("tot"))
-    n_train = train.count()
-    prior = train.groupBy("lang").agg(
-        F.log(F.count("*") * 1.0 / F.lit(n_train)).alias("lp")
+    n_train = train.agg(F.count("*").alias("n_train"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.log(F.col("n_lang") * 1.0 / F.col("n_train")).alias("lp"),
+        )
     )
 
     test_tok = (
@@ -695,7 +701,6 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("value", "event_id"))
         .alias("gr"),
     )
-    gn = e.count()
     s = e.select(
         "event_id",
         "event_type",
@@ -707,9 +712,10 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("event_type"))
         .alias("m"),
     )
-    mapped = s.withColumn(
+    gn_row = e.agg(F.count("*").alias("gn"))
+    mapped = s.crossJoin(F.broadcast(gn_row)).withColumn(
         "target_rank",
-        F.ceil(F.col("r").cast("double") * F.lit(gn) / F.col("m")).cast(
+        F.ceil(F.col("r").cast("double") * F.col("gn") / F.col("m")).cast(
             "long"
         ),
     )

@@ -1327,7 +1327,7 @@ def q_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains / lift chart by score decile: what fraction of
     all positives the top-k% of scores captures, and each decile's
     lift over base rate — the campaign-targeting readout next to
-    X231's AUC... one ntile window (deterministic event_id
+    X252's AUC; one ntile window (deterministic event_id
     tie-break), one rollup, broadcast totals."""
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
