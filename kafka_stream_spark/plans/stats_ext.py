@@ -1502,3 +1502,211 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+@query(
+    "q_crossval",
+    oracle="""
+    WITH pts AS (
+      SELECT l_orderkey % 5 AS fold, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+    ), fm AS (
+      SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts GROUP BY fold
+    ), tot AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(sxy) AS sxy FROM fm
+    ), fits AS (
+      SELECT f.fold, f.n AS n_test,
+             ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+             / ((t.n - f.n) * (t.sxx - f.sxx)
+                - (t.sx - f.sx) * (t.sx - f.sx)) AS b,
+             f.sx, f.sy, f.sxx, f.sxy, f.syy,
+             t.n - f.n AS n_train, t.sx - f.sx AS tsx, t.sy - f.sy AS tsy
+      FROM fm f CROSS JOIN tot t
+    ), scored AS (
+      SELECT fold, n_test, b,
+             (tsy - b * tsx) / n_train AS a,
+             syy - 2 * ((tsy - b * tsx) / n_train) * sy - 2 * b * sxy
+               + 2 * ((tsy - b * tsx) / n_train) * b * sx
+               + n_test * pow((tsy - b * tsx) / n_train, 2)
+               + b * b * sxx AS sse
+      FROM fits
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, CAST(n_test AS BIGINT) AS n_test,
+           round(b, 6) AS slope, round(a, 4) AS intercept,
+           round(sqrt(sse / n_test), 4) AS rmse
+    FROM scored
+    """,
+)
+def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated regression (price ~ quantity) WITHOUT
+    retraining passes: per-fold sufficient statistics (n, Σx, Σy,
+    Σx², Σxy, Σy²) are ONE combinable rollup, each fold's model
+    trains on the COMPLEMENT by subtracting its moments from the
+    totals (X235's trick lifted to regression), and the fold RMSE
+    expands algebraically from the same six statistics — Σ(y−a−bx)²
+    without touching a row again. 5 folds, one scan, k-fold CV as
+    pure arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fm = pts.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx0"),
+        F.sum("sy").alias("tsy0"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = fm.crossJoin(F.broadcast(tot))
+    n_train = F.col("tn") - F.col("n")
+    tsx = F.col("tsx0") - F.col("sx")
+    tsy = F.col("tsy0") - F.col("sy")
+    b = (
+        n_train * (F.col("tsxy") - F.col("sxy")) - tsx * tsy
+    ) / (n_train * (F.col("tsxx") - F.col("sxx")) - tsx * tsx)
+    a = (tsy - b * tsx) / n_train
+    sse = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * b * F.col("sxy")
+        + 2 * a * b * F.col("sx")
+        + F.col("n") * a * a
+        + b * b * F.col("sxx")
+    )
+    return j.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_test"),
+        F.round(b, 6).alias("slope"),
+        F.round(a, 4).alias("intercept"),
+        F.round(F.sqrt(sse / F.col("n")), 4).alias("rmse"),
+    )
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH src AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ), rx AS (
+      SELECT x, coalesce(sum(n) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS r
+      FROM (SELECT x, count(*) AS n FROM src GROUP BY x)
+    ), ry AS (
+      SELECT y, coalesce(sum(n) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS r
+      FROM (SELECT y, count(*) AS n FROM src GROUP BY y)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx.r, ry.r), 6) AS spearman_rho
+    FROM src JOIN rx USING (x) JOIN ry USING (y)
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with PROPER midranks for ties
+    (Pearson corr over average ranks — the X195 distinct-value
+    midrank frame applied to both axes, then joined back). Monotone-
+    robust dependence next to X249's Pearson matrix; the rank tables
+    are |distinct values|-sized, and the join back is on the value
+    key, so no per-row global ranking exists in the plan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    src = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(col):
+        by_val = src.groupBy(col).agg(F.count("*").alias("n"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return by_val.select(
+            col,
+            (
+                F.coalesce(F.sum("n").over(w), F.lit(0))
+                + (F.col("n") + 1) / 2.0
+            ).alias(f"r_{col}"),
+        )
+    return (
+        src.join(midranks("x"), "x")
+        .join(midranks("y"), "y")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+        )
+    )
+
+
+@query(
+    "q_emd_1d",
+    oracle="""
+    WITH a AS (
+      SELECT value FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT value FROM events WHERE event_type = 'view'
+    ), grid AS (
+      SELECT value AS v FROM a UNION SELECT value FROM b
+    ), cdfs AS (
+      SELECT v,
+             (SELECT count(*) * 1.0 FROM a WHERE a.value <= g.v)
+               / (SELECT count(*) FROM a) AS fa,
+             (SELECT count(*) * 1.0 FROM b WHERE b.value <= g.v)
+               / (SELECT count(*) FROM b) AS fb,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM grid g
+    )
+    SELECT round(sum(abs(fa - fb) * (nv - v)), 4) AS emd,
+           CAST(count(*) AS BIGINT) AS n_grid
+    FROM cdfs WHERE nv IS NOT NULL
+    """,
+)
+def q_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's (Wasserstein-1) distance between the click
+    and view value distributions: W₁ = ∫|F_a − F_b| dx, evaluated
+    exactly on the merged support grid (CDF step heights × segment
+    widths). Where X116's KS takes the max CDF gap, EMD integrates
+    it — the metric behind distribution-shift monitoring. The engine
+    side builds both CDFs with ONE cumulative window each over the
+    collapsed distinct-value table (the oracle's correlated-subquery
+    spelling would be quadratic; the window form is the scale path)."""
+    e = load(spark, sf_dir, "events")
+    ab = e.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa"),
+    )
+    by_val = ab.groupBy("value").agg(
+        F.sum("isa").alias("na"),
+        F.sum(1 - F.col("isa")).alias("nb"),
+    )
+    tot = by_val.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdfs = (
+        by_val.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("value").alias("v"),
+            (F.sum("na").over(w) * 1.0 / F.col("ta")).alias("fa"),
+            (F.sum("nb").over(w) * 1.0 / F.col("tb")).alias("fb"),
+        )
+        .withColumn("nv", F.lead("v").over(Window.orderBy("v")))
+    )
+    return cdfs.filter(F.col("nv").isNotNull()).agg(
+        F.round(
+            F.sum(F.abs(F.col("fa") - F.col("fb")) * (F.col("nv") - F.col("v"))),
+            4,
+        ).alias("emd"),
+        F.count("*").cast("long").alias("n_grid"),
+    )
