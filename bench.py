@@ -124,6 +124,14 @@ HEADLINE = [
     "q_lttb",             # parallel largest-triangle downsampling
     "q_quantile_norm",    # rank-mapped marginal normalization
     "q_holt_forecast",    # per-segment Holt fold (applyInPandas)
+    "q_pca_power",        # PCA from one moment pass
+    "q_roc_auc",          # rank-identity AUC over collapsed scores
+    "q_skyline",          # Pareto front as one sorted window
+    "q_crossval",         # 5-fold CV via complement moments
+    "q_emd_1d",           # exact Wasserstein-1 drift metric
+    "q_centroid_classify",  # broadcast-centroid confusion matrix
+    "q_hll_intersect",    # sketch set algebra
+    "q_vocab_drift",      # corpus-half PSI
 ]
 
 
