@@ -1710,3 +1710,160 @@ def q_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emd"),
         F.count("*").cast("long").alias("n_grid"),
     )
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer
+      WHERE c_acctbal > 0
+    ), tot AS (SELECT count(*) AS n, avg(x) AS mu FROM base),
+    within AS (
+      SELECT seg, count(*) AS ng, avg(x) AS mug,
+             sum((x / t.mu) * ln(x / t.mu)) AS contrib
+      FROM base CROSS JOIN tot t GROUP BY seg, t.mu
+    )
+    SELECT round((SELECT sum(contrib) FROM within) /
+                 (SELECT n FROM tot), 6) AS theil_total,
+           round(sum((ng * 1.0 / t.n) * (mug / t.mu) * ln(mug / t.mu)), 6)
+             AS theil_between
+    FROM within CROSS JOIN tot t GROUP BY ()
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with its between-group component —
+    unlike Gini (X197), Theil decomposes additively: total =
+    between-segment + within-segment, so the between share says how
+    much inequality segmentation itself explains. Pure aggregates of
+    x/μ·ln(x/μ); the only cross-row dependency is the broadcast
+    grand mean."""
+    base = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x")
+    )
+    tot = base.agg(F.count("*").alias("n"), F.avg("x").alias("mu"))
+    j = base.crossJoin(F.broadcast(tot))
+    within = j.groupBy("seg", "n", "mu").agg(
+        F.count("*").alias("ng"),
+        F.avg("x").alias("mug"),
+        F.sum((F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu"))).alias(
+            "contrib"
+        ),
+    )
+    return within.agg(
+        F.round(F.sum("contrib") / F.max("n"), 6).alias("theil_total"),
+        F.round(
+            F.sum(
+                (F.col("ng") * 1.0 / F.col("n"))
+                * (F.col("mug") / F.col("mu"))
+                * F.log(F.col("mug") / F.col("mu"))
+            ),
+            6,
+        ).alias("theil_between"),
+    )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev,
+             sum(revenue) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum_rev <= 0.8 * tot THEN 'A'
+                  WHEN cum_rev <= 0.95 * tot THEN 'B'
+                  ELSE 'C' END AS cls,
+             revenue
+      FROM ranked
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue,
+           round(sum(revenue) / max(t.tot2), 6) AS revenue_share
+    FROM classed CROSS JOIN (SELECT sum(revenue) AS tot2 FROM rev) t
+    GROUP BY cls ORDER BY cls
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/15/5) inventory classification: parts ranked by
+    discounted revenue, class A up to the 80% cumulative line, B to
+    95%, C the tail — the working-capital prioritization every
+    supply-chain dashboard leads with. One combinable revenue rollup,
+    one cumulative window over the part table with a deterministic
+    key tie-break."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_rev") <= 0.8 * F.col("tot"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("cls"),
+        "revenue",
+        "tot",
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+            F.round(F.sum("revenue") / F.max("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+    SELECT p.p_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(ln(l.l_quantity),
+                            ln(l.l_extendedprice / l.l_quantity)), 6)
+             AS elasticity,
+           round(regr_r2(ln(l.l_quantity),
+                         ln(l.l_extendedprice / l.l_quantity)), 6) AS r2
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    GROUP BY p.p_type
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per part type: the log-log
+    regression slope d ln(qty)/d ln(unit price) — THE pricing-team
+    number (≈ −1 separates elastic from inelastic). One broadcast
+    dim join + regr aggregates per type; unit price derives in the
+    projection so the fact table is scanned once."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = load(spark, sf_dir, "part")
+    lq = F.log("l_quantity")
+    lp = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope(lq, lp), 6).alias("elasticity"),
+            F.round(F.regr_r2(lq, lp), 6).alias("r2"),
+        )
+    )
