@@ -1,14 +1,29 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Prints ONE compact JSON line on stdout (always well under any tail-capture
+limit):
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": 0.1,
+   "n_queries": N, "calibration_sec": C, "detail": "BENCH_DETAIL.json"}
+
+The full per-query timing map is written to BENCH_DETAIL.json next to this
+script and mirrored line-by-line to stderr. Rationale: round 3's record was
+lost because the per-query map (~3.4 KB) pushed the single stdout JSON line
+past the driver's ~2 KB tail capture, beheading it. The authoritative
+artifact is now sidecar + compact line.
+
+Machine-drift normalization: a constant-work calibration query (fixed
+arithmetic over spark.range, no IO) is timed first with min-of-3. Dividing a
+round's per-query times by its calibration figure separates sandbox
+throughput drift (round 3 showed a uniform ~1.3x across unchanged code)
+from genuine plan regressions.
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver-side collect skew). Queries that are O(n²)-pairwise by design
-(q_ngram_jaccard, q_embedding_near_dup) are correctness twins of their
-scalable variants (q_near_dedup, q_ann_lsh) and are excluded here —
+no driver-side collect skew) and timed SPARK_GRAFT_BENCH_REPS times
+(default 3); the reported figure is the min, which best estimates the
+machine-independent cost of the plan. Queries that are O(n^2)-pairwise by
+design (q_ngram_jaccard, q_embedding_near_dup) are correctness twins of
+their scalable variants (q_near_dedup, q_ann_lsh) and are excluded here —
 the scalable variants ARE benchmarked.
 """
 
@@ -132,17 +147,54 @@ HEADLINE = [
     "q_centroid_classify",  # broadcast-centroid confusion matrix
     "q_hll_intersect",    # sketch set algebra
     "q_vocab_drift",      # corpus-half PSI
+    "q_semantic_dedup",   # SemDeDup: cluster-bounded embedding dedup
+    "q_sequence_pack",    # greedy context-window packing with lineage
 ]
+
+
+def _calibrate(spark, reps: int) -> float:
+    """Constant-work calibration: fixed arithmetic over spark.range, no IO.
+
+    The workload is invariant across rounds (same row count, same
+    expression tree), so its wall time tracks ONLY sandbox per-core
+    throughput. Per-query times divided by this figure are comparable
+    across rounds even when the machine drifts.
+    """
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                F.sum(
+                    F.sin(F.col("id") * 1e-6) + F.sqrt(F.col("id") % 997)
+                ).alias("s")
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    run()  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warmup pass: run every query once untimed so the timed pass measures
+
+    calibration = _calibrate(spark, reps)
+    print(f"# calibration: {calibration}s", file=sys.stderr)
+
+    # Warmup pass: run every query once untimed so the timed passes measure
     # steady-state execution (whole-stage-codegen compiled, JVM JIT warm,
     # parquet footers cached) — the regime that matters at cluster scale —
     # rather than one-time driver-side plan compilation.
@@ -154,23 +206,50 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # drop per-query persists so queries don't interfere with each
-        # other's memory (mirrors the driver's fresh-session conditions)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # drop per-query persists so queries don't interfere with each
+            # other's memory (mirrors the driver's fresh-session conditions)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "reps": reps,
+        "agg": "min",
+        "calibration_sec": calibration,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"# detail written to {detail_path}", file=sys.stderr)
+
+    # Final stdout line: compact, always < ~400 bytes so tail capture
+    # cannot behead it. The per-query map lives in the sidecar + stderr.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "reps": reps,
+                "agg": "min",
+                "calibration_sec": calibration,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -21,6 +21,7 @@ from . import gaps  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import graph_ext  # noqa: E402,F401
 from . import llm_ext  # noqa: E402,F401
+from . import llm_ext2  # noqa: E402,F401
 from . import ml_ext  # noqa: E402,F401
 from . import mlmath  # noqa: E402,F401
 from . import joins_ext  # noqa: E402,F401

@@ -1,0 +1,318 @@
+"""Round-4 LLM-data-pipeline extensions: semantic dedup (SemDeDup-class)
+and sequence packing — the two operator families VERDICT r3 flagged as the
+remaining gaps in the training-data surface (Next round #2/#7).
+
+Both are pure Column-expression plans with structurally identical DuckDB
+oracles; determinism is engineered in (fixed k-means init, rounded
+similarities, id tie-breaks, deterministic packing order) so the full
+value-hash gate applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors
+from ..sources.tables import load
+from .llm_ext import _KM_DIST_SQL, _sq_dist
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# X266 — semantic dedup (SemDeDup: cluster-bounded embedding dedup)
+# ---------------------------------------------------------------------------
+
+#: cosine threshold above which two same-cluster vectors are semantic dups
+#: (matches q_embedding_near_dup's calibrated 0.4 on the synthetic corpus)
+_SEM_TAU = 0.4
+
+
+def _kmeans_assign2_ctes() -> str:
+    """CTE chain ending in ``assign2(vec_id, cid, dist)`` — the same
+    deterministic 2-iteration Lloyd training as q_kmeans_quantizer's
+    oracle (k=8, init = vec_id < 8), so cluster membership is identical
+    in both engines."""
+
+    def scored(cent: str) -> str:
+        return (
+            f"SELECT e.vec_id, c.cid, round({_KM_DIST_SQL}, 6) AS dist "
+            f"FROM embeddings e CROSS JOIN {cent} c"
+        )
+
+    assign = (
+        "SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn "
+        "FROM {scored}) WHERE rn = 1"
+    )
+    cent_update = (
+        "SELECT cid, list(v ORDER BY pos) AS cvec FROM ("
+        "SELECT a.cid, u.pos, avg(u.val) AS v "
+        "FROM {assign} a JOIN unn u ON u.vec_id = a.vec_id "
+        "GROUP BY a.cid, u.pos) GROUP BY cid"
+    )
+    return f"""
+    unn AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), scored1 AS ({scored('cent0')}
+    ), assign1 AS ({assign.format(scored='scored1')}
+    ), cent1 AS ({cent_update.format(assign='assign1')}
+    ), scored2 AS ({scored('cent1')}
+    ), assign2 AS ({assign.format(scored='scored2')}
+    )"""
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_kmeans_assign2_ctes()},
+    members AS (
+      SELECT a.vec_id, a.cid, e.embedding
+      FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id
+    ), dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM members a JOIN members b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round({vectors.cosine_sql('a.embedding', 'b.embedding')}, 6)
+              >= {_SEM_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cid AS cluster_id,
+           (d.dup_of IS NULL) AS kept, d.dup_of
+    FROM members m LEFT JOIN dups d ON d.vec_id = m.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266 — SemDeDup-class semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings (the X56 trained
+    quantizer: k=8, deterministic init, two Lloyd iterations), then drop
+    any vector whose cosine to a LOWER-ID vector in the SAME cluster is
+    >= tau — keep-lowest-id, the deterministic spelling of SemDeDup's
+    keep-one-per-near-dup-group.
+
+    Scale: the pairwise stage is provably cluster-bounded — the self-join
+    key is the cluster id, so candidate pairs are O(sum c_i^2) not
+    O(n^2), exactly how LSH bands bound q_near_dedup. At 100 TB, k grows
+    ~sqrt(n) (SemDeDup used 50k clusters for LAION), centroids train on
+    a sample with the X56 plan, assignment stays a broadcast map-side
+    pass, and each cluster's pair block fits one shuffle partition.
+    Embeddings travel into exactly one shuffle (the cluster-keyed
+    self-join); ids+flags only after that."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "emb",
+            "cid",
+            F.round(_sq_dist(F.col("emb"), F.col("cvec")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "cvec")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        dims = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("v"))
+        )
+        return dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+
+    cent0 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    # materialize the trained centroids once — both the final assignment
+    # and (transitively) the pair stage branch from them
+    cent1 = update(assign(cent0)).localCheckpoint(eager=True)
+    members = (
+        assign(cent1)
+        .select("vec_id", "cid", "emb")
+        .localCheckpoint(eager=True)
+    )
+
+    a = members.select(
+        F.col("vec_id").alias("a_id"), "cid", F.col("emb").alias("a_emb")
+    )
+    b = members.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("emb").alias("b_emb"),
+    )
+    dups = (
+        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")))
+        .filter(
+            F.round(vectors.cosine(F.col("a_emb"), F.col("b_emb")), 6)
+            >= F.lit(_SEM_TAU)
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        members.join(dups, members.vec_id == dups.b_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X267 — sequence packing (the recovery half of X230's padding-waste audit)
+# ---------------------------------------------------------------------------
+
+#: fixed training context window, in whitespace tokens
+_CTX = 128
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ), pieces AS (
+      SELECT doc_id, source,
+             unnest(range(CAST(ceil(n_tok / {_CTX}.0) AS BIGINT)))
+               AS piece_id,
+             n_tok
+      FROM lens WHERE n_tok > 0
+    ), sized AS (
+      SELECT doc_id, source, piece_id,
+             least({_CTX}, n_tok - piece_id * {_CTX}) AS piece_len
+      FROM pieces
+    ), placed AS (
+      SELECT doc_id, source, piece_id, piece_len,
+             CAST(ceil(sum(piece_len) OVER (
+                 PARTITION BY source
+                 ORDER BY piece_len DESC, doc_id, piece_id
+                 ROWS UNBOUNDED PRECEDING) / {_CTX}.0) AS BIGINT)
+               AS window_id
+      FROM sized
+    ), offs AS (
+      SELECT doc_id, source, piece_id, piece_len, window_id,
+             CAST(COALESCE(sum(piece_len) OVER (
+                 PARTITION BY source, window_id
+                 ORDER BY piece_len DESC, doc_id, piece_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS win_offset,
+             CAST(sum(piece_len) OVER (PARTITION BY source, window_id)
+               AS BIGINT) AS window_fill
+      FROM placed
+    ), eff AS (
+      SELECT source,
+             round(CAST(sum(piece_len) AS DOUBLE)
+                   / (max(window_id) * {_CTX}), 4) AS pack_eff
+      FROM offs GROUP BY source
+    )
+    SELECT o.source, o.window_id, o.doc_id, o.piece_id, o.win_offset,
+           o.piece_len, o.window_fill, e.pack_eff
+    FROM offs o JOIN eff e ON e.source = o.source
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267 — sequence packing into fixed context windows (the recovery
+    half of X230's q_padding_waste, which only measures the waste).
+    Documents are split into <= 128-token pieces (long docs contribute
+    full-window pieces plus a remainder, the T5/GPT-lineage
+    chunk-then-pack recipe), then packed greedily PER SOURCE SHARD in
+    (length DESC, doc, piece) order by RUNNING-SUM BIN ASSIGNMENT: a
+    piece lands in window ceil(shard-local cumsum/128). This is the documented distributed approximation
+    to first-fit-decreasing — windows can straddle-overflow by at most
+    one piece (< 2x128 worst case, and only where consecutive cumsums
+    cross a boundary mid-piece); true FFD is inherently sequential while
+    this is two window functions. Output is full lineage — (window_id,
+    doc_id, piece_id, offset-within-window, piece_len) — plus per-window
+    fill and the per-shard achieved packing efficiency
+    real_tokens / (n_windows x 128), the number to set against X230's
+    waste_frac.
+
+    Scale: token counting is map-side; every window function is
+    partitioned by the shard key (source), so no data ever moves to a
+    single partition — the cumsum is one hash-shuffle on source with a
+    partition-local sort. At 100 TB the shard key becomes
+    (source, date-partition) so each shard's pieces fit an executor,
+    which is also what training wants — shard-local pack order.
+    Reference: padding-waste audit at plans/llm_ext.py q_padding_waste;
+    packing recipe per Raffel et al. (T5) appendix B."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tok"
+        ),
+    ).filter(F.col("n_tok") > 0)
+    pieces = lens.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("n_tok") / float(_CTX)).cast("long") - 1,
+            )
+        ).alias("piece_id"),
+        "n_tok",
+    ).select(
+        "doc_id",
+        "source",
+        "piece_id",
+        F.least(
+            F.lit(_CTX), F.col("n_tok") - F.col("piece_id") * _CTX
+        ).alias("piece_len"),
+    )
+    order = [F.desc("piece_len"), F.asc("doc_id"), F.asc("piece_id")]
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = pieces.withColumn(
+        "window_id",
+        F.ceil(F.sum("piece_len").over(w_cum) / float(_CTX)).cast("long"),
+    )
+    w_off = (
+        Window.partitionBy("source", "window_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fill = Window.partitionBy("source", "window_id")
+    offs = placed.select(
+        "source",
+        "window_id",
+        "doc_id",
+        "piece_id",
+        F.coalesce(F.sum("piece_len").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("win_offset"),
+        "piece_len",
+        F.sum("piece_len").over(w_fill).cast("long").alias("window_fill"),
+    )
+    eff = offs.groupBy("source").agg(
+        F.round(
+            F.sum("piece_len").cast("double")
+            / (F.max("window_id") * _CTX),
+            4,
+        ).alias("pack_eff")
+    )
+    return offs.join(F.broadcast(eff), "source")
