@@ -316,3 +316,112 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pack_eff")
     )
     return offs.join(F.broadcast(eff), "source")
+
+
+# ---------------------------------------------------------------------------
+# X268 — real video frame pipeline under the value-hash gate
+# ---------------------------------------------------------------------------
+
+
+def _video_frames_oracle() -> str:
+    """aHash of every SAMPLED frame of the embedding-derived AVI,
+    unrolled to scalar SQL. Frame f's pixel i is quantized byte
+    b[(i + 16*f) % 64]; luminance, per-frame mean (left-associated sum
+    in CELL order, matching operators.multimodal.ahash64), and the
+    64-bit threshold fingerprint replicate the Python arithmetic
+    op-for-op, so a hash match proves the AVI encoder, the RIFF frame
+    walker, the DIB pixel conversion, and aHash agree bit-for-bit."""
+
+    def b(j: int) -> str:
+        return (
+            f"least(greatest(CAST(round((CAST(embedding[{j + 1}] AS DOUBLE)"
+            f" + 1.0::DOUBLE) * 127.5::DOUBLE) AS BIGINT), 0), 255)"
+        )
+
+    per_frame = []
+    for f in (0, 2):
+        lums = []
+        for i in range(64):
+            j = (i + 16 * f) % 64
+            lums.append(
+                f"(0.299::DOUBLE * {b(j)} + 0.587::DOUBLE * {b(j)}"
+                f" + 0.114::DOUBLE * {b(j)})"
+            )
+        mean = "(" + " + ".join(f"l[{i + 1}]" for i in range(64)) + ") / 64::DOUBLE"
+        bit_terms = [
+            "CASE WHEN l[64] >= m THEN CAST(-9223372036854775808 AS BIGINT)"
+            " ELSE 0 END"
+        ]
+        for i in range(62, -1, -1):
+            bit_terms.append(
+                f"CASE WHEN l[{i + 1}] >= m THEN CAST({1 << i} AS BIGINT)"
+                " ELSE 0 END"
+            )
+        per_frame.append(
+            f"""
+    SELECT vec_id, CAST({f} AS BIGINT) AS frame_idx,
+           {" + ".join(bit_terms)} AS phash
+    FROM (SELECT vec_id, l, {mean} AS m
+          FROM (SELECT vec_id, [{", ".join(lums)}] AS l FROM embeddings))
+    """
+        )
+    return " UNION ALL ".join(per_frame)
+
+
+@query("q_video_frames", oracle=_video_frames_oracle())
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268 / closes X94 — the VIDEO pixel stack under the value-hash
+    gate (VERDICT r3 Next round #3): each embedding quantizes to four
+    8x8 grayscale frames (frame f = the pixel array rotated by 16*f),
+    is encoded into a real RIFF/'AVI ' container with uncompressed
+    24bpp DIB frames, every 2nd frame is decoded back through the
+    pure-Python AVI walker (operators.multimodal.decode_avi_frames) to
+    REAL pixels, and each sampled frame is perceptually hashed
+    (ahash64). The DuckDB oracle recomputes the identical aHash
+    arithmetically from the same quantized bytes — a match certifies
+    encoder, container walk, frame decode, and hash together.
+    NotImplementedError now remains only for inter-frame/compressed
+    codecs.
+
+    Scale shape: quantization is a JVM-side projection; encode and
+    decode+hash are Arrow-batched mapInPandas passes with no shuffle;
+    the single-split test input is repartitioned first so the codec
+    work parallelizes (the q_image_phash lesson); output is 16 bytes
+    per sampled frame."""
+    from ..operators.multimodal import encode_avi, video_frames
+    from ..session import default_parallelism
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                g = [int(v) for v in vals]
+                frames = []
+                for f in range(4):
+                    rot = g[16 * f :] + g[: 16 * f]
+                    frames.append(b"".join(bytes((p, p, p)) for p in rot))
+                payloads.append(encode_avi(8, 8, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avis = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    return video_frames(avis, every_n=2).select(
+        F.col("doc_id").alias("vec_id"), "frame_idx", "phash"
+    )

@@ -192,3 +192,65 @@ def test_wav_parser_skips_extra_chunks(spark):
     spliced = wav[:fmt_end] + extra + wav[fmt_end:]
     rate, ch, samples = decode_wav(spliced)
     assert rate == 4000 and samples == [100, -100, 200]
+
+
+# ---------------------------------------------------------------------------
+# AVI (video) codec — real frames through the RIFF walker
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_real_frames():
+    from kafka_stream_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = [_gradient_rgb(6, 4), _gradient_rgb(6, 4)[::-1], b"\x10" * 72]
+    payload = encode_avi(6, 4, frames, fps=25)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    w, h, out = decode_avi_frames(payload)
+    assert (w, h) == (6, 4)
+    assert out == frames  # every frame survives the container bit-for-bit
+
+
+def test_avi_rejects_compressed_and_non_avi():
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # flip biCompression in the strf header → NotImplementedError
+    payload = bytearray(encode_avi(4, 4, [b"\x00" * 48]))
+    strf = payload.index(b"strf")
+    struct.pack_into("<I", payload, strf + 8 + 16, 1)  # biCompression=1
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(payload))
+
+
+def test_video_frames_samples_and_hashes(spark):
+    from kafka_stream_spark.operators.multimodal import (
+        ahash64,
+        encode_avi,
+        video_frames,
+    )
+
+    rgb0, rgb1, rgb2 = (_gradient_rgb(8, 8) for _ in range(3))
+    payload = encode_avi(8, 8, [rgb0, rgb1, rgb2])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a video"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in video_frames(df, every_n=2).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 2), (2, None)}
+    assert rows[(1, 0)].phash == ahash64(8, 8, rgb0)
+    assert rows[(1, 0)].decoder == "avi-dib24-v1"
+    assert rows[(2, None)].decoder.startswith("undecodable:")
