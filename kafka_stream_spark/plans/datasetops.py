@@ -66,15 +66,17 @@ _GRAMS_SQL = f"""(
 
 
 def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grams_of(load(spark, sf_dir, "documents"))
+
+
+def grams_of(docs: DataFrame) -> DataFrame:
     """(doc_id, source, gram) — one row per word 5-gram occurrence.
 
     ``sequence(1, size-4)`` would DESCEND for docs shorter than the
     shingle (Spark generates start-down-to-stop), so short docs are
     filtered out before the transform rather than guarded inside it.
     """
-    d = load(spark, sf_dir, "documents").withColumn(
-        "w", F.split(F.col("text"), " ")
-    )
+    d = docs.withColumn("w", F.split(F.col("text"), " "))
     return (
         d.filter(F.size("w") >= NGRAM)
         .select(
@@ -396,14 +398,11 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters at 100 TB (the naive pipeline writes the corpus three
     times; this writes counts once). The full-fidelity stages stay
     available as q_gopher_filters / q_decontaminate / q_dataset_mix /
-    q_training_pipeline."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "n_words", F.size(F.split("text", " "))
-    )
-    mean_wl = F.col("n_chars") * F.lit(1.0) / F.col("n_words")
-    q = (F.col("n_words") >= 30) & mean_wl.between(3, 13)
-    bench = F.col("doc_id") % BENCH_MOD == 0
-
+    q_training_pipeline. ``corpus_flags`` / ``funnel_report`` are the
+    shared building blocks: the streaming funnel
+    (streaming.pipeline.run_streaming_corpus_build) reuses them
+    verbatim, which is what pins incremental == batch."""
+    d = load(spark, sf_dir, "documents")
     g = _grams(spark, sf_dir)
     bench_grams = g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
     hits = (
@@ -413,6 +412,20 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    return funnel_report(corpus_flags(d, hits))
+
+
+def corpus_flags(d: DataFrame, hits: DataFrame) -> DataFrame:
+    """documents ⋈ precomputed contamination ``hits(doc_id, hit)`` →
+    one per-doc row of funnel flags (quality, benchmark-holdout,
+    contaminated, mix-kept). Every flag except ``cont`` is a pure
+    map-side expression of the row itself — the property the streaming
+    incremental-maintenance path relies on (only ``cont`` ever needs
+    retro-updating when new benchmark docs arrive)."""
+    d = d.withColumn("n_words", F.size(F.split("text", " ")))
+    mean_wl = F.col("n_chars") * F.lit(1.0) / F.col("n_words")
+    q = (F.col("n_words") >= 30) & mean_wl.between(3, 13)
+    bench = F.col("doc_id") % BENCH_MOD == 0
     sid = F.substring("source", 4, 10).cast("int")
     rate = (
         F.when(sid < 5, 10000)
@@ -421,8 +434,8 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1000)
     )
     kept = token_hash(F.col("doc_id").cast("string")) % 10000 < rate
-
-    flags = d.join(hits, "doc_id", "left").select(
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
         "source",
         "n_words",
         q.alias("q"),
@@ -430,6 +443,11 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit").isNotNull().alias("cont"),
         kept.alias("kept"),
     )
+
+
+def funnel_report(flags: DataFrame) -> DataFrame:
+    """Per-source funnel counts from ``corpus_flags`` rows — one
+    partial-agg shuffle."""
     clean = F.col("q") & ~F.col("bench") & ~F.col("cont")
     final = clean & F.col("kept")
     one = lambda c: F.sum(c.cast("long"))  # noqa: E731

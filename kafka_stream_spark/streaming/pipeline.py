@@ -645,3 +645,133 @@ def run_streaming_near_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_corpus_build(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming corpus-build funnel: X99's quality → decontamination →
+    mix flag funnel maintained INCREMENTALLY as documents arrive — the
+    composition of the streaming-store discipline (X182 sketch / X225
+    dedup) with the batch funnel, reusing the batch path's own
+    ``corpus_flags`` / ``funnel_report`` / ``grams_of`` expressions so
+    incremental == batch is by construction (and pytest-pinned after
+    every wave).
+
+    State under ``state_dir`` (signature-sized; text never stored):
+      - ``bench_grams/``  distinct 5-grams of benchmark-holdout docs
+      - ``doc_grams/``    (doc_id, gram) for non-bench docs
+      - ``flags_v{n}/``   per-doc funnel flags (q / bench / cont / kept)
+
+    Per micro-batch (foreachBatch):
+      1. the batch's benchmark docs' 5-grams append to ``bench_grams/``;
+      2. batch docs get flags — quality/bench/mix are map-side,
+         contamination = batch grams ⋉ accumulated bench grams
+         (broadcast semi-join, the q_corpus_build shape);
+      3. RETRO-RECHECK (the incremental-view-maintenance step): docs
+         ingested EARLIER whose stored grams hit the batch's NEW bench
+         grams flip cont=true — the delta semi-join runs old grams
+         against only the new bench grams, never the full history;
+      4. ``flags_v{batch}`` = retro-updated old flags ∪ batch flags;
+         the per-source funnel report overwrites ``out_dir``.
+
+    Scale: every store is columnar flags/ids (~40 B/doc, ~60 B/gram);
+    step 3's cost is |history grams| ⋈ |new bench grams| with the tiny
+    side broadcast — at 100 TB both gram stores become tables bucketed
+    by gram so 2 and 3 are co-located joins, and flags_v{n} becomes a
+    MERGE INTO a keyed table (X57) instead of version directories."""
+    from ..plans.datasetops import (
+        BENCH_MOD,
+        corpus_flags,
+        funnel_report,
+        grams_of,
+    )
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    bench_dir = os.path.join(state_dir, "bench_grams")
+    doc_grams_dir = os.path.join(state_dir, "doc_grams")
+
+    def flags_dir(version: int) -> str:
+        return os.path.join(state_dir, f"flags_v{version}")
+
+    def latest_flags_version() -> int | None:
+        if not os.path.isdir(state_dir):
+            return None
+        versions = [
+            int(name[len("flags_v"):])
+            for name in os.listdir(state_dir)
+            if name.startswith("flags_v")
+        ]
+        return max(versions) if versions else None
+
+    def build_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        g = grams_of(batch)
+        new_bench = (
+            g.filter(F.col("doc_id") % BENCH_MOD == 0)
+            .select("gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        batch_doc_grams = (
+            g.filter(F.col("doc_id") % BENCH_MOD != 0)
+            .select("doc_id", "gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if os.path.exists(bench_dir):
+            all_bench = (
+                sess.read.parquet(bench_dir).union(new_bench).distinct()
+            )
+        else:
+            all_bench = new_bench
+        hits = (
+            batch_doc_grams.join(F.broadcast(all_bench), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        new_flags = corpus_flags(batch, hits)
+
+        prev = latest_flags_version()
+        if prev is not None:
+            old_flags = sess.read.parquet(flags_dir(prev))
+            retro = (
+                sess.read.parquet(doc_grams_dir)
+                .join(F.broadcast(new_bench), "gram", "left_semi")
+                .select("doc_id")
+                .distinct()
+                .withColumn("retro", F.lit(1))
+            )
+            flags = (
+                old_flags.join(retro, "doc_id", "left")
+                .withColumn(
+                    "cont", F.col("cont") | F.col("retro").isNotNull()
+                )
+                .drop("retro")
+                .unionByName(new_flags)
+            )
+        else:
+            flags = new_flags
+        flags.write.parquet(flags_dir(batch_id if prev is None else prev + 1))
+        new_bench.write.mode("append").parquet(bench_dir)
+        batch_doc_grams.write.mode("append").parquet(doc_grams_dir)
+        cur = latest_flags_version()
+        funnel_report(sess.read.parquet(flags_dir(cur))).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(build_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -363,3 +363,78 @@ def test_streaming_quantile_sketch_incremental_equals_batch(spark, tmp_path, sf_
     hist = list(store_hist())
     assert abs(estimate_quantile(hist, 0.5) - exact[0]) <= width
     assert abs(estimate_quantile(hist, 0.9) - exact[1]) <= width
+
+
+def test_streaming_corpus_build_incremental_equals_batch(spark, tmp_path):
+    """The streaming corpus funnel (quality + decontamination + mix
+    flags maintained incrementally) must equal the batch q_corpus_build
+    funnel over documents-so-far after EVERY wave — including the
+    retro-recheck case where a benchmark doc arrives AFTER a document
+    its 5-grams contaminate (at sf0.01, bench doc 388 contaminates doc
+    335; waves split at 350 so the contamination is only discoverable
+    retroactively)."""
+    from kafka_stream_spark.plans.datasetops import (
+        BENCH_MOD,
+        corpus_flags,
+        funnel_report,
+        grams_of,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import run_streaming_corpus_build
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wave1 = docs.filter(F.col("doc_id") < 350)
+    wave2 = docs.filter(F.col("doc_id") >= 350)
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "funnel")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_funnel(d):
+        g = grams_of(d)
+        bench_grams = (
+            g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+        )
+        hits = (
+            g.filter(F.col("doc_id") % BENCH_MOD != 0)
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        return {
+            tuple(r) for r in funnel_report(corpus_flags(d, hits)).collect()
+        }
+
+    def store_funnel():
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    def stored_cont(doc_id):
+        import os
+
+        versions = [
+            int(n[len("flags_v"):])
+            for n in os.listdir(state)
+            if n.startswith("flags_v")
+        ]
+        flags = spark.read.parquet(
+            str(tmp_path / "state" / f"flags_v{max(versions)}")
+        )
+        return flags.filter(F.col("doc_id") == doc_id).collect()[0]["cont"]
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_corpus_build(
+        spark, inp, state, out, ckpt
+    ).awaitTermination(240)
+    assert store_funnel() == batch_funnel(wave1)
+    assert stored_cont(335) is False  # bench doc 388 not yet seen
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_corpus_build(
+        spark, inp, state, out, ckpt
+    ).awaitTermination(240)
+    assert store_funnel() == batch_funnel(docs)
+    assert stored_cont(335) is True  # retro-recheck flipped it
