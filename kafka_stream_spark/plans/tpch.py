@@ -1024,3 +1024,92 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    WITH ext AS (
+      SELECT l.l_orderkey,
+             ['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK']
+               [CAST((l.l_orderkey * 7 + l.l_linenumber) % 7 AS INT) + 1]
+               AS l_shipmode,
+             CAST(o.o_orderdate AS DATE)
+               + CAST(30 + (l.l_orderkey + 5 * l.l_linenumber) % 61 AS INT)
+               AS l_commitdate,
+             CAST(l.l_shipdate AS DATE)
+               + CAST(1 + (l.l_orderkey * 3 + l.l_linenumber) % 30 AS INT)
+               AS l_receiptdate,
+             CAST(l.l_shipdate AS DATE) AS ship_d,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM ext
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND ship_d < l_commitdate
+      AND l_receiptdate >= DATE '1997-01-01'
+      AND l_receiptdate < DATE '1998-01-01'
+    GROUP BY l_shipmode
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-modes-and-priority — completes the 22-query sweep.
+    The slim schema lacks l_shipmode/l_commitdate/l_receiptdate, so the
+    three columns are SYNTHESIZED with deterministic formulas mirroring
+    dbgen's distributions (uniform mode over the 7 official modes;
+    commit = orderdate + U[30,90]; receipt = shipdate + U[1,30] —
+    TPC-H spec 4.2.3), keyed on (l_orderkey, l_linenumber) so both
+    engines derive identical values — the q_tpch_q2 partsupp precedent
+    (tpch.py:765-795). The query itself is verbatim Q12: one
+    orders⋈lineitem equi-join with every residual predicate evaluated
+    inside the join, then a two-bucket conditional count by mode."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    modes = F.array(
+        *[
+            F.lit(m)
+            for m in ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+        ]
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.element_at(
+            modes,
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 7).cast("int")
+            + 1,
+        ).alias("l_shipmode"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (30 + (F.col("l_orderkey") + 5 * F.col("l_linenumber")) % 61).cast(
+                "int"
+            ),
+        ).alias("l_commitdate"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (1 + (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 30).cast(
+                "int"
+            ),
+        ).alias("l_receiptdate"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        "o_orderpriority",
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("ship_d") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
