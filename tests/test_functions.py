@@ -128,3 +128,20 @@ def test_simhash_matches_duckdb(spark):
         f"SELECT {hashing.simhash_sql('[' + ', '.join(map(str, arr)) + '::BIGINT]')}"
     ).fetchone()[0]
     assert sp == du
+
+
+def test_hilbert_xy2d_is_continuous_bijection():
+    """The unrolled Hilbert transform must be a bijection whose
+    consecutive indices are grid-adjacent cells — the locality property
+    q_hilbert_layout's bounding-box claims rest on."""
+    from kafka_stream_spark.functions.hilbert import xy2d_py
+
+    n = 16
+    cells = {}
+    for x in range(n):
+        for y in range(n):
+            cells[xy2d_py(n, x, y)] = (x, y)
+    assert len(cells) == n * n
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1

@@ -94,6 +94,23 @@ PROBE = [
     "q_link_predict",
     "q_vocab_drift",
     "q_zipf_fit",
+    # round-4: the iterative/LSH family VERDICT r3 asked to see measured
+    # (dedup_clusters, sssp, training_pipeline, near_dedup), plus the
+    # new round-4 operators. The replicated corpus gives every doc N-1
+    # near-identical twins, so the dedup probes run their REAL workload
+    # (dense duplicate clusters), not an empty-candidate best case.
+    "q_near_dedup",
+    "q_dedup_clusters",
+    "q_training_pipeline",
+    "q_sssp",
+    "q_sequence_pack",
+    "q_video_frames",
+    # q_semantic_dedup is probed but expected ~quadratic HERE ONLY:
+    # the gate pins k=8 clusters for oracle determinism, so 8x members
+    # per cluster => ~64x within-cluster pairs. SemDeDup's production
+    # setting scales k with n (50k clusters for LAION), which bounds
+    # cluster width and restores ~linear cost; see SCALE.md.
+    "q_semantic_dedup",
 ]
 
 KEY_OFFSETS = {
@@ -138,6 +155,9 @@ def timed_pass(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    import json
+    import math
+
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     dst = f"/tmp/scale{copies}"
     spark = get_spark("scale-probe")
@@ -145,10 +165,26 @@ def main() -> None:
     build(spark, dst, copies)
     base = timed_pass(spark, SRC)
     scaled = timed_pass(spark, dst)
-    print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s}")
+    print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s} {'exp':>5s}")
+    rows = {}
     for name in PROBE:
         r = scaled[name] / max(base[name], 1e-9)
-        print(f"{name:28s} {base[name]:7.2f} {scaled[name]:7.2f} {r:6.2f}")
+        # observed scaling exponent: time ~ n^exp  =>  exp = log_c(ratio)
+        exp = math.log(max(r, 1e-9)) / math.log(copies)
+        rows[name] = {
+            "t_1x": base[name],
+            f"t_{copies}x": scaled[name],
+            "ratio": round(r, 2),
+            "exponent": round(exp, 2),
+        }
+        print(f"{name:28s} {base[name]:7.2f} {scaled[name]:7.2f} {r:6.2f} {exp:5.2f}")
+    sidecar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json",
+    )
+    with open(sidecar, "w") as fh:
+        json.dump({"copies": copies, "src": SRC, "probes": rows}, fh, indent=1)
+    print(f"# wrote {sidecar}")
 
 
 if __name__ == "__main__":
