@@ -461,3 +461,314 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# X295 — new vs returning user decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_new_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '2024-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) // 7) AS fm
+      FROM events GROUP BY user_id
+    ), weekly AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS m,
+             user_id
+      FROM events GROUP BY 1, 2
+    )
+    SELECT m.m AS week_key, count(*) AS active_users,
+           CAST(sum(CASE WHEN f.fm = m.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN f.fm < m.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           round(sum(CASE WHEN f.fm < m.m THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS returning_frac
+    FROM weekly m JOIN firsts f ON f.user_id = m.user_id
+    GROUP BY m.m
+    """,
+)
+def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295 — new-vs-returning decomposition of weekly active users:
+    a user is 'new' in their first-ever active week, 'returning'
+    after — the growth-accounting split every product dashboard leads
+    with (X45's retention matrix collapsed to the acquisition axis).
+    Week keys are epoch-anchored datediff//7 ints so both engines
+    share the bucketing (the one-month event window makes calendar
+    months a single bucket). One first-week rollup + one distinct
+    week-user rollup + a broadcast-joined flag count."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    mkey = (F.datediff(day, F.lit("2024-01-01").cast("date")) / 7).cast(
+        "long"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min(mkey).alias("fm"))
+    weekly = ev.select(mkey.alias("m"), "user_id").distinct()
+    j = weekly.join(firsts, "user_id")
+    return j.groupBy(F.col("m").alias("week_key")).agg(
+        F.count("*").alias("active_users"),
+        F.sum((F.col("fm") == F.col("m")).cast("long")).alias("new_users"),
+        F.sum((F.col("fm") < F.col("m")).cast("long")).alias(
+            "returning_users"
+        ),
+        F.round(
+            F.sum((F.col("fm") < F.col("m")).cast("long")) * 1.0
+            / F.count("*"),
+            6,
+        ).alias("returning_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X296 — DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dau_wau",
+    oracle="""
+    WITH dau AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS m,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), wau AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS m,
+             count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT d.m AS week_key, CAST(max(wau.wau) AS BIGINT) AS wau,
+           round(avg(CAST(d.dau AS DOUBLE)), 4) AS avg_dau,
+           round(avg(CAST(d.dau AS DOUBLE)) / max(wau.wau), 6)
+             AS stickiness
+    FROM dau d JOIN wau ON wau.m = d.m GROUP BY d.m
+    """,
+)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 — DAU/WAU stickiness per week: average daily distinct
+    users over weekly distinct users, the engagement-frequency ratio
+    (1.0 = every weekly user active every day; week grain because the
+    synthetic event window spans one calendar month). Two
+    distinct-count rollups at different grains + one join; at 100 TB
+    the exact distincts swap for the X102 mergeable HLL sketches with
+    the same query shape (the sketch store IS this rollup maintained
+    incrementally)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    mkey = (F.datediff(day, F.lit("2024-01-01").cast("date")) / 7).cast(
+        "long"
+    ).alias("m")
+    dau = ev.groupBy(mkey, day.alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(mkey).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "m")
+        .groupBy(F.col("m").alias("week_key"))
+        .agg(
+            F.max("wau").cast("long").alias("wau"),
+            F.round(F.avg(F.col("dau").cast("double")), 4).alias("avg_dau"),
+            F.round(
+                F.avg(F.col("dau").cast("double")) / F.max("wau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X297 — pivot with multiple aggregates
+# ---------------------------------------------------------------------------
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "q_pivot_multi_agg",
+    oracle=f"""
+    SELECT year(o.o_orderdate) AS yr,
+           {", ".join(
+               f"CAST(sum(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {s.lower()}_n, "
+               f"round(sum(CASE WHEN c.c_mktsegment = '{s}'"
+               f" THEN o.o_totalprice ELSE 0 END), 2) AS {s.lower()}_rev"
+               for s in _SEGS
+           )}
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297 — pivot with MULTIPLE aggregates per cell (count + revenue
+    per market segment per year): X49 pins the literal pivot API with
+    one agg; real reporting pivots carry several measures, which Spark
+    spells as .pivot(col, values).agg(a1, a2) and names
+    '<value>_<alias>'. Explicit value list keeps the single-pass
+    conditional-aggregation plan (no distinct-values pre-scan);
+    renamed to stable lowercase columns for the gate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("c_mktsegment", _SEGS)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    cols = [F.col("yr")]
+    for s in _SEGS:
+        cols.append(F.col(f"{s}_n").alias(f"{s.lower()}_n"))
+        cols.append(F.col(f"{s}_rev").alias(f"{s.lower()}_rev"))
+    return piv.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# X298 — arrays_zip + inline (structured array expansion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_arrays_zip",
+    oracle="""
+    SELECT vec_id, CAST(gs.i AS INT) - 1 AS pos,
+           round(CAST(embedding[gs.i] AS DOUBLE), 4) AS v,
+           round(CAST(embedding[9 - gs.i] AS DOUBLE), 4) AS rv,
+           round(CAST(embedding[gs.i] AS DOUBLE)
+                 * CAST(embedding[9 - gs.i] AS DOUBLE), 4) AS prod
+    FROM embeddings, generate_series(1, 8) AS gs(i)
+    WHERE vec_id % 25 = 0
+    """,
+)
+def q_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298 — arrays_zip + inline: lock-step zip of an array with its
+    reverse into an array<struct>, exploded to one row per position
+    with both fields — the idiom for walking parallel arrays (scores
+    vs thresholds, tokens vs tags) without positional join gymnastics.
+    Restricted to the first 8 dims of a 4% sample; pure projection +
+    1→8 expansion."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    head = F.transform(
+        F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 4)
+    )
+    revd = F.transform(
+        F.reverse(F.slice("embedding", 1, 8)),
+        lambda x: F.round(x.cast("double"), 4),
+    )
+    z = e.select(
+        "vec_id", F.posexplode(F.arrays_zip(head.alias("v"), revd.alias("rv")))
+    )
+    return z.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.v").alias("v"),
+        F.col("col.rv").alias("rv"),
+        F.round(
+            F.col("col.v") * F.col("col.rv"), 4
+        ).alias("prod"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X299 — per-source dataset card
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, md5(text) AS h, n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents
+    ), lang_votes AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+               ORDER BY count(*) DESC, lang) AS rn
+      FROM base GROUP BY source, lang
+    ), card AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+             count(DISTINCT h) AS n_unique,
+             round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+               AS dup_rate,
+             round(sum(CASE WHEN n_tok >= 30
+                            AND n_chars * 1.0 / n_tok BETWEEN 3 AND 13
+                       THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS quality_rate
+      FROM base GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.total_tokens, c.avg_chars,
+           c.dup_rate, c.quality_rate,
+           v.lang AS top_lang,
+           round(v.c * 1.0 / c.n_docs, 6) AS top_lang_frac
+    FROM card c JOIN lang_votes v ON v.source = c.source AND v.rn = 1
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299 — the per-source DATASET CARD: docs, token budget, mean
+    length, exact-duplicate rate (1 − distinct-hash ratio), quality
+    rate (the X99 gate), dominant language + its share — the one-table
+    summary a 'datasheets for datasets' card (Gebru et al. 2021) and
+    every mixture decision (X92/X229) starts from. Composed as one
+    scan + one per-(source,lang) vote + one per-source rollup; at
+    100 TB the distinct-hash count swaps for the X102 HLL with the
+    same shape. Every constituent metric is separately gate-pinned
+    elsewhere (X1/E1, X17, X99) — this row pins the COMPOSITION."""
+    base = load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tok"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    votes = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    quality = (F.col("n_tok") >= 30) & (
+        (F.col("n_chars") * 1.0 / F.col("n_tok")).between(3, 13)
+    )
+    card = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias(
+            "avg_chars"
+        ),
+        F.countDistinct("h").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("h") * 1.0 / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.sum(quality.cast("long")) * 1.0 / F.count("*"), 6).alias(
+            "quality_rate"
+        ),
+    )
+    return (
+        card.join(votes, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            "dup_rate",
+            "quality_rate",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("c") * 1.0 / F.col("n_docs"), 6).alias(
+                "top_lang_frac"
+            ),
+        )
+    )
