@@ -149,6 +149,18 @@ HEADLINE = [
     "q_vocab_drift",      # corpus-half PSI
     "q_semantic_dedup",   # SemDeDup: cluster-bounded embedding dedup
     "q_sequence_pack",    # greedy context-window packing with lineage
+    "q_tpch_q12",         # ship-mode/priority split (synthesized cols)
+    "q_video_frames",     # real AVI decode + per-frame aHash
+    "q_hilbert_layout",   # Hilbert clustering key + bounding boxes
+    "q_kcore",            # bounded k-core peeling
+    "q_bloom_join_prune", # bloom runtime-filter pruning stats
+    "q_readability",      # Flesch scoring projection pass
+    "q_vocab_coverage",   # OOV rate vs induced vocabulary
+    "q_stl_decompose",    # trend/seasonal/residual split
+    "q_forecast_accuracy",  # MAE/WAPE/sMAPE/MASE battery
+    "q_multi_touch_attribution",  # linear + U-shape credit
+    "q_dataset_card",     # composed per-source corpus report
+    "q_knn_classify",     # 5-NN confusion matrix (broadcast test side)
 ]
 
 
