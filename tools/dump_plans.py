@@ -53,6 +53,14 @@ SHOWCASE = {
     "q_skyline": "Pareto front: one sorted window, dominance self-join eliminated",
     "q_roc_auc": "AUC: collapsed distinct-score midranks, no per-row ranking",
     "q_tpch_q2": "min-cost supplier: agg+rejoin decorrelation, dims broadcast",
+    "q_semantic_dedup": "SemDeDup: cluster-keyed pair join bounds candidates, centroids broadcast",
+    "q_sequence_pack": "sequence packing: every window partitioned by the shard key, no global sort",
+    "q_video_frames": "AVI decode: Arrow-batched mapInPandas, parallelized input, no shuffle",
+    "q_hilbert_layout": "Hilbert key: 8 chained codegen projections, one bucket rollup",
+    "q_bloom_join_prune": "bloom pruning: broadcast bit-set membership before any join shuffle",
+    "q_kcore": "k-core peel: semi-join liveness + count shuffle per round, edge-sized partitions",
+    "q_salted_join": "salted skew join: (key, salt) equi-join, dim replicated 8x, result = plain join",
+    "q_sssp": "Bellman-Ford: vertex-keyed min-combine supersteps, edge-sized shuffles",
 }
 
 
