@@ -633,10 +633,10 @@ from ..functions import vectors  # noqa: E402
     oracle=f"""
     WITH test AS (
       SELECT vec_id AS q_id, embedding AS qe, label AS true_label
-      FROM embeddings WHERE vec_id % 5 = 0
+      FROM embeddings WHERE vec_id % 20 = 0
     ), train AS (
       SELECT vec_id AS n_id, embedding AS ne, label
-      FROM embeddings WHERE vec_id % 5 <> 0
+      FROM embeddings WHERE vec_id % 20 <> 0
     ), scored AS (
       SELECT t.q_id, t.true_label, tr.n_id, tr.label,
              round({vectors.cosine_sql('t.qe', 'tr.ne')}, 6) AS score
@@ -658,8 +658,8 @@ from ..functions import vectors  # noqa: E402
     """,
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X278 — 5-NN majority-vote classification of the held-out fifth
-    of the embedding table against the rest, reported as a confusion
+    """X278 — 5-NN majority-vote classification of a held-out 5% of
+    the embedding table against the rest, reported as a confusion
     matrix — the lazy-learner baseline every embedding-quality check
     runs next to X246's nearest-centroid. The small test side
     broadcasts against the corpus (the q_cosine_topk shape), top-5 via
@@ -668,12 +668,12 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes through the X30 IVF index and only probed cells are scored —
     same vote semantics."""
     e = load(spark, sf_dir, "embeddings")
-    test = e.filter(F.col("vec_id") % 5 == 0).select(
+    test = e.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
     )
-    train = e.filter(F.col("vec_id") % 5 != 0).select(
+    train = e.filter(F.col("vec_id") % 20 != 0).select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("ne"),
         F.col("label").alias("lbl"),
