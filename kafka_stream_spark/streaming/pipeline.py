@@ -775,3 +775,65 @@ def run_streaming_corpus_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_mixture_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained mixture-weight inputs: the per-(source,
+    lang) document/char counts q_mixture_weights (X229) derives its
+    n^alpha temperature weights from, kept current as documents stream
+    in — so the training-mix sampler always reads fresh strata sizes
+    without a corpus rescan.
+
+    Counts are MERGEABLE (plain sums), so this is the X182 sketch-store
+    discipline applied to the mixture rollup: a streaming groupBy in
+    update mode emits only the strata each micro-batch touched, and the
+    foreachBatch writer dynamic-overwrites exactly those partitions.
+    pytest pins store-derived weights == the batch q_mixture_weights on
+    documents-so-far after every wave (mixture_weights_from_counts is
+    the shared read-side arithmetic)."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source", "lang")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mixture_weights_from_counts(counts: DataFrame) -> DataFrame:
+    """(source, lang, n, chars) → the q_mixture_weights output shape
+    (alpha = 0.5 temperature weights + expected sample counts): the
+    read side of the streaming store, shared with the batch query's
+    arithmetic so incremental == batch is by construction."""
+    src = counts.withColumn("raw_w", F.pow(F.col("n"), 0.5))
+    tot = src.agg(F.sum("raw_w").alias("tw"), F.sum("n").alias("tn"))
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("chars").cast("long").alias("chars"),
+        F.round(F.col("raw_w") / F.col("tw"), 6).alias("weight"),
+        F.floor(F.col("raw_w") / F.col("tw") * F.col("tn"))
+        .cast("long")
+        .alias("expected_samples"),
+    )

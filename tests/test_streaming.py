@@ -438,3 +438,46 @@ def test_streaming_corpus_build_incremental_equals_batch(spark, tmp_path):
     ).awaitTermination(240)
     assert store_funnel() == batch_funnel(docs)
     assert stored_cont(335) is True  # retro-recheck flipped it
+
+
+def test_streaming_mixture_counts_incremental_equals_batch(spark, tmp_path):
+    """The streaming (source, lang) count store, read through the shared
+    weight arithmetic, must equal the batch q_mixture_weights on
+    documents-so-far after every wave."""
+    from kafka_stream_spark.plans.llm_ext import q_mixture_weights
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        mixture_weights_from_counts,
+        run_streaming_mixture_counts,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_weights():
+        return {
+            tuple(r)
+            for r in mixture_weights_from_counts(
+                spark.read.parquet(out)
+            ).collect()
+        }
+
+    def batch_weights(d):
+        cum = str(tmp_path / f"cum_{d.count()}")
+        d.write.mode("overwrite").parquet(f"{cum}/documents.parquet")
+        return {tuple(r) for r in q_mixture_weights(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_mixture_counts(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_weights() == batch_weights(wave1)
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_mixture_counts(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_weights() == batch_weights(docs)
