@@ -157,3 +157,48 @@ def test_streaming_near_dedup_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_near_dedup(spark, inp, store, out, ckpt).awaitTermination(300)
     assert flagged() == batch_all
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing must conserve tokens (every piece of every doc appears
+    exactly once with correct lengths), bound window overflow by the
+    documented < 2x context worst case, and keep offsets consistent
+    with in-window ordering."""
+    from kafka_stream_spark.plans.llm_ext2 import _CTX, q_sequence_pack
+
+    rows = q_sequence_pack(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+
+    # token conservation vs an independent count
+    from kafka_stream_spark.sources.tables import load
+
+    docs = {
+        r["doc_id"]: r["n_tok"]
+        for r in load(spark, "/root/testdata/sf0.01", "documents")
+        .selectExpr(
+            "doc_id",
+            "size(filter(split(text, ' '), t -> t != '')) AS n_tok",
+        )
+        .collect()
+        if r["n_tok"] > 0
+    }
+    packed = {}
+    for r in rows:
+        packed.setdefault(r["doc_id"], 0)
+        packed[r["doc_id"]] += r["piece_len"]
+        assert 1 <= r["piece_len"] <= _CTX
+    assert packed == docs
+
+    # window fill bound + offset consistency
+    by_window = {}
+    for r in rows:
+        by_window.setdefault((r["source"], r["window_id"]), []).append(r)
+    for (_, _), members in by_window.items():
+        fill = sum(m["piece_len"] for m in members)
+        assert fill == members[0]["window_fill"]
+        assert fill < 2 * _CTX  # documented straddle-overflow bound
+        offs = sorted((m["win_offset"], m["piece_len"]) for m in members)
+        cursor = 0
+        for start, ln in offs:
+            assert start == cursor
+            cursor += ln
