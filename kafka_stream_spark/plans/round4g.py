@@ -185,3 +185,89 @@ def q_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         (F.col("start_off") + F.length("tok")).alias("end_off"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X320 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cross_source_dups",
+    oracle="""
+    WITH hs AS (
+      SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+             source
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X320 — cross-source duplication matrix: how many distinct
+    content fingerprints (first-8-token prefix hash — the near-dup
+    blocking key; exact full-text hash is the same plan with md5(text))
+    each PAIR of sources shares — the
+    dataset-card drill-down that tells you which crawls/mirrors overlap
+    before you weight them independently in the mixture (double-counted
+    strata silently re-weight X229's temperatures). Hash-distinct per
+    source first, then a hash-keyed self-join: text never joins, only
+    16-byte keys; at 100 TB this is the same shuffle as exact dedup
+    plus one key-join."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    hs = d.select(F.md5(prefix).alias("h"), "source").distinct()
+    a = hs.select(F.col("h"), F.col("source").alias("src_a"))
+    b = hs.select(F.col("h").alias("hb"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X321 — document↔embedding coverage audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_coverage",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT DISTINCT vec_id FROM embeddings)
+    SELECT (SELECT count(*) FROM d) AS n_docs,
+           (SELECT count(*) FROM e) AS n_vectors,
+           (SELECT count(*) FROM d JOIN e ON e.vec_id = d.doc_id)
+             AS n_covered,
+           (SELECT count(*) FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+            WHERE e.vec_id IS NULL) AS n_docs_without_vec,
+           (SELECT count(*) FROM e LEFT JOIN d ON d.doc_id = e.vec_id
+            WHERE d.doc_id IS NULL) AS n_orphan_vecs
+    """,
+)
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X321 — document↔embedding coverage audit: before any
+    embedding-driven stage (X266 semantic dedup, E3 search, X107 MMR)
+    can claim corpus coverage, every doc needs a vector and every
+    vector a doc — the cross-table completeness check the X128 FK
+    audit runs for the relational tables, applied to the ML pair. Two
+    key-only semi/anti joins folded into one summary row."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id").distinct()
+    n_docs = d.count()
+    n_vecs = e.count()
+    covered = d.join(e, d.doc_id == e.vec_id, "left_semi").count()
+    missing = d.join(e, d.doc_id == e.vec_id, "left_anti").count()
+    orphans = e.join(d, e.vec_id == d.doc_id, "left_anti").count()
+    # scalar counts assembled driver-side: this is a 5-number audit
+    # summary (each count is a distributed job; the collect is O(1))
+    return load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(n_docs, n_vecs, covered, missing, orphans)],
+        "n_docs long, n_vectors long, n_covered long, "
+        "n_docs_without_vec long, n_orphan_vecs long",
+    )

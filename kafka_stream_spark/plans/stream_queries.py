@@ -143,3 +143,45 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(out).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.ws, a.event_type, a.n, a.sum_value
+    FROM agg a CROSS JOIN wm
+    WHERE a.ws + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 under the FULL gate — watermarked tumbling-window aggregation
+    in APPEND mode, emission semantics included: the event stream
+    drains via availableNow, whose final no-data batch (Spark 3.3+)
+    advances the watermark to max(event time) - 2h and flushes every
+    window it closes. Append mode therefore emits EXACTLY the windows
+    whose end the final watermark passed — the oracle computes that
+    same closed-window set relationally, so the gate pins not just the
+    aggregates but WHICH windows a correct watermark implementation
+    finalizes (the still-open tail stays in state, by design). Batch
+    twin of the full aggregation: q_window_tumbling."""
+    from ..streaming.pipeline import run_windowed_event_stream
+
+    base = tempfile.mkdtemp(prefix="kss_swin_")
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(4).write.mode("append").parquet(inp)
+    q = run_windowed_event_stream(spark, inp, out, ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("window stream did not drain")
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
