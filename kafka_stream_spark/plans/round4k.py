@@ -399,3 +399,78 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tt") + F.col("n_tc") + F.col("n_ct") + F.col("n_cc")
         ).cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X337 — ranking-quality evaluation (MRR + NDCG of the IVF index)
+# ---------------------------------------------------------------------------
+
+
+def _rank_eval_oracle() -> str:
+    from .llm_ext import _exact_topk_oracle, _ivf_oracle
+
+    return f"""
+    WITH exact3 AS (
+      SELECT q_id, n_id, rn AS ern FROM ({_exact_topk_oracle(3)})
+    ), ivf AS (
+      SELECT q_id, n_id, rn FROM ({_ivf_oracle()})
+    ), judged AS (
+      SELECT i.q_id, i.rn,
+             COALESCE(4 - e.ern, 0) AS rel
+      FROM ivf i LEFT JOIN exact3 e
+        ON e.q_id = i.q_id AND e.n_id = i.n_id
+    ), idcg AS (
+      SELECT 3.0 / log2(2) + 2.0 / log2(3) + 1.0 / log2(4) AS v
+    )
+    SELECT j.q_id,
+           round(sum(j.rel / log2(j.rn + 1)) / max(idcg.v), 6) AS ndcg_at_3,
+           round(COALESCE(1.0 / min(CASE WHEN j.rel > 0 THEN j.rn END), 0.0),
+                 6) AS mrr
+    FROM judged j CROSS JOIN idcg GROUP BY j.q_id
+    """
+
+
+@query("q_rank_eval", oracle=_rank_eval_oracle())
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X337 — graded ranking evaluation of the IVF index: NDCG@3
+    (relevance 3/2/1 for the exact top-3 neighbors, position-discounted
+    by 1/log2(rank+1)) and MRR (reciprocal rank of the first truly-
+    relevant hit) per query — the ORDER-aware metrics X86's recall@k
+    can't see (an index that returns the right set in the wrong order
+    scores identical recall but lower NDCG). Both pipelines run as
+    queries; the judgment join is keys-only."""
+    from .llm_ext import q_ann_ivf, q_cosine_topk
+
+    exact3 = q_cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3).select(
+        F.col("q_id").alias("e_q"),
+        F.col("n_id").alias("e_n"),
+        F.col("rn").alias("ern"),
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select("q_id", "n_id", "rn")
+    judged = ivf.join(
+        exact3,
+        (F.col("q_id") == F.col("e_q")) & (F.col("n_id") == F.col("e_n")),
+        "left",
+    ).select(
+        "q_id",
+        "rn",
+        F.coalesce(4 - F.col("ern"), F.lit(0)).alias("rel"),
+    )
+    idcg = (
+        F.lit(3.0) / F.log2(F.lit(2.0))
+        + F.lit(2.0) / F.log2(F.lit(3.0))
+        + F.lit(1.0) / F.log2(F.lit(4.0))
+    )
+    return judged.groupBy("q_id").agg(
+        F.round(
+            F.sum(F.col("rel") / F.log2(F.col("rn") + 1)) / idcg, 6
+        ).alias("ndcg_at_3"),
+        F.round(
+            F.coalesce(
+                1.0
+                / F.min(F.when(F.col("rel") > 0, F.col("rn"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+    )
