@@ -474,3 +474,72 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X338 — event-time lateness audit (watermark sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ), late AS (
+      SELECT event_type,
+             greatest(0, date_diff('second', ts, high_water)) AS late_s
+      FROM arr
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s)
+             AS BIGINT) AS p50_late_s,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY late_s)
+             AS BIGINT) AS p95_late_s,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM late GROUP BY event_type
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X338 — out-of-orderness audit: per stream, how far behind the
+    running event-time high-water mark (in ARRIVAL order — event_id
+    here) events actually arrive — the empirical distribution that
+    SIZES the watermark every windowed query in this engine declares
+    (T4/E7/X72: a 2-hour allowance is a claim; this query is the
+    evidence). p95/max lateness say what a given allowance would drop;
+    discrete percentiles for the X134 determinism rule. One window in
+    arrival order + one rollup."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = arr.select(
+        "event_type",
+        F.greatest(
+            F.lit(0),
+            F.unix_timestamp("high_water") - F.unix_timestamp("ts"),
+        ).alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY late_s)")
+        .cast("long")
+        .alias("p50_late_s"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY late_s)")
+        .cast("long")
+        .alias("p95_late_s"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
