@@ -161,6 +161,7 @@ HEADLINE = [
     "q_multi_touch_attribution",  # linear + U-shape credit
     "q_dataset_card",     # composed per-source corpus report
     "q_knn_classify",     # 5-NN confusion matrix (broadcast test side)
+    "q_pretrain_build",   # flagship: quality→decontam→mix→pack, one plan
 ]
 
 
