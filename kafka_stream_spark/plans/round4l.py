@@ -163,3 +163,103 @@ def q_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pack_eff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X340 — Holt-Winters additive (triple exponential smoothing)
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+_HW_A, _HW_B, _HW_G, _HW_M = 0.5, 0.3, 0.3, 7
+
+
+@query(
+    "q_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ), n AS (SELECT event_type, max(i) AS n FROM seq GROUP BY event_type),
+    hw(event_type, i, l, b, q1, q2, q3, q4, q5, q6, q7) AS (
+      SELECT event_type, 1, v, CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, h.i + 1,
+             {_HW_A} * (s.v - h.q1) + {1 - _HW_A} * (h.l + h.b),
+             {_HW_B} * (({_HW_A} * (s.v - h.q1) + {1 - _HW_A} * (h.l + h.b))
+                        - h.l) + {1 - _HW_B} * h.b,
+             h.q2, h.q3, h.q4, h.q5, h.q6, h.q7,
+             {_HW_G} * (s.v - ({_HW_A} * (s.v - h.q1)
+                               + {1 - _HW_A} * (h.l + h.b)))
+               + {1 - _HW_G} * h.q1
+      FROM hw h JOIN seq s ON s.event_type = h.event_type AND s.i = h.i + 1
+    )
+    SELECT h.event_type, CAST(n.n AS BIGINT) AS n_days,
+           round(h.l, 4) AS level, round(h.b, 4) AS trend,
+           round(h.q7, 4) AS last_seasonal,
+           round(h.l + h.b + h.q1, 4) AS forecast_1
+    FROM hw h JOIN n ON h.event_type = n.event_type AND h.i = n.n
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X340 — Holt-Winters ADDITIVE triple exponential smoothing
+    (alpha=0.5, beta=0.3, gamma=0.3, season length 7) over each
+    type's daily event counts — completing the forecasting ladder
+    X109 (SES) → X218 (Holt) → here (seasonal), with the 1-step
+    forecast l + b + s_{t+1-m}. The coupled level/trend/seasonal
+    recurrence folds per series inside applyInPandas after one
+    combinable daily rollup (the X218 pattern); the seasonal state is
+    a 7-slot queue carried through the fold. The oracle steps the
+    IDENTICAL recurrence in a recursive CTE whose row carries the same
+    7-slot queue as columns — doubles agree bit-for-bit before
+    rounding. Seasonal slots initialize to 0 (additive deviations), so
+    the first cycle learns the season from gamma."""
+    daily = load(spark, sf_dir, "events").groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").cast("double").alias("v"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        vals = list(pdf["v"])
+        l, b = vals[0], 0.0
+        q = [0.0] * _HW_M
+        for x in vals[1:]:
+            s_old = q[0]
+            l_new = _HW_A * (x - s_old) + (1 - _HW_A) * (l + b)
+            b = _HW_B * (l_new - l) + (1 - _HW_B) * b
+            s_new = _HW_G * (x - l_new) + (1 - _HW_G) * s_old
+            l = l_new
+            q = q[1:] + [s_new]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(vals)],
+                "level": [l],
+                "trend": [b],
+                "last_seasonal": [q[-1]],
+                "forecast_1": [l + b + q[0]],
+            }
+        )
+
+    fitted = daily.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n_days long, level double, trend double, "
+        "last_seasonal double, forecast_1 double",
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("last_seasonal", 4).alias("last_seasonal"),
+        F.round("forecast_1", 4).alias("forecast_1"),
+    )
