@@ -263,3 +263,86 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_seasonal", 4).alias("last_seasonal"),
         F.round("forecast_1", 4).alias("forecast_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X341 — Mahalanobis-distance outlier screen (2-feature, closed form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mahalanobis",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS x1,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS DOUBLE) AS x2
+      FROM documents
+    ), m AS (
+      SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2 FROM x
+    ), c AS (
+      SELECT m.n, m.m1, m.m2,
+             sum((x.x1 - m.m1) * (x.x1 - m.m1)) / m.n AS s11,
+             sum((x.x1 - m.m1) * (x.x2 - m.m2)) / m.n AS s12,
+             sum((x.x2 - m.m2) * (x.x2 - m.m2)) / m.n AS s22
+      FROM x CROSS JOIN m GROUP BY m.n, m.m1, m.m2
+    ), scored AS (
+      SELECT x.doc_id,
+             round(( c.s22 * (x.x1 - c.m1) * (x.x1 - c.m1)
+                   - 2 * c.s12 * (x.x1 - c.m1) * (x.x2 - c.m2)
+                   + c.s11 * (x.x2 - c.m2) * (x.x2 - c.m2))
+                   / (c.s11 * c.s22 - c.s12 * c.s12), 6) AS d2
+      FROM x CROSS JOIN c
+    ), ranked AS (
+      SELECT doc_id, d2,
+             row_number() OVER (ORDER BY d2 DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, d2 FROM ranked WHERE rn <= 15
+    """,
+)
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X341 — Mahalanobis-distance outlier screen on (chars, words):
+    d² = (x−μ)ᵀ Σ⁻¹ (x−μ) with the 2x2 covariance inverted in closed
+    form — the CORRELATION-AWARE member of the X247 outlier ensemble
+    (z-score and IQR see each axis alone and miss points that are
+    normal marginally but break the chars~words relationship — exactly
+    the mojibake/boilerplate signature in a text corpus). One moment
+    pass, a broadcast Σ, a map-side quadratic form, and a top-15
+    ranked cut with id tie-break."""
+    d = load(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x1"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("double")
+        .alias("x2"),
+    )
+    m = x.agg(
+        F.count("*").alias("n"), F.avg("x1").alias("m1"), F.avg("x2").alias("m2")
+    )
+    c = (
+        x.crossJoin(F.broadcast(m))
+        .groupBy("n", "m1", "m2")
+        .agg(
+            (F.sum((F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1"))) / F.col("n")).alias("s11"),
+            (F.sum((F.col("x1") - F.col("m1")) * (F.col("x2") - F.col("m2"))) / F.col("n")).alias("s12"),
+            (F.sum((F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2"))) / F.col("n")).alias("s22"),
+        )
+    )
+    dx1 = F.col("x1") - F.col("m1")
+    dx2 = F.col("x2") - F.col("m2")
+    d2 = (
+        F.col("s22") * dx1 * dx1
+        - 2 * F.col("s12") * dx1 * dx2
+        + F.col("s11") * dx2 * dx2
+    ) / (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+    scored = x.crossJoin(F.broadcast(c)).select(
+        "doc_id", F.round(d2, 6).alias("d2")
+    )
+    w = Window.orderBy(F.desc("d2"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "d2")
+    )
