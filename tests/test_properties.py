@@ -79,3 +79,79 @@ def test_shingles_agree_with_model(spark, texts):
     got = df.select("t", T.shingles(T.tokens(F.col("t"))).alias("s")).collect()
     for row in got:
         assert row["s"] == model_shingles(row["t"]), repr(row["t"])
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip properties (no Spark needed — pure Python codecs)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_avi_roundtrip_property(w, h, n_frames, data):
+    """Any stack of arbitrary RGB frames survives the AVI container
+    bit-for-bit — including odd widths that exercise DIB row padding."""
+    from kafka_stream_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    rw, rh, out = decode_avi_frames(encode_avi(w, h, frames))
+    assert (rw, rh) == (w, h)
+    assert out == frames
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=64,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(rate, samples):
+    """Any int16 sample vector survives the RIFF/PCM container."""
+    from kafka_stream_spark.operators.multimodal import decode_wav, encode_wav
+
+    r, ch, out = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert (r, ch) == (rate, 1)
+    assert out == samples
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    """Any RGB image survives the BMP container (row padding incl.)."""
+    from kafka_stream_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    rw, rh, out = decode_bmp(encode_bmp(w, h, rgb))
+    assert (rw, rh, out) == (w, h, rgb)
