@@ -346,3 +346,146 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("doc_id", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# X342 — average precision (threshold-level AP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_avg_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), by_val AS (
+      SELECT score, count(*) AS n, sum(y) AS n1 FROM scored GROUP BY score
+    ), cum AS (
+      SELECT score, n, n1,
+             sum(n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS cn,
+             sum(n1) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS tp
+      FROM by_val
+    ), tot AS (SELECT sum(n1) AS np, sum(n - n1) AS nn FROM by_val)
+    SELECT CAST(t.np AS BIGINT) AS n_pos, CAST(t.nn AS BIGINT) AS n_neg,
+           round(sum((c.n1 * 1.0 / t.np) * (c.tp * 1.0 / c.cn)), 6)
+             AS avg_precision
+    FROM cum c CROSS JOIN tot t GROUP BY t.np, t.nn
+    """,
+)
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X342 — average precision (the area under the PR curve by the
+    threshold-level sum AP = Σ_t ΔR_t · P_t, scikit's
+    average_precision_score definition — exact under ties because
+    thresholds are DISTINCT scores, unlike the rank-walk spelling):
+    the single-number PR summary X255's 5-point sweep samples and
+    X252's AUC can't replace under class imbalance (AUC is
+    prevalence-blind; AP is anchored to the positive class). Same
+    collapsed-score frame as q_roc_auc: one rollup + one cumulative
+    window over distinct scores."""
+    scored = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("value").alias("score"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    by_val = scored.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("n1")
+    )
+    w = (
+        Window.orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_val.select(
+        "n",
+        "n1",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n1").over(w).alias("tp"),
+    )
+    tot = by_val.agg(
+        F.sum("n1").alias("np"), F.sum(F.col("n") - F.col("n1")).alias("nn")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n1") * 1.0 / F.col("np"))
+                    * (F.col("tp") * 1.0 / F.col("cn"))
+                ),
+                6,
+            ).alias("avg_precision")
+        )
+        .select(
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            "avg_precision",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X343 — Lorenz curve points (decile concentration profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lorenz",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT rev,
+             ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM per_cust
+    ), tot AS (SELECT sum(rev) AS t, count(*) AS n FROM per_cust),
+    d AS (
+      SELECT decile, count(*) AS n_cust, sum(rev) AS rev
+      FROM ranked GROUP BY decile
+    )
+    SELECT d.decile,
+           CAST(d.n_cust AS BIGINT) AS n_customers,
+           round(d.rev / tot.t, 6) AS rev_share,
+           round(sum(d.rev) OVER (ORDER BY d.decile
+                 ROWS UNBOUNDED PRECEDING) / tot.t, 6) AS cum_share
+    FROM d CROSS JOIN tot
+    """,
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X343 — Lorenz curve points: per revenue decile (customers
+    ranked ascending, key tie-break), the decile's revenue share and
+    the cumulative share — the CURVE behind X197's Gini scalar (the
+    'bottom 50% hold x%' readout a concentration number can't give)
+    and X264's ABC classes at fixed population cuts. One per-entity
+    rollup, one ntile window, one 10-row cumulative sum."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    ranked = per_cust.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    tot = per_cust.agg(F.sum("rev").alias("t"))
+    d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("rev").alias("rev_d")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_cust").cast("long").alias("n_customers"),
+            F.round(F.col("rev_d") / F.col("t"), 6).alias("rev_share"),
+            F.round(F.sum("rev_d").over(w) / F.col("t"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
