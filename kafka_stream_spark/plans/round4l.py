@@ -489,3 +489,259 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X344 — summed-area table (2-D prefix sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_summed_area",
+    oracle="""
+    WITH grid AS (
+      SELECT o_custkey % 8 AS gx,
+             (year(o_orderdate) * 12 + month(o_orderdate)) % 8 AS gy,
+             round(sum(o_totalprice), 2) AS v
+      FROM orders GROUP BY 1, 2
+    ), dense AS (
+      SELECT x.gx, y.gy, COALESCE(g.v, 0.0) AS v
+      FROM (SELECT unnest(range(8)) AS gx) x
+      CROSS JOIN (SELECT unnest(range(8)) AS gy) y
+      LEFT JOIN grid g ON g.gx = x.gx AND g.gy = y.gy
+    ), rowcum AS (
+      SELECT gx, gy,
+             sum(v) OVER (PARTITION BY gx ORDER BY gy
+               ROWS UNBOUNDED PRECEDING) AS rc
+      FROM dense
+    ), sat AS (
+      SELECT gx, gy,
+             sum(rc) OVER (PARTITION BY gy ORDER BY gx
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM rowcum
+    )
+    SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+           round(s, 2) AS sat
+    FROM sat
+    """,
+)
+def q_summed_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X344 — summed-area table (integral image) over the (customer-
+    bucket × month-bucket) revenue grid: SAT[x, y] = Σ of all cells
+    with gx' <= x and gy' <= y, built from two chained partitioned
+    cumulative windows (row-direction then column-direction) — after
+    which ANY rectangle aggregate is four lookups (SAT[x2,y2] −
+    SAT[x1−1,y2] − SAT[x2,y1−1] + SAT[x1−1,y1−1]), the
+    O(1)-per-query structure behind OLAP range acceleration and
+    Viola-Jones-style feature scans. The grid densifies missing cells
+    to 0 first (a prefix sum over a sparse grid would skip cells and
+    break the rectangle identity). Cell values rounded before the
+    cumulative passes so both engines accumulate identical doubles in
+    identical window order."""
+    o = load(spark, sf_dir, "orders")
+    grid = o.groupBy(
+        (F.col("o_custkey") % 8).alias("gx"),
+        ((F.year("o_orderdate") * 12 + F.month("o_orderdate")) % 8).alias(
+            "gy"
+        ),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    axis = F.explode(F.sequence(F.lit(0), F.lit(7)))
+    xs = o.sparkSession.range(1).select(axis.alias("gx"))
+    ys = o.sparkSession.range(1).select(axis.alias("gy"))
+    dense = (
+        xs.crossJoin(ys)
+        .join(grid, ["gx", "gy"], "left")
+        .select("gx", "gy", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+    w_row = (
+        Window.partitionBy("gx")
+        .orderBy("gy")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_col = (
+        Window.partitionBy("gy")
+        .orderBy("gx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rowcum = dense.withColumn("rc", F.sum("v").over(w_row))
+    return rowcum.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        F.round(F.sum("rc").over(w_col), 2).alias("sat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X345 — rate/mix-shift decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mix_shift",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_mktsegment AS seg,
+             year(o.o_orderdate) >= 1999 AS post,
+             count(*) AS n,
+             avg(o.o_totalprice) AS rate
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) BETWEEN 1997 AND 2000
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT post, sum(n) AS tn FROM per GROUP BY post
+    ), shares AS (
+      SELECT p.seg, p.post, p.rate, p.n * 1.0 / t.tn AS share
+      FROM per p JOIN tot t ON t.post = p.post
+    ), wide AS (
+      SELECT a.seg,
+             a.share AS share_pre, b.share AS share_post,
+             a.rate AS rate_pre, b.rate AS rate_post
+      FROM (SELECT * FROM shares WHERE NOT post) a
+      JOIN (SELECT * FROM shares WHERE post) b ON b.seg = a.seg
+    )
+    SELECT seg,
+           round((share_post - share_pre) * (rate_pre + rate_post) / 2, 2)
+             AS mix_effect,
+           round((rate_post - rate_pre) * (share_pre + share_post) / 2, 2)
+             AS rate_effect,
+           round(share_post * rate_post - share_pre * rate_pre, 2)
+             AS total_effect
+    FROM wide
+    """,
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X345 — rate/mix-shift decomposition of the average-order-value
+    change between periods: each segment's contribution splits into a
+    MIX effect (its share of orders moved) and a RATE effect (its own
+    average moved), using the symmetric midpoint weighting that makes
+    the two effects sum exactly to the total per segment — the
+    'why did the average move' BI decomposition (Oaxaca-Blinder's
+    two-way special case). Two rollups + one self-join on segment."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1997, 2000)
+    )
+    c = load(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.year("o_orderdate") >= 1999).alias("post"),
+        )
+        .agg(F.count("*").alias("n"), F.avg("o_totalprice").alias("rate"))
+    )
+    tot = per.groupBy("post").agg(F.sum("n").alias("tn"))
+    shares = per.join(tot, "post").select(
+        "seg", "post", "rate", (F.col("n") * 1.0 / F.col("tn")).alias("share")
+    )
+    pre = shares.filter(~F.col("post")).select(
+        "seg",
+        F.col("share").alias("share_pre"),
+        F.col("rate").alias("rate_pre"),
+    )
+    post = shares.filter("post").select(
+        F.col("seg").alias("seg2"),
+        F.col("share").alias("share_post"),
+        F.col("rate").alias("rate_post"),
+    )
+    wide = pre.join(post, pre.seg == post.seg2)
+    return wide.select(
+        "seg",
+        F.round(
+            (F.col("share_post") - F.col("share_pre"))
+            * (F.col("rate_pre") + F.col("rate_post"))
+            / 2,
+            2,
+        ).alias("mix_effect"),
+        F.round(
+            (F.col("rate_post") - F.col("rate_pre"))
+            * (F.col("share_pre") + F.col("share_post"))
+            / 2,
+            2,
+        ).alias("rate_effect"),
+        F.round(
+            F.col("share_post") * F.col("rate_post")
+            - F.col("share_pre") * F.col("rate_pre"),
+            2,
+        ).alias("total_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X346 — Kendall's tau-b
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS x,
+             CAST(round(sum(value), 0) AS BIGINT) AS yv
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN (a.x - b.x) * (a.yv - b.yv) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.x - b.x) * (a.yv - b.yv) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN a.x = b.x AND a.yv <> b.yv THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.yv = b.yv AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           round((sum(conc) - sum(disc))
+                 / sqrt((sum(conc) + sum(disc) + sum(tx))
+                        * (sum(conc) + sum(disc) + sum(ty))), 6) AS tau_b
+    FROM pairs GROUP BY event_type
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X346 — Kendall's tau-b between daily event count and daily
+    value total per series: concordant/discordant pair counting with
+    the tie-corrected denominator — the rank-correlation triple's last
+    member (Pearson X249, Spearman X261; Kendall is the one with a
+    clean probabilistic reading, P(concordant) − P(discordant)). The
+    pair join runs on the POST-ROLLUP daily grain (≤31 rows per
+    series), so the O(n²) pair space is the tiny series length, not
+    the event table — the same collapse discipline as the midrank
+    tests."""
+    daily = load(spark, sf_dir, "events").groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count("*").alias("x"),
+        F.round(F.sum("value"), 0).cast("long").alias("yv"),
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("x").alias("xa"), F.col("yv").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("yv").alias("yb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        (((F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb")) > 0).cast("long")).alias("conc"),
+        (((F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb")) < 0).cast("long")).alias("disc"),
+        ((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb"))).cast("long").alias("tx"),
+        ((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb"))).cast("long").alias("ty"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.round(
+            (F.sum("conc") - F.sum("disc"))
+            / F.sqrt(
+                (F.sum("conc") + F.sum("disc") + F.sum("tx"))
+                * (F.sum("conc") + F.sum("disc") + F.sum("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
