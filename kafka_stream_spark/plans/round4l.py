@@ -745,3 +745,200 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X347 — Theil-Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             round((b.v - a.v) / (b.t - a.t), 8) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.t < b.t
+    )
+    SELECT event_type, count(*) AS n_pairs,
+           round(percentile_disc(0.5) WITHIN GROUP (ORDER BY s), 8)
+             AS ts_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X347 — Theil-Sen estimator: the median of all pairwise slopes
+    per daily series — the robust trend line next to X241's Huber
+    (Huber downweights outliers iteratively; Theil-Sen is exact,
+    breakdown point 29%, zero tuning). The O(n²) pair space is the
+    POST-ROLLUP series length (≤31 points, ≤465 slopes per series),
+    the same collapse discipline as X346; slopes rounded before the
+    DISCRETE median so both engines pick the identical element."""
+    daily = load(spark, sf_dir, "events").groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("t"),
+    ).agg(F.count("*").cast("double").alias("v"))
+    a = daily.select(
+        "event_type", F.col("t").alias("ta"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("t").alias("tb"),
+        F.col("v").alias("vb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("ta") < F.col("tb"))
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("vb") - F.col("va")) / (F.col("tb") - F.col("ta")), 8
+        ).alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)"), 8
+        ).alias("ts_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X348 — Shannon diversity / evenness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, sum(n) AS tn, count(*) AS k FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(max(tot.k) AS BIGINT) AS n_langs,
+           round(-sum((c.n * 1.0 / tot.tn) * ln(c.n * 1.0 / tot.tn)), 6)
+             AS shannon_h,
+           round(CASE WHEN max(tot.k) = 1 THEN 1.0
+                 ELSE -sum((c.n * 1.0 / tot.tn) * ln(c.n * 1.0 / tot.tn))
+                      / ln(max(tot.k)) END, 6) AS evenness,
+           round(1.0 - sum((c.n * 1.0 / tot.tn) * (c.n * 1.0 / tot.tn)), 6)
+             AS simpson
+    FROM c JOIN tot ON tot.source = c.source
+    GROUP BY c.source
+    """,
+)
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X348 — diversity indices of each source's language mix: Shannon
+    H, Pielou evenness (H / ln k, the 0-1 'how balanced' score), and
+    Gini-Simpson (probability two random docs differ in language) —
+    the ecology-standard triple, used verbatim in corpus curation to
+    flag monoculture sources before X92's mixing re-weights them (and
+    the distribution-level complement to X67's within-document
+    character entropy). One (source, lang) rollup + one per-source
+    fold."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n").alias("tn"), F.count("*").alias("k")
+    )
+    p = F.col("n") * 1.0 / F.col("tn")
+    h = -F.sum(p * F.log(p))
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("k").cast("long").alias("n_langs"),
+            F.round(h, 6).alias("shannon_h"),
+            F.round(
+                F.when(F.max("k") == 1, 1.0).otherwise(
+                    h / F.log(F.max("k").cast("double"))
+                ),
+                6,
+            ).alias("evenness"),
+            F.round(1.0 - F.sum(p * p), 6).alias("simpson"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X349 — extreme-value (Gumbel) fit on block maxima
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_extreme_value",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ), blocks AS (
+      SELECT year(d) * 12 + month(d) AS m, max(rev) AS mx
+      FROM daily GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n, avg(mx) AS mean,
+             sqrt(sum(mx * mx) / count(*) - avg(mx) * avg(mx)) AS sd
+      FROM blocks
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(mean, 2) AS mean_max,
+           round(sd * sqrt(6.0) / pi(), 4) AS beta,
+           round(mean - 0.5772156649 * sd * sqrt(6.0) / pi(), 2) AS mu,
+           round(mean - 0.5772156649 * sd * sqrt(6.0) / pi()
+                 - sd * sqrt(6.0) / pi() * ln(-ln(1.0 - 1.0 / 12)), 2)
+             AS return_level_12
+    FROM s
+    """,
+)
+def q_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X349 — Gumbel extreme-value fit on monthly block maxima of
+    daily revenue (method of moments: beta = sd·sqrt(6)/pi, mu = mean −
+    gamma·beta) with the 12-block return level mu − beta·ln(−ln(1−1/12))
+    — the capacity-planning question ('how big a day should we
+    provision for per year') that percentiles of the ordinary
+    distribution systematically underestimate, answered by EVT's
+    block-maxima theorem. Two rollups + scalar algebra; population sd
+    spelled explicitly."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    blocks = daily.groupBy(
+        (F.year("d") * 12 + F.month("d")).alias("m")
+    ).agg(F.max("rev").alias("mx"))
+    s = blocks.agg(
+        F.count("*").alias("n"),
+        F.avg("mx").alias("mean"),
+        F.sqrt(
+            F.sum(F.col("mx") * F.col("mx")) / F.count("*")
+            - F.avg("mx") * F.avg("mx")
+        ).alias("sd"),
+    )
+    import math
+
+    beta = F.col("sd") * math.sqrt(6.0) / math.pi
+    mu = F.col("mean") - 0.5772156649 * beta
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round("mean", 2).alias("mean_max"),
+        F.round(beta, 4).alias("beta"),
+        F.round(mu, 2).alias("mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 12)), 2
+        ).alias("return_level_12"),
+    )
