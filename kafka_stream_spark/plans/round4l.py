@@ -942,3 +942,228 @@ def q_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 12)), 2
         ).alias("return_level_12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X350 — Simpson's paradox detector
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_simpson_check",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_discount AS DOUBLE) AS y
+      FROM lineitem
+    ), grp AS (
+      SELECT g, count(*) AS n,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope
+      FROM x GROUP BY g
+    ), pooled AS (
+      SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope
+      FROM x
+    )
+    SELECT g.g AS group_key, CAST(g.n AS BIGINT) AS n,
+           round(g.slope, 8) AS group_slope,
+           round(p.slope, 8) AS pooled_slope,
+           (g.slope > 0) <> (p.slope > 0) AS sign_reversed
+    FROM grp g CROSS JOIN pooled p
+    """,
+)
+def q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X350 — Simpson's-paradox detector: the pooled quantity~discount
+    regression slope next to every within-group slope, flagging groups
+    whose trend REVERSES the pooled one — the aggregation trap every
+    self-serve analytics layer should surface before someone reads the
+    pooled number (the lurking-variable warning X336's DiD and X326's
+    CUPED both exist to avoid). One grouped + one global
+    sufficient-statistics pass over the same scan."""
+    x = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_discount").cast("double").alias("y"),
+    )
+
+    def slope_agg():
+        return (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        ) / (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+
+    grp = x.groupBy("g").agg(
+        F.count("*").alias("n"), slope_agg().alias("gslope")
+    )
+    pooled = x.agg(slope_agg().alias("pslope"))
+    return grp.crossJoin(F.broadcast(pooled)).select(
+        F.col("g").alias("group_key"),
+        F.col("n").cast("long").alias("n"),
+        F.round("gslope", 8).alias("group_slope"),
+        F.round("pslope", 8).alias("pooled_slope"),
+        ((F.col("gslope") > 0) != (F.col("pslope") > 0)).alias(
+            "sign_reversed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X351 — Little's law audit (L = λW)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_littles_law",
+    oracle="""
+    WITH spans AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS arr,
+             CAST(l.l_shipdate AS DATE) AS dep
+      FROM orders o
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS l_shipdate
+            FROM lineitem GROUP BY l_orderkey) l
+        ON l.l_orderkey = o.o_orderkey
+    ), bounds AS (
+      SELECT min(arr) AS lo, max(dep) AS hi, count(*) AS n,
+             avg(date_diff('day', arr, dep)) AS w_days
+      FROM spans
+    ), events_pm AS (
+      SELECT s.arr, s.dep, b.lo, b.hi, b.n, b.w_days FROM spans s
+      CROSS JOIN bounds b
+    ), l_avg AS (
+      SELECT any_value(n) AS n, any_value(w_days) AS w_days,
+             any_value(date_diff('day', lo, hi) + 1) AS horizon,
+             sum(date_diff('day', arr, dep) + 1) * 1.0
+               / any_value(date_diff('day', lo, hi) + 1) AS l_direct
+      FROM events_pm
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(horizon AS BIGINT) AS horizon_days,
+           round(n * 1.0 / horizon, 6) AS lambda_per_day,
+           round(w_days + 1, 4) AS w_days,
+           round(l_direct, 4) AS l_direct,
+           round((n * 1.0 / horizon) * (w_days + 1), 4) AS l_littles,
+           round(l_direct / ((n * 1.0 / horizon) * (w_days + 1)), 6)
+             AS ratio
+    FROM l_avg
+    """,
+)
+def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X351 — Little's law audit L = λ·W over order fulfillment: the
+    time-average number of open orders computed DIRECTLY (sum of each
+    order's open-days over the horizon — the integral of X108's
+    concurrency curve) against λ·W from arrival rate × mean residence —
+    queueing theory's distribution-free identity, used as a
+    CONSISTENCY CHECK on instrumentation (ratio far from 1 means the
+    arrival, residence, or concurrency pipeline disagrees about
+    clock/horizon conventions). Inclusive day counting (+1) applied
+    identically to W and the direct integral. One join + two scalar
+    rollups."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("dep_ts"))
+    )
+    spans = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.to_date("o_orderdate").alias("arr"),
+        F.to_date("dep_ts").alias("dep"),
+    )
+    bounds = spans.agg(
+        F.min("arr").alias("lo"),
+        F.max("dep").alias("hi"),
+        F.count("*").alias("n"),
+        F.avg(F.datediff("dep", "arr")).alias("w_days"),
+    )
+    j = spans.crossJoin(F.broadcast(bounds))
+    horizon = F.datediff(F.col("lo"), F.col("hi")) * -1 + 1
+    agg = j.agg(
+        F.any_value("n").alias("n"),
+        F.any_value("w_days").alias("w_days"),
+        F.any_value(horizon).alias("horizon"),
+        (
+            F.sum(F.datediff("dep", "arr") + 1) * 1.0
+            / F.any_value(horizon)
+        ).alias("l_direct"),
+    )
+    lam = F.col("n") * 1.0 / F.col("horizon")
+    w = F.col("w_days") + 1
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("horizon").cast("long").alias("horizon_days"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(w, 4).alias("w_days"),
+        F.round("l_direct", 4).alias("l_direct"),
+        F.round(lam * w, 4).alias("l_littles"),
+        F.round(F.col("l_direct") / (lam * w), 6).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X352 — XYZ demand-variability classes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_xyz_class",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey % 50 AS part_band,
+             year(l_shipdate) * 12 + month(l_shipdate) AS m,
+             sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), s AS (
+      SELECT part_band, count(*) AS n_months, avg(q) AS mean_q,
+             sqrt(sum(q * q) / count(*) - avg(q) * avg(q)) / avg(q) AS cv
+      FROM monthly GROUP BY part_band
+    )
+    SELECT part_band, CAST(n_months AS BIGINT) AS n_months,
+           round(mean_q, 2) AS mean_monthly_qty,
+           round(cv, 6) AS cv,
+           CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM s
+    """,
+)
+def q_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X352 — XYZ demand-variability classification (the second axis
+    of the ABC-XYZ inventory matrix; X264 supplies the ABC revenue
+    axis): coefficient of variation of monthly demand per part band,
+    cut at the standard 0.5/1.0 thresholds — X (steady, forecastable
+    with X218/X340), Y (seasonal-ish), Z (erratic, safety-stock-driven).
+    Population CV spelled as explicit moments; one monthly rollup +
+    one per-band fold."""
+    monthly = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_partkey") % 50).alias("part_band"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    cv = (
+        F.sqrt(
+            F.sum(F.col("q") * F.col("q")) / F.count("*")
+            - F.avg("q") * F.avg("q")
+        )
+        / F.avg("q")
+    )
+    s = monthly.groupBy("part_band").agg(
+        F.count("*").alias("n_months"),
+        F.avg("q").alias("mean_q"),
+        cv.alias("cv"),
+    )
+    return s.select(
+        "part_band",
+        F.col("n_months").cast("long").alias("n_months"),
+        F.round("mean_q", 2).alias("mean_monthly_qty"),
+        F.round("cv", 6).alias("cv"),
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
