@@ -48,6 +48,7 @@ from . import round4n  # noqa: E402,F401
 from . import round4o  # noqa: E402,F401
 from . import round4p  # noqa: E402,F401
 from . import round4q  # noqa: E402,F401
+from . import round4r  # noqa: E402,F401
 from . import stateful_q  # noqa: E402,F401
 from . import stats_ext  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
