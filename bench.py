@@ -162,6 +162,14 @@ HEADLINE = [
     "q_dataset_card",     # composed per-source corpus report
     "q_knn_classify",     # 5-NN confusion matrix (broadcast test side)
     "q_pretrain_build",   # flagship: quality→decontam→mix→pack, one plan
+    "q_kneser_ney",       # KN-smoothed bigram LM scoring (count rollups)
+    "q_substring_dedup",  # cross-doc dup 5-gram spans (Lee-et-al shape)
+    "q_paragraph_dedup",  # CCNet paragraph-hash dedup audit
+    "q_perplexity_filter",  # NLL band filter over the bigram scorer
+    "q_hits",             # 2-iteration HITS on the bipartite graph
+    "q_hotspot_gi",       # Getis-Ord Gi* over the bounded cell grid
+    "q_binary_segmentation",  # prefix-sum SSE changepoint split
+    "q_silhouette",       # centroid silhouette over k-means assignment
 ]
 
 
