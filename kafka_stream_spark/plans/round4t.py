@@ -62,7 +62,14 @@ def q_process_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     or endpoints; X390's paths are its most frequent walks. One
     windowed lag pass and a per-case tail pick; edges aggregate on a
     k² key."""
-    e = load(spark, sf_dir, "events")
+    return dfg_finalize(dfg_edges(load(spark, sf_dir, "events")))
+
+
+def dfg_edges(e: DataFrame) -> DataFrame:
+    """Per-transition DFG rows (src, dst, dur) with virtual START/END —
+    the pre-aggregation form shared by the batch query and the
+    streaming edge store (sessions must not straddle the input frame,
+    which holds for batch and for session-keyed micro-batches)."""
     w = Window.partitionBy(
         "user_id", F.date_trunc("day", "ts")
     ).orderBy("ts", "event_id")
@@ -92,13 +99,46 @@ def q_process_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("dur"),
         )
     )
-    return (
-        body.unionByName(tails)
-        .groupBy("src", "dst")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.round(F.avg("dur"), 3).alias("mean_dur_s"),
-        )
+    return body.unionByName(tails)
+
+
+def dfg_partials(edges: DataFrame) -> DataFrame:
+    """Mergeable per-edge partials (n, dur_sum, dur_n) — closed under
+    addition, so per-micro-batch partials combine into the store by
+    summing (the X401 incremental-aggregate identity)."""
+    return edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dur").alias("dur_sum"),
+        F.count("dur").cast("long").alias("dur_n"),
+    )
+
+
+def dfg_finalize(edges: DataFrame) -> DataFrame:
+    """(src, dst, dur) rows → the q_process_map output contract."""
+    return edges.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("dur"), 3).alias("mean_dur_s"),
+    )
+
+
+def dfg_from_partials(partials: DataFrame) -> DataFrame:
+    """Merged partials → the q_process_map output contract (shared
+    read-side arithmetic for the streaming store)."""
+    merged = partials.groupBy("src", "dst").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("dur_sum").alias("dur_sum"),
+        F.sum("dur_n").alias("dur_n"),
+    )
+    return merged.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.when(
+                F.col("dur_n") > 0, F.col("dur_sum") / F.col("dur_n")
+            ),
+            3,
+        ).alias("mean_dur_s"),
     )
 
 

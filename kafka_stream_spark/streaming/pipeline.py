@@ -837,3 +837,55 @@ def mixture_weights_from_counts(counts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("expected_samples"),
     )
+
+
+def run_streaming_process_map(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained directly-follows-graph edge store: per
+    micro-batch the session-complete events are reduced to mergeable
+    edge partials (n, dur_sum, dur_n — plans/round4t.dfg_partials) and
+    summed into the store, the X401 incremental-aggregate identity
+    applied to X409's process map. Requires micro-batches keyed so a
+    (user, day) session never straddles batches — the same routing
+    discipline as the X225 band store; the pytest waves split by user.
+    The store is k² edge rows, so each upsert rewrites a tiny table.
+    pytest pins dfg_from_partials(store) == batch q_process_map on
+    events-so-far after every wave."""
+    from ..plans.round4t import dfg_edges, dfg_partials
+
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        part = dfg_partials(dfg_edges(batch))
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(out_dir)
+            merged = (
+                existing.unionByName(part)
+                .groupBy("src", "dst")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("dur_sum").alias("dur_sum"),
+                    F.sum("dur_n").cast("long").alias("dur_n"),
+                )
+            )
+        except Exception:
+            merged = part
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            out_dir
+        )
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

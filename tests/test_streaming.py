@@ -481,3 +481,45 @@ def test_streaming_mixture_counts_incremental_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_mixture_counts(spark, inp, out, ckpt).awaitTermination(180)
     assert store_weights() == batch_weights(docs)
+
+
+def test_streaming_process_map_incremental_equals_batch(spark, tmp_path):
+    """The streaming DFG edge store, read through the shared
+    dfg_from_partials arithmetic, must equal the batch q_process_map
+    on events-so-far after every wave (waves split by user so sessions
+    never straddle micro-batches)."""
+    from kafka_stream_spark.plans.round4t import (
+        dfg_from_partials,
+        q_process_map,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_process_map,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    wave1 = events.filter(F.col("user_id") % 2 == 0)
+    wave2 = events.filter(F.col("user_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_map():
+        return {
+            tuple(r)
+            for r in dfg_from_partials(spark.read.parquet(out)).collect()
+        }
+
+    def batch_map(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_process_map(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_process_map(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_map() == batch_map(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_process_map(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_map() == batch_map(events, "all")
