@@ -5,7 +5,9 @@ measurements instead of guesses. The replicated copies also create real
 duplicate clusters, turning the dedup stack probe into its actual
 workload (union copies ⇒ every doc gains N-1 near-identical twins).
 
-Usage: python tools/scale_probe.py [copies=8]
+Usage: python tools/scale_probe.py [copies=8] [query ...]
+(with query names, probes only those and MERGES results into
+SCALE_PROBE.json — the incremental path for newly added operators)
 """
 
 from __future__ import annotations
@@ -111,6 +113,26 @@ PROBE = [
     # setting scales k with n (50k clusters for LAION), which bounds
     # cluster width and restores ~linear cost; see SCALE.md.
     "q_semantic_dedup",
+    # round-4 session continuation: LM-depth, graph, span-dedup, and
+    # tuning operators added after the first SCALE.md refresh.
+    # q_mutual_nn is deliberately NOT probed (documented exact all-pairs
+    # correctness twin of the IVF path, like q_cosine_topk's exclusion
+    # from bench).  q_substring_dedup/q_paragraph_dedup run their REAL
+    # workload here: every copy adds 7 cross-doc duplicate twins.
+    "q_kneser_ney",
+    "q_perplexity_filter",
+    "q_substring_dedup",
+    "q_paragraph_dedup",
+    "q_hits",
+    "q_jaccard_neighbors",
+    "q_lsh_tuning",
+    "q_silhouette",
+    "q_binary_segmentation",
+    "q_kmv_distinct",
+    "q_rake_keyphrases",
+    "q_source_similarity",
+    "q_growth_accounting",
+    "q_process_map",
 ]
 
 KEY_OFFSETS = {
@@ -141,12 +163,13 @@ def build(spark, dst: str, copies: int) -> None:
         )
 
 
-def timed_pass(spark, sf_dir: str) -> dict[str, float]:
-    for name in PROBE:  # warm
+def timed_pass(spark, sf_dir: str, probe_list=None) -> dict[str, float]:
+    probe_list = probe_list or PROBE
+    for name in probe_list:  # warm
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
     out = {}
-    for name in PROBE:
+    for name in probe_list:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
@@ -159,15 +182,16 @@ def main() -> None:
     import math
 
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    subset = sys.argv[2:] or None
     dst = f"/tmp/scale{copies}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build(spark, dst, copies)
-    base = timed_pass(spark, SRC)
-    scaled = timed_pass(spark, dst)
+    base = timed_pass(spark, SRC, subset)
+    scaled = timed_pass(spark, dst, subset)
     print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s} {'exp':>5s}")
     rows = {}
-    for name in PROBE:
+    for name in subset or PROBE:
         r = scaled[name] / max(base[name], 1e-9)
         # observed scaling exponent: time ~ n^exp  =>  exp = log_c(ratio)
         exp = math.log(max(r, 1e-9)) / math.log(copies)
@@ -182,6 +206,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.json",
     )
+    if subset and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            prior = json.load(fh)
+        if prior.get("copies") == copies:
+            merged = dict(prior.get("probes", {}))
+            merged.update(rows)
+            rows = merged
     with open(sidecar, "w") as fh:
         json.dump({"copies": copies, "src": SRC, "probes": rows}, fh, indent=1)
     print(f"# wrote {sidecar}")
