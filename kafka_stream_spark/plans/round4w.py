@@ -755,3 +755,61 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_for_80pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X440 — PNG pipeline under the value-hash gate
+# ---------------------------------------------------------------------------
+
+from .llm_ext import _image_phash_oracle  # noqa: E402
+from ..session import default_parallelism  # noqa: E402
+
+
+@query("q_png_pipeline", oracle=_image_phash_oracle())
+def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X440 — the COMPRESSED image stack under the value-hash gate:
+    X189's pipeline with the container swapped to PNG — each quantized
+    8×8 image is zlib-compressed into a real PNG by the pure-stdlib
+    encoder, decoded back through decode_png (chunk walk, inflate,
+    filter reconstruction), and aHashed; the oracle recomputes the
+    identical aHash arithmetically from the quantized bytes, so a
+    match proves the PNG encoder, decoder, and hash agree bit-for-bit
+    on every image. This closes the PNG half of the round-3 verdict's
+    'compressed-format decode' gap with zero external libraries
+    (zlib is stdlib); JPEG's DCT entropy coding remains the documented
+    boundary. Same shuffle-free Arrow-batched shape as X189."""
+    from ..operators.multimodal import encode_png, perceptual_hash
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                gray = bytes(int(v) for v in vals)
+                rgb = b"".join(bytes((g, g, g)) for g in gray)
+                payloads.append(encode_png(8, 8, rgb))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    return perceptual_hash(imgs).select(
+        F.col("doc_id").alias("vec_id"), "phash"
+    )

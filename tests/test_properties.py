@@ -155,3 +155,129 @@ def test_bmp_roundtrip_property(w, h, data):
     )
     rw, rh, out = decode_bmp(encode_bmp(w, h, rgb))
     assert (rw, rh, out) == (w, h, rgb)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_png_roundtrip_property(w, h, data):
+    """Any RGB image survives the PNG container (zlib + filter 0)."""
+    from kafka_stream_spark.operators.multimodal import decode_png, encode_png
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    rw, rh, out = decode_png(encode_png(w, h, rgb))
+    assert (rw, rh, out) == (w, h, rgb)
+
+
+def _forward_filter_png(w, h, rgb, ftypes):
+    """Reference forward filtering (spec §6) to exercise every
+    reconstruction branch of decode_png with rows NOT written by our
+    own encoder."""
+    import struct
+    import zlib
+
+    from kafka_stream_spark.operators.multimodal import _PNG_SIG, _paeth
+
+    stride = w * 3
+    prev = bytes(stride)
+    raw = bytearray()
+    for r in range(h):
+        line = rgb[r * stride : (r + 1) * stride]
+        ft = ftypes[r % len(ftypes)]
+        raw.append(ft)
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            ul = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] - left
+            elif ft == 2:
+                v = line[i] - prev[i]
+            elif ft == 3:
+                v = line[i] - ((left + prev[i]) >> 1)
+            else:
+                v = line[i] - _paeth(left, prev[i], ul)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(tag, d):
+        return (
+            struct.pack(">I", len(d))
+            + tag
+            + d
+            + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_reconstruct():
+    """Sub/Up/Average/Paeth reconstruction matches the spec: a PNG
+    forward-filtered by an independent reference implementation (one
+    filter type per row, cycling through all five) decodes to the
+    original pixels."""
+    import random
+
+    from kafka_stream_spark.operators.multimodal import decode_png
+
+    rnd = random.Random(13)
+    w, h = 9, 10
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    payload = _forward_filter_png(w, h, rgb, [0, 1, 2, 3, 4])
+    assert decode_png(payload) == (w, h, rgb)
+
+
+def test_png_gray_and_rgba_paths():
+    """Color types 0 (gray→RGB replicate) and 6 (RGBA→drop alpha)."""
+    import struct
+    import zlib
+
+    from kafka_stream_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, d):
+        return (
+            struct.pack(">I", len(d))
+            + tag
+            + d
+            + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF)
+        )
+
+    # 2x2 grayscale
+    gray = bytes([10, 200, 30, 99])
+    raw = b"\x00" + gray[0:2] + b"\x00" + gray[2:4]
+    p = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, rgb = decode_png(p)
+    assert (w, h) == (2, 2)
+    assert rgb[0:3] == bytes([10, 10, 10]) and rgb[9:12] == bytes([99, 99, 99])
+
+    # 1x2 RGBA
+    rgba = bytes([1, 2, 3, 255, 7, 8, 9, 0])
+    raw = b"\x00" + rgba[0:4] + b"\x00" + rgba[4:8]
+    p = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(p) == (1, 2, bytes([1, 2, 3, 7, 8, 9]))
