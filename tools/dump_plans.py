@@ -61,6 +61,12 @@ SHOWCASE = {
     "q_kcore": "k-core peel: semi-join liveness + count shuffle per round, edge-sized partitions",
     "q_salted_join": "salted skew join: (key, salt) equi-join, dim replicated 8x, result = plain join",
     "q_sssp": "Bellman-Ford: vertex-keyed min-combine supersteps, edge-sized shuffles",
+    "q_kneser_ney": "KN bigram LM: three combinable count rollups + key-aligned scoring re-join",
+    "q_substring_dedup": "dup spans: gram-df shuffle + per-doc island windows, int keys only",
+    "q_jaccard_neighbors": "wedge join: hub-capped centers (deg<=128) bound the pair fan-out",
+    "q_hits": "HITS: edge-score join + node agg per half-step, broadcast L1 normalizers",
+    "q_lsh_tuning": "LSH sweep: one signature table, three band-key groupings, no re-scan of text",
+    "q_png_pipeline": "PNG gate: Arrow-batched encode/decode maps, zero shuffle, 8-byte rows out",
 }
 
 
