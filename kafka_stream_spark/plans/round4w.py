@@ -35,7 +35,6 @@ from .round4o import _ERF_SQL, _p_two_sided
       FROM documents GROUP BY 1, 2
     ), tot AS (SELECT sum(n) AS t, count(DISTINCT band) AS nb,
                       count(DISTINCT lang) AS nl FROM cells),
-    -- round 1: scale rows to uniform band margins, then columns
     r1 AS (
       SELECT c.band, c.lang,
              c.n * (t.t / t.nb) / sum(c.n) OVER (PARTITION BY c.band)
