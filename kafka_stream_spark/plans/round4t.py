@@ -211,6 +211,70 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 256
 
 
+def kmv_hashes(li: DataFrame) -> DataFrame:
+    """(g, hv, l_orderkey): normalized md5 hashes per (returnflag,
+    orderkey) — the map-side of the KMV sketch, shared by the batch
+    query and the streaming store."""
+    return (
+        li.select(F.col("l_returnflag").alias("g"), "l_orderkey")
+        .distinct()
+        .select(
+            "g",
+            "l_orderkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("l_orderkey").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / 4294967296.0
+            ).alias("hv"),
+        )
+        .select("g", "hv", "l_orderkey")
+        .distinct()
+    )
+
+
+def kmv_keep(h: DataFrame) -> DataFrame:
+    """Keep the k smallest hashes per group — the sketch state. Closed
+    under merge: keep(keep(A) ∪ keep(B)) = keep(A ∪ B), which is why
+    per-micro-batch sketches combine exactly (the streaming store's
+    invariant, pinned by pytest)."""
+    wk = Window.partitionBy("g").orderBy("hv", "l_orderkey")
+    return (
+        h.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("g", "hv", "l_orderkey")
+    )
+
+
+def kmv_estimates(kept: DataFrame) -> DataFrame:
+    """(sketch, kmv_estimate) rows per group + '__merged__' from the
+    kept-hash state — the read side shared by query and store."""
+    per_g = kept.groupBy("g").agg(
+        F.max("hv").alias("hk"), F.count("*").alias("n_kept")
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("long")
+    ).otherwise(F.floor((_KMV_K - 1) / F.col("hk")).cast("long"))
+    grp = per_g.select(
+        F.col("g").alias("sketch"), est.alias("kmv_estimate")
+    )
+    merged = (
+        kept.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("n_kept"))
+        .select(
+            F.lit("__merged__").alias("sketch"), est.alias("kmv_estimate")
+        )
+    )
+    return grp.unionByName(merged)
+
+
 @query(
     "q_kmv_distinct",
     oracle=f"""
@@ -270,73 +334,23 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition sketches combine at 100 TB. Only k hashes per group
     survive the first rollup."""
     li = load(spark, sf_dir, "lineitem")
-    h = (
-        li.select(
-            F.col("l_returnflag").alias("g"),
-            "l_orderkey",
-        )
-        .distinct()
-        .select(
-            "g",
-            "l_orderkey",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("l_orderkey").cast("string")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                / 4294967296.0
-            ).alias("hv"),
-        )
-        .select("g", "hv", "l_orderkey")
-        .distinct()
-    )
-    wk = Window.partitionBy("g").orderBy("hv", "l_orderkey")
-    kept = (
-        h.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= _KMV_K)
-        .localCheckpoint(eager=True)
-    )
-    per_g = kept.groupBy("g").agg(
-        F.max("hv").alias("hk"), F.count("*").alias("n_kept")
-    )
-    exact = li.groupBy(F.col("l_returnflag").alias("g")).agg(
-        F.countDistinct("l_orderkey").alias("exact_d")
-    )
-    est = F.when(
-        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("long")
-    ).otherwise(F.floor((_KMV_K - 1) / F.col("hk")).cast("long"))
-    grp_rows = per_g.join(exact, "g").select(
-        F.col("g").alias("sketch"),
-        F.col("exact_d").cast("long").alias("exact_distinct"),
-        est.alias("kmv_estimate"),
-    )
-    merged = (
-        kept.select("hv")
-        .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
-        .filter(F.col("rn") <= _KMV_K)
-    )
-    mstats = merged.agg(
-        F.max("hv").alias("hk"), F.count("*").alias("n_kept")
-    )
-    mexact = li.agg(F.countDistinct("l_orderkey").alias("exact_d"))
-    merged_row = mstats.crossJoin(F.broadcast(mexact)).select(
+    kept = kmv_keep(kmv_hashes(li)).localCheckpoint(eager=True)
+    ests = kmv_estimates(kept)
+    exact = li.groupBy(
+        F.col("l_returnflag").alias("sketch")
+    ).agg(F.countDistinct("l_orderkey").alias("exact_d"))
+    mexact = li.agg(
         F.lit("__merged__").alias("sketch"),
-        F.col("exact_d").cast("long").alias("exact_distinct"),
-        est.alias("kmv_estimate"),
+        F.countDistinct("l_orderkey").alias("exact_d"),
     )
-    out = grp_rows.unionByName(merged_row)
-    return out.select(
+    return ests.join(exact.unionByName(mexact), "sketch").select(
         "sketch",
-        "exact_distinct",
+        F.col("exact_d").cast("long").alias("exact_distinct"),
         "kmv_estimate",
         F.round(
-            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            F.abs(F.col("kmv_estimate") - F.col("exact_d"))
             * 1.0
-            / F.col("exact_distinct"),
+            / F.col("exact_d"),
             6,
         ).alias("rel_error"),
     )

@@ -889,3 +889,48 @@ def run_streaming_process_map(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_kmv(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained KMV distinct sketch store (X411's
+    k-minimum-values per return flag): each micro-batch's k smallest
+    normalized hashes merge into the store by keep(store ∪ batch) —
+    exact, because the keep-k-smallest operator is closed under union
+    (plans/round4t.kmv_keep), the defining property of a mergeable
+    sketch. Unlike the X182 histogram store this one is LOSSLESS with
+    respect to its estimate: pytest pins store-derived estimates
+    EQUAL (not approximately) to the batch sketch on rows-so-far
+    after every wave. Store size is k rows per group."""
+    from ..plans.round4t import kmv_hashes, kmv_keep
+
+    li = spark.readStream.schema(
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    ).parquet(input_dir)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        part = kmv_keep(kmv_hashes(batch))
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(out_dir)
+            merged = kmv_keep(existing.unionByName(part).distinct())
+        except Exception:
+            merged = part
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    return (
+        li.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -523,3 +523,44 @@ def test_streaming_process_map_incremental_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_process_map(spark, inp, out, ckpt).awaitTermination(180)
     assert store_map() == batch_map(events, "all")
+
+
+def test_streaming_kmv_incremental_equals_batch(spark, tmp_path):
+    """The streaming KMV store's estimates must EXACTLY equal the batch
+    sketch on rows-so-far after every wave — keep-k-smallest is closed
+    under union, so the merge is lossless for the estimate."""
+    from kafka_stream_spark.plans.round4t import (
+        kmv_estimates,
+        kmv_hashes,
+        kmv_keep,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import run_streaming_kmv
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    wave1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    wave2 = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_est():
+        return {
+            tuple(r)
+            for r in kmv_estimates(spark.read.parquet(out)).collect()
+        }
+
+    def batch_est(d):
+        return {
+            tuple(r)
+            for r in kmv_estimates(kmv_keep(kmv_hashes(d))).collect()
+        }
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_est() == batch_est(wave1)
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(180)
+    assert store_est() == batch_est(li)
