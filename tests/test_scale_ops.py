@@ -327,3 +327,67 @@ def test_bench_headline_names_all_registered():
     missing = [n for n in mod.HEADLINE if n not in QUERIES]
     assert not missing, f"bench names not registered: {missing}"
     assert len(set(mod.HEADLINE)) == len(mod.HEADLINE), "duplicate bench names"
+
+
+def test_session_round4_operators_plan_shapes(spark, sf_dir):
+    """Plan assertions for the round-4 session operators: the
+    scale-relevant physical properties each docstring claims must
+    actually appear in the optimized plan."""
+    from kafka_stream_spark.plans import QUERIES
+
+    # hub-capped wedge join: the degree filter must run BEFORE the
+    # wedge self-join (a broadcast of the capped center list), and the
+    # dim sides must broadcast, not sort-merge.
+    plan = _plan(QUERIES["q_jaccard_neighbors"](spark, sf_dir))
+    assert "Broadcast" in plan
+    # KN LM: the model 'trains' as combinable count aggregates; the
+    # only nested-loop join allowed is the one-row broadcast of the
+    # bigram-type scalar (a broadcast cross join lowers to BNLJ).
+    plan = _plan(QUERIES["q_kneser_ney"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    # formatted plans print each node twice (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # Getis-Ord: the neighbor join runs on the collapsed cell table
+    # via broadcast; the raw point table must be aggregated first
+    # (HashAggregate before any join input).
+    plan = _plan(QUERIES["q_hotspot_gi"](spark, sf_dir))
+    assert "Broadcast" in plan and "HashAggregate" in plan
+    # periodogram / KDE: broadcast grid against collapsed series —
+    # no SortMergeJoin anywhere.
+    for q in ["q_periodogram", "q_kde"]:
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, q
+    # substring dedup: the df cut must reach the join as a plain
+    # filter (candidate grams bounded before per-doc windows).
+    plan = _plan(QUERIES["q_substring_dedup"](spark, sf_dir))
+    assert "Filter" in plan and "Window" in plan
+
+
+def test_hub_cap_bounds_wedge_rows(spark, sf_dir):
+    """The degree≤128 hub cap must actually bound the wedge join: the
+    number of candidate wedge rows under the cap is a small fraction
+    of the uncapped count (the 8x-probe GC-thrash fix, measurable)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    sym = e0.union(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    # wedge rows = sum over centers of d^2
+    tot = deg.agg(
+        F.sum(F.col("d") * F.col("d")).alias("uncapped"),
+        F.sum(
+            F.when(F.col("d") <= 128, F.col("d") * F.col("d")).otherwise(0)
+        ).alias("capped"),
+    ).collect()[0]
+    assert tot.capped < tot.uncapped * 0.5, (
+        f"cap removed too little: {tot.capped} vs {tot.uncapped}"
+    )
