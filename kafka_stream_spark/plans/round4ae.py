@@ -295,18 +295,21 @@ def q_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_qte",
     oracle="""
     WITH x AS (
-      SELECT user_id % 2 AS arm, value, event_id FROM events
-    ), ranked AS (
+      SELECT user_id % 2 AS arm, value FROM events
+    ), vc AS (
+      SELECT arm, value, count(*) AS c FROM x GROUP BY arm, value
+    ), cum AS (
       SELECT arm, value,
-             row_number() OVER (PARTITION BY arm
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY arm) AS n
-      FROM x
+             sum(c) OVER (PARTITION BY arm ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+             sum(c) OVER (PARTITION BY arm) AS n
+      FROM vc
     ), deciles AS (SELECT unnest(generate_series(1, 9)) AS p10),
     cuts AS (
-      SELECT d.p10, r.arm, r.value
-      FROM deciles d JOIN ranked r
-        ON r.rn = CAST(ceil(r.n * d.p10 / 10.0) AS BIGINT)
+      SELECT d.p10, c.arm, min(c.value) AS value
+      FROM deciles d JOIN cum c
+        ON c.le >= CAST(ceil(c.n * d.p10 / 10.0) AS BIGINT)
+      GROUP BY d.p10, c.arm
     ), wide AS (
       SELECT p10,
              max(CASE WHEN arm = 0 THEN value END) AS q0,
@@ -325,23 +328,34 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, engine-identical) — the distributional readout that
     catches what the mean effect hides (a treatment that helps the
     p90 and hurts the p10 can average to zero; X199 would call it
-    null). Per-arm rank windows + a 9-row broadcast of the decile
-    grid."""
+    null). Order statistics come from cumulative counts over the
+    bounded per-arm VALUE DOMAIN (the ECOD spelling — no rank window
+    ever sorts the fact table), cut against a 9-row decile grid."""
     x = load(spark, sf_dir, "events").select(
-        (F.col("user_id") % 2).alias("arm"), "value", "event_id"
+        (F.col("user_id") % 2).alias("arm"), "value"
     )
-    ranked = x.select(
+    vc = x.groupBy("arm", "value").agg(F.count("*").alias("c"))
+    cum = vc.select(
         "arm",
         "value",
-        F.row_number()
-        .over(Window.partitionBy("arm").orderBy("value", "event_id"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("arm")).alias("n"),
+        F.sum("c")
+        .over(
+            Window.partitionBy("arm")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("le"),
+        F.sum("c").over(Window.partitionBy("arm")).alias("n"),
     )
     deciles = spark.range(1, 10).select(F.col("id").alias("p10"))
-    cuts = ranked.crossJoin(F.broadcast(deciles)).filter(
-        F.col("rn")
-        == F.ceil(F.col("n") * F.col("p10") / 10.0).cast("long")
+    cuts = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("le")
+            >= F.ceil(F.col("n") * F.col("p10") / 10.0).cast("long")
+        )
+        .groupBy("p10", "arm")
+        .agg(F.min("value").alias("value"))
     )
     wide = cuts.groupBy("p10").agg(
         F.max(F.when(F.col("arm") == 0, F.col("value"))).alias("q0"),
