@@ -6,7 +6,10 @@ Uncompressed formats are decoded to REAL SAMPLES in pure Python —
 RIFF/PCM WAV to int16 audio samples (rate/duration/RMS/peak, see
 ``audio_features``), and RIFF/'AVI ' with uncompressed DIB frames to
 real video frames (``decode_avi_frames`` / ``video_frames``).
-Compressed formats (PNG/JPEG/mp3/ogg/MJPEG/H.264) remain behind
+PNG (zlib inflate + filter reconstruction, below) and baseline JPEG
+(huffman + IDCT + 4:2:0 upsample, ``operators.jpeg``) decode for real
+too.  The remaining compressed formats (progressive JPEG/mp3/ogg/
+MJPEG/H.264) stay behind
 clearly-marked NotImplementedError branches with a deterministic
 fallback feature set (byte length + md5) — the Spark-side contract
 (schema, batch shape, partition behavior) is identical either way, so
@@ -296,9 +299,15 @@ def _decode_image(payload: bytes) -> dict[str, Any]:
     if payload[:8] == _PNG_SIG:
         w, h, rgb = decode_png(payload)
         return _pixel_features(w, h, rgb, "png-v1")
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        w, h, rgb = decode_jpeg(payload)
+        return _pixel_features(w, h, rgb, "jpeg-baseline-v1")
     raise NotImplementedError(
-        "JPEG decode (DCT entropy coding) requires PIL/opencv — not in "
-        "this container; deterministic byte-level features are used instead"
+        "unrecognized raster container (baseline JPEG decodes for real "
+        "via operators.jpeg; progressive/arithmetic JPEG is the remaining "
+        "boundary); deterministic byte-level features are used instead"
     )
 
 
@@ -562,6 +571,11 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
                     elif payload[:8] == _PNG_SIG:
                         w, h, rgb = decode_png(payload)
                         name = "png-v1"
+                    elif payload[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg
+
+                        w, h, rgb = decode_jpeg(payload)
+                        name = "jpeg-baseline-v1"
                     else:
                         raise NotImplementedError
                     ph = ahash64(w, h, rgb)

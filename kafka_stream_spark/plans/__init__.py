@@ -62,6 +62,7 @@ from . import round4ab  # noqa: E402,F401
 from . import round4ac  # noqa: E402,F401
 from . import round4ad  # noqa: E402,F401
 from . import round4ae  # noqa: E402,F401
+from . import round5  # noqa: E402,F401
 from . import stateful_q  # noqa: E402,F401
 from . import stats_ext  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401

@@ -254,3 +254,108 @@ def test_video_frames_samples_and_hashes(spark):
     assert rows[(1, 0)].phash == ahash64(8, 8, rgb0)
     assert rows[(1, 0)].decoder == "avi-dib24-v1"
     assert rows[(2, None)].decoder.startswith("undecodable:")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 5, X483)
+# ---------------------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def test_jpeg_constant_blocks_round_trip_exactly():
+    """The q_jpeg_pipeline exactness contract: constant-8x8-block
+    images at quality=100 survive the full encode->decode path
+    bit-for-bit (only DC coefficients exist and they are integers)."""
+    np = _np()
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    vals = np.random.RandomState(11).randint(0, 256, size=(8, 8))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2).tobytes()
+    for sub in ("4:2:0", "4:4:4"):
+        payload = encode_jpeg(64, 64, rgb, quality=100, subsampling=sub)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        w, h, out = decode_jpeg(payload)
+        assert (w, h) == (64, 64)
+        assert out == rgb, f"lossy round trip under {sub}"
+
+
+def test_jpeg_q100_error_bound_and_odd_dims():
+    """Arbitrary content at quality=100/4:4:4 round-trips within the
+    +/-2-level float-DCT rounding bound, including non-MCU-multiple
+    dimensions (edge-replication padding + crop)."""
+    np = _np()
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    for w, h in ((40, 24), (13, 9), (8, 8), (17, 32)):
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = encode_jpeg(w, h, img.tobytes(), quality=100,
+                              subsampling="4:4:4")
+        dw, dh, out = decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(got - img.astype(int)).max() <= 2
+
+
+def test_jpeg_lossy_quality_compresses_smooth_content():
+    """Real quantization path: a smooth image at q=75/4:2:0 must
+    reconstruct above 30 dB PSNR while compressing well below raw
+    size — i.e. the huffman/quantizer actually code AC structure."""
+    np = _np()
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(
+        np.stack(
+            [
+                128 + 100 * np.sin(xx / 10),
+                128 + 100 * np.cos(yy / 12),
+                128 + 80 * np.sin((xx + yy) / 15),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    payload = encode_jpeg(64, 48, img.tobytes(), quality=75,
+                          subsampling="4:2:0")
+    assert len(payload) < 64 * 48 * 3 // 6
+    _, _, out = decode_jpeg(payload)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(48, 64, 3).astype(float)
+    mse = ((got - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30.0
+
+
+def test_jpeg_boundary_and_integration():
+    """Progressive JPEG raises the documented NotImplementedError;
+    perceptual_hash and _decode_image route JPEG magic through the
+    real decoder."""
+    np = _np()
+    import pytest as _pytest
+
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from kafka_stream_spark.operators.multimodal import (
+        _decode_image,
+        ahash64,
+    )
+
+    vals = np.random.RandomState(3).randint(0, 256, size=(8, 8))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2).tobytes()
+    payload = bytearray(encode_jpeg(64, 64, rgb, quality=100))
+    feats = _decode_image(bytes(payload))
+    assert feats["decoder"] == "jpeg-baseline-v1"
+    assert feats["width"] == 64 and feats["height"] == 64
+    w, h, out = decode_jpeg(bytes(payload))
+    assert ahash64(w, h, out) == ahash64(64, 64, rgb)
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive → NotImplementedError
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
