@@ -364,7 +364,13 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling value↔time correlation over a trailing 50-event frame —
     the windowed-trend detector (corr as a WINDOW aggregate, not just
     grouped): near +1 sustained climb, near 0 noise. One window pass
-    sharing the event_type shuffle with every other per-series op."""
+    sharing the event_type shuffle with every other per-series op.
+
+    Spelled covar/(sd*sd) under try_divide rather than F.corr: ANSI
+    mode makes corr THROW on a zero-variance frame (the 8x scale probe
+    hit this — replicated corpora duplicate timestamps, and a frame of
+    identical ts has var(t)=0), while DuckDB's corr returns NULL there;
+    try_divide restores the NULL semantics at any scale."""
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -372,10 +378,15 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-49, Window.currentRow)
     )
     t = F.unix_micros("ts").cast("double")
+    v = F.col("value")
+    corr = F.try_divide(
+        F.covar_samp(v, t).over(w),
+        F.stddev_samp(v).over(w) * F.stddev_samp(t).over(w),
+    )
     return e.select(
         "event_id",
         "event_type",
-        F.round(F.corr(F.col("value"), t).over(w), 6).alias("trend_corr"),
+        F.round(corr, 6).alias("trend_corr"),
     )
 
 

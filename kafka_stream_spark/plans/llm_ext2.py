@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors
 from ..sources.tables import load
-from .llm_ext import _KM_DIST_SQL, _sq_dist
+from .llm_ext import _KM_DIST_SQL
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -90,97 +90,27 @@ def _kmeans_assign2_ctes() -> str:
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X266 — SemDeDup-class semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): k-means-cluster the embeddings (the X56 trained
-    quantizer: k=8, deterministic init, two Lloyd iterations), then drop
-    any vector whose cosine to a LOWER-ID vector in the SAME cluster is
-    >= tau — keep-lowest-id, the deterministic spelling of SemDeDup's
-    keep-one-per-near-dup-group.
+    arXiv:2303.09540): the PINNED k=8 instance of the parameterized
+    ``operators.semdedup.semantic_dedup`` — k-means-cluster the
+    embeddings (deterministic init = k lowest vec_ids, two Lloyd
+    iterations), then drop any vector whose cosine to a LOWER-ID vector
+    in the SAME cluster is >= tau (keep-lowest-id).  k is fixed at 8
+    HERE ONLY so the DuckDB oracle can replicate the clustering; the
+    operator itself takes k as a parameter and the production setting
+    scales k ~ sqrt(n) (SemDeDup used 50k clusters for LAION), which
+    bounds cluster width and keeps the pair stage ~linear — measured in
+    SCALE.md (the k-scaled 8x probe vs this pinned form).
 
-    Scale: the pairwise stage is provably cluster-bounded — the self-join
-    key is the cluster id, so candidate pairs are O(sum c_i^2) not
-    O(n^2), exactly how LSH bands bound q_near_dedup. At 100 TB, k grows
-    ~sqrt(n) (SemDeDup used 50k clusters for LAION), centroids train on
-    a sample with the X56 plan, assignment stays a broadcast map-side
-    pass, and each cluster's pair block fits one shuffle partition.
-    Embeddings travel into exactly one shuffle (the cluster-keyed
-    self-join); ids+flags only after that."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    Scale: the pairwise stage is cluster-bounded — the self-join key is
+    the cluster id, so candidate pairs are O(sum c_i^2) not O(n^2);
+    with k ~ sqrt(n) that is ~O(n). Centroids can train on a
+    hash-deterministic sample (``sample_fraction``), assignment stays a
+    broadcast map-side pass, and embeddings travel into exactly one
+    shuffle (the cluster-keyed self-join); ids+flags only after that."""
+    from ..operators.semdedup import semantic_dedup
 
-    def assign(cent: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "emb",
-            "cid",
-            F.round(_sq_dist(F.col("emb"), F.col("cvec")), 6).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "cvec")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        dims = (
-            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("v"))
-        )
-        return dims.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("cvec")
-        )
-
-    cent0 = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
-    )
-    # materialize the trained centroids once — both the final assignment
-    # and (transitively) the pair stage branch from them
-    cent1 = update(assign(cent0)).localCheckpoint(eager=True)
-    # per-vector norm materialized ONCE here: the cluster self-join
-    # evaluates ~|cluster| cosines per vector, and recomputing norms
-    # inside vectors.cosine would redo 2/3 of the arithmetic per pair
-    # (same float ops, same rounded value — just cached)
-    members = (
-        assign(cent1)
-        .select("vec_id", "cid", "emb", vectors.norm(F.col("emb")).alias("nrm"))
-        .localCheckpoint(eager=True)
-    )
-
-    a = members.select(
-        F.col("vec_id").alias("a_id"),
-        "cid",
-        F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = members.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cid").alias("b_cid"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    cos = vectors.dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.col("a_nrm") * F.col("b_nrm")
-    )
-    dups = (
-        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")))
-        .filter(F.round(cos, 6) >= F.lit(_SEM_TAU))
-        .groupBy("b_id")
-        .agg(F.min("a_id").alias("dup_of"))
-    )
-    return (
-        members.join(dups, members.vec_id == dups.b_id, "left")
-        .select(
-            "vec_id",
-            F.col("cid").alias("cluster_id"),
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
-        )
-    )
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=8, tau=_SEM_TAU, iters=2)
 
 
 # ---------------------------------------------------------------------------
