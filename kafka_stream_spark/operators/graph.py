@@ -171,3 +171,160 @@ def pagerank(
     sym.unpersist()
     deg.unpersist()
     return ranks.select(F.col("a").alias("node"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# generic fixpoint driver (round 5): iterate-until-converged for the
+# unrolled-round graph family
+# ---------------------------------------------------------------------------
+
+
+def iterate_until(
+    state: DataFrame,
+    step,
+    delta,
+    epsilon: float = 0.0,
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int, bool]:
+    """Generic distributed fixpoint driver: ``state`` is iterated with
+    ``step(state, round_idx) -> DataFrame`` until
+    ``delta(prev, cur) <= epsilon`` (a driver-side SCALAR — the one
+    collect() per round every convergence loop needs) or ``max_rounds``
+    is hit. Returns (final state, rounds run, converged).
+
+    This generalizes the loop `connected_components` has always run
+    (its delta is the changed-label count) to the rest of the graph
+    family: the gate queries pin FIXED round counts so their oracles
+    can unroll the same rounds, while a real user wants
+    iterate-until-delta<eps with a bound — both are this driver, and
+    pytest pins that at the gate's fixed round counts the converged
+    APIs equal the unrolled query results exactly.
+
+    Every round's state is eagerly localCheckpoint-ed: lineage stays
+    flat (no exponentially nested plans), each round is one or two
+    key-partitioned shuffles defined by ``step``, and the checkpoint
+    doubles as the materialization point ``delta`` reads. State should
+    be (key, value) shaped — a few dozen bytes per vertex — so even a
+    100 TB graph's iteration state is cluster-cache sized."""
+    state = state.localCheckpoint(eager=True)
+    rounds = 0
+    for i in range(max_rounds):
+        rounds += 1
+        nxt = step(state, i).localCheckpoint(eager=True)
+        d = delta(state, nxt)
+        state = nxt
+        if d <= epsilon:
+            return state, rounds, True
+    return state, rounds, False
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol: float = 1e-6,
+    max_rounds: int = 50,
+    damping: float = 0.85,
+) -> tuple[DataFrame, int, bool]:
+    """PageRank iterated to convergence: same per-round math as
+    ``pagerank`` (one edge⋈rank join + one node-keyed aggregate), but
+    driven by ``iterate_until`` with delta = max |rank change| — stop
+    when the largest per-node movement falls under ``tol``.  With
+    ``tol=0.0`` and ``max_rounds=k`` this runs exactly k rounds and
+    equals ``pagerank(edges, iterations=k)`` bit-for-bit (pytest-pinned
+    against the q_pagerank gate constants)."""
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("outdeg")).persist()
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            sym.join(ranks, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("node")
+            .agg(F.sum("w").alias("in_mass"))
+        )
+        return (
+            deg.select("a", "outdeg")
+            .join(contrib, deg["a"] == contrib["node"], "left")
+            .select(
+                "a",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+
+    def max_change(prev: DataFrame, cur: DataFrame) -> float:
+        p = prev.select(F.col("a"), F.col("rank").alias("r0"))
+        return (
+            p.join(cur, "a")
+            .agg(F.max(F.abs(F.col("rank") - F.col("r0"))))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    init = deg.select("a", F.lit(1.0 / n_nodes).alias("rank"))
+    state, rounds, converged = iterate_until(
+        init, step, max_change, epsilon=tol, max_rounds=max_rounds
+    )
+    sym.unpersist()
+    deg.unpersist()
+    return (
+        state.select(F.col("a").alias("node"), "rank"),
+        rounds,
+        converged,
+    )
+
+
+def label_prop_converged(
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int, bool]:
+    """Synchronous label propagation iterated until NO vertex changes
+    label (delta = changed-vertex count, epsilon = 0) with a round
+    bound: the convergence form of q_label_prop's fixed 3 rounds —
+    same update rule (adopt the most frequent neighbor label, ties to
+    the smallest; pure hash-agg via min_by, no window sort), so capped
+    at the gate's round count it reproduces the gate exactly.  Returns
+    ((vertex a, lbl), rounds, converged).  Note synchronous LPA can
+    2-cycle on bipartite structures — callers treat converged=False at
+    the bound as "use the bounded answer", the standard LPA practice.
+    """
+    sym = edges.select("a", "b").persist()
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        counts = (
+            sym.join(labels.select(F.col("a").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        return counts.groupBy("a").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+            ).alias("lbl")
+        )
+
+    def changed(prev: DataFrame, cur: DataFrame) -> float:
+        p = prev.select("a", F.col("lbl").alias("l0"))
+        return (
+            p.join(cur, "a")
+            .filter(F.col("lbl") != F.col("l0"))
+            .count()
+        )
+
+    init = sym.select("a").distinct().withColumn("lbl", F.col("a"))
+    state, rounds, converged = iterate_until(
+        init, step, changed, epsilon=0, max_rounds=max_rounds
+    )
+    sym.unpersist()
+    return state, rounds, converged

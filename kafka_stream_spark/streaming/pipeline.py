@@ -934,3 +934,111 @@ def run_streaming_kmv(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    centroids_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tau: float = 0.4,
+) -> StreamingQuery:
+    """Streaming SemDeDup (round-5 verdict ask #6): embedding vectors
+    arrive as a stream and every micro-batch is semantically
+    deduplicated against the full ingest history through the same
+    cluster-bounded pair stage as the batch operator
+    (operators/semdedup.py) — the continuous-ingestion form of
+    q_semantic_dedup, composed exactly like the X225 MinHash store.
+
+    Per micro-batch (foreachBatch):
+      1. assign the batch's vectors to the BROADCAST centroid codebook
+         read from ``centroids_dir`` (trained offline with
+         ``operators.semdedup.train_centroids`` — at corpus scale on a
+         sample; the assignment pass never shuffles the history);
+      2. candidates = (store ∪ batch) members ⋈ batch members on
+         cluster id with a_id < b_id — so intra-batch AND cross-history
+         near-dups surface in one equi-join, bounded by cluster width;
+      3. rounded cosine ≥ tau marks b as a dup of min(a_id) — the
+         accumulating store keeps ALL seen members (not only kept
+         ones): the batch gate's dup relation tests every lower-id
+         pair, dropped or not, and keeping only survivors would
+         diverge from it on chains (a~b, b~c, a!~c);
+      4. the batch's (vec_id, cid, emb, nrm) rows append to the store,
+         and every batch row appends its verdict
+         (vec_id, cluster_id, kept, dup_of) to the result log.
+    When arrival order follows vec_id, the accumulated log provably
+    equals batch ``semantic_dedup`` with the same codebook (pytest:
+    incremental == batch after every wave). Store rows are
+    (id, cid, vector, norm) — ~0.5 KB/vector; at cluster scale the
+    store is bucketed by cid so step 2 is a co-located join."""
+    from ..functions import vectors
+    from ..operators.semdedup import assign_clusters
+
+    emb = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(input_dir)
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        cent = sess.read.parquet(centroids_dir)
+        e = batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        members = (
+            assign_clusters(e, cent)
+            .select(
+                "vec_id",
+                "cid",
+                "emb",
+                vectors.norm(F.col("emb")).alias("nrm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if os.path.exists(store_dir):
+            known = sess.read.parquet(store_dir).unionByName(members)
+        else:
+            known = members
+        a = known.select(
+            F.col("vec_id").alias("a_id"),
+            "cid",
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        b = members.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cid").alias("b_cid"),
+            F.col("emb").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        cos = vectors.dot(F.col("a_emb"), F.col("b_emb")) / (
+            F.col("a_nrm") * F.col("b_nrm")
+        )
+        dups = (
+            a.join(
+                b,
+                (F.col("cid") == F.col("b_cid"))
+                & (F.col("a_id") < F.col("b_id")),
+            )
+            .filter(F.round(cos, 6) >= F.lit(tau))
+            .groupBy("b_id")
+            .agg(F.min("a_id").alias("dup_of"))
+        )
+        verdicts = members.join(
+            dups, members.vec_id == dups.b_id, "left"
+        ).select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+        members.write.mode("append").parquet(store_dir)
+
+    return (
+        emb.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

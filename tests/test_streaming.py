@@ -564,3 +564,66 @@ def test_streaming_kmv_incremental_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_kmv(spark, inp, out, ckpt).awaitTermination(180)
     assert store_est() == batch_est(li)
+
+
+def test_streaming_semantic_dedup_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """The streaming SemDeDup store (broadcast codebook assignment +
+    cluster-bounded verify against the accumulating member store) must
+    equal batch semantic_dedup with the same codebook after every
+    arrival wave, when arrival order follows vec_id."""
+    from kafka_stream_spark.operators.semdedup import (
+        semantic_dedup,
+        train_centroids,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # offline codebook: trained once on the full corpus (at scale: a
+    # sample via sample_fraction), shared by batch and stream
+    cent = train_centroids(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        k=8,
+    )
+    cent_dir = str(tmp_path / "centroids")
+    cent.write.parquet(cent_dir)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    waves = [
+        emb.filter(F.col("vec_id") < 150),
+        emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+        emb.filter(F.col("vec_id") >= 300),
+    ]
+
+    def batch_answer(upto):
+        cent_df = spark.read.parquet(cent_dir)
+        return {
+            (r["vec_id"], r["cluster_id"], r["kept"], r["dup_of"])
+            for r in semantic_dedup(
+                emb.filter(F.col("vec_id") < upto), centroids=cent_df
+            ).collect()
+        }
+
+    seen = 0
+    for wave, upto in zip(waves, (150, 300, 10**9)):
+        wave.write.mode("append").parquet(inp)
+        q = run_streaming_semantic_dedup(
+            spark, inp, cent_dir, store, out, ckpt
+        )
+        assert q.awaitTermination(240)
+        got = {
+            (r["vec_id"], r["cluster_id"], r["kept"], r["dup_of"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = batch_answer(upto)
+        assert got == want, f"wave ending at {upto}: {len(got)} vs {len(want)}"
+        assert len(got) > seen
+        seen = len(got)
