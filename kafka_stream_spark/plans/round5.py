@@ -599,3 +599,191 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X490 — Weisfeiler-Lehman graph fingerprint
+# ---------------------------------------------------------------------------
+
+from .graph_ext import _EDGES_SQL, _edges  # noqa: E402
+
+
+def _wl_round_sql(prev: str, out: str) -> str:
+    """One WL relabeling round: new label = portable hash of
+    'own|sorted neighbor labels' (md5-derived, identical in Spark)."""
+    sig = (
+        f"CAST({prev}.lbl AS VARCHAR) || '|' || "
+        "array_to_string(list(nb.lbl ORDER BY nb.lbl), ',')"
+    )
+    return f"""{out} AS (
+      SELECT {prev}.a, {token_hash_sql(f"({sig})")} AS lbl
+      FROM {prev}
+      JOIN sym ON sym.a = {prev}.a
+      JOIN {prev} nb ON nb.a = sym.b
+      GROUP BY {prev}.a, {prev}.lbl)"""
+
+
+@query(
+    "q_wl_colors",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT a, count(*) AS lbl FROM sym GROUP BY a),
+    {_wl_round_sql('deg', 'wl1')},
+    {_wl_round_sql('wl1', 'wl2')}
+    SELECT lbl AS color, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM wl2 GROUP BY lbl
+    """,
+)
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X490 — Weisfeiler-Lehman color refinement (2 rounds) over the
+    shipment graph: labels start as degrees, and each round every
+    vertex's label becomes a portable hash of (own label | sorted
+    neighbor labels). The final color histogram is the WL fingerprint
+    — the standard graph-isomorphism invariant and the feature map of
+    WL graph kernels; two snapshots of a pipeline's relationship graph
+    can be compared for structural drift by comparing these histograms
+    (the graph-shaped complement of X115's distribution PSI).
+
+    Scale: each round is one edge-keyed join + one vertex-keyed
+    hash-agg (sort_array over per-vertex neighbor label lists — list
+    width = degree, bounded by the same hub discipline as X379);
+    rounds are a fixed constant. The md5-derived label hash is the
+    engine's portable token_hash, so the DuckDB oracle replays the
+    identical relabeling."""
+    sym = _edges(spark, sf_dir).persist()
+    labels = sym.groupBy("a").agg(F.count("*").alias("lbl"))
+    for _ in range(2):
+        neigh = sym.join(
+            labels.select(F.col("a").alias("b"), F.col("lbl").alias("nlbl")),
+            "b",
+        ).select("a", "nlbl")
+        sigs = neigh.groupBy("a").agg(
+            F.array_join(
+                F.array_sort(F.collect_list("nlbl")), ","
+            ).alias("nsig")
+        )
+        labels = (
+            labels.join(sigs, "a")
+            .select(
+                "a",
+                token_hash(
+                    F.concat_ws("|", F.col("lbl").cast("string"), "nsig")
+                ).alias("lbl"),
+            )
+        )
+    out = labels.groupBy(F.col("lbl").alias("color")).agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X491 — Weibull reliability fit over inter-purchase gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weibull_fit",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT round((epoch_us(nxt) - epoch_us(ts)) / 3600000000.0, 6)
+               AS gap_h
+      FROM purch WHERE nxt IS NOT NULL
+        AND epoch_us(nxt) > epoch_us(ts)
+    ), tot AS (SELECT count(*) AS n FROM gaps),
+    dv AS (
+      SELECT gap_h, count(*) AS c FROM gaps GROUP BY gap_h
+    ), ranked AS (
+      SELECT gap_h, c,
+             sum(c) OVER (ORDER BY gap_h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - c AS cum_less
+      FROM dv
+    ), pts AS (
+      SELECT c,
+             ln(gap_h) AS x,
+             ln(-ln(1.0 - ((cum_less + (c + 1) / 2.0) - 0.3) / (n + 0.4)))
+               AS y
+      FROM ranked CROSS JOIN tot
+    ), fit AS (
+      SELECT sum(c) AS sw, sum(c * x) AS sx, sum(c * y) AS sy,
+             sum(c * x * x) AS sxx, sum(c * x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(sw AS BIGINT) AS n_gaps,
+           round((sw * sxy - sx * sy) / (sw * sxx - sx * sx), 6) AS shape_k,
+           round(exp(-((sy - ((sw * sxy - sx * sy) / (sw * sxx - sx * sx))
+                         * sx) / sw)
+                     / ((sw * sxy - sx * sy) / (sw * sxx - sx * sx))), 6)
+             AS scale_h
+    FROM fit
+    """,
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X491 — Weibull reliability fit over inter-purchase gaps (the
+    X292 series): median-rank regression, the standard closed-form
+    estimator — plot ln(-ln(1-F_i)) against ln(t_i) with Bernard's
+    approximation F_i = (i-0.3)/(n+0.4) and read shape k off the OLS
+    slope, scale λ = exp(-intercept/k).  k < 1 means purchase hazard
+    DECREASES with time since last purchase (lapsing users), k > 1
+    means building momentum — the churn-model primitive under X198's
+    nonparametric KM curve.
+
+    Scale: ranks come from cumulative counts over the DISTINCT gap
+    domain (ties get midranks), the ECOD/QTE discipline — no
+    fact-table sort; the OLS is one weighted moment fold."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "ts", F.lead("ts").over(w).alias("nxt")
+        )
+        .filter(
+            F.col("nxt").isNotNull()
+            & (F.unix_micros("nxt") > F.unix_micros("ts"))
+        )
+        .select(
+            F.round(
+                (F.unix_micros("nxt") - F.unix_micros("ts")) / 3.6e9, 6
+            ).alias("gap_h")
+        )
+    )
+    dv = gaps.groupBy("gap_h").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("gap_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = dv.select(
+        "gap_h", "c", (F.sum("c").over(wcum) - F.col("c")).alias("cum_less")
+    )
+    tot = gaps.agg(F.count("*").alias("n"))
+    midrank = F.col("cum_less") + (F.col("c") + 1) / 2.0
+    pts = ranked.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.log("gap_h").alias("x"),
+        F.log(
+            -F.log(1.0 - (midrank - 0.3) / (F.col("n") + 0.4))
+        ).alias("y"),
+    )
+    fit = pts.agg(
+        F.sum("c").alias("sw"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("sw")
+    return fit.select(
+        F.col("sw").cast("long").alias("n_gaps"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale_h"),
+    )

@@ -1042,3 +1042,121 @@ def run_streaming_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained heavy-hitters store (X81's per-language
+    top tokens as a stream): each micro-batch's (lang, token) counts
+    MERGE into the accumulating count store by addition — exact,
+    because counts are the canonical mergeable aggregate; the top-k
+    rank is a VIEW over the store, recomputed on read (ranking is not
+    mergeable, so persisting ranks would be wrong after the next
+    batch — the store keeps sufficient statistics, never derived
+    ones).  pytest pins store-derived top-3 == batch q_heavy_hitters
+    on rows-so-far after every wave.
+
+    Scale: the store is vocabulary-sized (token counts), partitioned
+    by lang; each merge is one co-partitioned groupBy-sum. When the
+    vocabulary itself outgrows memory the X101 count-min sketch is the
+    documented fallback — same merge-by-addition contract."""
+    from ..functions import text
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        part = (
+            batch.select(
+                "lang", F.explode(text.tokens(F.col("text"))).alias("token")
+            )
+            .groupBy("lang", "token")
+            .agg(F.count("*").alias("cnt"))
+        )
+        if os.path.exists(store_dir):
+            part = (
+                sess.read.parquet(store_dir)
+                .unionByName(part)
+                .groupBy("lang", "token")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            store_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_streaming_late_router(
+    spark: SparkSession,
+    input_dir: str,
+    main_dir: str,
+    late_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    lateness_minutes: int = 60,
+) -> StreamingQuery:
+    """Late-data dead-letter routing: events whose event time lags the
+    observed high-water mark by more than ``lateness_minutes`` go to a
+    LATE sink for reconciliation instead of silently corrupting
+    downstream windows — the operational companion to the engine's
+    watermarked aggregations (T4/X319: a watermark DROPS late rows;
+    production pipelines also need to SEE what was dropped, audit it
+    — X338 — and backfill).
+
+    Per micro-batch (foreachBatch):
+      1. read the persisted high-water mark (max event time seen in
+         PRIOR batches — the cross-restart analog of the engine
+         watermark, kept in a 1-row parquet state dir);
+      2. rows with ts < hwm - lateness route to ``late_dir``, the rest
+         to ``main_dir`` — every input row lands in exactly one sink;
+      3. the state advances to max(hwm, batch max ts).
+    Deterministic for a fixed arrival-wave order (the hwm is a max —
+    order-insensitive WITHIN a batch), so pytest replays waves and
+    pins the exact split."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    ).parquet(input_dir)
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        hwm = None
+        if os.path.exists(state_dir):
+            row = sess.read.parquet(state_dir).collect()
+            hwm = row[0]["hwm"] if row else None
+        batch = batch.localCheckpoint(eager=True)
+        if hwm is not None:
+            cutoff = F.lit(hwm) - F.expr(
+                f"INTERVAL {lateness_minutes} MINUTES"
+            )
+            is_late = F.col("ts") < cutoff
+        else:
+            is_late = F.lit(False)
+        batch.filter(is_late).write.mode("append").parquet(late_dir)
+        batch.filter(~is_late).write.mode("append").parquet(main_dir)
+        new_hwm = batch.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+        if new_hwm is not None and (hwm is None or new_hwm > hwm):
+            hwm = new_hwm
+        if hwm is not None:
+            sess.createDataFrame([(hwm,)], "hwm timestamp").write.mode(
+                "overwrite"
+            ).parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -627,3 +627,108 @@ def test_streaming_semantic_dedup_incremental_equals_batch(spark, tmp_path, sf_d
         assert got == want, f"wave ending at {upto}: {len(got)} vs {len(want)}"
         assert len(got) > seen
         seen = len(got)
+
+
+def test_streaming_heavy_hitters_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """The mergeable count store must reproduce batch q_heavy_hitters
+    (top-3 tokens per language) on rows-so-far after every wave; ranks
+    are a view over the store, never persisted state."""
+    from pyspark.sql import Window
+
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_heavy_hitters,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    waves = [
+        d.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def top3_from_store():
+        w = Window.partitionBy("lang").orderBy(
+            F.col("cnt").desc(), F.col("token")
+        )
+        return {
+            (r["lang"], r["token"], r["cnt"], r["rk"])
+            for r in spark.read.parquet(store)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .collect()
+        }
+
+    def batch_top3(df):
+        from kafka_stream_spark.functions import text
+
+        w = Window.partitionBy("lang").orderBy(
+            F.col("cnt").desc(), F.col("token")
+        )
+        return {
+            (r["lang"], r["token"], r["cnt"], r["rk"])
+            for r in df.select(
+                "lang", F.explode(text.tokens(F.col("text"))).alias("token")
+            )
+            .groupBy("lang", "token")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .collect()
+        }
+
+    so_far = None
+    for wave in waves:
+        wave.write.mode("append").parquet(inp)
+        so_far = wave if so_far is None else so_far.unionByName(wave)
+        q = run_streaming_heavy_hitters(spark, inp, store, ckpt)
+        assert q.awaitTermination(240)
+        assert top3_from_store() == batch_top3(so_far)
+
+
+def test_streaming_late_router_splits_exactly(spark, tmp_path):
+    """Late rows (event time behind the persisted high-water mark by
+    more than the lateness bound) go to the late sink, on-time rows to
+    the main sink, every row to exactly one — replayed over three
+    deterministic waves including a cross-batch straggler."""
+    import datetime as dt
+
+    from kafka_stream_spark.streaming.pipeline import run_streaming_late_router
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, "view", 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    waves = [
+        # wave 1: no prior hwm -> nothing can be late
+        [ev(1, 0), ev(2, 30)],
+        # wave 2: hwm=+30; -40m is 70min behind -> late; +20 is only
+        # 10min behind -> on time; +90 advances the hwm
+        [ev(3, -40), ev(4, 20), ev(5, 90)],
+        # wave 3: hwm=+90; +25 is 65min behind -> late; +95 on time
+        [ev(6, 25), ev(7, 95)],
+    ]
+    inp = str(tmp_path / "in")
+    main = str(tmp_path / "main")
+    late = str(tmp_path / "late")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for wave in waves:
+        spark.createDataFrame(wave, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        q = run_streaming_late_router(
+            spark, inp, main, late, state, ckpt, lateness_minutes=60
+        )
+        assert q.awaitTermination(240)
+
+    late_ids = {r["event_id"] for r in spark.read.parquet(late).collect()}
+    main_ids = {r["event_id"] for r in spark.read.parquet(main).collect()}
+    assert late_ids == {3, 6}
+    assert main_ids == {1, 2, 4, 5, 7}
+    hwm = spark.read.parquet(state).collect()[0]["hwm"]
+    assert hwm == t0 + dt.timedelta(minutes=95)
