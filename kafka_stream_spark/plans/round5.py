@@ -787,3 +787,561 @@ def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("shape_k"),
         F.round(F.exp(-intercept / slope), 6).alias("scale_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X494 — JPEG perceptual near-dup pipeline (decode → aHash → banded hamming)
+# ---------------------------------------------------------------------------
+
+
+def _phash_arith_sql(bump_first: bool) -> str:
+    """Scalar-SQL aHash of the embedding-derived image (the
+    _image_phash_oracle arithmetic), optionally with the FIRST 8x8
+    block's gray level bumped by +1 (clamped) — the 'twin' image the
+    dedup pipeline manufactures.  Returns an expression over
+    ``embedding``."""
+
+    def b(i: int) -> str:
+        base = (
+            f"least(greatest(CAST(round((CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" + 1.0::DOUBLE) * 127.5::DOUBLE) AS BIGINT), 0), 255)"
+        )
+        if i == 0 and bump_first:
+            return f"least({base} + 1, 255)"
+        return base
+
+    lums = [
+        f"(0.299::DOUBLE * {b(i)} + 0.587::DOUBLE * {b(i)}"
+        f" + 0.114::DOUBLE * {b(i)})"
+        for i in range(64)
+    ]
+    arr = "[" + ", ".join(lums) + "]"
+    mean = "(" + " + ".join(f"l[{i + 1}]" for i in range(64)) + ") / 64::DOUBLE"
+    bits = ["CASE WHEN l[64] >= m THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END"]
+    for i in range(62, -1, -1):
+        bits.append(
+            f"CASE WHEN l[{i + 1}] >= m THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        )
+    return (
+        f"(SELECT {' + '.join(bits)} FROM (SELECT l, {mean} AS m FROM "
+        f"(SELECT {arr} AS l)))"
+    )
+
+
+@query(
+    "q_jpeg_dedup",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT vec_id AS img_id, {_phash_arith_sql(False)} AS phash
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, {_phash_arith_sql(True)} FROM embeddings
+    )
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """,
+)
+def q_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X494 — the composed IMAGE near-dup pipeline through a real
+    compressed container: every embedding renders as TWO baseline
+    JPEGs (the 64x64 constant-block image and a twin with the first
+    block one gray level brighter — the 'same photo, re-exported'
+    stand-in), both decode through the full entropy-coded path
+    (operators/jpeg), aHash, and near-dup pairs surface by the X183
+    hamming-band discipline: 8 bands x 8 bits, exact popcount <= 7
+    verify on band-collision candidates only.  Pigeonhole makes band
+    recall complete at this threshold (a pair within hamming 7 agrees
+    on at least one of 8 bands), so the brute-force oracle and the
+    banded plan agree exactly; the oracle recomputes both aHashes
+    arithmetically, so a match also re-proves the JPEG encoder+decoder
+    bit-exactness end to end.
+
+    Scale: decode+hash is the Arrow-batched shuffle-free X483 shape;
+    the dedup join shuffles (band_key, img_id, phash) — 24 bytes/row
+    regardless of image size; verify is integer xor+popcount."""
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import perceptual_hash
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    base = emb.select(F.col("vec_id").alias("img_id"), px.alias("px"))
+    twin = base.select(
+        (F.col("img_id") + 10_000_000).alias("img_id"),
+        F.concat(
+            F.array(F.least(F.element_at("px", 1) + 1, F.lit(255))),
+            F.slice("px", 2, 63),
+        ).alias("px"),
+    )
+    quant = base.unionByName(twin)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                rgb = b"".join(
+                    bytes((g, g, g)) * 8 for g in
+                    (int(v) for row in range(8) for _ in range(8)
+                     for v in vals[row * 8 : row * 8 + 8])
+                )
+                payloads.append(
+                    encode_jpeg(64, 64, rgb, quality=100, subsampling="4:2:0")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["img_id"], "payload": payloads}
+            )
+
+    imgs = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    hashes = perceptual_hash(imgs).select(
+        F.col("doc_id").alias("img_id"), "phash"
+    ).persist()
+    bands = hashes.select(
+        "img_id",
+        "phash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda k: k * F.lit(256)
+                + F.call_function("shiftright", F.col("phash"), k * 8)
+                .bitwiseAND(F.lit(0xFF)),
+            )
+        ).alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .dropDuplicates(["img_a", "img_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# X495 — PCM audio pipeline under the value-hash gate
+# ---------------------------------------------------------------------------
+
+
+def _audio_oracle() -> str:
+    """Arithmetic twin of the WAV pipeline: int16 quantization of the
+    embedding, then RMS / peak / zero-crossing rate over the SAMPLES —
+    a match proves the WAV writer, RIFF chunk walker, and PCM decode
+    return the exact samples that went in."""
+    q = (
+        "list_transform(embedding, e -> CAST(least(greatest("
+        "round(CAST(e AS DOUBLE) * 32767.0::DOUBLE, 0), -32768.0), 32767.0)"
+        " AS BIGINT))"
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, {q} AS smp FROM embeddings),
+    m AS (
+      SELECT vec_id, len(smp) AS n,
+             list_aggregate(list_transform(smp, x -> CAST(x * x AS DOUBLE)),
+                            'sum') AS ss,
+             list_aggregate(list_transform(smp, x -> abs(x)), 'max') AS pk,
+             len(list_filter(range(1, len(smp)),
+                             i -> smp[i] * smp[i + 1] < 0)) AS crossings
+      FROM s
+    )
+    SELECT vec_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(floor(n * 1000.0 / 8000.0) AS BIGINT) AS duration_ms,
+           round(sqrt(ss / n), 6) AS rms,
+           CAST(pk AS BIGINT) AS peak,
+           round(crossings * 1.0 / (n - 1), 6) AS zcr
+    FROM m
+    """
+
+
+@query("q_audio_pipeline", oracle=_audio_oracle())
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X495 — the AUDIO modality under the value-hash gate (closing the
+    asymmetry where image/video pipelines were gate-pinned but X238's
+    WAV decode was pytest-only): each embedding quantizes to 64 int16
+    PCM samples, is written as a REAL RIFF/WAVE payload
+    (operators.multimodal.encode_wav), decoded back through the chunk
+    walker, and summarized — RMS, peak, zero-crossing rate, duration —
+    while the oracle recomputes the identical metrics arithmetically
+    from the same quantization.  A hash match proves the audio codec
+    round-trips samples bit-for-bit inside the Spark pipeline.
+
+    Scale shape: same as X189/X483 — JVM-side quantization, one
+    Arrow-batched encode hop, one decode+measure hop, no shuffle, a
+    few dozen bytes out per clip."""
+    import math
+
+    from ..operators.multimodal import decode_wav, encode_wav
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round(v.cast("double") * F.lit(32767.0), 0),
+                F.lit(-32768.0),
+            ),
+            F.lit(32767.0),
+        ).cast("bigint"),
+    )
+    quant = emb.select("vec_id", q.alias("smp"))
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "vec_id": [], "n_samples": [], "duration_ms": [],
+                "rms": [], "peak": [], "zcr": [],
+            }
+            for vec_id, smp in zip(pdf["vec_id"], pdf["smp"]):
+                payload = encode_wav([int(s) for s in smp], sample_rate=8000)
+                rate, _ch, out = decode_wav(payload)
+                n = len(out)
+                crossings = sum(
+                    1 for i in range(n - 1) if out[i] * out[i + 1] < 0
+                )
+                rows["vec_id"].append(vec_id)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+                rows["rms"].append(
+                    round(math.sqrt(sum(float(s) * s for s in out) / n), 6)
+                )
+                rows["peak"].append(max(abs(s) for s in out))
+                rows["zcr"].append(round(crossings / (n - 1), 6))
+            yield pd.DataFrame(rows)
+
+    return quant.mapInPandas(
+        roundtrip,
+        schema="vec_id long, n_samples long, duration_ms long, "
+        "rms double, peak long, zcr double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X496 — MATCH_RECOGNIZE-style sequence pattern over event streams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_match_recognize",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ), pos AS (
+      SELECT user_id, seq,
+             strpos(seq, 'v') AS v_pos
+      FROM seqs
+    ), pc AS (
+      SELECT user_id, seq, v_pos,
+             CASE WHEN v_pos > 0 AND strpos(substr(seq, v_pos + 1), 'c') > 0
+                  THEN strpos(substr(seq, v_pos + 1), 'c') + v_pos
+                  ELSE 0 END AS c_pos
+      FROM pos
+    ), pp AS (
+      SELECT user_id, seq, v_pos, c_pos,
+             CASE WHEN c_pos > 0 AND strpos(substr(seq, c_pos + 1), 'p') > 0
+                  THEN strpos(substr(seq, c_pos + 1), 'p') + c_pos
+                  ELSE 0 END AS p_pos
+      FROM pc
+    )
+    SELECT user_id, CAST(v_pos AS BIGINT) AS v_pos,
+           CAST(c_pos AS BIGINT) AS c_pos,
+           CAST(p_pos AS BIGINT) AS p_pos,
+           p_pos > 0 AND strpos(substr(seq, v_pos + 1, p_pos - v_pos - 1),
+                                'e') = 0 AS matched
+    FROM pp
+    """,
+)
+def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X496 — MATCH_RECOGNIZE-style row-pattern detection, compiled to
+    set operations: the pattern ``VIEW any* CLICK any* PURCHASE`` with
+    the guard ``no ERROR inside the match`` (the SQL:2016
+    MATCH_RECOGNIZE / FlinkSQL CEP shape, which neither Spark nor
+    DuckDB implements natively) is evaluated for every user with
+    earliest-match (greedy leftmost) semantics — the standard
+    compilation: materialize each user's ordered event-initial string
+    once, then resolve pattern variables as ordered position lookups.
+    Complements X97 (adjacent-pair CEP) and X390 (path mining) with
+    gap-tolerant multi-variable patterns + negation.
+
+    Scale: one user-keyed fold builds the sequence string (bounded by
+    per-user event counts — the same bound every sessionization op
+    relies on); everything after is per-row string scalar work, no
+    further shuffle. At 100 TB sequences shard by (user, week) first."""
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    v_pos = F.instr(F.col("seq"), "v")
+    after_v = F.expr("substr(seq, v_pos + 1)")
+    c_rel = F.instr(after_v, "c")
+    c_pos = F.when((v_pos > 0) & (c_rel > 0), c_rel + v_pos).otherwise(0)
+    after_c = F.expr("substr(seq, c_pos + 1)")
+    p_rel = F.instr(after_c, "p")
+    p_pos = F.when((c_pos > 0) & (p_rel > 0), p_rel + c_pos).otherwise(0)
+    inside = F.expr("substr(seq, v_pos + 1, p_pos - v_pos - 1)")
+    staged = (
+        seq.withColumn("v_pos", v_pos.cast("long"))
+        .withColumn("c_pos", c_pos.cast("long"))
+        .withColumn("p_pos", p_pos.cast("long"))
+    )
+    return staged.select(
+        "user_id",
+        "v_pos",
+        "c_pos",
+        "p_pos",
+        ((F.col("p_pos") > 0) & (F.instr(inside, "e") == 0)).alias(
+            "matched"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X497 — cluster-layout partition advisor
+# ---------------------------------------------------------------------------
+
+_TARGET_SHUFFLE_MB = 128
+_TARGET_FILE_MB = 512
+
+
+@query(
+    "q_partition_advisor",
+    oracle=f"""
+    WITH stats AS (
+      SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+             count(*) * 120 AS bytes_est FROM lineitem
+      UNION ALL
+      SELECT 'orders', count(*), count(*) * 100 FROM orders
+      UNION ALL
+      SELECT 'events', count(*), count(*) * 60 FROM events
+      UNION ALL
+      SELECT 'documents', count(*),
+             sum(n_chars) + count(*) * 40 FROM documents
+    ), keyshare AS (
+      SELECT 'lineitem' AS tbl,
+             max(c) * 1.0 / sum(c) AS top_key_share FROM (
+               SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)
+      UNION ALL
+      SELECT 'orders', max(c) * 1.0 / sum(c) FROM (
+               SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'events', max(c) * 1.0 / sum(c) FROM (
+               SELECT count(*) AS c FROM events GROUP BY user_id)
+      UNION ALL
+      SELECT 'documents', max(c) * 1.0 / sum(c) FROM (
+               SELECT count(*) AS c FROM documents GROUP BY source)
+    )
+    SELECT s.tbl, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(bytes_est AS BIGINT) AS bytes_est,
+           CAST(least(greatest(ceil(bytes_est
+                 / ({_TARGET_SHUFFLE_MB} * 1048576.0)), 32), 2000) AS BIGINT)
+             AS shuffle_partitions,
+           CAST(greatest(ceil(bytes_est
+                 / ({_TARGET_FILE_MB} * 1048576.0)), 1) AS BIGINT)
+             AS target_files,
+           round(k.top_key_share, 6) AS top_key_share,
+           CAST(CASE WHEN k.top_key_share * least(greatest(ceil(bytes_est
+                  / ({_TARGET_SHUFFLE_MB} * 1048576.0)), 32), 2000) > 1.0
+                THEN ceil(k.top_key_share * least(greatest(ceil(bytes_est
+                  / ({_TARGET_SHUFFLE_MB} * 1048576.0)), 32), 2000))
+                ELSE 1 END AS BIGINT) AS salt_factor
+    FROM stats s JOIN keyshare k ON s.tbl = k.tbl
+    """,
+)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X497 — layout advisor: turns table statistics into the three
+    numbers every Spark job tunes by hand — shuffle partition count
+    (size-based: bytes / 128 MB, clamped [32, 2000]), output file
+    count (bytes / 512 MB — the X149 small-file discipline), and a
+    skew SALT FACTOR for the dominant join key (ceil(top-key share x
+    partitions); 1 means the hottest key already fits one partition,
+    >1 is the replication factor the X88/X303 salted join should use).
+    Row widths are fixed per-schema estimates (at 100 TB they come
+    from ANALYZE/parquet footers — X105); the advisor itself is four
+    metadata-sized rollups.
+
+    The point at scale: partition counts derived from DATA SIZE keep
+    per-task shuffle blocks near the 128 MB sweet spot at any corpus
+    size — the config that a fixed spark.sql.shuffle.partitions gets
+    wrong by 100x somewhere between sf0.01 and 100 TB."""
+    import functools
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+
+    def stats(df, name, width_expr, key):
+        base = df.agg(
+            F.count("*").alias("n_rows"), width_expr.alias("bytes_est")
+        ).select(F.lit(name).alias("tbl"), "n_rows", "bytes_est")
+        share = (
+            df.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .agg((F.max("c") * 1.0 / F.sum("c")).alias("top_key_share"))
+        )
+        return base.crossJoin(share)
+
+    parts = [
+        stats(li, "lineitem", (F.count("*") * 120), "l_suppkey"),
+        stats(o, "orders", (F.count("*") * 100), "o_custkey"),
+        stats(e, "events", (F.count("*") * 60), "user_id"),
+        stats(
+            d,
+            "documents",
+            (F.sum("n_chars") + F.count("*") * 40),
+            "source",
+        ),
+    ]
+    all_stats = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    shuffle_parts = F.least(
+        F.greatest(
+            F.ceil(F.col("bytes_est") / (_TARGET_SHUFFLE_MB * 1048576.0)),
+            F.lit(32),
+        ),
+        F.lit(2000),
+    )
+    salt_raw = F.col("top_key_share") * shuffle_parts
+    return all_stats.select(
+        "tbl",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("bytes_est").cast("long").alias("bytes_est"),
+        shuffle_parts.cast("long").alias("shuffle_partitions"),
+        F.greatest(
+            F.ceil(F.col("bytes_est") / (_TARGET_FILE_MB * 1048576.0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("target_files"),
+        F.round("top_key_share", 6).alias("top_key_share"),
+        F.when(salt_raw > 1.0, F.ceil(salt_raw))
+        .otherwise(1)
+        .cast("long")
+        .alias("salt_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X498 — time-respecting (temporal) reachability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_temporal_reach",
+    oracle="""
+    WITH ed AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c,
+             o.o_orderdate AS t
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), hop1 AS (
+      SELECT c, min(t) AS reach_t FROM ed WHERE s IN (1, 2, 3, 4, 5)
+      GROUP BY c
+    ), hop2 AS (
+      SELECT ed.s, min(ed.t) AS reach_t
+      FROM ed JOIN hop1 ON ed.c = hop1.c AND ed.t >= hop1.reach_t
+      WHERE ed.s NOT IN (1, 2, 3, 4, 5)
+      GROUP BY ed.s
+    )
+    SELECT 1 AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(reach_t) AS VARCHAR) AS earliest
+    FROM hop1
+    UNION ALL
+    SELECT 2, count(*), CAST(min(reach_t) AS VARCHAR) FROM hop2
+    """,
+)
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X498 — TIME-RESPECTING reachability (temporal BFS): hop 2 may
+    only use edges whose timestamp is >= the time hop 1 arrived — the
+    semantics that matter for influence/contagion/fraud tracing, where
+    static k-hop (X175) overcounts paths that go BACKWARD in time.
+    Seeds: suppliers 1-5; edges: supplier->customer stamped with the
+    order date; each frontier keeps the EARLIEST arrival per node
+    (min(t) is the correct merge because any later path is dominated —
+    the same monotone-fixpoint argument as X217's Bellman-Ford).
+
+    Scale: per hop one edge-keyed join + one node-keyed min — the
+    Pregel superstep shape; frontier state is (node, earliest_t), 16
+    bytes. The temporal filter composes with the join predicate, so
+    no post-filter blowup."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderdate").alias("t"),
+        )
+        .distinct()
+    )
+    seeds = [1, 2, 3, 4, 5]
+    hop1 = (
+        ed.filter(F.col("s").isin(seeds))
+        .groupBy("c")
+        .agg(F.min("t").alias("reach_t"))
+    )
+    hop2 = (
+        ed.join(hop1.select(F.col("c").alias("hc"), "reach_t"),
+                (ed.c == F.col("hc")) & (ed.t >= F.col("reach_t")))
+        .filter(~F.col("s").isin(seeds))
+        .groupBy("s")
+        .agg(F.min("t").alias("reach_t"))
+    )
+
+    def level(df, dist):
+        return df.agg(
+            F.lit(dist).alias("dist"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.date_format(
+                F.min("reach_t"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("earliest"),
+        )
+
+    return level(hop1, 1).unionByName(level(hop2, 2))
