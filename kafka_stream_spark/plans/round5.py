@@ -1345,3 +1345,278 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level(hop1, 1).unionByName(level(hop2, 2))
+
+
+# ---------------------------------------------------------------------------
+# X499 — JSON schema-drift profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_json_profile",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events)
+    SELECT 'amount' AS key,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_present,
+           round(count(*) FILTER (WHERE event_type = 'purchase')
+                 * 1.0 / min(tot.n), 6) AS present_rate,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN value END) AS BIGINT) AS n_distinct,
+           'double' AS inferred_type
+    FROM events CROSS JOIN tot
+    UNION ALL
+    SELECT 'k', count(*), 1.0,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS INT)), 'bigint'
+    FROM events
+    UNION ALL
+    SELECT 'user', count(*), 1.0, count(DISTINCT user_id), 'bigint'
+    FROM events
+    """,
+)
+def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X499 — semi-structured schema-drift profile: ingest a JSON
+    column (synthesized here: every event re-serialized with its
+    variant 'k', its user, and — only on purchases — an 'amount'
+    field, which Spark's null-dropping JSON writer omits elsewhere,
+    the way real event payloads grow optional fields), then profile
+    the ACTUAL key space from the data: per key, presence count/rate,
+    distinct-value cardinality, and the inferred primitive type
+    (narrowest of bigint < double < string that every present value
+    parses as). The oracle computes the expected profile from the base
+    columns, so a match proves the whole JSON write -> parse ->
+    explode -> infer path. This is the audit that catches producers
+    silently adding/dropping/retyping fields — the open-schema
+    companion to X104's fixed-schema DQ battery.
+
+    Scale: one map pass to serialize+parse (no shuffle), one
+    (key)-keyed rollup over exploded entries — key cardinality is
+    schema-sized, so the aggregate state is tiny at any corpus."""
+    e = load(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.col("user_id").alias("user"),
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+                "amount"
+            ),
+        )
+    )
+    entries = (
+        e.select(F.explode(F.from_json(js, "map<string,string>")).alias(
+            "key", "val"
+        ))
+    )
+    tot = e.agg(F.count("*").alias("n"))
+    prof = (
+        entries.groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.countDistinct("val").cast("long").alias("n_distinct"),
+            F.count_if(F.expr("try_cast(val AS BIGINT)").isNull()).alias(
+                "non_int"
+            ),
+            F.count_if(F.expr("try_cast(val AS DOUBLE)").isNull()).alias(
+                "non_num"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    inferred = (
+        F.when(F.col("non_int") == 0, "bigint")
+        .when(F.col("non_num") == 0, "double")
+        .otherwise("string")
+    )
+    return prof.select(
+        "key",
+        F.col("n_present").cast("long").alias("n_present"),
+        F.round(F.col("n_present") * 1.0 / F.col("n"), 6).alias(
+            "present_rate"
+        ),
+        "n_distinct",
+        inferred.alias("inferred_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X500 — community conductance (cut quality)
+# ---------------------------------------------------------------------------
+
+from .graph_ext import _lpa_round_sql  # noqa: E402
+
+
+@query(
+    "q_conductance",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    l0 AS (SELECT DISTINCT a, a AS lbl FROM sym),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    {_lpa_round_sql('l2', 'l3')},
+    lab AS (SELECT a, lbl FROM l3),
+    m AS (SELECT count(*) AS vol_all FROM sym),
+    per AS (
+      SELECT la.lbl AS community,
+             count(*) AS vol,
+             count(*) FILTER (WHERE la.lbl <> lb.lbl) AS cut
+      FROM sym JOIN lab la ON sym.a = la.a JOIN lab lb ON sym.b = lb.a
+      GROUP BY la.lbl
+    )
+    SELECT community, CAST(vol AS BIGINT) AS volume,
+           CAST(cut AS BIGINT) AS cut_edges,
+           round(cut * 1.0 / least(vol, vol_all - vol), 6) AS conductance
+    FROM per CROSS JOIN m
+    WHERE vol >= 20
+    """,
+)
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X500 — conductance of the X174 label-propagation communities:
+    phi(C) = cut(C) / min(vol(C), vol(rest)) — the cut-quality metric
+    that X294's modularity does not capture (modularity rewards big
+    communities; conductance measures how LEAKY each one is — low phi
+    = a real cluster, phi near 1 = an arbitrary slice). Communities
+    below volume 20 are dropped (singleton noise).
+
+    Scale: the community labels join onto each edge endpoint (two
+    vertex-keyed joins — the LPA rounds already paid them) and one
+    (community)-keyed rollup; vol_all is a broadcast scalar."""
+    sym = _edges(spark, sf_dir).persist()
+    labels = sym.select("a").distinct().withColumn("lbl", F.col("a"))
+    for _ in range(3):
+        counts = (
+            sym.join(labels.select(F.col("a").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = counts.groupBy("a").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+            ).alias("lbl")
+        )
+    la = labels.select(F.col("a").alias("ea"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("a").alias("eb"), F.col("lbl").alias("lb"))
+    edges = sym.join(la, sym.a == la.ea).join(lb, sym.b == lb.eb)
+    m = sym.agg(F.count("*").alias("vol_all"))
+    per = edges.groupBy(F.col("la").alias("community")).agg(
+        F.count("*").alias("vol"),
+        F.count_if(F.col("la") != F.col("lb")).alias("cut"),
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .filter(F.col("vol") >= 20)
+        .select(
+            "community",
+            F.col("vol").cast("long").alias("volume"),
+            F.col("cut").cast("long").alias("cut_edges"),
+            F.round(
+                F.col("cut")
+                * 1.0
+                / F.least(F.col("vol"), F.col("vol_all") - F.col("vol")),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X501 — 2x2 factorial interaction test
+# ---------------------------------------------------------------------------
+
+from .round4o import _ERF_SQL, _p_two_sided  # noqa: E402
+
+
+@query(
+    "q_factorial_interaction",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS f1,
+             CAST(floor(user_id / 2) AS BIGINT) % 2 AS f2,
+             count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY 1, 2
+    ), wide AS (
+      SELECT
+        max(CASE WHEN f1 = 0 AND f2 = 0 THEN n END) AS n00,
+        max(CASE WHEN f1 = 0 AND f2 = 0 THEN m END) AS m00,
+        max(CASE WHEN f1 = 0 AND f2 = 0 THEN v END) AS v00,
+        max(CASE WHEN f1 = 0 AND f2 = 1 THEN n END) AS n01,
+        max(CASE WHEN f1 = 0 AND f2 = 1 THEN m END) AS m01,
+        max(CASE WHEN f1 = 0 AND f2 = 1 THEN v END) AS v01,
+        max(CASE WHEN f1 = 1 AND f2 = 0 THEN n END) AS n10,
+        max(CASE WHEN f1 = 1 AND f2 = 0 THEN m END) AS m10,
+        max(CASE WHEN f1 = 1 AND f2 = 0 THEN v END) AS v10,
+        max(CASE WHEN f1 = 1 AND f2 = 1 THEN n END) AS n11,
+        max(CASE WHEN f1 = 1 AND f2 = 1 THEN m END) AS m11,
+        max(CASE WHEN f1 = 1 AND f2 = 1 THEN v END) AS v11
+      FROM cells
+    ), stat AS (
+      SELECT *,
+             (m11 - m10) - (m01 - m00) AS interaction,
+             sqrt(v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11) AS se
+      FROM wide
+    )
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+           round(m00, 6) AS m00, round(m01, 6) AS m01,
+           round(m10, 6) AS m10, round(m11, 6) AS m11,
+           round(interaction, 6) AS interaction,
+           round(interaction / se, 6) AS z,
+           round(1 - {_ERF_SQL.format(z='abs(interaction / se)')}, 6)
+             AS p_value
+    FROM stat
+    """,
+)
+def q_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X501 — 2x2 factorial interaction: when two experiment factors
+    ship together (hash-split on different user-id bits, the standard
+    overlapping-experiment layering), the INTERACTION contrast
+    (m11-m10)-(m01-m00) is what tells you the features are not
+    additive — the readout every layered experimentation platform
+    needs before attributing lift to either factor alone (X199 tests
+    one factor; X350 detects confounded segments; this tests factor
+    synergy). Welch-style SE from per-cell variances, normal reference
+    via the shared A&S erf polynomial.
+
+    Scale: one grouped moment pass over 4 cells, then scalar algebra."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("f1"),
+        (F.floor(F.col("user_id") / 2) % 2).alias("f2"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def cell(f1, f2, col):
+        return F.max(
+            F.when((F.col("f1") == f1) & (F.col("f2") == f2), F.col(col))
+        )
+
+    wide = cells.agg(
+        *[
+            cell(a, b, c).alias(f"{c}{a}{b}")
+            for a in (0, 1)
+            for b in (0, 1)
+            for c in ("n", "m", "v")
+        ]
+    )
+    interaction = (F.col("m11") - F.col("m10")) - (
+        F.col("m01") - F.col("m00")
+    )
+    se = F.sqrt(
+        F.col("v00") / F.col("n00")
+        + F.col("v01") / F.col("n01")
+        + F.col("v10") / F.col("n10")
+        + F.col("v11") / F.col("n11")
+    )
+    z = interaction / se
+    return wide.select(
+        *[F.col(f"n{a}{b}").cast("long").alias(f"n{a}{b}")
+          for a in (0, 1) for b in (0, 1)],
+        *[F.round(f"m{a}{b}", 6).alias(f"m{a}{b}")
+          for a in (0, 1) for b in (0, 1)],
+        F.round(interaction, 6).alias("interaction"),
+        F.round(z, 6).alias("z"),
+        F.round(_p_two_sided(z), 6).alias("p_value"),
+    )
