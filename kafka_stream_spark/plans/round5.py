@@ -1620,3 +1620,282 @@ def q_factorial_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.round(_p_two_sided(z), 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X502 — purged time-series cross-validation folds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_purged_cv",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi,
+             count(*) AS n_total
+      FROM events
+    ), folded AS (
+      SELECT event_id, ts,
+             least(CAST(floor((epoch_us(ts) - lo) * 5.0 / (hi - lo + 1))
+                        AS INT), 4) AS fold,
+             lo, hi, n_total
+      FROM events CROSS JOIN bounds
+    ), marked AS (
+      SELECT f1.fold AS test_fold, f2.event_id,
+             CASE
+               WHEN f2.fold = f1.fold THEN 'test'
+               WHEN abs(epoch_us(f2.ts)
+                        - (lo + (f1.fold + 0.5) * (hi - lo + 1) / 5.0))
+                    <= (hi - lo + 1) / 10.0 + 86400000000 THEN 'purged'
+               ELSE 'train'
+             END AS role
+      FROM (SELECT DISTINCT fold FROM folded) f1
+      CROSS JOIN folded f2
+    )
+    SELECT test_fold, role, CAST(count(*) AS BIGINT) AS n
+    FROM marked GROUP BY test_fold, role
+    """,
+)
+def q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X502 — purged time-series cross-validation (the Lopez de Prado
+    protocol, public in 'Advances in Financial Machine Learning'):
+    events split into 5 contiguous TIME folds; for each test fold, any
+    training row within an EMBARGO of one day beyond the fold's span
+    is PURGED — the leakage guard ordinary K-fold (X260) lacks when
+    labels overlap time (a row just before the test window carries
+    look-ahead information into training).  Output: per (test fold,
+    role) row counts — train / test / purged — the audit that proves
+    the temporal split leaks nothing.
+
+    Scale: fold assignment is a map-side projection off a broadcast
+    (min, max) scalar; the 5-fold marking is a broadcast cross of 5
+    fold ids against the fact table — one pass, no pairwise work."""
+    e = load(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.count("*").alias("n_total"),
+    )
+    folded = e.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "ts",
+        "lo",
+        "hi",
+        F.least(
+            F.floor(
+                (F.unix_micros("ts") - F.col("lo"))
+                * 5.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+            F.lit(4),
+        ).alias("fold"),
+    )
+    fold_ids = folded.select(F.col("fold").alias("test_fold")).distinct()
+    marked = fold_ids.crossJoin(folded)
+    span = F.col("hi") - F.col("lo") + 1
+    center = F.col("lo") + (F.col("test_fold") + 0.5) * span / 5.0
+    role = (
+        F.when(F.col("fold") == F.col("test_fold"), "test")
+        .when(
+            F.abs(F.unix_micros("ts") - center)
+            <= span / 10.0 + 86_400_000_000,
+            "purged",
+        )
+        .otherwise("train")
+    )
+    return (
+        marked.select("test_fold", role.alias("role"))
+        .groupBy("test_fold", "role")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X503 — watermark advisor (allowance from the measured lateness CDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_watermark_advisor",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hwm
+      FROM events
+    ), late AS (
+      SELECT event_type,
+             greatest(0, epoch_us(hwm) - epoch_us(ts)) / 1000000 AS late_s
+      FROM arr
+    ), dv AS (
+      SELECT event_type, late_s, count(*) AS c FROM late GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, late_s, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY late_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM dv
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= n * 0.999 THEN late_s END) AS BIGINT)
+             AS watermark_s,
+           CAST(min(CASE WHEN cum >= n * 0.999 THEN ceil(late_s / 60.0) END)
+                AS BIGINT) AS watermark_min_ceil,
+           round(min(CASE WHEN cum >= n * 0.999 THEN cum END)
+                 * 1.0 / min(n), 6) AS retained_frac,
+           CAST(min(n) - min(CASE WHEN cum >= n * 0.999 THEN cum END)
+                AS BIGINT) AS dropped_rows
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X503 — watermark sizing from evidence: X338 measures HOW late
+    events arrive; this query turns that distribution into the number
+    a streaming job actually configures — the smallest allowance that
+    retains >= 99.9% of rows per stream (the exact lateness value at
+    the 0.999 cumulative cut, read off value-domain cumulative counts
+    — the ECOD/QTE discipline, no per-row rank sort), plus what the
+    chosen watermark still drops.  withWatermark takes this value
+    directly; re-run after drift and the number updates itself.
+
+    Scale: lateness per row is one arrival-order window (shared with
+    X338); the advisor itself aggregates the DISTINCT lateness domain
+    per stream — bounded by distinct second values, not rows."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = e.select(
+        "event_type",
+        (
+            F.greatest(
+                F.lit(0),
+                F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts"),
+            )
+            / 1_000_000
+        ).cast("long").alias("late_s"),
+    )
+    dv = late.groupBy("event_type", "late_s").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("late_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    ranked = dv.select(
+        "event_type",
+        "late_s",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    hit = F.when(F.col("cum") >= F.col("n") * 0.999, F.col("late_s"))
+    hit_cum = F.when(F.col("cum") >= F.col("n") * 0.999, F.col("cum"))
+    return ranked.groupBy("event_type").agg(
+        F.min(hit).cast("long").alias("watermark_s"),
+        F.min(F.ceil(hit / 60.0)).cast("long").alias("watermark_min_ceil"),
+        F.round(F.min(hit_cum) * 1.0 / F.min("n"), 6).alias(
+            "retained_frac"
+        ),
+        (F.min("n") - F.min(hit_cum)).cast("long").alias("dropped_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X504 — quality-filter threshold sweep (the data/quality frontier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_sweep",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok,
+             round(
+               0.4 * least(len(list_filter(string_split(text, ' '),
+                                           t -> t <> '')) / 100.0, 1.0)
+               + 0.3 * (1.0 - abs(0.4 -
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','is','of','and'))) * 1.0 /
+                   greatest(len(list_filter(string_split(text, ' '),
+                                t -> t <> '')), 1)))
+               + 0.3 * least((length(text) - length(replace(text, ' ', '')))
+                   * 1.0 / greatest(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')), 1) / 10.0, 1.0),
+             6) AS q
+      FROM documents
+    ), grid AS (
+      SELECT CAST(unnest([0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS tau
+    )
+    SELECT tau,
+           CAST(count(*) FILTER (WHERE q >= tau) AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE q >= tau), 0) AS BIGINT)
+             AS tokens_kept,
+           round(coalesce(sum(n_tok) FILTER (WHERE q >= tau), 0)
+                 * 1.0 / sum(n_tok), 6) AS token_frac,
+           round(coalesce(avg(q) FILTER (WHERE q >= tau), 0.0), 6)
+             AS mean_quality
+    FROM grid CROSS JOIN m
+    GROUP BY tau
+    """,
+)
+def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X504 — the data-vs-quality frontier: sweep the E5 quality-score
+    cutoff over a fixed grid and report, per threshold, surviving
+    docs/tokens and mean surviving quality — the curve every filtered
+    pretraining corpus is tuned on (filter too hard and the token
+    budget starves — X486; too soft and perplexity suffers), published
+    as one table instead of N pipeline reruns.
+
+    Scale: the quality score is ONE projection pass (the E5-style
+    length/stopword/token-length blend, inlined so the oracle mirrors
+    it exactly); the sweep is a 7-row broadcast grid crossed
+    against doc-level metrics — adding thresholds costs nothing."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda t: t.isin("the", "a", "is", "of", "and"),
+        )
+    )
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_tok_len = spaces * 1.0 / F.greatest(n_tok, F.lit(1))
+    q = F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3
+        * (1.0 - F.abs(0.4 - sw * 1.0 / F.greatest(n_tok, F.lit(1))))
+        + 0.3 * F.least(avg_tok_len / 10.0, F.lit(1.0)),
+        6,
+    )
+    m = d.select("doc_id", n_tok.alias("n_tok"), q.alias("q"))
+    grid = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(t,) for t in (0.0, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8)], "tau double"
+    )
+    keep = F.col("q") >= F.col("tau")
+    return (
+        F.broadcast(grid)
+        .crossJoin(m)
+        .groupBy("tau")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+                * 1.0
+                / F.sum("n_tok"),
+                6,
+            ).alias("token_frac"),
+            F.round(
+                F.coalesce(F.avg(F.when(keep, F.col("q"))), F.lit(0.0)), 6
+            ).alias("mean_quality"),
+        )
+    )
