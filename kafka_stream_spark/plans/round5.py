@@ -1899,3 +1899,317 @@ def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X505 — best-of-cluster dedup survivorship
+# ---------------------------------------------------------------------------
+
+_Q_SQL = """round(
+  0.4 * least(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              / 100.0, 1.0)
+  + 0.3 * (1.0 - abs(0.4 - len(list_filter(string_split(text, ' '),
+      t -> t IN ('the','a','is','of','and'))) * 1.0 /
+      greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)))
+  + 0.3 * least((length(text) - length(replace(text, ' ', ''))) * 1.0
+      / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+      / 10.0, 1.0), 6)"""
+
+
+@query(
+    "q_dedup_best_of_cluster",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS cluster, {_Q_SQL} AS q
+      FROM documents
+    ), ranked AS (
+      SELECT cluster, doc_id, q,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           round(min(CASE WHEN rn = 1 THEN q END), 6) AS kept_quality,
+           CAST(count(*) - 1 AS BIGINT) AS dropped
+    FROM ranked GROUP BY cluster
+    """,
+)
+def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X505 — dedup SURVIVORSHIP by quality: where X47 keeps the
+    lowest-id member of each exact-dup cluster, production corpora
+    keep the BEST one (duplicates often differ in extraction quality
+    even when the md5-normalized text matches — and under near-dup
+    clustering they genuinely differ); survivor = argmax E5-style
+    quality, doc_id tiebreak. The same min_by-over-struct survivorship
+    X276 applies to CRM golden records, applied to the corpus dedup
+    path.
+
+    Scale: one projection pass for the score, one cluster-keyed
+    min_by — no window sort; cluster key is the md5 the exact-dedup
+    pass already computed."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda t: t.isin("the", "a", "is", "of", "and"),
+        )
+    )
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    q = F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.abs(0.4 - sw * 1.0 / F.greatest(n_tok, F.lit(1))))
+        + 0.3
+        * F.least(
+            spaces * 1.0 / F.greatest(n_tok, F.lit(1)) / 10.0, F.lit(1.0)
+        ),
+        6,
+    )
+    scored = d.select(
+        "doc_id", F.md5("text").alias("cluster"), q.alias("q")
+    )
+    return scored.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min_by(
+            "doc_id", F.struct((-F.col("q")).alias("nq"), "doc_id")
+        ).alias("kept_doc"),
+        F.round(F.max("q"), 6).alias("kept_quality"),
+        (F.count("*") - 1).cast("long").alias("dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X506 — group-sequential monitoring (O'Brien-Fleming-shaped boundary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sequential_boundary",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(user_id % 2 AS INT) AS arm,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT d, arm,
+             sum(n) OVER (PARTITION BY arm ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(s) OVER (PARTITION BY arm ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs
+      FROM daily
+    ), wide AS (
+      SELECT d,
+             max(CASE WHEN arm = 0 THEN cn END) AS n0,
+             max(CASE WHEN arm = 0 THEN cs END) AS s0,
+             max(CASE WHEN arm = 1 THEN cn END) AS n1,
+             max(CASE WHEN arm = 1 THEN cs END) AS s1
+      FROM cum GROUP BY d
+    ), looks AS (
+      SELECT d, n0, n1, s0 * 1.0 / n0 AS p0, s1 * 1.0 / n1 AS p1,
+             (s0 + s1) * 1.0 / (n0 + n1) AS pp,
+             row_number() OVER (ORDER BY d) AS k,
+             count(*) OVER () AS kmax
+      FROM wide WHERE n0 > 0 AND n1 > 0
+    ), z AS (
+      SELECT d, k, kmax,
+             (p1 - p0) / sqrt(greatest(
+               pp * (1 - pp) * (1.0/n0 + 1.0/n1), 1e-12)) AS zstat,
+             1.96 * sqrt(kmax * 1.0 / k) AS boundary
+      FROM looks
+    )
+    SELECT CAST(d AS VARCHAR) AS day, CAST(k AS BIGINT) AS look,
+           round(zstat, 6) AS z,
+           round(boundary, 6) AS boundary,
+           abs(zstat) >= boundary AS crossed
+    FROM z
+    """,
+)
+def q_sequential_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X506 — group-sequential experiment monitoring with an
+    O'Brien-Fleming-SHAPED boundary: daily looks at the cumulative
+    two-proportion z (purchase rate, arms = user hash), each compared
+    to c·sqrt(K/k) (c = 1.96) — the spending-function discipline that
+    makes daily peeking safe, conservative early and nominal at the
+    final look.  The frequentist complement to X423's mSPRT (always-
+    valid p); both exist because real platforms run both. Boundary
+    shape is the classic OBF approximation; exact spending calibration
+    replaces c offline.
+
+    Scale: one daily rollup + per-arm cumulative windows over DAYS
+    (bounded domain), then scalar algebra per look."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("s"),
+    )
+    wc = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        "arm",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+    )
+    wide = cum.groupBy("d").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("cn"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("cs"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 1, F.col("cn"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("cs"))).alias("s1"),
+    ).filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+    wk = Window.orderBy("d")
+    looks = wide.select(
+        "d",
+        "n0",
+        "n1",
+        (F.col("s0") * 1.0 / F.col("n0")).alias("p0"),
+        (F.col("s1") * 1.0 / F.col("n1")).alias("p1"),
+        ((F.col("s0") + F.col("s1")) * 1.0 / (F.col("n0") + F.col("n1"))).alias("pp"),
+        F.row_number().over(wk).alias("k"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("kmax"),
+    )
+    z = (F.col("p1") - F.col("p0")) / F.sqrt(
+        F.greatest(
+            F.col("pp")
+            * (1 - F.col("pp"))
+            * (1.0 / F.col("n0") + 1.0 / F.col("n1")),
+            F.lit(1e-12),
+        )
+    )
+    boundary = 1.96 * F.sqrt(F.col("kmax") * 1.0 / F.col("k"))
+    return looks.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("k").cast("long").alias("look"),
+        F.round(z, 6).alias("z"),
+        F.round(boundary, 6).alias("boundary"),
+        (F.abs(z) >= boundary).alias("crossed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X507 — shard-assignment balance audit
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 32
+
+
+@query(
+    "q_shard_balance",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_custkey AS k, count(*) AS wt FROM orders GROUP BY 1
+    ), kmax AS (SELECT max(k) AS mx FROM keys),
+    assigned AS (
+      SELECT 'mod' AS scheme, k % {_N_SHARDS} AS shard, wt FROM keys
+      UNION ALL
+      SELECT 'hash', {token_hash_sql("CAST(k AS VARCHAR)")} % {_N_SHARDS},
+             wt
+      FROM keys
+      UNION ALL
+      SELECT 'range',
+             least(CAST(floor(k * {_N_SHARDS}.0 / (mx + 1)) AS BIGINT),
+                   {_N_SHARDS - 1}), wt
+      FROM keys CROSS JOIN kmax
+      UNION ALL
+      SELECT 'rendezvous', shard, wt FROM (
+        SELECT k, wt, node AS shard,
+               row_number() OVER (PARTITION BY k ORDER BY
+                 {token_hash_sql(
+                     "(CAST(k AS VARCHAR) || '#' || CAST(node AS VARCHAR))"
+                 )} DESC, node) AS rn
+        FROM keys CROSS JOIN
+             (SELECT unnest(range({_N_SHARDS})) AS node))
+      WHERE rn = 1
+    ), loads AS (
+      SELECT scheme, shard, sum(wt) AS load FROM assigned GROUP BY 1, 2
+    )
+    SELECT scheme, CAST(count(*) AS BIGINT) AS shards_used,
+           CAST(max(load) AS BIGINT) AS max_load,
+           round(avg(load), 6) AS avg_load,
+           round(max(load) / avg(load), 6) AS imbalance,
+           round(sqrt(var_pop(load)) / avg(load), 6) AS cv
+    FROM loads GROUP BY scheme
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X507 — sharding-scheme balance audit: the same weighted key set
+    (customers weighted by order count) assigned by four schemes —
+    modulo, portable hash, contiguous range, and X192's rendezvous
+    (HRW) — compared on max load, imbalance (max/avg) and CV.  The
+    numbers behind the layout advice X497 gives: modulo inherits key-
+    space artifacts, range inherits key clustering, hash/HRW flatten
+    both, and HRW additionally moves only 1/n of keys when a shard
+    joins/leaves (why it shards stateful stream stores).
+
+    Scale: each scheme is a map-side assignment + a 32-row rollup;
+    rendezvous evaluates n_shards hashes per key — still map-side,
+    broadcast node list."""
+    o = load(spark, sf_dir, "orders")
+    keys = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("wt")
+    )
+    kmax = keys.agg(F.max("k").alias("mx"))
+    mod = keys.select(
+        F.lit("mod").alias("scheme"),
+        (F.col("k") % _N_SHARDS).alias("shard"),
+        "wt",
+    )
+    hsh = keys.select(
+        F.lit("hash").alias("scheme"),
+        (token_hash(F.col("k").cast("string")) % _N_SHARDS).alias("shard"),
+        "wt",
+    )
+    rng = keys.crossJoin(F.broadcast(kmax)).select(
+        F.lit("range").alias("scheme"),
+        F.least(
+            F.floor(F.col("k") * float(_N_SHARDS) / (F.col("mx") + 1))
+            .cast("long"),
+            F.lit(_N_SHARDS - 1),
+        ).alias("shard"),
+        "wt",
+    )
+    nodes = keys.sparkSession.range(_N_SHARDS).select(
+        F.col("id").alias("node")
+    )
+    hrw_h = token_hash(
+        F.concat_ws("#", F.col("k").cast("string"), F.col("node").cast("string"))
+    )
+    hrw = (
+        keys.crossJoin(F.broadcast(nodes))
+        .select("k", "wt", "node", hrw_h.alias("hh"))
+        .groupBy("k")
+        .agg(
+            F.min("wt").alias("wt"),
+            F.min_by(
+                "node", F.struct((-F.col("hh")).alias("nh"), "node")
+            ).alias("shard"),
+        )
+        .select(F.lit("rendezvous").alias("scheme"), "shard", "wt")
+    )
+    assigned = mod.unionByName(hsh).unionByName(rng).unionByName(hrw)
+    loads = assigned.groupBy("scheme", "shard").agg(
+        F.sum("wt").alias("load")
+    )
+    return loads.groupBy("scheme").agg(
+        F.count("*").cast("long").alias("shards_used"),
+        F.max("load").cast("long").alias("max_load"),
+        F.round(F.avg("load"), 6).alias("avg_load"),
+        F.round(F.max("load") / F.avg("load"), 6).alias("imbalance"),
+        F.round(F.sqrt(F.var_pop("load")) / F.avg("load"), 6).alias("cv"),
+    )

@@ -143,6 +143,15 @@ PROBE = [
     # round-5: the production (k ~ sqrt(n)) form of semantic dedup —
     # contrast with q_semantic_dedup's gate-pinned k=8 quadratic probe
     "q_semantic_dedup_kscaled",
+    # round-5 components
+    "q_jpeg_pipeline",
+    "q_jpeg_dedup",
+    "q_wl_colors",
+    "q_dsir_weights",
+    "q_pit_join",
+    "q_match_recognize",
+    "q_intra_doc_repetition",
+    "q_weibull_fit",
 ]
 
 
