@@ -2213,3 +2213,214 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("load") / F.avg("load"), 6).alias("imbalance"),
         F.round(F.sqrt(F.var_pop("load")) / F.avg("load"), 6).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X508 — product quantization (PQ) codebook + codes
+# ---------------------------------------------------------------------------
+
+from .llm_ext import _sq_dist  # noqa: E402
+
+_PQ_M = 8  # subspaces
+_PQ_K = 4  # centroids per subspace
+
+
+@query(
+    "q_pq_codebook",
+    oracle=f"""
+    WITH subs AS (
+      SELECT vec_id, m,
+             list_transform(embedding[m * 8 + 1 : m * 8 + 8],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings CROSS JOIN
+           (SELECT unnest(range({_PQ_M})) AS m)
+    ), cent0 AS (
+      SELECT vec_id AS cid, m, sv AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ), sc1 AS (
+      SELECT s.vec_id, s.m, c.cid,
+             round(list_aggregate(list_transform(range(8),
+               i -> pow(s.sv[i + 1] - c.cvec[i + 1], 2)), 'sum'), 6) AS dist
+      FROM subs s JOIN cent0 c ON s.m = c.m
+    ), a1 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM sc1) WHERE rn = 1
+    ), cent1 AS (
+      SELECT cid, m, list(v ORDER BY pos) AS cvec FROM (
+        SELECT a1.cid, a1.m, u.pos, avg(u.val) AS v
+        FROM a1 JOIN (
+          SELECT vec_id, m, unnest(sv) AS val,
+                 unnest(range(len(sv))) AS pos
+          FROM subs) u ON u.vec_id = a1.vec_id AND u.m = a1.m
+        GROUP BY a1.cid, a1.m, u.pos)
+      GROUP BY cid, m
+    ), sc2 AS (
+      SELECT s.vec_id, s.m, c.cid,
+             round(list_aggregate(list_transform(range(8),
+               i -> pow(s.sv[i + 1] - c.cvec[i + 1], 2)), 'sum'), 6) AS dist
+      FROM subs s JOIN cent1 c ON s.m = c.m
+    ), a2 AS (
+      SELECT vec_id, m, cid, dist FROM (
+        SELECT vec_id, m, cid, dist,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM sc2) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), '' ORDER BY m) AS pq_code,
+           round(sum(dist), 6) AS qerr
+    FROM a2 GROUP BY vec_id
+    """,
+)
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X508 — product quantization (Jegou et al. 2011, the ANN
+    compression standard): the 64-dim embedding splits into M=8
+    subvectors; each subspace trains its own K=4 codebook
+    (deterministic init = first K vectors' subvectors, one Lloyd
+    round) and every vector compresses to an 8-symbol code — 64 floats
+    become 8 small ints (here 2 bits each), the memory step that makes
+    billion-vector IVF-PQ indexes fit RAM.  Output: per-vector PQ code
+    string + quantization error (the sum of per-subspace residuals —
+    the quantity recall tuning trades against compression).
+    Complements X50 (scalar int8) and X56 (coarse IVF quantizer):
+    coarse centroids route, PQ codes rank.
+
+    Scale: training shuffles (cid, m, dim, partial) triples — never
+    raw vectors; assignment is a broadcast of M*K tiny centroids
+    against the subvector stream, exactly the IVF discipline per
+    subspace; codes are 8 bytes/vector however large the corpus."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    subs = e.crossJoin(F.broadcast(ms)).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("emb"), F.col("m") * 8 + 1, 8).alias("sv"),
+    )
+    cent0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"), F.col("sv").alias("cvec")
+    )
+
+    def assign(cent, keep_dist=False):
+        sc = subs.join(
+            F.broadcast(cent), subs.m == cent.cm
+        ).select(
+            "vec_id",
+            "m",
+            "cid",
+            "sv",
+            F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        out = sc.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        cols = ["vec_id", "m", "cid"] + (["dist"] if keep_dist else ["sv"])
+        return out.select(*cols)
+
+    a1 = assign(cent0)
+    dims = (
+        a1.select("cid", "m", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("cid", "m", "pos")
+        .agg(F.avg("val").alias("v"))
+    )
+    cent1 = (
+        dims.groupBy("cid", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+        .select("cid", F.col("m").alias("cm"), "cvec")
+        .localCheckpoint(eager=True)
+    )
+    a2 = assign(cent1, keep_dist=True)
+    return a2.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("cid").cast("string").alias("c")))
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("pq_code"),
+        F.round(F.sum("dist"), 6).alias("qerr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X509 — prefix-sharing audit (inference prefix-cache opportunity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_prefix_sharing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ), pref AS (
+      SELECT doc_id, len(tk) AS n_tok,
+             array_to_string(tk[1:8], ' ') AS prefix8
+      FROM toks WHERE len(tk) >= 8
+    ), grp AS (
+      SELECT prefix8, count(*) AS n_docs, sum(n_tok) AS toks
+      FROM pref GROUP BY prefix8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_prefixes,
+           CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT)
+             AS shared_prefixes,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS docs_sharing,
+           CAST(sum(CASE WHEN n_docs > 1 THEN (n_docs - 1) * 8 ELSE 0 END)
+                AS BIGINT) AS cacheable_tokens,
+           round(sum(CASE WHEN n_docs > 1 THEN (n_docs - 1) * 8.0
+                          ELSE 0 END) / sum(toks), 6) AS savings_frac
+    FROM grp
+    """,
+)
+def q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X509 — prefix-cache opportunity audit: group documents by their
+    first 8 tokens and measure how much prefill compute an
+    inference-time prefix cache (automatic prefix caching in modern
+    serving stacks) would save on this corpus — every doc after the
+    first in a prefix group skips its cached prefix.  High sharing is
+    also a TEMPLATE signal for data curation: boilerplate openings
+    that X82's quality filters and X398's paragraph dedup should see.
+
+    Scale: one projection to (prefix-key, length), one prefix-keyed
+    rollup, one scalar fold — the exact-dedup shape on a truncated
+    key."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != "")
+    pref = d.select(
+        F.size(tk).alias("n_tok"),
+        F.array_join(F.slice(tk, 1, 8), " ").alias("prefix8"),
+    ).filter(F.col("n_tok") >= 8)
+    grp = pref.groupBy("prefix8").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    shared = F.col("n_docs") > 1
+    return grp.agg(
+        F.count("*").cast("long").alias("n_prefixes"),
+        F.count(F.when(shared, 1)).cast("long").alias("shared_prefixes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(shared, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("docs_sharing"),
+        F.sum(F.when(shared, (F.col("n_docs") - 1) * 8).otherwise(0))
+        .cast("long")
+        .alias("cacheable_tokens"),
+        F.round(
+            F.sum(F.when(shared, (F.col("n_docs") - 1) * 8.0).otherwise(0))
+            / F.sum("toks"),
+            6,
+        ).alias("savings_frac"),
+    )
