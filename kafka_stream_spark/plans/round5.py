@@ -2424,3 +2424,247 @@ def q_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X510 — composed IVF-PQ search with recall evaluation (the ANN capstone)
+# ---------------------------------------------------------------------------
+
+from .llm_ext2 import _kmeans_assign2_ctes  # noqa: E402
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_NQ = 10  # benchmark queries: vec_id < 10
+
+# PQ CTE chain over raw vectors (the X508 training, shared spelling)
+_PQ_CTES = f"""
+    subs AS (
+      SELECT vec_id, m,
+             list_transform(embedding[m * 8 + 1 : m * 8 + 8],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings CROSS JOIN
+           (SELECT unnest(range({_PQ_M})) AS m)
+    ), pcent0 AS (
+      SELECT vec_id AS cid, m, sv AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ), psc1 AS (
+      SELECT s.vec_id, s.m, c.cid,
+             round(list_aggregate(list_transform(range(8),
+               i -> pow(s.sv[i + 1] - c.cvec[i + 1], 2)), 'sum'), 6) AS dist
+      FROM subs s JOIN pcent0 c ON s.m = c.m
+    ), pa1 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM psc1) WHERE rn = 1
+    ), pcent1 AS (
+      SELECT cid, m, list(v ORDER BY pos) AS cvec FROM (
+        SELECT pa1.cid, pa1.m, u.pos, avg(u.val) AS v
+        FROM pa1 JOIN (
+          SELECT vec_id, m, unnest(sv) AS val,
+                 unnest(range(len(sv))) AS pos
+          FROM subs) u ON u.vec_id = pa1.vec_id AND u.m = pa1.m
+        GROUP BY pa1.cid, pa1.m, u.pos)
+      GROUP BY cid, m
+    ), pcodes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 round(list_aggregate(list_transform(range(8),
+                   i -> pow(s.sv[i + 1] - c.cvec[i + 1], 2)), 'sum'), 6),
+                 c.cid) AS rn
+        FROM subs s JOIN pcent1 c ON s.m = c.m) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_ivfpq_recall",
+    oracle=f"""
+    WITH {_kmeans_assign2_ctes()},
+    {_PQ_CTES},
+    queries AS (
+      SELECT vec_id AS qid FROM embeddings WHERE vec_id < {_IVFPQ_NQ}
+    ),
+    qprobe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_aggregate(list_transform(
+                   range(len(e.embedding)), i ->
+                   pow(CAST(e.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1],
+                       2)), 'sum'), 6), c.cid) AS rn
+        FROM queries q JOIN embeddings e ON e.vec_id = q.qid
+        CROSS JOIN cent1 c)
+      WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT qp.qid, a.vec_id AS cand_id
+      FROM qprobe qp JOIN assign2 a ON a.cid = qp.cid
+      WHERE a.vec_id <> qp.qid
+    ),
+    adc AS (
+      SELECT c.qid, c.cand_id,
+             round(sum(round(list_aggregate(list_transform(range(8),
+               i -> pow(qs.sv[i + 1] - pc.cvec[i + 1], 2)), 'sum'), 6)), 6)
+               AS adist
+      FROM cand c
+      JOIN pcodes k ON k.vec_id = c.cand_id
+      JOIN pcent1 pc ON pc.cid = k.cid AND pc.m = k.m
+      JOIN subs qs ON qs.vec_id = c.qid AND qs.m = k.m
+      GROUP BY c.qid, c.cand_id
+    ),
+    approx AS (
+      SELECT qid, cand_id AS approx_nn FROM (
+        SELECT qid, cand_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, cand_id) AS rn
+        FROM adc) WHERE rn = 1
+    ),
+    exact AS (
+      SELECT qid, vec_id AS exact_nn FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_aggregate(list_transform(range(64), i ->
+                   pow(CAST(qe.embedding[i + 1] AS DOUBLE)
+                       - CAST(e.embedding[i + 1] AS DOUBLE), 2)),
+                   'sum'), 6), e.vec_id) AS rn
+        FROM queries q
+        JOIN embeddings qe ON qe.vec_id = q.qid
+        JOIN embeddings e ON e.vec_id <> q.qid)
+      WHERE rn = 1
+    )
+    SELECT a.qid, a.approx_nn, x.exact_nn,
+           a.approx_nn = x.exact_nn AS hit
+    FROM approx a JOIN exact x ON a.qid = x.qid
+    """,
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X510 — the production ANN stack COMPOSED and measured: IVF-PQ
+    with asymmetric distance computation (Jegou et al. 2011 / FAISS
+    IVFADC, flat-PQ variant without residual encoding — documented
+    simplification).  Coarse k-means (the X56/X266 codebook) routes
+    each benchmark query to its nprobe=2 nearest cells; candidates are
+    the vectors IN those cells; ranking uses ADC — the candidate's
+    8-symbol PQ code (X508) looks up per-subspace centroids and the
+    query's exact subvectors measure against them, so candidates never
+    load full vectors.  Approx top-1 vs exact top-1 per query = the
+    recall readout (X86 measured recall for hyperplane-LSH; this
+    measures the quantized path).
+
+    Scale: routing is broadcast (8 coarse + 32 PQ centroids); the
+    candidate join is cell-keyed (cluster-bounded like X266); ADC
+    shuffles (qid, cand, m, code) tuples — 16 bytes/candidate/subspace
+    — and the per-query argmin is a rank over candidates only. This is
+    the memory layout that serves billion-vector indexes."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    from ..operators.semdedup import assign_clusters, train_centroids
+
+    coarse = train_centroids(e, k=8, iters=2)
+    assigned = assign_clusters(e, coarse).select("vec_id", "cid")
+
+    # PQ training (X508 spelling)
+    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    subs = e.crossJoin(F.broadcast(ms)).select(
+        "vec_id", "m", F.slice(F.col("emb"), F.col("m") * 8 + 1, 8).alias("sv")
+    )
+    pcent0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
+        F.col("sv").alias("cvec"),
+    )
+
+    def passign(cent):
+        sc = subs.join(F.broadcast(cent), subs.m == cent.cm).select(
+            "vec_id", "m", "cid", "sv",
+            F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        return sc.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    pa1 = passign(pcent0).select("vec_id", "m", "cid", "sv")
+    dims = (
+        pa1.select("cid", "m", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("cid", "m", "pos")
+        .agg(F.avg("val").alias("v"))
+    )
+    pcent1 = (
+        dims.groupBy("cid", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+        .select("cid", F.col("m").alias("cm"), "cvec")
+        .localCheckpoint(eager=True)
+    )
+    pcodes = passign(pcent1).select("vec_id", "m", "cid")
+
+    queries = e.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    # nprobe nearest coarse cells per query
+    qsc = queries.crossJoin(F.broadcast(coarse.withColumnRenamed("cid", "ccid"))).select(
+        "qid",
+        "ccid",
+        F.round(_sq_dist(F.col("qemb"), F.col("cvec")), 6).alias("dist"),
+    )
+    wq = Window.partitionBy("qid").orderBy("dist", "ccid")
+    qprobe = (
+        qsc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("qid", F.col("ccid").alias("cid"))
+    )
+    cand = (
+        qprobe.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cand_id"))
+    )
+    qsubs = subs.join(
+        queries.select("qid"), subs.vec_id == F.col("qid")
+    ).select(F.col("qid").alias("sq"), "m", F.col("sv").alias("qsv"))
+    adc = (
+        cand.join(pcodes, cand.cand_id == pcodes.vec_id)
+        .join(
+            F.broadcast(pcent1),
+            (pcodes.cid == pcent1.cid) & (pcodes.m == pcent1.cm),
+        )
+        .join(qsubs, (F.col("sq") == cand.qid) & (qsubs.m == pcodes.m))
+        .select(
+            cand.qid.alias("qid"),
+            "cand_id",
+            F.round(_sq_dist(F.col("qsv"), F.col("cvec")), 6).alias("pd"),
+        )
+        .groupBy("qid", "cand_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adist"))
+    )
+    wa = Window.partitionBy("qid").orderBy("adist", "cand_id")
+    approx = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cand_id").alias("approx_nn"))
+    )
+    others = e.select(F.col("vec_id").alias("oid"), F.col("emb").alias("oemb"))
+    ex = (
+        queries.crossJoin(others)
+        .filter(F.col("oid") != F.col("qid"))
+        .select(
+            "qid",
+            "oid",
+            F.round(_sq_dist(F.col("qemb"), F.col("oemb")), 6).alias("d"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy("d", "oid")
+    exact = (
+        ex.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("oid").alias("exact_nn"))
+    )
+    return approx.join(exact, "qid").select(
+        "qid",
+        "approx_nn",
+        "exact_nn",
+        (F.col("approx_nn") == F.col("exact_nn")).alias("hit"),
+    )
