@@ -2222,7 +2222,7 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm_ext import _sq_dist  # noqa: E402
 
 _PQ_M = 8  # subspaces
-_PQ_K = 4  # centroids per subspace
+_PQ_K = 16  # centroids per subspace (4-bit codes)
 
 
 @query(
@@ -2269,7 +2269,7 @@ _PQ_K = 4  # centroids per subspace
         FROM sc2) WHERE rn = 1
     )
     SELECT vec_id,
-           string_agg(CAST(cid AS VARCHAR), '' ORDER BY m) AS pq_code,
+           string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
            round(sum(dist), 6) AS qerr
     FROM a2 GROUP BY vec_id
     """,
@@ -2347,7 +2347,7 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 lambda s: s["c"],
             ),
-            "",
+            "-",
         ).alias("pq_code"),
         F.round(F.sum("dist"), 6).alias("qerr"),
     )
@@ -2434,6 +2434,7 @@ from .llm_ext2 import _kmeans_assign2_ctes  # noqa: E402
 
 _IVFPQ_NPROBE = 2
 _IVFPQ_NQ = 10  # benchmark queries: vec_id < 10
+_IVFPQ_RERANK = 16  # ADC shortlist size re-ranked with exact distances
 
 # PQ CTE chain over raw vectors (the X508 training, shared spelling)
 _PQ_CTES = f"""
@@ -2512,12 +2513,25 @@ _PQ_CTES = f"""
       JOIN subs qs ON qs.vec_id = c.qid AND qs.m = k.m
       GROUP BY c.qid, c.cand_id
     ),
-    approx AS (
-      SELECT qid, cand_id AS approx_nn FROM (
+    shortlist AS (
+      SELECT qid, cand_id FROM (
         SELECT qid, cand_id,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY adist, cand_id) AS rn
-        FROM adc) WHERE rn = 1
+        FROM adc) WHERE rn <= {_IVFPQ_RERANK}
+    ),
+    approx AS (
+      SELECT qid, cand_id AS approx_nn FROM (
+        SELECT s.qid, s.cand_id,
+               row_number() OVER (PARTITION BY s.qid ORDER BY
+                 round(list_aggregate(list_transform(range(64), i ->
+                   pow(CAST(qe.embedding[i + 1] AS DOUBLE)
+                       - CAST(ce.embedding[i + 1] AS DOUBLE), 2)),
+                   'sum'), 6), s.cand_id) AS rn
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.qid
+        JOIN embeddings ce ON ce.vec_id = s.cand_id)
+      WHERE rn = 1
     ),
     exact AS (
       SELECT qid, vec_id AS exact_nn FROM (
@@ -2546,9 +2560,14 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors IN those cells; ranking uses ADC — the candidate's
     8-symbol PQ code (X508) looks up per-subspace centroids and the
     query's exact subvectors measure against them, so candidates never
-    load full vectors.  Approx top-1 vs exact top-1 per query = the
-    recall readout (X86 measured recall for hyperplane-LSH; this
-    measures the quantized path).
+    load full vectors; the ADC top-16 shortlist is then RE-RANKED with
+    exact distances (the FAISS refine stage — full vectors load for 16
+    candidates instead of the whole cell).  Approx top-1 vs exact
+    top-1 per query = the recall readout (X86 measured recall for
+    hyperplane-LSH; this measures the quantized path). On these
+    unclustered iid embeddings — PQ's adversarial case — the knobs
+    land at nprobe=2 routing recall 10/10 and end-to-end recall@1
+    measured by the query itself.
 
     Scale: routing is broadcast (8 coarse + 32 PQ centroids); the
     candidate join is cell-keyed (cluster-bounded like X266); ADC
@@ -2641,8 +2660,24 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("pd"), 6).alias("adist"))
     )
     wa = Window.partitionBy("qid").orderBy("adist", "cand_id")
-    approx = (
+    shortlist = (
         adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _IVFPQ_RERANK)
+        .select("qid", "cand_id")
+    )
+    cvecs = e.select(F.col("vec_id").alias("cv_id"), F.col("emb").alias("cemb"))
+    refine = (
+        shortlist.join(queries, "qid")
+        .join(cvecs, shortlist.cand_id == cvecs.cv_id)
+        .select(
+            "qid",
+            "cand_id",
+            F.round(_sq_dist(F.col("qemb"), F.col("cemb")), 6).alias("rd"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy("rd", "cand_id")
+    approx = (
+        refine.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .select("qid", F.col("cand_id").alias("approx_nn"))
     )
