@@ -170,6 +170,33 @@ HEADLINE = [
     "q_hotspot_gi",       # Getis-Ord Gi* over the bounded cell grid
     "q_binary_segmentation",  # prefix-sum SSE changepoint split
     "q_silhouette",       # centroid silhouette over k-means assignment
+    # round-5 components
+    "q_jpeg_pipeline",    # baseline JPEG encode→decode→aHash (X483)
+    "q_jpeg_dedup",       # JPEG decode → banded hamming near-dup
+    "q_audio_pipeline",   # WAV PCM round-trip under the gate
+    "q_pit_join",         # point-in-time join to versioned dimension
+    "q_embedding_decontaminate",  # semantic benchmark decontamination
+    "q_epoch_allocation", # data-constrained epoch budgets
+    "q_dsir_weights",     # DSIR hashed-ngram importance weights
+    "q_intra_doc_repetition",  # within-doc trigram repetition
+    "q_file_skipping",    # zone-map pruning audit
+    "q_wl_colors",        # Weisfeiler-Lehman fingerprint
+    "q_weibull_fit",      # median-rank Weibull over purchase gaps
+    "q_match_recognize",  # row-pattern detection w/ negation
+    "q_partition_advisor",  # shuffle/file/salt sizing advisor
+    "q_temporal_reach",   # time-respecting 2-hop BFS
+    "q_json_profile",     # open-schema drift profile
+    "q_conductance",      # LPA community cut quality
+    "q_factorial_interaction",  # 2x2 layered-experiment interaction
+    "q_purged_cv",        # purged+embargoed time-series folds
+    "q_watermark_advisor",  # allowance from measured lateness CDF
+    "q_filter_sweep",     # quality-threshold frontier
+    "q_dedup_best_of_cluster",  # survivorship dedup
+    "q_sequential_boundary",  # OBF-shaped safe peeking
+    "q_shard_balance",    # sharding-scheme balance audit
+    "q_pq_codebook",      # product quantization codes
+    "q_ivfpq_recall",     # IVF-PQ + ADC + refine recall
+    "q_prefix_sharing",   # prefix-cache opportunity audit
 ]
 
 
