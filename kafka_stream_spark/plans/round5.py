@@ -2703,3 +2703,183 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_nn",
         (F.col("approx_nn") == F.col("exact_nn")).alias("hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X514 — small-file compaction plan (next-fit bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65536  # target output size (bytes) at this toy scale
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(floor(event_id / 256) AS BIGINT) AS file_id,
+             count(*) * 60 AS bytes
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT file_id, bytes,
+             coalesce(sum(bytes) OVER (ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM files
+    ), binned AS (
+      SELECT file_id, bytes,
+             CAST(floor(cum_prev / {_COMPACT_TARGET}) AS BIGINT) AS bin
+      FROM cum
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file,
+           round(sum(bytes) * 1.0 / {_COMPACT_TARGET}, 6) AS fill_ratio
+    FROM binned GROUP BY bin
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X514 — compaction PLANNING as a query: the X489 file inventory
+    next-fit-packed into target-size output bins (bin = floor of the
+    EXCLUSIVE running byte sum / target — write-order preserving, so
+    compaction never destroys the time clustering that X489 showed
+    makes zone maps work).  Output: per planned output file, its input
+    span and fill ratio — the plan X149's rewrite step executes.
+    Next-fit over write order is the standard table-maintenance choice
+    (FFD packs tighter but shuffles time ranges together).
+
+    Scale: one running-sum window over the FILE inventory (metadata-
+    sized, not data-sized); at 100 TB this is the manifest scan every
+    OPTIMIZE implementation does."""
+    e = load(spark, sf_dir, "events")
+    files = e.groupBy(
+        F.floor(F.col("event_id") / 256).cast("long").alias("file_id")
+    ).agg((F.count("*") * 60).alias("bytes"))
+    w = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = files.select(
+        "file_id",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+        F.round(F.sum("bytes") * 1.0 / _COMPACT_TARGET, 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X515 — join-order cost audit from key histograms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_order_costs",
+    oracle="""
+    WITH lo AS (
+      SELECT CAST(sum(cl * co) AS BIGINT) AS sz FROM (
+        SELECT l.k, cl, co FROM
+          (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+           GROUP BY 1) l
+        JOIN (SELECT o_orderkey AS k, count(*) AS co FROM orders
+              GROUP BY 1) o ON l.k = o.k)
+    ), oc AS (
+      SELECT CAST(sum(co * cc) AS BIGINT) AS sz FROM (
+        SELECT o.k, co, cc FROM
+          (SELECT o_custkey AS k, count(*) AS co FROM orders
+           GROUP BY 1) o
+        JOIN (SELECT c_custkey AS k, count(*) AS cc FROM customer
+              GROUP BY 1) c ON o.k = c.k)
+    ), sizes AS (
+      SELECT (SELECT count(*) FROM lineitem) AS n_l,
+             (SELECT count(*) FROM orders) AS n_o,
+             (SELECT count(*) FROM customer) AS n_c,
+             (SELECT sz FROM lo) AS n_lo,
+             (SELECT sz FROM oc) AS n_oc
+    )
+    SELECT 'lineitem_first' AS plan,
+           CAST(n_l + n_o AS BIGINT) AS stage1_input_rows,
+           n_lo AS stage1_output_rows,
+           CAST(n_lo + n_c AS BIGINT) AS stage2_input_rows,
+           CAST(n_l + n_o + n_lo + n_c AS BIGINT) AS total_shuffled_rows
+    FROM sizes
+    UNION ALL
+    SELECT 'customer_first',
+           CAST(n_o + n_c AS BIGINT), n_oc,
+           CAST(n_oc + n_l AS BIGINT),
+           CAST(n_o + n_c + n_oc + n_l AS BIGINT)
+    FROM sizes
+    """,
+)
+def q_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X515 — cost-based join ordering made visible: for the 3-table
+    chain lineitem ⋈ orders ⋈ customer, estimate both orders'
+    intermediate sizes EXACTLY from per-key histograms
+    (|A ⋈ B| = Σ_k cA(k)·cB(k) — the product-of-frequencies identity
+    a CBO approximates with NDV/MCV sketches) and total rows pushed
+    through shuffles.  The engine normally lets Catalyst+AQE pick;
+    this query is the audit for when a user needs to SEE why one order
+    wins before forcing a hint (X309) — and the X405 sketch estimator's
+    exact twin.
+
+    Scale: key histograms are grouped counts (map-combinable); the
+    Σ c·c fold joins histogram tables, never fact tables."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def hist(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+
+    hl = hist(li, "l_orderkey")
+    ho_ok = hist(o, "o_orderkey")
+    ho_ck = hist(o, "o_custkey")
+    hc = hist(c, "c_custkey")
+    n_lo = (
+        hl.join(ho_ok, "k")
+        .agg(F.sum(hl.c * ho_ok.c).alias("sz"))
+    )
+    n_oc = (
+        ho_ck.join(hc, "k")
+        .agg(F.sum(ho_ck.c * hc.c).alias("sz"))
+    )
+    counts = (
+        li.agg(F.count("*").alias("n_l"))
+        .crossJoin(o.agg(F.count("*").alias("n_o")))
+        .crossJoin(c.agg(F.count("*").alias("n_c")))
+        .crossJoin(n_lo.select(F.col("sz").alias("n_lo")))
+        .crossJoin(n_oc.select(F.col("sz").alias("n_oc")))
+    )
+    a = counts.select(
+        F.lit("lineitem_first").alias("plan"),
+        (F.col("n_l") + F.col("n_o")).cast("long").alias(
+            "stage1_input_rows"
+        ),
+        F.col("n_lo").cast("long").alias("stage1_output_rows"),
+        (F.col("n_lo") + F.col("n_c")).cast("long").alias(
+            "stage2_input_rows"
+        ),
+        (F.col("n_l") + F.col("n_o") + F.col("n_lo") + F.col("n_c"))
+        .cast("long")
+        .alias("total_shuffled_rows"),
+    )
+    b = counts.select(
+        F.lit("customer_first").alias("plan"),
+        (F.col("n_o") + F.col("n_c")).cast("long"),
+        F.col("n_oc").cast("long"),
+        (F.col("n_oc") + F.col("n_l")).cast("long"),
+        (F.col("n_o") + F.col("n_c") + F.col("n_oc") + F.col("n_l"))
+        .cast("long"),
+    )
+    return a.unionByName(b.toDF(*a.columns))
