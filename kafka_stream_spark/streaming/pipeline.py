@@ -1160,3 +1160,56 @@ def run_streaming_late_router(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_upsert(batch: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Exactly-once-per-batch sink write: the micro-batch's rows land
+    under a DETERMINISTIC partition path keyed by batch_id, written
+    with dynamic partition overwrite — so a replayed batch (restart
+    between sink write and checkpoint commit, the classic
+    at-least-once window) OVERWRITES its own previous attempt instead
+    of appending duplicates.  This is the standard recipe for making
+    an append-only file sink effectively exactly-once without a
+    transactional table format; with one, the same batch_id becomes
+    the transaction's idempotency key (txnAppId/txnVersion)."""
+    sess = batch.sparkSession
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_streaming_idempotent_sink(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming wrapper for ``idempotent_upsert``: per-event-type
+    counts per micro-batch written exactly-once-per-batch. pytest
+    replays a batch function call and pins zero duplication."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    ).parquet(input_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        idempotent_upsert(agg, batch_id, out_dir)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

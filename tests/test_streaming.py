@@ -732,3 +732,43 @@ def test_streaming_late_router_splits_exactly(spark, tmp_path):
     assert main_ids == {1, 2, 4, 5, 7}
     hwm = spark.read.parquet(state).collect()[0]["hwm"]
     assert hwm == t0 + dt.timedelta(minutes=95)
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path, sf_dir):
+    """Replaying a micro-batch (the at-least-once crash window) must
+    overwrite its own prior attempt, not append: same rows after a
+    double delivery, new batches still append under their own key."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        idempotent_upsert,
+        run_streaming_idempotent_sink,
+    )
+
+    out = str(tmp_path / "out")
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    idempotent_upsert(agg, 0, out)
+    first = sorted(
+        (r["event_type"], r["n"], r["batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    idempotent_upsert(agg, 0, out)  # replay of the same batch
+    assert sorted(
+        (r["event_type"], r["n"], r["batch_id"])
+        for r in spark.read.parquet(out).collect()
+    ) == first
+    idempotent_upsert(agg, 1, out)  # a NEW batch appends
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2 * len(first)
+    assert {r["batch_id"] for r in rows} == {0, 1}
+
+    # end-to-end through the streaming wrapper
+    inp = str(tmp_path / "in")
+    sout = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "ckpt")
+    e.limit(100).write.parquet(inp)
+    q = run_streaming_idempotent_sink(spark, inp, sout, ckpt)
+    assert q.awaitTermination(240)
+    got = spark.read.parquet(sout)
+    assert got.agg(F.sum("n")).collect()[0][0] == 100
