@@ -152,6 +152,12 @@ PROBE = [
     "q_match_recognize",
     "q_intra_doc_repetition",
     "q_weibull_fit",
+    "q_pq_codebook",
+    "q_ivfpq_recall",
+    "q_conductance",
+    "q_embedding_decontaminate",
+    "q_dedup_best_of_cluster",
+    "q_audio_pipeline",
 ]
 
 
