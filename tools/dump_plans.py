@@ -67,6 +67,17 @@ SHOWCASE = {
     "q_hits": "HITS: edge-score join + node agg per half-step, broadcast L1 normalizers",
     "q_lsh_tuning": "LSH sweep: one signature table, three band-key groupings, no re-scan of text",
     "q_png_pipeline": "PNG gate: Arrow-batched encode/decode maps, zero shuffle, 8-byte rows out",
+    # round-5 showcase
+    "q_jpeg_pipeline": "JPEG gate: same zero-shuffle Arrow shape through an entropy-coded codec",
+    "q_jpeg_dedup": "JPEG near-dup: band-key equi-join carries (band, id, hash) only",
+    "q_pit_join": "point-in-time join: custkey equi-join + residual validity range, no interval blowup",
+    "q_dsir_weights": "DSIR: 256-bucket stats broadcast back onto the token stream",
+    "q_pq_codebook": "PQ: broadcast codebooks, (cid, m, dim) partial-agg training shuffles",
+    "q_ivfpq_recall": "IVF-PQ+refine: cell-keyed candidates, ADC tuples, 16-row exact re-rank",
+    "q_wl_colors": "WL colors: edge join + vertex hash-agg per round, sorted-neighbor signature",
+    "q_match_recognize": "row patterns: one user-keyed fold, then scalar string codegen",
+    "q_watermark_advisor": "watermark advisor: distinct lateness domain, no per-row rank",
+    "q_shard_balance": "shard audit: four map-side assignments union into one 32-row rollup",
 }
 
 
