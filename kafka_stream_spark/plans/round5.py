@@ -2883,3 +2883,67 @@ def q_join_order_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return a.unionByName(b.toDF(*a.columns))
+
+
+# ---------------------------------------------------------------------------
+# X517 — progressive JPEG under the value-hash gate
+# ---------------------------------------------------------------------------
+
+
+@query("q_jpeg_progressive", oracle=_image_phash_oracle())
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X517 — PROGRESSIVE JPEG (SOF2) under the gate: the X483
+    pipeline with the container swapped to a multi-scan progressive
+    stream — DC-first at Al=1, per-component AC spectral bands, and a
+    DC successive-approximation refinement scan delivering the
+    held-back low bit.  The decoder accumulates coefficients across
+    scans (general EOBRUN handling included) and reconstructs once;
+    the same constant-block exactness contract applies, so the
+    arithmetic aHash oracle gates the full multi-scan entropy decode.
+    pytest additionally pins progressive-decode ≡ baseline-decode on
+    identical quantized coefficients at lossy quality.  The remaining
+    JPEG boundary narrows to AC successive approximation and
+    arithmetic coding (operators/jpeg.py)."""
+    from ..operators.jpeg import encode_jpeg_progressive
+    from ..operators.multimodal import perceptual_hash
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                rgb = b"".join(
+                    bytes((g, g, g)) * 8 for g in
+                    (int(v) for row in range(8) for _ in range(8)
+                     for v in vals[row * 8 : row * 8 + 8])
+                )
+                payloads.append(
+                    encode_jpeg_progressive(
+                        64, 64, rgb, quality=100, subsampling="4:2:0"
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    return perceptual_hash(imgs).select(
+        F.col("doc_id").alias("vec_id"), "phash"
+    )

@@ -354,8 +354,67 @@ def test_jpeg_boundary_and_integration():
     assert feats["width"] == 64 and feats["height"] == 64
     w, h, out = decode_jpeg(bytes(payload))
     assert ahash64(w, h, out) == ahash64(64, 64, rgb)
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive → NotImplementedError
+    # progressive (SOF2) decodes for real since round 5 — the boundary
+    # is arithmetic coding: flip SOF0 (0xC0) to SOF10 (0xCA)
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2
+    payload[sof + 1] = 0xCA
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_equals_baseline_and_exact():
+    """Progressive (SOF2) decode must (a) round-trip constant-block
+    images exactly at q=100, (b) reconstruct BIT-IDENTICALLY to the
+    baseline decode of the same quantized coefficients at lossy
+    quality — the strongest cross-path equivalence — and (c) handle
+    non-MCU-multiple dims where padding block columns are coded in the
+    interleaved DC scan but not in non-interleaved AC scans."""
+    np = _np()
+    import pytest as _pytest
+
+    from kafka_stream_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 256, size=(8, 8))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2).tobytes()
+    p = encode_jpeg_progressive(64, 64, rgb, quality=100)
+    assert p[:2] == b"\xff\xd8" and b"\xff\xc2" in p
+    assert decode_jpeg(p)[2] == rgb
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    sm = np.clip(
+        np.stack(
+            [128 + 100 * np.sin(xx / 10), 128 + 100 * np.cos(yy / 12),
+             128 + 80 * np.sin((xx + yy) / 15)],
+            axis=2,
+        ), 0, 255,
+    ).astype(np.uint8)
+    for q, sub, wh in ((75, "4:2:0", (64, 48)), (100, "4:4:4", (64, 48))):
+        pb = encode_jpeg(wh[0], wh[1], sm.tobytes(), quality=q,
+                         subsampling=sub)
+        pp = encode_jpeg_progressive(wh[0], wh[1], sm.tobytes(),
+                                     quality=q, subsampling=sub)
+        assert decode_jpeg(pp) == decode_jpeg(pb)
+
+    im = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    pb = encode_jpeg(40, 24, im.tobytes(), quality=100, subsampling="4:2:0")
+    pp = encode_jpeg_progressive(40, 24, im.tobytes(), quality=100,
+                                 subsampling="4:2:0")
+    assert decode_jpeg(pp) == decode_jpeg(pb)
+
+    # the remaining boundary raises, not garbles: craft an AC scan with
+    # Ah>0 by flipping the last scan's Ah/Al byte on a single-band file
+    payload = bytearray(
+        encode_jpeg_progressive(16, 16, bytes(16 * 16 * 3), quality=100)
+    )
+    # find the Y AC band scan header (Ss=6): SOS marker with ns=1,cid=1
+    idx = payload.find(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x06]))
+    assert idx > 0
+    payload[idx + 9] = 0x10  # AhAl byte: Ah=1, Al=0 on an AC scan
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
