@@ -2900,10 +2900,13 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans (general EOBRUN handling included) and reconstructs once;
     the same constant-block exactness contract applies, so the
     arithmetic aHash oracle gates the full multi-scan entropy decode.
-    pytest additionally pins progressive-decode ≡ baseline-decode on
-    identical quantized coefficients at lossy quality.  The remaining
-    JPEG boundary narrows to AC successive approximation and
-    arithmetic coding (operators/jpeg.py)."""
+    The encoder emits the libjpeg default-script shape WITH AC
+    successive approximation (bands appear at Al=2/1 and sharpen
+    through two refinement rounds); pytest additionally pins
+    progressive-decode ≡ baseline-decode on identical quantized
+    coefficients at lossy quality, including the refinement passes.
+    The remaining JPEG boundary is arithmetic coding / hierarchical /
+    12-bit (operators/jpeg.py)."""
     from ..operators.jpeg import encode_jpeg_progressive
     from ..operators.multimodal import perceptual_hash
 
@@ -2936,7 +2939,8 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 payloads.append(
                     encode_jpeg_progressive(
-                        64, 64, rgb, quality=100, subsampling="4:2:0"
+                        64, 64, rgb, quality=100, subsampling="4:2:0",
+                        successive=True,
                     )
                 )
             yield pd.DataFrame(

@@ -397,24 +397,27 @@ def test_jpeg_progressive_equals_baseline_and_exact():
     for q, sub, wh in ((75, "4:2:0", (64, 48)), (100, "4:4:4", (64, 48))):
         pb = encode_jpeg(wh[0], wh[1], sm.tobytes(), quality=q,
                          subsampling=sub)
-        pp = encode_jpeg_progressive(wh[0], wh[1], sm.tobytes(),
-                                     quality=q, subsampling=sub)
-        assert decode_jpeg(pp) == decode_jpeg(pb)
+        for sa in (False, True):
+            pp = encode_jpeg_progressive(wh[0], wh[1], sm.tobytes(),
+                                         quality=q, subsampling=sub,
+                                         successive=sa)
+            assert decode_jpeg(pp) == decode_jpeg(pb), (q, sub, sa)
 
     im = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
-    pb = encode_jpeg(40, 24, im.tobytes(), quality=100, subsampling="4:2:0")
-    pp = encode_jpeg_progressive(40, 24, im.tobytes(), quality=100,
-                                 subsampling="4:2:0")
-    assert decode_jpeg(pp) == decode_jpeg(pb)
+    for q in (100, 85):
+        pb = encode_jpeg(40, 24, im.tobytes(), quality=q,
+                         subsampling="4:2:0")
+        for sa in (False, True):
+            pp = encode_jpeg_progressive(40, 24, im.tobytes(), quality=q,
+                                         subsampling="4:2:0", successive=sa)
+            assert decode_jpeg(pp) == decode_jpeg(pb), (q, sa)
 
-    # the remaining boundary raises, not garbles: craft an AC scan with
-    # Ah>0 by flipping the last scan's Ah/Al byte on a single-band file
+    # the remaining boundary raises, not garbles: arithmetic-coded
+    # progressive (SOF10, 0xCA) is NotImplementedError
     payload = bytearray(
         encode_jpeg_progressive(16, 16, bytes(16 * 16 * 3), quality=100)
     )
-    # find the Y AC band scan header (Ss=6): SOS marker with ns=1,cid=1
-    idx = payload.find(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x06]))
-    assert idx > 0
-    payload[idx + 9] = 0x10  # AhAl byte: Ah=1, Al=0 on an AC scan
+    sof = payload.index(b"\xff\xc2")
+    payload[sof + 1] = 0xCA
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
