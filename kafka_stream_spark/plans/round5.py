@@ -2951,3 +2951,180 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(imgs).select(
         F.col("doc_id").alias("vec_id"), "phash"
     )
+
+
+# ---------------------------------------------------------------------------
+# X518 — unified multimodal training manifest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_manifest",
+    oracle=f"""
+    WITH txt AS (
+      SELECT doc_id, md5(text) AS content_md5,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok,
+             {_Q_SQL} AS quality
+      FROM documents
+    ), dups AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY content_md5
+                                ORDER BY doc_id) > 1 AS is_dup
+      FROM txt
+    ), img AS (
+      SELECT vec_id, {_phash_arith_sql(False)} AS phash FROM embeddings
+    ), aud AS (
+      SELECT vec_id,
+             round(sqrt(list_aggregate(list_transform(
+               list_transform(embedding, e -> CAST(least(greatest(
+                 round(CAST(e AS DOUBLE) * 32767.0::DOUBLE, 0), -32768.0),
+                 32767.0) AS BIGINT)), x -> CAST(x * x AS DOUBLE)), 'sum')
+               / len(embedding)), 6) AS audio_rms
+      FROM embeddings
+    )
+    SELECT t.doc_id, t.n_tok, t.quality, d.is_dup,
+           i.phash, a.audio_rms,
+           t.quality >= 0.5 AND NOT d.is_dup AS keep
+    FROM txt t
+    JOIN dups d ON d.doc_id = t.doc_id
+    LEFT JOIN img i ON i.vec_id = t.doc_id
+    LEFT JOIN aud a ON a.vec_id = t.doc_id
+    """,
+)
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X518 — the UNIFIED multimodal manifest: one row per training
+    document carrying every modality's curation signal — text quality
+    (E5 blend) and exact-dup flag, the image perceptual hash from the
+    REAL JPEG encode→decode path (X483), and the audio RMS from the
+    REAL WAV round-trip (X495) — plus the composed keep decision.
+    This is the table a multimodal corpus build actually materializes:
+    downstream samplers read one manifest, not four pipelines.  The
+    oracle recomputes every signal arithmetically, so the gate pins
+    the full composition including both codec paths.
+
+    Scale: text metrics are a projection; the dup flag is one
+    md5-keyed window; image/audio are the zero-shuffle Arrow codec
+    hops; final assembly is two id-keyed joins (broadcast-able when
+    the modality sides are sparse — LEFT joins keep text-only docs)."""
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_wav, encode_wav, perceptual_hash
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda t: t.isin("the", "a", "is", "of", "and"),
+        )
+    )
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    q = F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.abs(0.4 - sw * 1.0 / F.greatest(n_tok, F.lit(1))))
+        + 0.3
+        * F.least(
+            spaces * 1.0 / F.greatest(n_tok, F.lit(1)) / 10.0, F.lit(1.0)
+        ),
+        6,
+    )
+    txt = d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        n_tok.alias("n_tok"),
+        q.alias("quality"),
+    )
+    wdup = Window.partitionBy("content_md5").orderBy("doc_id")
+    dups = txt.select(
+        "doc_id", (F.row_number().over(wdup) > 1).alias("is_dup")
+    )
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build_jpeg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                rgb = b"".join(
+                    bytes((g, g, g)) * 8 for g in
+                    (int(v) for row in range(8) for _ in range(8)
+                     for v in vals[row * 8 : row * 8 + 8])
+                )
+                payloads.append(encode_jpeg(64, 64, rgb, quality=100))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    img = perceptual_hash(
+        quant.mapInPandas(build_jpeg, schema="doc_id long, payload binary")
+    ).select(F.col("doc_id").alias("img_id"), "phash")
+
+    smp = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round(v.cast("double") * F.lit(32767.0), 0),
+                F.lit(-32768.0),
+            ),
+            F.lit(32767.0),
+        ).cast("bigint"),
+    )
+    aquant = emb.select(F.col("vec_id").alias("aud_id"), smp.alias("smp"))
+
+    def wav_rms(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"aud_id": [], "audio_rms": []}
+            for aid, s in zip(pdf["aud_id"], pdf["smp"]):
+                payload = encode_wav([int(x) for x in s], sample_rate=8000)
+                _r, _c, samples = decode_wav(payload)
+                out["aud_id"].append(aid)
+                out["audio_rms"].append(
+                    round(
+                        math.sqrt(
+                            sum(float(x) * x for x in samples)
+                            / len(samples)
+                        ),
+                        6,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    aud = aquant.mapInPandas(wav_rms, schema="aud_id long, audio_rms double")
+
+    return (
+        txt.join(dups, "doc_id")
+        .join(img, txt.doc_id == img.img_id, "left")
+        .join(aud, txt.doc_id == aud.aud_id, "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "quality",
+            "is_dup",
+            "phash",
+            "audio_rms",
+            ((F.col("quality") >= 0.5) & ~F.col("is_dup")).alias("keep"),
+        )
+    )

@@ -1213,3 +1213,132 @@ def run_streaming_idempotent_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_image_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: int = 7,
+) -> StreamingQuery:
+    """Streaming perceptual image dedup (X519): embedding-derived
+    images (the q_jpeg_dedup base+twin pair per vector, rendered as
+    REAL baseline JPEGs and decoded through operators/jpeg) arrive as
+    a stream; each micro-batch's aHashes are verified against the
+    accumulating signature store by the X183 hamming-band discipline —
+    8 bands x 8 bits candidates, exact popcount <= threshold verify —
+    and flagged pairs append to the result log, signatures to the
+    store.  The image analog of the X225 MinHash text store: the store
+    carries (img_id, phash, band_key) rows (~24 B/row), never pixels;
+    when arrival order follows vec_id the accumulated pairs equal the
+    batch q_jpeg_dedup output (pytest, every wave)."""
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import perceptual_hash
+
+    emb = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(input_dir)
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        px = F.transform(
+            F.col("embedding"),
+            lambda v: F.least(
+                F.greatest(
+                    F.round(
+                        (v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0
+                    ).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ),
+        )
+        base = batch.select(F.col("vec_id").alias("img_id"), px.alias("px"))
+        twin = base.select(
+            (F.col("img_id") + 10_000_000).alias("img_id"),
+            F.concat(
+                F.array(F.least(F.element_at("px", 1) + 1, F.lit(255))),
+                F.slice("px", 2, 63),
+            ).alias("px"),
+        )
+        quant = base.unionByName(twin)
+
+        def build(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for vals in pdf["px"]:
+                    rgb = b"".join(
+                        bytes((g, g, g)) * 8
+                        for g in (
+                            int(v)
+                            for row in range(8)
+                            for _ in range(8)
+                            for v in vals[row * 8 : row * 8 + 8]
+                        )
+                    )
+                    payloads.append(encode_jpeg(64, 64, rgb, quality=100))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["img_id"], "payload": payloads}
+                )
+
+        hashes = perceptual_hash(
+            quant.mapInPandas(build, schema="doc_id long, payload binary")
+        ).select(F.col("doc_id").alias("img_id"), "phash")
+        bands = hashes.select(
+            "img_id",
+            "phash",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda k: k * F.lit(256)
+                    + F.call_function("shiftright", F.col("phash"), k * 8)
+                    .bitwiseAND(F.lit(0xFF)),
+                )
+            ).alias("band_key"),
+        ).localCheckpoint(eager=True)
+        known = (
+            sess.read.parquet(store_dir).unionByName(bands)
+            if os.path.exists(store_dir)
+            else bands
+        )
+        # join direction: store-side x batch-side with id INEQUALITY,
+        # then normalize to (min, max) — twin ids are NOT monotone with
+        # arrival order (an early wave's twin id exceeds a later wave's
+        # base id), so the X225 store's a<b spelling would silently
+        # drop a cross-wave pair whose smaller id arrives later
+        a, b = known.alias("a"), bands.alias("b")
+        ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.img_id") != F.col("b.img_id")),
+            )
+            .select(
+                F.least(F.col("a.img_id"), F.col("b.img_id")).alias("img_a"),
+                F.greatest(F.col("a.img_id"), F.col("b.img_id")).alias(
+                    "img_b"
+                ),
+                ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= threshold)
+            .dropDuplicates(["img_a", "img_b"])
+        )
+        # de-dup against pairs already emitted in earlier batches (the
+        # same pair can re-surface once both sides are in the store)
+        if os.path.exists(out_dir):
+            prior = sess.read.parquet(out_dir).select("img_a", "img_b")
+            pairs = pairs.join(prior, ["img_a", "img_b"], "left_anti")
+        pairs.write.mode("append").parquet(out_dir)
+        bands.write.mode("append").parquet(store_dir)
+
+    return (
+        emb.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -772,3 +772,38 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path, sf_dir):
     assert q.awaitTermination(240)
     got = spark.read.parquet(sout)
     assert got.agg(F.sum("n")).collect()[0][0] == 100
+
+
+def test_streaming_image_dedup_incremental_equals_batch(spark, tmp_path, sf_dir):
+    """The streaming perceptual-hash store must accumulate exactly the
+    batch q_jpeg_dedup pair set when arrival follows vec_id — JPEG
+    codec, aHash, banding, and verify all riding the store."""
+    from kafka_stream_spark.plans import QUERIES
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_image_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    waves = [
+        emb.filter(F.col("vec_id") < 250),
+        emb.filter(F.col("vec_id") >= 250),
+    ]
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch_all = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in QUERIES["q_jpeg_dedup"](spark, sf_dir).collect()
+    }
+    for i, wave in enumerate(waves):
+        wave.write.mode("append").parquet(inp)
+        q = run_streaming_image_dedup(spark, inp, store, out, ckpt)
+        assert q.awaitTermination(300)
+    got = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch_all
