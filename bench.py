@@ -197,6 +197,10 @@ HEADLINE = [
     "q_pq_codebook",      # product quantization codes
     "q_ivfpq_recall",     # IVF-PQ + ADC + refine recall
     "q_prefix_sharing",   # prefix-cache opportunity audit
+    "q_jpeg_progressive", # SOF2 multi-scan decode w/ successive approx
+    "q_multimodal_manifest",  # composed text+image+audio manifest
+    "q_compaction_plan",  # next-fit file bin packing
+    "q_join_order_costs", # CBO intermediate-size audit
 ]
 
 

@@ -158,6 +158,8 @@ PROBE = [
     "q_embedding_decontaminate",
     "q_dedup_best_of_cluster",
     "q_audio_pipeline",
+    "q_jpeg_progressive",
+    "q_multimodal_manifest",
 ]
 
 
