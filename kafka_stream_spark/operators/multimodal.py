@@ -6,10 +6,12 @@ Uncompressed formats are decoded to REAL SAMPLES in pure Python —
 RIFF/PCM WAV to int16 audio samples (rate/duration/RMS/peak, see
 ``audio_features``), and RIFF/'AVI ' with uncompressed DIB frames to
 real video frames (``decode_avi_frames`` / ``video_frames``).
-PNG (zlib inflate + filter reconstruction, below) and baseline JPEG
-(huffman + IDCT + 4:2:0 upsample, ``operators.jpeg``) decode for real
-too.  The remaining compressed formats (progressive JPEG/mp3/ogg/
-MJPEG/H.264) stay behind
+PNG (zlib inflate + filter reconstruction, below), baseline AND
+progressive JPEG (huffman + IDCT + 4:2:0 upsample + successive
+approximation, ``operators.jpeg``), and Motion-JPEG AVI
+(``encode_avi_mjpeg`` / the 'MJPG' branch of ``decode_avi_frames``)
+decode for real too.  The remaining compressed formats (arithmetic
+JPEG / mp3 / ogg / inter-frame video) stay behind
 clearly-marked NotImplementedError branches with a deterministic
 fallback feature set (byte length + md5) — the Spark-side contract
 (schema, batch shape, partition behavior) is identical either way, so
@@ -172,9 +174,9 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
     Supported: 8-bit depth, color types 0 (gray, replicated to RGB),
     2 (RGB), 6 (RGBA, alpha dropped), non-interlaced. Palette (3),
-    16-bit, and Adam7 interlace raise NotImplementedError — those are
-    the remaining compressed-image boundary next to JPEG's DCT
-    entropy coding (which genuinely needs a JPEG library)."""
+    16-bit, and Adam7 interlace raise NotImplementedError — the
+    remaining raster boundary now that JPEG's DCT entropy coding
+    decodes for real in ``operators.jpeg``."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, width, height, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
@@ -829,15 +831,66 @@ def encode_avi(
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+def encode_avi_mjpeg(
+    width: int, height: int, frames: list[bytes], fps: int = 30,
+    quality: int = 100,
+) -> bytes:
+    """RIFF/'AVI ' writer with MOTION-JPEG ('MJPG') compressed frames:
+    each top-down RGB frame is a complete baseline JPEG in a '00dc'
+    chunk — the standard intra-frame-only compressed AVI that webcams
+    and capture cards emit, and the simplest REAL compressed video
+    format (every frame stands alone; no inter-frame prediction)."""
+    from .jpeg import encode_jpeg
+
+    jpegs = [
+        encode_jpeg(width, height, f, quality=quality) for f in frames
+    ]
+    max_bytes = max(len(j) for j in jpegs) if jpegs else 0
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack("<4sI", cid, len(data))
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), max_bytes, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24,
+        0x47504A4D,  # biCompression = 'MJPG' fourcc, little-endian
+        max_bytes, 2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
 def decode_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     """RIFF/'AVI ' → (width, height, [top-down RGB frames]).
 
     Walks LIST chunks recursively (word-aligned, like ``decode_wav``),
     reads dimensions from the 'strf' BITMAPINFOHEADER, and collects
-    '..db'/'..dd' stream-data chunks in order. Only uncompressed 24bpp
-    BI_RGB DIB frames decode; anything else (MJPEG '..dc' compressed
-    frames, H.264, ...) raises NotImplementedError — the honest ffmpeg
-    boundary."""
+    stream-data chunks in order. Uncompressed 24bpp BI_RGB DIB frames
+    ('..db') decode directly; MOTION-JPEG ('..dc' with the 'MJPG'
+    fourcc) frames decode for real through operators/jpeg — each chunk
+    is a standalone baseline/progressive JPEG. Inter-frame codecs
+    (H.264, VP9, ...) raise NotImplementedError — prediction across
+    frames is the genuine ffmpeg boundary."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     width = height = bpp = comp = None
@@ -854,21 +907,28 @@ def decode_avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
                 (_, width, height, _planes, bpp, comp) = struct.unpack_from(
                     "<IiiHHI", payload, body
                 )
-            elif cid[2:4] in (b"db", b"dd"):
+            elif cid[2:4] in (b"db", b"dd", b"dc"):
                 raw_frames.append(payload[body : body + size])
-            elif cid[2:4] == b"dc":
-                raise NotImplementedError(
-                    "compressed AVI frames ('..dc') require ffmpeg"
-                )
             pos = body + size + (size & 1)
 
     walk(12, len(payload))
     if width is None or height is None:
         raise ValueError("missing strf header")
+    if comp == 0x47504A4D:  # 'MJPG': every frame is a standalone JPEG
+        from .jpeg import decode_jpeg
+
+        out = []
+        for raw in raw_frames:
+            fw, fh, rgb = decode_jpeg(raw)
+            if (fw, fh) != (width, abs(height)):
+                raise ValueError("MJPEG frame dims disagree with strf")
+            out.append(rgb)
+        return width, abs(height), out
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            f"only uncompressed 24bpp DIB frames supported (got bpp={bpp}, "
-            f"compression={comp}) — other codecs require ffmpeg"
+            f"only uncompressed 24bpp DIB and MJPG frames supported "
+            f"(got bpp={bpp}, compression={comp}) — inter-frame codecs "
+            f"require ffmpeg"
         )
     top_down = height < 0
     h = abs(height)

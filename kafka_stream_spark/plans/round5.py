@@ -3128,3 +3128,89 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("quality") >= 0.5) & ~F.col("is_dup")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X520 — Motion-JPEG video pipeline under the value-hash gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mjpeg_frames",
+    oracle=f"""
+    SELECT vec_id, 0 AS frame_idx, {_phash_arith_sql(False)} AS phash
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id, 1, {_phash_arith_sql(True)} FROM embeddings
+    """,
+)
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X520 — COMPRESSED video under the gate: each embedding renders
+    as a 2-frame Motion-JPEG AVI (frame 0 = the constant-block image,
+    frame 1 = its +1 twin — 'consecutive frames of a nearly-static
+    camera'), every frame a standalone baseline JPEG inside '00dc'
+    chunks; the decoder walks the RIFF container, decodes each frame
+    through the full entropy-coded JPEG path, and aHashes it.  The
+    oracle recomputes both frame hashes arithmetically, so a match
+    proves container walk + per-frame codec + hash end to end.  This
+    moves the video boundary from 'any compressed codec' to genuinely
+    inter-frame ones (H.264/VP9 prediction needs ffmpeg); MJPEG is
+    what webcams/capture cards actually emit.
+
+    Scale shape: X268's — Arrow-batched mapInPandas, no shuffle,
+    (id, frame, 8-byte hash) rows out."""
+    from ..operators.multimodal import (
+        ahash64,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select("vec_id", px.alias("px"))
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"vec_id": [], "frame_idx": [], "phash": []}
+            for vid, vals in zip(pdf["vec_id"], pdf["px"]):
+                levels = [int(v) for v in vals]
+
+                def frame(vs):
+                    return b"".join(
+                        bytes((g, g, g)) * 8
+                        for g in (
+                            v
+                            for row in range(8)
+                            for _ in range(8)
+                            for v in vs[row * 8 : row * 8 + 8]
+                        )
+                    )
+
+                twin = [min(levels[0] + 1, 255)] + levels[1:]
+                payload = encode_avi_mjpeg(
+                    64, 64, [frame(levels), frame(twin)], quality=100
+                )
+                _w, _h, frames = decode_avi_frames(payload)
+                for i, f in enumerate(frames):
+                    out["vec_id"].append(vid)
+                    out["frame_idx"].append(i)
+                    out["phash"].append(ahash64(64, 64, f))
+            yield pd.DataFrame(out)
+
+    return quant.mapInPandas(
+        roundtrip, schema="vec_id long, frame_idx int, phash long"
+    )

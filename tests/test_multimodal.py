@@ -421,3 +421,49 @@ def test_jpeg_progressive_equals_baseline_and_exact():
     payload[sof + 1] = 0xCA
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
+
+
+def test_mjpeg_avi_roundtrip_and_boundary():
+    """Motion-JPEG AVI: constant-block frames at q=100 round-trip
+    exactly through container walk + per-frame JPEG decode; lossy
+    MJPEG reconstructs frame-identically to decoding each JPEG alone;
+    inter-frame fourccs still raise."""
+    np = _np()
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from kafka_stream_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for _ in range(3):
+        vals = rng.randint(0, 256, size=(8, 8))
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        frames.append(np.repeat(img[:, :, None], 3, axis=2).tobytes())
+    payload = encode_avi_mjpeg(64, 64, frames, quality=100)
+    w, h, out = decode_avi_frames(payload)
+    assert (w, h) == (64, 64) and out == frames
+
+    # lossy: MJPEG frame decode == standalone JPEG decode
+    yy, xx = np.mgrid[0:16, 0:16]
+    sm = np.clip(
+        np.stack([128 + 90 * np.sin(xx / 3), 128 + 90 * np.cos(yy / 4),
+                  xx * 8 % 256], axis=2), 0, 255,
+    ).astype(np.uint8)
+    pm = encode_avi_mjpeg(16, 16, [sm.tobytes()], quality=75)
+    _w, _h, fs = decode_avi_frames(pm)
+    assert fs[0] == decode_jpeg(
+        encode_jpeg(16, 16, sm.tobytes(), quality=75)
+    )[2]
+
+    # inter-frame fourcc (H264) in strf.biCompression still raises
+    bad = bytearray(pm)
+    strf = bad.index(b"strf")
+    _struct.pack_into("<I", bad, strf + 8 + 16, 0x34363248)  # 'H264'
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(bad))
