@@ -201,6 +201,9 @@ HEADLINE = [
     "q_multimodal_manifest",  # composed text+image+audio manifest
     "q_compaction_plan",  # next-fit file bin packing
     "q_join_order_costs", # CBO intermediate-size audit
+    "q_mjpeg_frames",     # MJPEG AVI per-frame decode + aHash
+    "q_frame_motion",     # consecutive-frame perceptual deltas
+    "q_audio_silence",    # PCM silence segmentation
 ]
 
 

@@ -3214,3 +3214,204 @@ def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quant.mapInPandas(
         roundtrip, schema="vec_id long, frame_idx int, phash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# X521 — frame-motion audit (perceptual deltas between consecutive frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_frame_motion",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, {_phash_arith_sql(False)} AS h0,
+             {_phash_arith_sql(True)} AS h1
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(bit_count(xor(h0, h1)) AS BIGINT) AS motion_bits,
+           bit_count(xor(h0, h1)) = 0 AS static_scene,
+           bit_count(xor(h0, h1)) >= 16 AS scene_cut
+    FROM h
+    """,
+)
+def q_frame_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X521 — video MOTION audit from perceptual frame deltas: the
+    hamming distance between consecutive frames' aHashes (computed
+    through the full X520 MJPEG decode) classifies each clip as
+    static (delta 0 — dedup candidate / dead air), normal motion, or
+    a scene cut (delta >= 16 — the shot-boundary heuristic keyframe
+    samplers key on).  This is how a 100 TB video corpus picks WHICH
+    frames to caption: sample densely at cuts, sparsely in static
+    spans (X94's stride sampler takes this as its rate signal).
+
+    Scale: rides the X520 decode (no extra shuffle); per-clip state is
+    two 8-byte hashes regardless of resolution."""
+    from ..operators.multimodal import (
+        ahash64,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select("vec_id", px.alias("px"))
+
+    def motion(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"vec_id": [], "motion_bits": []}
+            for vid, vals in zip(pdf["vec_id"], pdf["px"]):
+                levels = [int(v) for v in vals]
+
+                def frame(vs):
+                    return b"".join(
+                        bytes((g, g, g)) * 8
+                        for g in (
+                            v
+                            for row in range(8)
+                            for _ in range(8)
+                            for v in vs[row * 8 : row * 8 + 8]
+                        )
+                    )
+
+                twin = [min(levels[0] + 1, 255)] + levels[1:]
+                payload = encode_avi_mjpeg(
+                    64, 64, [frame(levels), frame(twin)], quality=100
+                )
+                _w, _h, frames = decode_avi_frames(payload)
+                h0 = ahash64(64, 64, frames[0])
+                h1 = ahash64(64, 64, frames[1])
+                out["vec_id"].append(vid)
+                out["motion_bits"].append(bin((h0 ^ h1) & ((1 << 64) - 1)).count("1"))
+            yield pd.DataFrame(out)
+
+    m = quant.mapInPandas(motion, schema="vec_id long, motion_bits long")
+    return m.select(
+        "vec_id",
+        "motion_bits",
+        (F.col("motion_bits") == 0).alias("static_scene"),
+        (F.col("motion_bits") >= 16).alias("scene_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X522 — audio silence / activity segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_audio_silence",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(least(greatest(
+               round(CAST(e AS DOUBLE) * 32767.0::DOUBLE, 0), -32768.0),
+               32767.0) AS BIGINT)) AS smp
+      FROM embeddings
+    ), flags AS (
+      SELECT vec_id, len(smp) AS n,
+             list_transform(smp, x -> CASE WHEN abs(x) < 3277
+                                           THEN 1 ELSE 0 END) AS quiet
+      FROM s
+    ), runs AS (
+      SELECT vec_id, n, quiet,
+             list_aggregate(quiet, 'sum') AS n_quiet
+      FROM flags
+    ), longest AS (
+      SELECT vec_id, n, n_quiet,
+             list_aggregate(
+               list_transform(range(1, n + 1), i ->
+                 CASE WHEN quiet[i] = 0 THEN 0
+                      ELSE i - coalesce(list_max(list_filter(
+                             range(1, i + 1), j -> quiet[j] = 0)), 0)
+                 END), 'max') AS longest_quiet
+      FROM runs
+    )
+    SELECT vec_id, CAST(n_quiet AS BIGINT) AS quiet_samples,
+           round(n_quiet * 1.0 / n, 6) AS quiet_frac,
+           CAST(coalesce(longest_quiet, 0) AS BIGINT) AS longest_quiet_run,
+           n_quiet * 1.0 / n >= 0.5 AS mostly_silent
+    FROM longest
+    """,
+)
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X522 — silence/activity segmentation over the REAL decoded PCM
+    stream (X495's WAV round-trip): per clip, the quiet-sample
+    fraction (|amplitude| under 10% full scale) and the LONGEST
+    contiguous quiet run — a gaps-and-islands fold over the sample
+    axis, the audio-curation screen that drops dead-air clips and
+    locates trim points before transcription.  The longest-run
+    spelling is position − last-loud-position, maxed — the same
+    islands identity X71 uses on event time, applied inside an array.
+
+    Scale: one Arrow decode hop + per-clip array folds; nothing
+    leaves the executor but four scalars per clip."""
+    import math  # noqa: F401  (parity with the audio pipeline imports)
+
+    from ..operators.multimodal import decode_wav, encode_wav
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    smp = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round(v.cast("double") * F.lit(32767.0), 0),
+                F.lit(-32768.0),
+            ),
+            F.lit(32767.0),
+        ).cast("bigint"),
+    )
+    quant = emb.select("vec_id", smp.alias("smp"))
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "vec_id": [], "quiet_samples": [], "quiet_frac": [],
+                "longest_quiet_run": [],
+            }
+            for vid, s in zip(pdf["vec_id"], pdf["smp"]):
+                payload = encode_wav([int(x) for x in s], sample_rate=8000)
+                _r, _c, samples = decode_wav(payload)
+                quiet = [1 if abs(x) < 3277 else 0 for x in samples]
+                n_quiet = sum(quiet)
+                longest = run = 0
+                for qf in quiet:
+                    run = run + 1 if qf else 0
+                    longest = max(longest, run)
+                out["vec_id"].append(vid)
+                out["quiet_samples"].append(n_quiet)
+                out["quiet_frac"].append(round(n_quiet / len(samples), 6))
+                out["longest_quiet_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    m = quant.mapInPandas(
+        seg,
+        schema="vec_id long, quiet_samples long, quiet_frac double, "
+        "longest_quiet_run long",
+    )
+    return m.select(
+        "vec_id",
+        "quiet_samples",
+        "quiet_frac",
+        "longest_quiet_run",
+        (F.col("quiet_frac") >= 0.5).alias("mostly_silent"),
+    )
