@@ -328,3 +328,85 @@ def label_prop_converged(
     )
     sym.unpersist()
     return state, rounds, converged
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    per-round shape to ``pagerank`` — one edge⋈rank join + one
+    node-keyed aggregate — but the teleport mass returns to the SEED
+    set instead of spreading uniformly:
+
+        r'(v) = (1-d)·s(v) + d · Σ_{u ∈ in(v)} r(u) / outdeg(u)
+
+    with s(v) = 1/|S| for seed nodes, 0 elsewhere.  This is the
+    recommender/graph-proximity primitive (SALSA/RWR family): rank mass
+    concentrates around the seeds, giving a locality score the global
+    PageRank cannot express.
+
+    ``seeds`` is a one-column DataFrame (``node``); seeds absent from
+    the edge list are ignored (their restart mass would be stranded).
+    Scale shape is exactly ``pagerank``'s: the edge table is scanned
+    once per round, state is one double per node, all shuffles on the
+    node key, ranks localCheckpoint-ed per round to keep lineage flat.
+    """
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("outdeg")).persist()
+    seed_nodes = (
+        deg.join(seeds.select(F.col("node").alias("a")).distinct(), "a")
+        .select("a")
+        .persist()
+    )
+    n_seeds = seed_nodes.count()
+    restart = deg.join(seed_nodes, "a", "left_semi").select(
+        "a", F.lit((1.0 - damping) / n_seeds).alias("restart")
+    )
+
+    ranks = (
+        deg.select("a")
+        .join(seed_nodes.withColumn("is_seed", F.lit(1)), "a", "left")
+        .select(
+            "a",
+            F.when(F.col("is_seed") == 1, F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("node")
+            .agg(F.sum("w").alias("in_mass"))
+        )
+        ranks = (
+            deg.select("a")
+            .join(contrib, deg["a"] == contrib["node"], "left")
+            .join(restart, "a", "left")
+            .select(
+                "a",
+                (
+                    F.coalesce("restart", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    deg.unpersist()
+    seed_nodes.unpersist()
+    return ranks.select(F.col("a").alias("node"), "rank")

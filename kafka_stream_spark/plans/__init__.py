@@ -72,3 +72,4 @@ from . import tpch  # noqa: E402,F401
 from . import udx  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
+from . import round5b  # noqa: E402,F401
