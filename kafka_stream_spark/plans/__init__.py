@@ -75,3 +75,4 @@ __all__ = ["QUERIES", "ORACLES", "query"]
 from . import round5b  # noqa: E402,F401
 from . import round5c  # noqa: E402,F401
 from . import round5d  # noqa: E402,F401
+from . import round5e  # noqa: E402,F401

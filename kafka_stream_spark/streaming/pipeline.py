@@ -1342,3 +1342,57 @@ def run_streaming_image_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """X545 — streaming deduplication with BOUNDED state via
+    ``dropDuplicatesWithinWatermark``: duplicate event_ids arriving
+    within the watermark horizon are suppressed, and — unlike plain
+    ``dropDuplicates``, whose key set grows forever — state for keys
+    older than the watermark is evicted, so memory is proportional to
+    the horizon, not the stream's lifetime.  This is the engine-level
+    answer to the reference's dedup-before-insert pattern
+    (kafka_stream/kafka_s.py: Mongo upsert guard) for at-least-once
+    sources: replayed deliveries collapse inside the engine before any
+    sink sees them.
+
+    At 100 TB/day the same topology holds: state is hash-partitioned
+    by key across executors and each partition evicts independently on
+    the global watermark."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).parquet(input_dir)
+    dd = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        dd.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_state(spark: SparkSession, checkpoint_dir: str):
+    """X546 — the Spark 4 STATE DATA SOURCE: open a streaming query's
+    checkpointed state store as a plain batch DataFrame
+    (``spark.read.format("statestore")``).  This is the operational
+    window the reference architecture never had — its only 'state' was
+    a mutable driver dict, inspectable only with print statements; here
+    the engine's internal aggregation state is itself queryable with
+    the full DataFrame API (how many keys, which windows are open,
+    what partial aggregates hold before finalization) without touching
+    the running query.
+
+    Returns the (key, value) state rows of state store 'default' for
+    the last committed batch."""
+    return spark.read.format("statestore").load(checkpoint_dir)

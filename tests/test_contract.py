@@ -37,8 +37,8 @@ def test_oracles_reference_known_tables_only():
     known = set(TABLES)
     for name, sql in m.oracle_sql().items():
         # collect CTE names declared in this oracle
-        ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE))
-        ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE))
+        ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE))
+        ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE))
         ctes |= set(re.findall(r"([a-z_][a-z0-9_]*)\s*\(\s*[a-z0-9_, ]*\)\s+AS\s*\(", sql, re.IGNORECASE))
         for tbl in pat.findall(sql):
             assert tbl.lower() in known or tbl.lower() in {c.lower() for c in ctes} or tbl.lower() in {

