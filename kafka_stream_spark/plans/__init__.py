@@ -76,3 +76,4 @@ from . import round5b  # noqa: E402,F401
 from . import round5c  # noqa: E402,F401
 from . import round5d  # noqa: E402,F401
 from . import round5e  # noqa: E402,F401
+from . import round5f  # noqa: E402,F401
