@@ -204,6 +204,27 @@ HEADLINE = [
     "q_mjpeg_frames",     # MJPEG AVI per-frame decode + aHash
     "q_frame_motion",     # consecutive-frame perceptual deltas
     "q_audio_silence",    # PCM silence segmentation
+    # round-5 session-2 batches (B-I)
+    "q_fairness_metrics",  # group-fairness audit battery
+    "q_fisher_exact",     # exact 2x2 via running-sum recurrence
+    "q_permutation_test",  # P=99 md5-dealt randomization test
+    "q_collocations",     # Dunning LLR bigram mining
+    "q_series_features",  # per-entity catch22-lite battery
+    "q_influence_cascade",  # independent-cascade diffusion
+    "q_frequent_triples",  # Apriori level-3 candidate pruning
+    "q_markov_attribution",  # removal-effect channel credit
+    "q_t_closeness",      # ordered-EMD privacy audit
+    "q_session_overlap_join",  # bucket-blocked interval overlap
+    "q_binary_quantization",  # sign-bit hamming + rerank recall
+    "q_hybrid_retrieval",  # sparse+dense RRF fusion
+    "q_wilcoxon_signed_rank",  # paired nonparametric test
+    "q_linear_shap",      # exact linear-model Shapley
+    "q_network_interference",  # SUTVA exposure-gradient check
+    "q_pmi_svd",          # PPMI power-iteration word axis
+    "q_uncertainty_sampling",  # margin-based labeling batch
+    "q_kcenter_coreset",  # greedy farthest-point pruning
+    "q_shesd",            # seasonal-hybrid robust anomalies
+    "q_ewma_chart",       # small-shift SPC chart
 ]
 
 
