@@ -225,6 +225,8 @@ HEADLINE = [
     "q_kcenter_coreset",  # greedy farthest-point pruning
     "q_shesd",            # seasonal-hybrid robust anomalies
     "q_ewma_chart",       # small-shift SPC chart
+    "q_gif_pipeline",     # GIF87a LZW encode+decode+aHash
+    "q_mulaw_audio",      # G.711 companding round-trip
 ]
 
 

@@ -1,0 +1,217 @@
+"""Pure-stdlib GIF87a codec: real LZW compression, both directions.
+
+Extends the engine's codec line (BMP/PPM → PNG zlib-inflate → baseline
++ progressive JPEG → Motion-JPEG AVI) with the remaining everyday
+raster container: GIF's palette-indexed LZW stream, implemented from
+the GIF87a specification — variable-width codes (LSB-first bit
+packing), clear/EOI codes, dictionary growth to 12 bits with reset,
+255-byte data sub-blocks, and the KwKwK decoder case.
+
+GIF is LOSSLESS for images of ≤256 unique colors, which is exactly the
+engine's gate-image class (8×8 grayscale rasters derived from
+embeddings), so the value-hash gate can pin the full
+encode→container-walk→LZW-decode→palette-lookup path bit-for-bit
+(q_gif_pipeline): the oracle recomputes the aHash arithmetically and a
+match proves encoder and decoder agree on every pixel.
+
+Encoder/decoder width-synchronization uses the standard "late change"
+rule (the decoder widens after the table reaches the current code
+ceiling; the encoder mirrors it one step ahead) and is pinned by
+round-trip tests that force both the width-growth and the KwKwK paths.
+Compliance beyond self-consistency is untestable in this container
+(no external image library is installed — the same honest boundary
+PNG/JPEG documented); the bitstream follows the published spec.
+
+Reference parity note: the reference engine (kafka_stream/kafka_s.py)
+has no media path at all; this extends SURVEY §2.14's multimodal
+family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_WIDTH = 12
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """LZW-compress an index stream (GIF variable-width, LSB-first)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    def fresh() -> dict[tuple[int, ...], int]:
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = mcs + 1
+    out_codes: list[tuple[int, int]] = [(clear, width)]
+    cur: tuple[int, ...] = ()
+    for k in indices:
+        nxt = cur + (k,)
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        # late change: widen once the next code to ASSIGN would not fit
+        if next_code == (1 << width) + 1 and width < _MAX_WIDTH:
+            width += 1
+        if next_code == (1 << _MAX_WIDTH) + 1:
+            out_codes.append((clear, _MAX_WIDTH))
+            table = fresh()
+            next_code = eoi + 1
+            width = mcs + 1
+        cur = (k,)
+    if cur:
+        out_codes.append((table[cur], width))
+    out_codes.append((eoi, width))
+
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK case."""
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    def fresh() -> list[tuple[int, ...]]:
+        return [(i,) for i in range(clear)] + [(), ()]
+
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table = fresh()
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = fresh()
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < _MAX_WIDTH:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """RGB24 → GIF87a with a global color table built from the image's
+    palette (≤256 unique colors required — GIF's own constraint)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    pixels = [rgb[i : i + 3] for i in range(0, len(rgb), 3)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError("GIF needs <=256 unique colors")
+    index = {c: i for i, c in enumerate(palette)}
+    k = 0
+    while (2 << k) < len(palette):
+        k += 1
+    table_len = 2 << k
+    mcs = max(2, k + 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | k, 0, 0)
+    out += b"".join(palette)
+    out += b"\x00\x00\x00" * (table_len - len(palette))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(mcs)
+    data = _lzw_encode([index[p] for p in pixels], mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """GIF87a/89a → (width, height, RGB24).  Walks extensions, reads
+    the global color table, LZW-decodes the first image frame.
+    Interlaced frames and local color tables raise
+    NotImplementedError (the documented boundary — animated/89a
+    feature territory)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct: list[bytes] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            indices = _lzw_decode(bytes(data), mcs)
+            if len(indices) < w * h:
+                raise ValueError("short GIF index stream")
+            rgb = b"".join(gct[i] for i in indices[: w * h])
+            return w, h, rgb
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image frame in GIF")

@@ -10,7 +10,10 @@ PNG (zlib inflate + filter reconstruction, below), baseline AND
 progressive JPEG (huffman + IDCT + 4:2:0 upsample + successive
 approximation, ``operators.jpeg``), and Motion-JPEG AVI
 (``encode_avi_mjpeg`` / the 'MJPG' branch of ``decode_avi_frames``)
-decode for real too.  The remaining compressed formats (arithmetic
+decode for real too, as does GIF87a's LZW stream
+(``operators.gif`` — palette build, variable-width codes, KwKwK) and
+G.711 μ-law audio companding (``mulaw_encode``/``mulaw_decode``).
+The remaining compressed formats (arithmetic
 JPEG / mp3 / ogg / inter-frame video) stay behind
 clearly-marked NotImplementedError branches with a deterministic
 fallback feature set (byte length + md5) — the Spark-side contract
@@ -306,6 +309,11 @@ def _decode_image(payload: bytes) -> dict[str, Any]:
 
         w, h, rgb = decode_jpeg(payload)
         return _pixel_features(w, h, rgb, "jpeg-baseline-v1")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        w, h, rgb = decode_gif(payload)
+        return _pixel_features(w, h, rgb, "gif-lzw-v1")
     raise NotImplementedError(
         "unrecognized raster container (baseline JPEG decodes for real "
         "via operators.jpeg; progressive/arithmetic JPEG is the remaining "
@@ -578,6 +586,11 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
 
                         w, h, rgb = decode_jpeg(payload)
                         name = "jpeg-baseline-v1"
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        from .gif import decode_gif
+
+                        w, h, rgb = decode_gif(payload)
+                        name = "gif-lzw-v1"
                     else:
                         raise NotImplementedError
                     ph = ahash64(w, h, rgb)
@@ -990,3 +1003,50 @@ def video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law companding — the telephony/speech-corpus codec (X569).
+# Real integer companding both directions; the SQL oracle replicates the
+# same integer logic (threshold CASE chain instead of the mask loop), so
+# the gate pins encoder AND decoder sample-exactly.
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """int16 sample → 8-bit μ-law code (G.711 reference logic)."""
+    sign = 0
+    if x < 0:
+        sign = 0x80
+        x = -x
+    if x > _MULAW_CLIP:
+        x = _MULAW_CLIP
+    x += _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (x & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_sample(u: int) -> int:
+    """8-bit μ-law code → int16 sample."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    x = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return -x if sign else x
+
+
+def mulaw_encode(samples: list[int]) -> bytes:
+    return bytes(mulaw_encode_sample(s) for s in samples)
+
+
+def mulaw_decode(data: bytes) -> list[int]:
+    return [mulaw_decode_sample(b) for b in data]

@@ -467,3 +467,68 @@ def test_mjpeg_avi_roundtrip_and_boundary():
     _struct.pack_into("<I", bad, strf + 8 + 16, 0x34363248)  # 'H264'
     with _pytest.raises(NotImplementedError):
         decode_avi_frames(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# X568 — GIF87a LZW codec
+# ---------------------------------------------------------------------------
+
+
+def _noise_rgb(w, h, ncolors):
+    """Deterministic pseudo-random palette image (hash-free arithmetic)."""
+    px = []
+    for i in range(w * h):
+        g = (i * 97 + (i * i) % 251) % ncolors
+        px.append(bytes((g, (g * 3) % ncolors, (g * 7) % ncolors)))
+    return b"".join(px)
+
+
+def test_gif_roundtrip_small_and_kwkwk():
+    from kafka_stream_spark.operators.gif import decode_gif, encode_gif
+
+    # runs of identical pixels force the KwKwK decoder case
+    rgb = (b"\x10\x10\x10" * 9 + b"\x80\x80\x80" * 7) * 4
+    payload = encode_gif(8, 8, rgb)
+    assert payload[:6] == b"GIF87a" and payload[-1:] == b"\x3b"
+    w, h, back = decode_gif(payload)
+    assert (w, h, back) == (8, 8, rgb)
+
+
+def test_gif_roundtrip_width_growth_and_reset():
+    from kafka_stream_spark.operators.gif import decode_gif, encode_gif
+
+    # 128x64 @ 256 colors: dictionary passes every width step and the
+    # 4096-entry reset at least once
+    rgb = _noise_rgb(128, 64, 256)
+    payload = encode_gif(128, 64, rgb)
+    w, h, back = decode_gif(payload)
+    assert (w, h) == (128, 64)
+    assert back == rgb
+
+
+def test_gif_compresses_flat_images():
+    from kafka_stream_spark.operators.gif import encode_gif
+
+    flat = b"\x40\x40\x40" * (64 * 64)
+    payload = encode_gif(64, 64, flat)
+    # real LZW: a flat 12 KiB image must land far under raw size
+    assert len(payload) < 600
+
+
+def test_perceptual_hash_decodes_gif(spark):
+    from kafka_stream_spark.operators.gif import encode_gif
+    from kafka_stream_spark.operators.multimodal import (
+        ahash64,
+        perceptual_hash,
+    )
+
+    rgb = bytes(
+        b for i in range(64) for b in ((i * 4) % 256,) * 3
+    )
+    payload = encode_gif(8, 8, rgb)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = perceptual_hash(df).collect()[0]
+    assert row["decoder"] == "gif-lzw-v1"
+    assert row["phash"] == ahash64(8, 8, rgb)
