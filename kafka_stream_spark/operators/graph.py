@@ -299,8 +299,17 @@ def label_prop_converged(
     ((vertex a, lbl), rounds, converged).  Note synchronous LPA can
     2-cycle on bipartite structures — callers treat converged=False at
     the bound as "use the bounded answer", the standard LPA practice.
+
+    Edges are symmetrized internally (union with the reversed list +
+    distinct), matching every sibling in this module — callers may pass
+    a raw one-direction edge list; already-symmetric input is a no-op.
     """
-    sym = edges.select("a", "b").persist()
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         counts = (

@@ -149,8 +149,11 @@ def semantic_dedup(
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    cos = vectors.dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.col("a_nrm") * F.col("b_nrm")
+    # try_divide: a zero-norm embedding yields NULL (filtered by the
+    # >= tau comparison) instead of an ANSI divide-by-zero failure.
+    cos = F.try_divide(
+        vectors.dot(F.col("a_emb"), F.col("b_emb")),
+        F.col("a_nrm") * F.col("b_nrm"),
     )
     dups = (
         a.join(

@@ -34,6 +34,46 @@ from ..sources import dims
 from .sources import file_cdc_stream
 
 
+def store_read(
+    sess: SparkSession,
+    store_dir: str,
+    exclude_batch_id: int | None = None,
+) -> DataFrame | None:
+    """Read a batch_id-partitioned streaming store (one written with
+    ``idempotent_upsert``), dropping the partition column. A replaying
+    batch passes its own batch_id as ``exclude_batch_id`` so it never
+    sees its previous attempt's rows — together with the
+    dynamic-partition-overwrite write this makes the accumulate-style
+    stores exactly-once under foreachBatch's documented at-least-once
+    replay. Returns None when the store does not exist yet."""
+    if not os.path.exists(store_dir):
+        return None
+    df = sess.read.parquet(store_dir)
+    if "batch_id" in df.columns:
+        if exclude_batch_id is not None:
+            df = df.filter(F.col("batch_id") != F.lit(exclude_batch_id))
+        df = df.drop("batch_id")
+    return df
+
+
+def batch_already_applied(
+    sess: SparkSession, store_dir: str, batch_id: int
+) -> bool:
+    """Replay guard for merged (read-modify-write) stores that carry an
+    ``applied_bid`` column: True when the store already folded this
+    batch in. The marker travels INSIDE the store's own parquet write,
+    so there is no window between data commit and marker commit — a
+    restart between the store write and the streaming checkpoint
+    commit replays the batch, sees its own id, and skips."""
+    if not os.path.exists(store_dir):
+        return False
+    df = sess.read.parquet(store_dir)
+    if "applied_bid" not in df.columns:
+        return False
+    row = df.agg(F.max("applied_bid").alias("m")).collect()[0]
+    return row["m"] is not None and row["m"] >= batch_id
+
+
 @dataclass(frozen=True)
 class SinkPaths:
     announcements: str
@@ -511,11 +551,18 @@ def run_scd2_stream(
                     "bucket",
                 )
             )
-            versions = prior.union(batch.select(cols).dropDuplicates(
+            # dedupe ACROSS the prior-store union, not just within the
+            # batch: a replayed event (foreachBatch at-least-once) or a
+            # duplicate arriving in a later micro-batch would otherwise
+            # insert an identical version row, yielding duplicate and
+            # zero-length [valid_from, valid_to) intervals.
+            versions = prior.union(batch.select(cols)).dropDuplicates(
                 ["user_id", "event_type", "ts", "value"]
-            ))
+            )
         except Exception:  # first batch: no store yet
-            versions = batch.select(cols)
+            versions = batch.select(cols).dropDuplicates(
+                ["user_id", "event_type", "ts", "value"]
+            )
         from pyspark.sql import Window as W
 
         w = W.partitionBy("user_id", "event_type").orderBy("ts")
@@ -572,12 +619,32 @@ def run_streaming_near_dedup(
     never enters it; at cluster scale the store is a bucketed table so
     step 2 is a co-located join. When arrival order follows doc_id,
     the flagged set provably equals the batch q_near_dedup pair
-    targets (pytest: incremental == batch after every wave)."""
-    from ..functions import hashing, text
+    targets (pytest: incremental == batch after every wave).
 
+    Both the store and the result log are batch_id-partitioned with
+    dynamic partition overwrite (the ``idempotent_upsert`` recipe) and
+    reads exclude the in-flight batch's own partition, so a foreachBatch
+    replay (restart between sink write and checkpoint commit) overwrites
+    its previous attempt instead of double-appending — pytest replays a
+    batch and pins store and results unchanged."""
     docs = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(input_dir)
+
+    return (
+        docs.writeStream.foreachBatch(near_dedup_batch_fn(store_dir, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dedup_batch_fn(store_dir: str, out_dir: str):
+    """foreachBatch body of ``run_streaming_near_dedup``, exposed at
+    module level so pytest can invoke it twice with the same batch_id
+    (a simulated at-least-once replay) and pin that the store and the
+    result log come out unchanged."""
+    from ..functions import hashing, text
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -600,10 +667,8 @@ def run_streaming_near_dedup(
             F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"),
             "hs",
         ).localCheckpoint(eager=True)
-        if os.path.exists(store_dir):
-            known = sess.read.parquet(store_dir).unionByName(bands)
-        else:
-            known = bands
+        prior = store_read(sess, store_dir, exclude_batch_id=batch_id)
+        known = prior.unionByName(bands) if prior is not None else bands
         x, y = known.alias("x"), bands.alias("y")
         cand = (
             x.join(
@@ -636,15 +701,10 @@ def run_streaming_near_dedup(
                 F.max("jaccard").alias("max_jaccard"),
             )
         )
-        dups.write.mode("append").parquet(out_dir)
-        bands.write.mode("append").parquet(store_dir)
+        idempotent_upsert(dups, batch_id, out_dir)
+        idempotent_upsert(bands, batch_id, store_dir)
 
-    return (
-        docs.writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return dedup_batch
 
 
 def run_streaming_corpus_build(
@@ -701,7 +761,10 @@ def run_streaming_corpus_build(
     def flags_dir(version: int) -> str:
         return os.path.join(state_dir, f"flags_v{version}")
 
-    def latest_flags_version() -> int | None:
+    def latest_flags_version(before: int | None = None) -> int | None:
+        """Largest committed flags version, optionally strictly below
+        ``before`` — a replayed batch must branch from the version that
+        PRECEDED its first attempt, never from its own output."""
         if not os.path.isdir(state_dir):
             return None
         versions = [
@@ -709,6 +772,8 @@ def run_streaming_corpus_build(
             for name in os.listdir(state_dir)
             if name.startswith("flags_v")
         ]
+        if before is not None:
+            versions = [v for v in versions if v < before]
         return max(versions) if versions else None
 
     def build_batch(batch: DataFrame, batch_id: int) -> None:
@@ -727,10 +792,9 @@ def run_streaming_corpus_build(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if os.path.exists(bench_dir):
-            all_bench = (
-                sess.read.parquet(bench_dir).union(new_bench).distinct()
-            )
+        prior_bench = store_read(sess, bench_dir, exclude_batch_id=batch_id)
+        if prior_bench is not None:
+            all_bench = prior_bench.union(new_bench).distinct()
         else:
             all_bench = new_bench
         hits = (
@@ -741,31 +805,39 @@ def run_streaming_corpus_build(
         )
         new_flags = corpus_flags(batch, hits)
 
-        prev = latest_flags_version()
+        # version key IS the batch_id (deterministic under replay): a
+        # replayed batch branches from the last version BEFORE its own
+        # and overwrites its previous attempt, never stacks on it
+        prev = latest_flags_version(before=batch_id)
         if prev is not None:
             old_flags = sess.read.parquet(flags_dir(prev))
-            retro = (
-                sess.read.parquet(doc_grams_dir)
-                .join(F.broadcast(new_bench), "gram", "left_semi")
-                .select("doc_id")
-                .distinct()
-                .withColumn("retro", F.lit(1))
+            prior_grams = store_read(
+                sess, doc_grams_dir, exclude_batch_id=batch_id
             )
-            flags = (
-                old_flags.join(retro, "doc_id", "left")
-                .withColumn(
-                    "cont", F.col("cont") | F.col("retro").isNotNull()
+            if prior_grams is not None:
+                retro = (
+                    prior_grams
+                    .join(F.broadcast(new_bench), "gram", "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("retro", F.lit(1))
                 )
-                .drop("retro")
-                .unionByName(new_flags)
-            )
+                flags = (
+                    old_flags.join(retro, "doc_id", "left")
+                    .withColumn(
+                        "cont", F.col("cont") | F.col("retro").isNotNull()
+                    )
+                    .drop("retro")
+                    .unionByName(new_flags)
+                )
+            else:
+                flags = old_flags.unionByName(new_flags)
         else:
             flags = new_flags
-        flags.write.parquet(flags_dir(batch_id if prev is None else prev + 1))
-        new_bench.write.mode("append").parquet(bench_dir)
-        batch_doc_grams.write.mode("append").parquet(doc_grams_dir)
-        cur = latest_flags_version()
-        funnel_report(sess.read.parquet(flags_dir(cur))).write.mode(
+        flags.write.mode("overwrite").parquet(flags_dir(batch_id))
+        idempotent_upsert(new_bench, batch_id, bench_dir)
+        idempotent_upsert(batch_doc_grams, batch_id, doc_grams_dir)
+        funnel_report(sess.read.parquet(flags_dir(batch_id))).write.mode(
             "overwrite"
         ).parquet(out_dir)
 
@@ -863,10 +935,14 @@ def run_streaming_process_map(
     ).parquet(input_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        part = dfg_partials(dfg_edges(batch))
         sess = batch.sparkSession
+        # additive store: skip replayed batches (applied_bid marker is
+        # written in the same overwrite as the merged partials)
+        if batch_already_applied(sess, out_dir, batch_id):
+            return
+        part = dfg_partials(dfg_edges(batch))
         try:
-            existing = sess.read.parquet(out_dir)
+            existing = sess.read.parquet(out_dir).drop("applied_bid")
             merged = (
                 existing.unionByName(part)
                 .groupBy("src", "dst")
@@ -878,7 +954,9 @@ def run_streaming_process_map(
             )
         except Exception:
             merged = part
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        merged.withColumn(
+            "applied_bid", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
             out_dir
         )
 
@@ -916,14 +994,20 @@ def run_streaming_kmv(
     ).parquet(input_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        part = kmv_keep(kmv_hashes(batch))
         sess = batch.sparkSession
+        # keep-k-smallest is idempotent under re-merge, but skip replays
+        # anyway so the store write count matches the batch count
+        if batch_already_applied(sess, out_dir, batch_id):
+            return
+        part = kmv_keep(kmv_hashes(batch))
         try:
-            existing = sess.read.parquet(out_dir)
+            existing = sess.read.parquet(out_dir).drop("applied_bid")
             merged = kmv_keep(existing.unionByName(part).distinct())
         except Exception:
             merged = part
-        merged.localCheckpoint(eager=True).write.mode(
+        merged.withColumn(
+            "applied_bid", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True).write.mode(
             "overwrite"
         ).parquet(out_dir)
 
@@ -972,13 +1056,33 @@ def run_streaming_semantic_dedup(
     equals batch ``semantic_dedup`` with the same codebook (pytest:
     incremental == batch after every wave). Store rows are
     (id, cid, vector, norm) — ~0.5 KB/vector; at cluster scale the
-    store is bucketed by cid so step 2 is a co-located join."""
-    from ..functions import vectors
-    from ..operators.semdedup import assign_clusters
+    store is bucketed by cid so step 2 is a co-located join.
 
+    Store and result log are batch_id-partitioned (dynamic partition
+    overwrite, the ``idempotent_upsert`` recipe) with reads excluding
+    the in-flight batch's partition — a foreachBatch replay overwrites
+    its previous attempt instead of double-appending."""
     emb = spark.readStream.schema(
         "vec_id long, embedding array<float>, label int"
     ).parquet(input_dir)
+
+    return (
+        emb.writeStream.foreachBatch(
+            semantic_dedup_batch_fn(centroids_dir, store_dir, out_dir, tau)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def semantic_dedup_batch_fn(
+    centroids_dir: str, store_dir: str, out_dir: str, tau: float = 0.4
+):
+    """foreachBatch body of ``run_streaming_semantic_dedup``, exposed so
+    pytest can replay a batch_id and pin idempotency."""
+    from ..functions import vectors
+    from ..operators.semdedup import assign_clusters
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -996,10 +1100,8 @@ def run_streaming_semantic_dedup(
             )
             .localCheckpoint(eager=True)
         )
-        if os.path.exists(store_dir):
-            known = sess.read.parquet(store_dir).unionByName(members)
-        else:
-            known = members
+        prior = store_read(sess, store_dir, exclude_batch_id=batch_id)
+        known = prior.unionByName(members) if prior is not None else members
         a = known.select(
             F.col("vec_id").alias("a_id"),
             "cid",
@@ -1012,8 +1114,11 @@ def run_streaming_semantic_dedup(
             F.col("emb").alias("b_emb"),
             F.col("nrm").alias("b_nrm"),
         )
-        cos = vectors.dot(F.col("a_emb"), F.col("b_emb")) / (
-            F.col("a_nrm") * F.col("b_nrm")
+        # try_divide: zero-norm embeddings yield NULL (fails the >= tau
+        # test) instead of an ANSI divide-by-zero error.
+        cos = F.try_divide(
+            vectors.dot(F.col("a_emb"), F.col("b_emb")),
+            F.col("a_nrm") * F.col("b_nrm"),
         )
         dups = (
             a.join(
@@ -1033,15 +1138,10 @@ def run_streaming_semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
         )
-        verdicts.write.mode("append").parquet(out_dir)
-        members.write.mode("append").parquet(store_dir)
+        idempotent_upsert(verdicts, batch_id, out_dir)
+        idempotent_upsert(members, batch_id, store_dir)
 
-    return (
-        emb.writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return dedup_batch
 
 
 def run_streaming_heavy_hitters(
@@ -1063,15 +1163,35 @@ def run_streaming_heavy_hitters(
     Scale: the store is vocabulary-sized (token counts), partitioned
     by lang; each merge is one co-partitioned groupBy-sum. When the
     vocabulary itself outgrows memory the X101 count-min sketch is the
-    documented fallback — same merge-by-addition contract."""
-    from ..functions import text
+    documented fallback — same merge-by-addition contract.
 
+    Replay safety: the store carries an ``applied_bid`` marker column
+    written in the SAME parquet overwrite as the merged counts, and the
+    merge skips any batch_id the store already folded in — an additive
+    store must never apply a replayed batch twice (pytest replays a
+    batch and pins the counts unchanged)."""
     docs = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(input_dir)
 
+    return (
+        docs.writeStream.foreachBatch(heavy_hitters_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_batch_fn(store_dir: str):
+    """foreachBatch body of ``run_streaming_heavy_hitters``, exposed so
+    pytest can replay a batch_id and pin that the additive store does
+    not double-count."""
+    from ..functions import text
+
     def merge(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if batch_already_applied(sess, store_dir, batch_id):
+            return
         part = (
             batch.select(
                 "lang", F.explode(text.tokens(F.col("text"))).alias("token")
@@ -1082,20 +1202,18 @@ def run_streaming_heavy_hitters(
         if os.path.exists(store_dir):
             part = (
                 sess.read.parquet(store_dir)
+                .drop("applied_bid")
                 .unionByName(part)
                 .groupBy("lang", "token")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        part.withColumn(
+            "applied_bid", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
             store_dir
         )
 
-    return (
-        docs.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return merge
 
 
 def run_streaming_late_router(
@@ -1132,10 +1250,15 @@ def run_streaming_late_router(
 
     def route(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        # hwm state is kept PER BATCH (batch_id-partitioned rows, read
+        # as max over PRIOR batches) so a replayed batch routes with the
+        # same pre-batch hwm as its first attempt — reading a single
+        # mutable hwm row would misroute the replay after the first
+        # attempt advanced it
+        prior_state = store_read(sess, state_dir, exclude_batch_id=batch_id)
         hwm = None
-        if os.path.exists(state_dir):
-            row = sess.read.parquet(state_dir).collect()
-            hwm = row[0]["hwm"] if row else None
+        if prior_state is not None:
+            hwm = prior_state.agg(F.max("hwm").alias("m")).collect()[0]["m"]
         batch = batch.localCheckpoint(eager=True)
         if hwm is not None:
             cutoff = F.lit(hwm) - F.expr(
@@ -1144,15 +1267,19 @@ def run_streaming_late_router(
             is_late = F.col("ts") < cutoff
         else:
             is_late = F.lit(False)
-        batch.filter(is_late).write.mode("append").parquet(late_dir)
-        batch.filter(~is_late).write.mode("append").parquet(main_dir)
+        # batch_id-partitioned dynamic overwrite: a replayed batch
+        # overwrites its own prior routing instead of duplicating rows
+        idempotent_upsert(batch.filter(is_late), batch_id, late_dir)
+        idempotent_upsert(batch.filter(~is_late), batch_id, main_dir)
         new_hwm = batch.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
         if new_hwm is not None and (hwm is None or new_hwm > hwm):
             hwm = new_hwm
         if hwm is not None:
-            sess.createDataFrame([(hwm,)], "hwm timestamp").write.mode(
-                "overwrite"
-            ).parquet(state_dir)
+            idempotent_upsert(
+                sess.createDataFrame([(hwm,)], "hwm timestamp"),
+                batch_id,
+                state_dir,
+            )
 
     return (
         events.writeStream.foreachBatch(route)
@@ -1300,10 +1427,9 @@ def run_streaming_image_dedup(
                 )
             ).alias("band_key"),
         ).localCheckpoint(eager=True)
+        prior_sig = store_read(sess, store_dir, exclude_batch_id=batch_id)
         known = (
-            sess.read.parquet(store_dir).unionByName(bands)
-            if os.path.exists(store_dir)
-            else bands
+            prior_sig.unionByName(bands) if prior_sig is not None else bands
         )
         # join direction: store-side x batch-side with id INEQUALITY,
         # then normalize to (min, max) — twin ids are NOT monotone with
@@ -1329,12 +1455,19 @@ def run_streaming_image_dedup(
             .dropDuplicates(["img_a", "img_b"])
         )
         # de-dup against pairs already emitted in earlier batches (the
-        # same pair can re-surface once both sides are in the store)
-        if os.path.exists(out_dir):
-            prior = sess.read.parquet(out_dir).select("img_a", "img_b")
-            pairs = pairs.join(prior, ["img_a", "img_b"], "left_anti")
-        pairs.write.mode("append").parquet(out_dir)
-        bands.write.mode("append").parquet(store_dir)
+        # same pair can re-surface once both sides are in the store);
+        # exclude this batch's own partition so a replay re-emits its
+        # pairs into its own overwritten partition instead of dropping
+        # them
+        prior_pairs = store_read(sess, out_dir, exclude_batch_id=batch_id)
+        if prior_pairs is not None:
+            pairs = pairs.join(
+                prior_pairs.select("img_a", "img_b"),
+                ["img_a", "img_b"],
+                "left_anti",
+            )
+        idempotent_upsert(pairs, batch_id, out_dir)
+        idempotent_upsert(bands, batch_id, store_dir)
 
     return (
         emb.writeStream.foreachBatch(dedup_batch)

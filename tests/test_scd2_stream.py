@@ -86,3 +86,39 @@ def test_scd2_store_equals_batch_and_skips_untouched_buckets(spark, tmp_path):
         os.path.getmtime(os.path.join(b2, f)) for f in os.listdir(b2)
     )
     assert mtime_after == mtime_before, "untouched bucket was rewritten"
+
+
+def test_scd2_store_absorbs_duplicate_redelivery(spark, tmp_path):
+    """A duplicate (user_id, event_type, ts, value) event arriving in a
+    LATER micro-batch (or a foreachBatch replay) must not insert a second
+    identical version row — the prior-union-batch dedup guarantees no
+    duplicate or zero-length [valid_from, valid_to) intervals."""
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [
+        (1, _t(0), 1, "profile", 10.0),
+        (2, _t(5), 1, "profile", 11.0),
+    ]
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(inp)
+    assert run_scd2_stream(spark, inp, store, ckpt).awaitTermination(120)
+
+    # redeliver the SAME logical events (new event_ids — the version key
+    # is (user, type, ts, value)) plus one genuinely new version
+    rows2 = [
+        (3, _t(0), 1, "profile", 10.0),   # duplicate of event 1
+        (4, _t(5), 1, "profile", 11.0),   # duplicate of event 2
+        (5, _t(9), 1, "profile", 12.0),   # new version
+    ]
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(inp)
+    assert run_scd2_stream(spark, inp, store, ckpt).awaitTermination(120)
+
+    rows = spark.read.parquet(store).drop("bucket").collect()
+    assert len(rows) == 3  # no duplicate version rows
+    by_from = {r["valid_from"]: r for r in rows}
+    # intervals chain without zero-length segments
+    assert by_from[_t(0)]["valid_to"] == _t(5)
+    assert by_from[_t(5)]["valid_to"] == _t(9)
+    assert by_from[_t(9)]["valid_to"] is None
+    assert by_from[_t(9)]["is_current"] == 1

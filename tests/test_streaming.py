@@ -730,7 +730,9 @@ def test_streaming_late_router_splits_exactly(spark, tmp_path):
     main_ids = {r["event_id"] for r in spark.read.parquet(main).collect()}
     assert late_ids == {3, 6}
     assert main_ids == {1, 2, 4, 5, 7}
-    hwm = spark.read.parquet(state).collect()[0]["hwm"]
+    # state keeps one hwm row per batch (replay-stable routing); the
+    # effective hwm is the max
+    hwm = max(r["hwm"] for r in spark.read.parquet(state).collect())
     assert hwm == t0 + dt.timedelta(minutes=95)
 
 
@@ -889,3 +891,74 @@ def test_statestore_reader_exposes_dedup_keys(spark, tmp_path):
     # the dedup operator remembers exactly the two distinct keys
     keys = sorted(r["key"]["event_id"] for r in state.collect())
     assert keys == [10, 11]
+
+
+def test_streaming_store_replay_idempotent(spark, tmp_path, sf_dir):
+    """Simulated foreachBatch at-least-once replay (restart between the
+    store write and the checkpoint commit): invoking a store's batch
+    function a second time with the SAME batch_id must leave the store
+    and the result log byte-identical — additive stores must not
+    double-count, append stores must not double-append."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        heavy_hitters_batch_fn,
+        near_dedup_batch_fn,
+        semantic_dedup_batch_fn,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def snap(path):
+        # rows may carry array columns (minhash slots) — compare as a
+        # sorted multiset of stringified rows instead of hashing tuples
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    # additive (read-modify-write) store: heavy hitters
+    hh_store = str(tmp_path / "hh")
+    hh = heavy_hitters_batch_fn(hh_store)
+    hh(w1, 0)
+    hh(w2, 1)
+    before = snap(hh_store)
+    hh(w2, 1)  # replay of the last batch
+    assert snap(hh_store) == before
+
+    # append-style store: MinHash near-dedup signatures + results
+    nd_store = str(tmp_path / "nd_store")
+    nd_out = str(tmp_path / "nd_out")
+    nd = near_dedup_batch_fn(nd_store, nd_out)
+    nd(w1, 0)
+    nd(w2, 1)
+    before_store, before_out = snap(nd_store), snap(nd_out)
+    nd(w2, 1)  # replay
+    assert snap(nd_store) == before_store
+    assert snap(nd_out) == before_out
+
+    # cluster-bounded semantic-dedup store
+    from kafka_stream_spark.operators.semdedup import train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_dir = str(tmp_path / "cent")
+    train_centroids(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        k=4,
+    ).write.parquet(cent_dir)
+    sd_store = str(tmp_path / "sd_store")
+    sd_out = str(tmp_path / "sd_out")
+    sd = semantic_dedup_batch_fn(cent_dir, sd_store, sd_out)
+    e1 = emb.filter(F.col("vec_id") % 2 == 0)
+    e2 = emb.filter(F.col("vec_id") % 2 == 1)
+    sd(e1, 0)
+    sd(e2, 1)
+    before_store, before_out = snap(sd_store), snap(sd_out)
+    sd(e2, 1)  # replay
+    assert snap(sd_store) == before_store
+    assert snap(sd_out) == before_out
