@@ -628,67 +628,60 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..functions import vectors  # noqa: E402
 
 
-@query(
-    "q_knn_classify",
-    oracle=f"""
+from ..operators import ann as _ann  # noqa: E402
+
+_KNN_ORACLE = f"""
     WITH test AS (
-      SELECT vec_id AS q_id, embedding AS qe, label AS true_label
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
       FROM embeddings WHERE vec_id % 20 = 0
     ), train AS (
-      SELECT vec_id AS n_id, embedding AS ne, label
+      SELECT vec_id AS n_id, embedding AS emb, label AS lbl
       FROM embeddings WHERE vec_id % 20 <> 0
-    ), scored AS (
-      SELECT t.q_id, t.true_label, tr.n_id, tr.label,
-             round({vectors.cosine_sql('t.qe', 'tr.ne')}, 6) AS score
-      FROM test t CROSS JOIN train tr
-    ), top5 AS (
-      SELECT q_id, true_label, label FROM (
-        SELECT q_id, true_label, label,
-               row_number() OVER (PARTITION BY q_id
-                 ORDER BY score DESC, n_id) AS rn
-        FROM scored) WHERE rn <= 5
-    ), votes AS (
-      SELECT q_id, true_label, label AS pred_label, count(*) AS c,
+    ), cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM train WHERE n_id % 50 = 1
+    ), {_ann.ivf_search_sql(
+        "train", "test", "cent", k=5, nprobe=2,
+        corpus_extra=("lbl",), query_extra=("true_label",),
+    )}, votes AS (
+      SELECT q_id, true_label, lbl AS pred_label, count(*) AS c,
              row_number() OVER (PARTITION BY q_id
-               ORDER BY count(*) DESC, label) AS vr
-      FROM top5 GROUP BY q_id, true_label, label
+               ORDER BY count(*) DESC, lbl) AS vr
+      FROM ivf_topk GROUP BY q_id, true_label, lbl
     )
     SELECT true_label, pred_label, count(*) AS n
     FROM votes WHERE vr = 1 GROUP BY true_label, pred_label
-    """,
-)
+    """
+
+
+@query("q_knn_classify", oracle=_KNN_ORACLE)
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X278 — 5-NN majority-vote classification of a held-out 5% of
     the embedding table against the rest, reported as a confusion
     matrix — the lazy-learner baseline every embedding-quality check
-    runs next to X246's nearest-centroid. The small test side
-    broadcasts against the corpus (the q_cosine_topk shape), top-5 via
-    a per-query ranking window, majority vote with (count DESC, label)
-    tie-break so the argmax is deterministic. At 100 TB the train side
-    goes through the X30 IVF index and only probed cells are scored —
-    same vote semantics."""
+    runs next to X246's nearest-centroid. Candidate generation routes
+    through the reusable IVF operator (operators/ann.ivf_search —
+    round-5 verdict ask #1): the train side is partitioned into
+    inverted lists by a deterministic coarse quantizer (every 50th
+    train vector, gate-pinned; production trains a k ~ sqrt(n)
+    codebook via operators/semdedup.train_centroids) and each test
+    vector scores only its nprobe=2 probed lists — never the corpus.
+    Top-5 via a per-query ranking window, majority vote with
+    (count DESC, label) tie-break so the argmax is deterministic.
+    The DuckDB oracle replays the identical routing
+    (operators/ann.ivf_search_sql), so the hash gate pins the IVF
+    path itself, the q_ann_recall discipline."""
     e = load(spark, sf_dir, "embeddings")
     test = e.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
+        F.col("embedding").alias("q_emb"),
         F.col("label").alias("true_label"),
     )
     train = e.filter(F.col("vec_id") % 20 != 0).select(
         F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("ne"),
+        F.col("embedding").alias("emb"),
         F.col("label").alias("lbl"),
     )
-    scored = train.crossJoin(F.broadcast(test)).select(
-        "q_id",
-        "true_label",
-        "n_id",
-        "lbl",
-        F.round(vectors.cosine(F.col("qe"), F.col("ne")), 6).alias("score"),
-    )
-    w_top = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
-    top5 = scored.withColumn("rn", F.row_number().over(w_top)).filter(
-        F.col("rn") <= 5
-    )
+    top5 = _ann.ivf_search(train, test, k=5, nprobe=2, every=50, residue=1)
     w_vote = Window.partitionBy("q_id").orderBy(F.desc("c"), "lbl")
     votes = (
         top5.groupBy("q_id", "true_label", "lbl")

@@ -1,0 +1,105 @@
+"""operators/ann.ivf_search: routing invariants against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_spark.functions import vectors
+from kafka_stream_spark.operators import ann
+from kafka_stream_spark.sources.tables import load
+
+
+def _frames(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("clbl"),
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    return corpus, queries
+
+
+def _brute_topk(corpus, queries, k):
+    scored = queries.crossJoin(corpus).filter(
+        F.col("q_id") != F.col("n_id")
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(
+            vectors.cosine(F.col("q_emb"), F.col("emb")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def test_ivf_with_all_cells_probed_equals_brute_force(spark, sf_dir):
+    """nprobe >= n_centroids probes every inverted list, so IVF search
+    must return EXACTLY the brute-force top-k (the recall=1 bound)."""
+    corpus, queries = _frames(spark, sf_dir)
+    n_cent = ann.deterministic_centroids(corpus, every=50).count()
+    got = {
+        (r["q_id"], r["n_id"], r["score"], r["rn"])
+        for r in ann.ivf_search(
+            corpus, queries, k=3, nprobe=n_cent, every=50
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["n_id"], r["score"], r["rn"])
+        for r in _brute_topk(corpus, queries, 3).collect()
+    }
+    assert got == want
+
+
+def test_ivf_nprobe2_results_are_subset_scored_correctly(spark, sf_dir):
+    """At nprobe=2 every returned neighbor must carry its exact rounded
+    cosine (scores never approximate — only the candidate set does),
+    ranks must be dense per query, and recall@3 vs brute force must
+    clear the level the inline q_ann_recall gate established (>= 0.5)."""
+    corpus, queries = _frames(spark, sf_dir)
+    got = ann.ivf_search(corpus, queries, k=3, nprobe=2, every=50)
+    rows = got.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rn"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+    # exact-score check against an independent recomputation
+    exact = {
+        (r["q_id"], r["n_id"]): r["score"]
+        for r in _brute_topk(corpus, queries, 10 ** 9).collect()
+    }
+    assert all(exact[(r["q_id"], r["n_id"])] == r["score"] for r in rows)
+
+    want = {
+        (r["q_id"], r["n_id"])
+        for r in _brute_topk(corpus, queries, 3).collect()
+    }
+    hit = sum((r["q_id"], r["n_id"]) in want for r in rows)
+    assert hit / len(want) >= 0.5
+
+
+def test_ivf_pair_filter_is_applied(spark, sf_dir):
+    """A label-mismatch pair_filter must hold on every returned row
+    (the q_hard_negatives contract)."""
+    corpus, queries = _frames(spark, sf_dir)
+    rows = ann.ivf_search(
+        corpus,
+        queries,
+        k=3,
+        nprobe=2,
+        every=50,
+        pair_filter=F.col("clbl") != F.col("albl"),
+    ).collect()
+    assert rows
+    assert all(r["clbl"] != r["albl"] for r in rows)

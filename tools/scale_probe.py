@@ -180,10 +180,89 @@ def _semantic_dedup_kscaled(spark, sf_dir):
     return semantic_dedup(e, k=k, tau=0.4, iters=2)
 
 
+def _knn_ivf_scaled(spark, sf_dir):
+    """Probe variant of q_knn_classify with the production centroid
+    scaling: every ~ sqrt(n) so n_centroids ~ sqrt(n) (the gate pins
+    every=50 for oracle determinism). Assignment is then O(n·sqrt(n))
+    against a broadcast codebook and each query scores ~nprobe·sqrt(n)
+    candidates, vs the pre-round-6 brute force's O(0.05·n²)."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    from kafka_stream_spark.operators import ann
+    from kafka_stream_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    every = max(2, int(round(math.sqrt(n))))
+    test = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    train = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("lbl"),
+    )
+    top5 = ann.ivf_search(train, test, k=5, nprobe=2, every=every, residue=1)
+    w_vote = W.partitionBy("q_id").orderBy(F.desc("c"), "lbl")
+    votes = (
+        top5.groupBy("q_id", "true_label", "lbl")
+        .agg(F.count("*").alias("c"))
+        .withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+    )
+    return votes.groupBy(
+        "true_label", F.col("lbl").alias("pred_label")
+    ).agg(F.count("*").alias("n"))
+
+
 #: probe-only parameterized variants (not in the oracle registry —
 #: their parameters scale with the corpus, which the gate cannot pin)
+def _hard_negatives_scaled(spark, sf_dir):
+    """Probe variant of q_hard_negatives with every ~ sqrt(n) centroid
+    scaling (gate pins every=50) — same ivf_search call, production
+    codebook density."""
+    import math
+
+    from kafka_stream_spark.operators import ann
+    from kafka_stream_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    every = max(2, int(round(math.sqrt(n))))
+    corpus = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("clbl"),
+    )
+    anchors = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    top3 = ann.ivf_search(
+        corpus,
+        anchors,
+        k=3,
+        nprobe=2,
+        every=every,
+        pair_filter=F.col("clbl") != F.col("albl"),
+    )
+    return top3.select(
+        F.col("q_id").alias("aid"),
+        F.col("n_id").alias("cand"),
+        "clbl",
+        F.col("score").alias("cos_sim"),
+    )
+
+
 VARIANTS = {
     "q_semantic_dedup_kscaled": _semantic_dedup_kscaled,
+    "q_knn_ivf_scaled": _knn_ivf_scaled,
+    "q_hard_negatives_scaled": _hard_negatives_scaled,
 }
 
 KEY_OFFSETS = {
