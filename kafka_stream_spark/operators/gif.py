@@ -208,6 +208,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             indices = _lzw_decode(bytes(data), mcs)
             if len(indices) < w * h:
                 raise ValueError("short GIF index stream")
+            if any(i >= len(gct) for i in indices[: w * h]):
+                raise ValueError("index out of palette")
             rgb = b"".join(gct[i] for i in indices[: w * h])
             return w, h, rgb
         elif b0 == 0x3B:
@@ -215,3 +217,220 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     raise ValueError("no image frame in GIF")
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation: graphic-control extensions, disposal methods,
+# transparency, inter-frame delta rectangles
+# ---------------------------------------------------------------------------
+
+
+def _bbox_of_change(prev: list[bytes], cur: list[bytes], w: int, h: int):
+    """Bounding rectangle (left, top, rw, rh) of pixels differing
+    between two composed canvases, or None when identical."""
+    xs: list[int] = []
+    ys: list[int] = []
+    for y in range(h):
+        for x in range(w):
+            if prev[y * w + x] != cur[y * w + x]:
+                xs.append(x)
+                ys.append(y)
+    if not xs:
+        return None
+    return min(xs), min(ys), max(xs) - min(xs) + 1, max(ys) - min(ys) + 1
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delay_cs: int = 10,
+    loop: int = 0,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """Composed RGB24 frames → animated GIF89a.
+
+    Default mode (``disposals=None``) is the production layout: every
+    frame after the first is stored as the DELTA RECTANGLE against the
+    previous composed canvas under disposal method 1 ("do not
+    dispose"), with unchanged pixels inside the rectangle written as
+    the transparent index — the standard animated-GIF size
+    optimization. An unchanged frame still emits a 1×1 transparent
+    rect so frame count and timing survive.
+
+    With an explicit ``disposals`` list each frame is stored FULL with
+    that disposal method (0–3) — the compatibility path tests use to
+    pin the decoder's disposal semantics independently of the delta
+    optimizer.
+
+    The global color table is the union palette of all frames plus one
+    reserved transparent slot, so composed-frame round-trips stay
+    bit-exact for ≤255 unique colors (GIF is lossless there — the same
+    gate-image class as :func:`encode_gif`)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError("rgb length mismatch")
+    split = [
+        [f[i : i + 3] for i in range(0, len(f), 3)] for f in frames
+    ]
+    palette = sorted({p for fr in split for p in fr})
+    if len(palette) > 255:
+        raise ValueError("animated GIF needs <=255 unique colors")
+    index = {c: i for i, c in enumerate(palette)}
+    trans_idx = len(palette)  # reserved transparent slot
+    k = 0
+    while (2 << k) < len(palette) + 1:
+        k += 1
+    table_len = 2 << k
+    mcs = max(2, k + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | k, 0, 0)
+    out += b"".join(palette)
+    out += b"\x00\x00\x00" * (table_len - len(palette))
+    # NETSCAPE2.0 looping application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop)
+    out += b"\x00"
+
+    def emit_frame(
+        left: int, top: int, w: int, h: int,
+        idxs: list[int], disposal: int, transparent: bool,
+    ) -> None:
+        packed = (disposal & 0x07) << 2 | (1 if transparent else 0)
+        out.extend(
+            b"\x21\xf9\x04"
+            + bytes((packed,))
+            + struct.pack("<H", delay_cs)
+            + bytes((trans_idx if transparent else 0, 0))
+        )
+        out.extend(b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0))
+        out.append(mcs)
+        data = _lzw_encode(idxs, mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+
+    if disposals is not None:
+        if len(disposals) != len(frames):
+            raise ValueError("disposals length mismatch")
+        for fr, disp in zip(split, disposals):
+            emit_frame(
+                0, 0, width, height, [index[p] for p in fr], disp, False
+            )
+    else:
+        emit_frame(
+            0, 0, width, height, [index[p] for p in split[0]], 1, False
+        )
+        for prev, cur in zip(split, split[1:]):
+            box = _bbox_of_change(prev, cur, width, height)
+            if box is None:
+                emit_frame(0, 0, 1, 1, [trans_idx], 1, True)
+                continue
+            left, top, rw, rh = box
+            idxs = [
+                index[cur[y * width + x]]
+                if cur[y * width + x] != prev[y * width + x]
+                else trans_idx
+                for y in range(top, top + rh)
+                for x in range(left, left + rw)
+            ]
+            emit_frame(left, top, rw, rh, idxs, 1, True)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Animated GIF87a/89a → (width, height, [composed RGB24 frame]).
+
+    Full inter-frame composition: graphic-control extensions supply
+    per-frame disposal method, transparency index and delay; each
+    frame's rectangle is composited onto the logical-screen canvas
+    (transparent pixels leave the canvas unchanged), the composed
+    canvas is snapshotted as that frame's output, then the disposal
+    method runs — 0/1 leave the canvas, 2 restores the frame rect to
+    the background color, 3 restores the pre-frame canvas. Interlaced
+    frames and local color tables stay NotImplementedError (the
+    documented boundary)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct: list[bytes] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    bg = gct[bg_idx] if gct and bg_idx < len(gct) else b"\x00\x00\x00"
+    canvas: list[bytes] = [bg] * (sw * sh)
+    frames: list[bytes] = []
+    disposal = 0
+    trans_idx: int | None = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                ln = payload[pos]
+                packed = payload[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                trans_idx = (
+                    payload[pos + 4] if packed & 0x01 else None
+                )
+                pos += ln + 1
+                if payload[pos] != 0:
+                    raise ValueError("unterminated GCE")
+                pos += 1
+            else:  # other extensions: skip sub-blocks
+                while payload[pos] != 0:
+                    pos += payload[pos] + 1
+                pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table")
+            mcs_f = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            indices = _lzw_decode(bytes(data), mcs_f)
+            if len(indices) < w * h:
+                raise ValueError("short GIF index stream")
+            before = list(canvas)
+            for y in range(h):
+                for x in range(w):
+                    i = indices[y * w + x]
+                    if trans_idx is not None and i == trans_idx:
+                        continue
+                    if i >= len(gct):
+                        raise ValueError("index out of palette")
+                    canvas[(top + y) * sw + (left + x)] = gct[i]
+            frames.append(b"".join(canvas))
+            if disposal == 2:
+                for y in range(h):
+                    for x in range(w):
+                        canvas[(top + y) * sw + (left + x)] = bg
+            elif disposal == 3:
+                canvas = before
+            disposal = 0
+            trans_idx = None
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("no image frame in GIF")
+    return sw, sh, frames

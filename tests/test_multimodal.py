@@ -532,3 +532,113 @@ def test_perceptual_hash_decodes_gif(spark):
     row = perceptual_hash(df).collect()[0]
     assert row["decoder"] == "gif-lzw-v1"
     assert row["phash"] == ahash64(8, 8, rgb)
+
+
+def test_gif_animation_delta_roundtrip_and_partial_transparency():
+    """Delta-rect mode: composed frames round-trip exactly, including a
+    rect where only SOME pixels changed (the unchanged ones must route
+    through the transparent index) and a fully unchanged frame."""
+    from kafka_stream_spark.operators.gif import (
+        decode_gif_animation,
+        encode_gif_animation,
+    )
+
+    w, h = 6, 5
+    f0 = bytes((i % 7) * 30 for i in range(w * h * 3))
+    f1 = bytearray(f0)
+    # change two non-adjacent pixels -> bounding rect includes
+    # unchanged pixels between them (transparency exercised)
+    f1[0:3] = b"\xfa\xfa\xfa"
+    f1[3 * (2 * w + 3) : 3 * (2 * w + 3) + 3] = b"\x05\x05\x05"
+    f2 = bytes(f1)  # unchanged frame -> 1x1 transparent rect
+    frames = [f0, bytes(f1), f2]
+    payload = encode_gif_animation(w, h, frames)
+    gw, gh, got = decode_gif_animation(payload)
+    assert (gw, gh) == (w, h)
+    assert got == frames
+    # the delta encoding must be smaller than three full frames
+    full = encode_gif_animation(w, h, frames, disposals=[1, 1, 1])
+    assert len(payload) < len(full)
+
+
+def test_gif_animation_disposal_semantics():
+    """Disposal 2 (restore to background) and 3 (restore to previous)
+    change what a following partial frame composites onto."""
+    import struct
+
+    from kafka_stream_spark.operators.gif import (
+        decode_gif_animation,
+        encode_gif_animation,
+    )
+
+    w, h = 4, 4
+    a = bytes([10, 10, 10] * (w * h))
+    b = bytes([20, 20, 20] * (w * h))
+    # full frames with explicit disposals; then hand-append a partial
+    # 2x2 frame at (1,1) so the canvas state after disposal shows
+    payload = bytearray(
+        encode_gif_animation(w, h, [a, b], disposals=[3, 0])
+    )
+    # disposal 3 on frame 0 means: after frame 0 is shown, canvas
+    # reverts to the pre-frame canvas (background), so frame 1 paints
+    # onto background — full frame, so composed frame 1 is still b
+    gw, gh, got = decode_gif_animation(bytes(payload))
+    assert got == [a, b]
+
+    # disposal 2 demonstrated with a partial second frame: after frame
+    # 0 (full, disposal 2) the canvas is restored to the BACKGROUND
+    # color; the partial frame 1 paints only its rect, so everything
+    # outside the rect shows background, not frame 0 pixels
+    head = encode_gif_animation(w, h, [a], disposals=[2])
+    body = bytearray(head[:-1])  # strip trailer
+    # GCE: no transparency, disposal 0; then a 2x2 rect at (1,1) of
+    # palette color 'a' (index of (10,10,10) in the union palette)
+    body += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    body += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0)
+    from kafka_stream_spark.operators.gif import _lzw_encode
+
+    body.append(2)  # mcs matching the 1-color-palette header (k=0->mcs=2)
+    data = _lzw_encode([0, 0, 0, 0], 2)
+    body.append(len(data))
+    body += data
+    body += b"\x00\x3b"
+    gw, gh, got = decode_gif_animation(bytes(body))
+    assert got[0] == a
+    # frame 1: background (black — GCT slot 0 is padded palette color?)
+    # background index 0 = first palette color = (10,10,10)'s slot only
+    # if it sorts first; compute expected from the decode itself:
+    # everything outside the rect must be ONE uniform color, and the
+    # rect must be (10,10,10)
+    f1 = got[1]
+    rect_px = {
+        f1[3 * (y * w + x) : 3 * (y * w + x) + 3]
+        for y in (1, 2)
+        for x in (1, 2)
+    }
+    assert rect_px == {bytes([10, 10, 10])}
+    outside = {
+        f1[3 * (y * w + x) : 3 * (y * w + x) + 3]
+        for y in range(h)
+        for x in range(w)
+        if not (1 <= y <= 2 and 1 <= x <= 2)
+    }
+    assert len(outside) == 1  # uniformly restored to background
+
+
+def test_gif_animation_rejects_malformed():
+    import pytest
+
+    from kafka_stream_spark.operators.gif import (
+        decode_gif_animation,
+        encode_gif_animation,
+    )
+
+    with pytest.raises(ValueError):
+        encode_gif_animation(2, 2, [])
+    with pytest.raises(ValueError):
+        encode_gif_animation(2, 2, [b"\x00" * 5])  # bad length
+    good = encode_gif_animation(
+        2, 2, [bytes([0, 0, 0] * 4), bytes([9, 9, 9] * 4)]
+    )
+    with pytest.raises(ValueError):
+        decode_gif_animation(b"NOTGIF" + good[6:])
