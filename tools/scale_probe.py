@@ -282,6 +282,25 @@ def build(spark, dst: str, copies: int, natural: bool = False) -> None:
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         if natural and name == "documents":
             out = _natural_documents(spark, df, copies, keycols["doc_id"])
+        elif natural and name == "events":
+            out = _natural_events(spark, df, copies, keycols)
+        elif natural and name == "embeddings":
+            out = _natural_embeddings(df, copies, keycols["vec_id"])
+        elif natural and name == "lineitem":
+            # graph realism: a growing business adds SUPPLIERS too —
+            # offsetting l_suppkey per copy grows the supplier↔customer
+            # shipment graph as disjoint communities instead of turning
+            # every supplier into an 8×-degree hub (key-offset mode
+            # densifies; natural mode grows). l_partkey is left alone
+            # (part is an unreplicated dim).
+            out = None
+            for i in range(copies):
+                p = df.withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(i * 1_000_000)
+                )
+                for c, off in keycols.items():
+                    p = p.withColumn(c, F.col(c) + F.lit(i * off))
+                out = p if out is None else out.union(p)
         else:
             out = None
             for i in range(copies):
@@ -294,6 +313,60 @@ def build(spark, dst: str, copies: int, natural: bool = False) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
+
+
+def _natural_events(spark, events, copies: int, keycols):
+    """Natural growth for the event stream: key-offset mode replicates
+    users INSIDE the same time window, so interval-density queries
+    (session overlap, max concurrency) see overlap PAIRS grow ~copies²
+    — an output artifact, not algorithm cost. Real traffic growth is
+    longitudinal: copies 1..N-1 shift event time by i·(span+1h) so the
+    stream covers N disjoint periods at the original density. User and
+    event ids still offset (new periods bring new users)."""
+    import datetime as _dt
+
+    lo, hi = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_s = int((hi - lo).total_seconds()) + 3600
+    out = None
+    for i in range(copies):
+        p = events.withColumn(
+            "ts",
+            F.col("ts") + F.expr(f"INTERVAL {i * span_s} SECONDS"),
+        )
+        for c, off in keycols.items():
+            p = p.withColumn(c, F.col(c) + F.lit(i * off))
+        out = p if out is None else out.union(p)
+    return out
+
+
+def _natural_embeddings(emb, copies: int, id_off: int):
+    """Natural growth for the vector corpus: key-offset mode gives
+    every vector N-1 bit-identical twins, so ANN probes measure a
+    duplicate explosion (every query's top-k is its own clones).
+    Copies 1..N-1 ROTATE the dimension order by i positions — a
+    distance-preserving permutation, so the copy population has the
+    same norm/spacing statistics as the original but is genuinely
+    distinct (a rotated vector's cosine to its source is ~the corpus
+    mean, not 1.0)."""
+    dims = len(emb.select("embedding").first()["embedding"])
+    out = None
+    for i in range(copies):
+        r = i % dims
+        if r == 0:
+            p = emb
+        else:
+            p = emb.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", r + 1, dims - r),
+                    F.slice("embedding", 1, r),
+                ),
+            )
+        p = p.withColumn("vec_id", F.col("vec_id") + F.lit(i * id_off))
+        out = p if out is None else out.union(p)
+    return out
 
 
 def _natural_documents(spark, docs, copies: int, id_off: int):
