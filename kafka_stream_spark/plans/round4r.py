@@ -435,8 +435,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph is duplicated when ≥2 distinct docs share it; per-source
     duplicated fraction and affected docs. Sits between E1's
     whole-doc hash and X381's 5-gram spans on the granularity ladder.
-    Only 16-byte hashes shuffle; the df rollup is the single wide
-    stage."""
+    Only 16-byte hashes shuffle, ONCE: the per-hash distinct-doc count
+    comes from a window collect_set over the same h-partitioning the
+    rows already need (round-6 rewrite of the groupBy+self-join
+    spelling, which shuffled ph by h twice and scanned documents
+    twice); the per-source rollup is the only other exchange."""
     para = (
         load(spark, sf_dir, "documents")
         .select(
@@ -450,10 +453,13 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = para.select(
         "doc_id", "source", F.md5(F.lower("p")).alias("h")
     )
-    df = ph.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    w_h = Window.partitionBy("h")
+    flagged = ph.withColumn(
+        "ndocs", F.size(F.collect_set("doc_id").over(w_h))
+    )
     dup = F.col("ndocs") >= 2
     return (
-        ph.join(df, "h")
+        flagged
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_paragraphs"),
