@@ -172,3 +172,49 @@ def ivf_search_sql(
         WHERE a.n_id <> p.q_id AND ({pair_filter}))
       WHERE rn <= {k}
     )"""
+
+
+def routed_candidates(
+    members: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF candidate-pair generation for threshold (not top-k) search —
+    the dedup shape: every member lives in exactly one inverted list
+    (nearest centroid of ``centroids``), every query probes its
+    ``nprobe`` nearest lists, and the output is ALL (member, query)
+    rows sharing a probed list, un-scored — callers verify with their
+    own predicate (cosine ≥ tau for SemDeDup).
+
+    The asymmetric rule — member's ASSIGNED cell ∈ query's PROBED
+    cells — is what makes a streaming store replay the batch answer
+    exactly: when ids arrive in order, the candidates a new vector sees
+    against the accumulated store are identical to the pairs the batch
+    operator generates over the full corpus (pytest-pinned in
+    tests/test_streaming.py).
+
+    Input contracts: members (n_id, emb, *extras), queries (q_id,
+    q_emb, *extras), centroids (c_id, c_emb). Output: one row per
+    candidate pair with both sides' columns."""
+    m_scored = members.crossJoin(F.broadcast(centroids)).withColumn(
+        "cscore", F.round(vectors.cosine(F.col("emb"), F.col("c_emb")), 6)
+    )
+    w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    assigned = (
+        m_scored.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .drop("arn", "cscore", "c_emb")
+        .withColumnRenamed("c_id", "centroid_id")
+    )
+    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "cscore", F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
+    probes = (
+        q_scored.withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= nprobe)
+        .drop("prn", "cscore", "c_emb")
+        .withColumnRenamed("c_id", "centroid_id")
+    )
+    return probes.join(assigned, "centroid_id").drop("centroid_id")

@@ -170,3 +170,91 @@ def semantic_dedup(
         F.col("dup_of").isNull().alias("kept"),
         "dup_of",
     )
+
+
+def _probe_assignments(e: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, emb) × broadcast codebook → each vector's ``nprobe``
+    nearest cells ranked by (rounded cosine DESC, cid): prn = 1 is the
+    ASSIGNED cell (the inverted-list home), prn 2..nprobe are the extra
+    PROBED cells. One pass feeds both sides of the routed pair stage."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "cid",
+        F.round(
+            F.try_divide(
+                vectors.dot(F.col("emb"), F.col("cvec")),
+                vectors.norm(F.col("emb")) * vectors.norm(F.col("cvec")),
+            ),
+            6,
+        ).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), "cid")
+    return (
+        scored.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= nprobe)
+        .drop("cscore")
+    )
+
+
+def semantic_dedup_routed(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN-routed SemDeDup (round-5 verdict ask #7): candidate pairs
+    come from IVF routing instead of whole-cluster self-joins — vector
+    b is a duplicate of min(a_id) over lower-id vectors a whose
+    ASSIGNED cell is among b's ``nprobe`` PROBED cells and whose
+    rounded cosine ≥ tau.
+
+    At nprobe = 1 this is classic SemDeDup restricted to the assigned
+    cell; nprobe > 1 recovers the near-boundary pairs cluster-bounded
+    dedup misses while still touching only ~nprobe·(n/k) candidates
+    per vector. The asymmetric rule (assigned ∈ probed) makes the
+    STREAMING store replay this batch answer exactly when ids arrive
+    in order — the store keeps each member's assigned cell and each
+    batch joins its probes against it (run_streaming_semantic_dedup_
+    routed); pytest pins incremental ≡ batch after every wave.
+
+    Output matches semantic_dedup: (vec_id, cluster_id, kept, dup_of)
+    with cluster_id = the assigned cell."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ranked = _probe_assignments(e, centroids, nprobe).localCheckpoint(
+        eager=True
+    )
+    members = ranked.filter(F.col("prn") == 1).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid").alias("cell"),
+        F.col("emb").alias("a_emb"),
+        vectors.norm(F.col("emb")).alias("a_nrm"),
+    )
+    probes = ranked.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("cell"),
+        F.col("emb").alias("b_emb"),
+        vectors.norm(F.col("emb")).alias("b_nrm"),
+    )
+    cos = F.try_divide(
+        vectors.dot(F.col("a_emb"), F.col("b_emb")),
+        F.col("a_nrm") * F.col("b_nrm"),
+    )
+    dups = (
+        probes.join(members, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cos, 6) >= F.lit(tau))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    assigned = ranked.filter(F.col("prn") == 1)
+    return assigned.join(
+        dups, assigned.vec_id == dups.b_id, "left"
+    ).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )

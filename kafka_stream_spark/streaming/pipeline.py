@@ -1529,3 +1529,119 @@ def read_stream_state(spark: SparkSession, checkpoint_dir: str):
     Returns the (key, value) state rows of state store 'default' for
     the last committed batch."""
     return spark.read.format("statestore").load(checkpoint_dir)
+
+
+def run_streaming_semantic_dedup_routed(
+    spark: SparkSession,
+    input_dir: str,
+    centroids_dir: str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tau: float = 0.4,
+    nprobe: int = 2,
+) -> StreamingQuery:
+    """ANN-ROUTED streaming SemDeDup (round-5 verdict ask #7): the X512
+    store composed with the IVF routing of operators/ann — each
+    micro-batch's vectors verify only against store members whose
+    ASSIGNED cell is among the batch vector's ``nprobe`` PROBED cells,
+    instead of the whole cluster.
+
+    Why this is the scale path: the coarse k=8 store's verify cost per
+    batch is |batch|·(store/k) — cluster width grows linearly with the
+    store. Routing lets the codebook be arbitrarily FINE (k ~ sqrt(n)
+    of the expected corpus) without losing near-boundary pairs, because
+    nprobe > 1 probes the neighboring cells a fine partition splits
+    across; per-batch candidates are then |batch|·nprobe·(store/k),
+    with k two orders of magnitude larger.
+
+    Exactness contract: when ids arrive in order, the accumulated
+    verdict log EQUALS batch operators/semdedup.semantic_dedup_routed
+    with the same codebook/tau/nprobe (pytest, every wave) — the
+    asymmetric candidate rule (member's assigned cell ∈ query's probed
+    cells) is what makes incremental replay exact. Store rows are
+    (vec_id, cell, emb, nrm); store and result log are
+    batch_id-partitioned (idempotent_upsert) so foreachBatch replays
+    overwrite their own attempt."""
+    emb = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(input_dir)
+
+    return (
+        emb.writeStream.foreachBatch(
+            semantic_dedup_routed_batch_fn(
+                centroids_dir, store_dir, out_dir, tau, nprobe
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def semantic_dedup_routed_batch_fn(
+    centroids_dir: str,
+    store_dir: str,
+    out_dir: str,
+    tau: float = 0.4,
+    nprobe: int = 2,
+):
+    """foreachBatch body of ``run_streaming_semantic_dedup_routed``,
+    exposed for replay-idempotency and per-batch-cost tests."""
+    from ..functions import vectors
+    from ..operators.semdedup import _probe_assignments
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        cent = sess.read.parquet(centroids_dir)
+        e = batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        ranked = _probe_assignments(e, cent, nprobe).localCheckpoint(
+            eager=True
+        )
+        assigned = ranked.filter(F.col("prn") == 1).select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "emb",
+            vectors.norm(F.col("emb")).alias("nrm"),
+        )
+        probes = ranked.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cid").alias("cell"),
+            F.col("emb").alias("b_emb"),
+            vectors.norm(F.col("emb")).alias("b_nrm"),
+        )
+        prior = store_read(sess, store_dir, exclude_batch_id=batch_id)
+        members = (
+            prior.unionByName(assigned) if prior is not None else assigned
+        )
+        a = members.select(
+            F.col("vec_id").alias("a_id"),
+            "cell",
+            F.col("emb").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        cos = F.try_divide(
+            vectors.dot(F.col("a_emb"), F.col("b_emb")),
+            F.col("a_nrm") * F.col("b_nrm"),
+        )
+        dups = (
+            probes.join(a, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(F.round(cos, 6) >= F.lit(tau))
+            .groupBy("b_id")
+            .agg(F.min("a_id").alias("dup_of"))
+        )
+        verdicts = assigned.join(
+            dups, assigned.vec_id == dups.b_id, "left"
+        ).select(
+            "vec_id",
+            F.col("cell").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        idempotent_upsert(verdicts, batch_id, out_dir)
+        idempotent_upsert(assigned, batch_id, store_dir)
+
+    return dedup_batch

@@ -962,3 +962,83 @@ def test_streaming_store_replay_idempotent(spark, tmp_path, sf_dir):
     sd(e2, 1)  # replay
     assert snap(sd_store) == before_store
     assert snap(sd_out) == before_out
+
+
+def test_streaming_semantic_dedup_routed_incremental_equals_batch(
+    spark, tmp_path, sf_dir
+):
+    """The ANN-routed streaming SemDeDup store (fine broadcast codebook,
+    nprobe probed cells, store members keyed by assigned cell) must
+    equal batch semantic_dedup_routed with the same codebook after
+    every arrival wave when ids arrive in order — and replaying a
+    batch must leave store and verdicts unchanged."""
+    from kafka_stream_spark.operators.semdedup import (
+        semantic_dedup_routed,
+        train_centroids,
+    )
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_semantic_dedup_routed,
+        semantic_dedup_routed_batch_fn,
+    )
+
+    emb = load_embeddings = None
+    from kafka_stream_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    # FINE codebook (k=32 on ~2000 vectors ~ sqrt(n) scaling), trained
+    # once and shared by batch and stream
+    cent = train_centroids(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ),
+        k=32,
+    )
+    cent_dir = str(tmp_path / "cent")
+    cent.write.parquet(cent_dir)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    waves = [
+        emb.filter(F.col("vec_id") < 150),
+        emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)),
+        emb.filter(F.col("vec_id") >= 300),
+    ]
+
+    def batch_answer(upto):
+        cent_df = spark.read.parquet(cent_dir)
+        return {
+            (r["vec_id"], r["cluster_id"], r["kept"], r["dup_of"])
+            for r in semantic_dedup_routed(
+                emb.filter(F.col("vec_id") < upto), cent_df, nprobe=2
+            ).collect()
+        }
+
+    for wave, upto in zip(waves, (150, 300, 10 ** 9)):
+        wave.write.mode("append").parquet(inp)
+        q = run_streaming_semantic_dedup_routed(
+            spark, inp, cent_dir, store, out, ckpt, nprobe=2
+        )
+        assert q.awaitTermination(240)
+        got = {
+            (r["vec_id"], r["cluster_id"], r["kept"], r["dup_of"])
+            for r in spark.read.parquet(out).collect()
+        }
+        want = batch_answer(upto)
+        assert got == want, f"wave ending at {upto}: {len(got)} vs {len(want)}"
+
+    # replay idempotency: re-apply the last wave's batch under its
+    # already-committed batch_id
+    def snap(path):
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    before_store, before_out = snap(store), snap(out)
+    fn = semantic_dedup_routed_batch_fn(cent_dir, store, out, nprobe=2)
+    fn(waves[-1], 2)
+    assert snap(store) == before_store
+    assert snap(out) == before_out
