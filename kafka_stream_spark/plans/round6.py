@@ -139,3 +139,759 @@ def q_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="vec_id long, frame_idx long, pix_sum long, n_frames long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch B: regression diagnostics over the daily revenue series
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+# shared shape: per l_returnflag, the daily revenue series (t = days
+# since the flag's first ship date, y = rounded daily revenue) and the
+# centered OLS sums both engines derive every statistic from.
+_DAILY_SQL = """
+    daily0 AS MATERIALIZED (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+             round(sum(l_extendedprice), 2) AS y
+      FROM lineitem GROUP BY 1, 2
+    ),
+    daily AS MATERIALIZED (
+      SELECT flag,
+             date_diff('day', min(day) OVER (PARTITION BY flag), day) AS t,
+             y
+      FROM daily0
+    ),
+    sums AS MATERIALIZED (
+      SELECT flag, count(*) AS n,
+             round(sum(t * 1.0), 4) AS sx, round(sum(y), 4) AS sy,
+             round(sum(t * 1.0 * t), 4) AS sxx,
+             round(sum(t * y), 4) AS sxy,
+             round(sum(y * y), 4) AS syy
+      FROM daily GROUP BY flag
+    ),
+    fit AS MATERIALIZED (
+      SELECT flag, n, sx, sy, sxx, sxy, syy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM sums
+    ),
+    resid AS MATERIALIZED (
+      SELECT d.flag, d.t, round(d.y - f.a - f.b * d.t, 6) AS e
+      FROM daily d JOIN fit f ON f.flag = d.flag
+    )
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w_min = Window.partitionBy("flag")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.to_date("l_shipdate").alias("day"),
+        "l_extendedprice",
+    )
+    return (
+        d.groupBy("flag", "day")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("y"))
+        .withColumn(
+            "t", F.datediff(F.col("day"), F.min("day").over(w_min))
+        )
+        .drop("day")
+    )
+
+
+def _ols_sums(daily: DataFrame) -> DataFrame:
+    return daily.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("t") * 1.0), 4).alias("sx"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("t") * 1.0 * F.col("t")), 4).alias("sxx"),
+        F.round(F.sum(F.col("t") * F.col("y")), 4).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
+    )
+
+
+def _ols_fit(sums: DataFrame) -> DataFrame:
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.withColumn("b", b).withColumn(
+        "a", (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+    )
+
+
+def _residuals(daily: DataFrame, fit: DataFrame) -> DataFrame:
+    return daily.join(fit.select("flag", "a", "b"), "flag").select(
+        "flag",
+        "t",
+        F.round(
+            F.col("y") - F.col("a") - F.col("b") * F.col("t"), 6
+        ).alias("e"),
+    )
+
+
+@query(
+    "q_durbin_watson",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    lagged AS (
+      SELECT flag, e,
+             lag(e) OVER (PARTITION BY flag ORDER BY t) AS e_prev
+      FROM resid
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(CASE WHEN e_prev IS NULL THEN 0
+                          ELSE (e - e_prev) * (e - e_prev) END)
+                 / sum(e * e), 4) AS dw,
+           round(1 - (sum(CASE WHEN e_prev IS NULL THEN 0
+                               ELSE (e - e_prev) * (e - e_prev) END)
+                      / sum(e * e)) / 2, 4) AS rho_implied
+    FROM lagged GROUP BY flag
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X575 — Durbin-Watson serial-correlation diagnostic on the
+    detrended daily revenue series per return flag: DW = Σ(eₜ-eₜ₋₁)²/Σeₜ²
+    over OLS residuals, with the implied AR(1) coefficient ρ ≈ 1-DW/2 —
+    the standard pre-check before the X544 Cochrane-Orcutt correction
+    this engine already runs. Residuals derive from ROUNDED sums (the
+    cross-engine discipline) and round to 6 digits before the DW
+    quotient, so both engines sum identical doubles.
+
+    Plan: one daily-rollup shuffle, one 5-row broadcast of the fits,
+    one per-flag window pass for the lag — the whole diagnostic is two
+    exchanges of (flag, day) grain rows at any scale."""
+    daily = _daily_series(spark, sf_dir)
+    fit = _ols_fit(_ols_sums(daily))
+    resid = _residuals(daily, fit)
+    w = Window.partitionBy("flag").orderBy("t")
+    lagged = resid.withColumn("e_prev", F.lag("e").over(w))
+    num = F.sum(
+        F.when(F.col("e_prev").isNull(), F.lit(0.0)).otherwise(
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+        )
+    )
+    den = F.sum(F.col("e") * F.col("e"))
+    return lagged.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(num / den, 4).alias("dw"),
+        F.round(1 - (num / den) / 2, 4).alias("rho_implied"),
+    )
+
+
+@query(
+    "q_newey_west",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    u AS (
+      SELECT r.flag, r.t,
+             round((r.t - f.sx / f.n) * r.e, 6) AS ut
+      FROM resid r JOIN fit f ON f.flag = r.flag
+    ),
+    hac AS (
+      SELECT flag,
+             round(sum(ut * ut), 4) AS s0,
+             round(sum(CASE WHEN ut_prev IS NULL THEN 0
+                            ELSE ut * ut_prev END), 4) AS s1
+      FROM (SELECT flag, ut,
+                   lag(ut) OVER (PARTITION BY flag ORDER BY t) AS ut_prev
+            FROM u)
+      GROUP BY flag
+    )
+    SELECT f.flag, round(f.b, 6) AS slope,
+           round(sqrt((h.s0 + 2 * 0.5 * h.s1)
+                      / pow(f.sxx - f.sx * f.sx / f.n, 2)), 6) AS se_nw,
+           round(f.b / sqrt((h.s0 + 2 * 0.5 * h.s1)
+                      / pow(f.sxx - f.sx * f.sx / f.n, 2)), 4) AS t_nw
+    FROM fit f JOIN hac h ON h.flag = f.flag
+    """,
+)
+def q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X576 — Newey-West HAC (lag-1 Bartlett) standard error for the
+    daily-revenue trend slope: autocorrelation-robust inference on the
+    same series X575 diagnoses — se² = (S₀ + 2·w₁·S₁)/Sxx_c² with
+    w₁ = 1/2, over the score series uₜ = (tₜ-t̄)·eₜ. The honest t-stat
+    for every 'is the trend real' question on serially-correlated
+    daily rollups. Scores round to 6, their sums to 4; both engines
+    then derive se and t from identical doubles."""
+    daily = _daily_series(spark, sf_dir)
+    fit = _ols_fit(_ols_sums(daily))
+    resid = _residuals(daily, fit)
+    u = resid.join(fit.select("flag", "n", "sx", "sxx", "b"), "flag").select(
+        "flag",
+        "t",
+        "n",
+        "sx",
+        "sxx",
+        "b",
+        F.round(
+            (F.col("t") - F.col("sx") / F.col("n")) * F.col("e"), 6
+        ).alias("ut"),
+    )
+    w = Window.partitionBy("flag").orderBy("t")
+    lagged = u.withColumn("ut_prev", F.lag("ut").over(w))
+    hac = lagged.groupBy("flag", "n", "sx", "sxx", "b").agg(
+        F.round(F.sum(F.col("ut") * F.col("ut")), 4).alias("s0"),
+        F.round(
+            F.sum(
+                F.when(F.col("ut_prev").isNull(), F.lit(0.0)).otherwise(
+                    F.col("ut") * F.col("ut_prev")
+                )
+            ),
+            4,
+        ).alias("s1"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    var = (F.col("s0") + 2 * 0.5 * F.col("s1")) / F.pow(sxx_c, 2)
+    return hac.select(
+        "flag",
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(F.sqrt(var), 6).alias("se_nw"),
+        F.round(F.col("b") / F.sqrt(var), 4).alias("t_nw"),
+    )
+
+
+@query(
+    "q_chow_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    marked AS MATERIALIZED (
+      SELECT d.flag, d.t, d.y,
+             CASE WHEN d.t * 2 <= (SELECT max(t) FROM daily x
+                                   WHERE x.flag = d.flag)
+                  THEN 0 ELSE 1 END AS seg
+      FROM daily d
+    ),
+    seg_sums AS MATERIALIZED (
+      SELECT flag, seg, count(*) AS n,
+             round(sum(t * 1.0), 4) AS sx, round(sum(y), 4) AS sy,
+             round(sum(t * 1.0 * t), 4) AS sxx,
+             round(sum(t * y), 4) AS sxy,
+             round(sum(y * y), 4) AS syy
+      FROM marked GROUP BY flag, seg
+    ),
+    seg_ssr AS (
+      SELECT flag, seg, n,
+             (syy - sy * sy / n)
+             - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS ssr
+      FROM seg_sums
+    ),
+    pooled AS (
+      SELECT f.flag, f.n,
+             (f.syy - f.sy * f.sy / f.n)
+             - pow(f.sxy - f.sx * f.sy / f.n, 2)
+               / (f.sxx - f.sx * f.sx / f.n) AS ssr_p
+      FROM fit f
+    )
+    SELECT p.flag,
+           round((s0.ssr + s1.ssr) / p.ssr_p, 6) AS ssr_ratio,
+           round(((p.ssr_p - s0.ssr - s1.ssr) / 2)
+                 / ((s0.ssr + s1.ssr) / (p.n - 4)), 4) AS f_stat
+    FROM pooled p
+    JOIN seg_ssr s0 ON s0.flag = p.flag AND s0.seg = 0
+    JOIN seg_ssr s1 ON s1.flag = p.flag AND s1.seg = 1
+    """,
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X577 — Chow structural-break test on the daily revenue trend:
+    split each flag's series at its midpoint day, fit the linear trend
+    pooled and per segment, F = ((SSR_p − SSR₁ − SSR₂)/k) /
+    ((SSR₁+SSR₂)/(n−2k)) with k = 2 parameters — the classic 'did the
+    regime change' check every monitoring pipeline wants next to the
+    X210/X389 changepoint detectors, which FIND a break while Chow
+    TESTS a hypothesized one. Pure sufficient-statistics arithmetic:
+    three sets of rounded sums, no per-row second pass."""
+    daily = _daily_series(spark, sf_dir)
+    w_max = Window.partitionBy("flag")
+    marked = daily.withColumn(
+        "seg",
+        F.when(F.col("t") * 2 <= F.max("t").over(w_max), 0).otherwise(1),
+    )
+    seg_sums = marked.groupBy("flag", "seg").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("t") * 1.0), 4).alias("sx"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("t") * 1.0 * F.col("t")), 4).alias("sxx"),
+        F.round(F.sum(F.col("t") * F.col("y")), 4).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
+    )
+
+    def ssr_col():
+        return (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) - (
+            F.pow(F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"), 2)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        )
+
+    seg_ssr = seg_sums.withColumn("ssr", ssr_col())
+    pooled = _ols_sums(daily).withColumn("ssr_p", ssr_col())
+    s0 = seg_ssr.filter(F.col("seg") == 0).select(
+        "flag", F.col("ssr").alias("ssr0")
+    )
+    s1 = seg_ssr.filter(F.col("seg") == 1).select(
+        "flag", F.col("ssr").alias("ssr1")
+    )
+    j = pooled.join(s0, "flag").join(s1, "flag")
+    f_stat = ((F.col("ssr_p") - F.col("ssr0") - F.col("ssr1")) / 2) / (
+        (F.col("ssr0") + F.col("ssr1")) / (F.col("n") - 4)
+    )
+    return j.select(
+        "flag",
+        F.round(
+            (F.col("ssr0") + F.col("ssr1")) / F.col("ssr_p"), 6
+        ).alias("ssr_ratio"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X578 — D'Agostino K² omnibus normality (skewness + kurtosis z-tests)
+# ---------------------------------------------------------------------------
+
+_QTY_MOMENTS_SQL = """
+    raw AS MATERIALIZED (
+      SELECT l_returnflag AS flag, count(*) AS n,
+             round(sum(l_quantity), 4) AS s1,
+             round(sum(l_quantity * l_quantity), 4) AS s2,
+             round(sum(l_quantity * l_quantity * l_quantity), 4) AS s3,
+             round(sum(l_quantity * l_quantity * l_quantity * l_quantity),
+                   4) AS s4
+      FROM lineitem GROUP BY 1
+    ),
+    mom AS (
+      SELECT flag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM raw
+    ),
+    shape AS (
+      SELECT flag, n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) AS b2
+      FROM mom
+    ),
+    zs_t AS (
+      SELECT flag, n, g1, b2,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS yy,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2
+      FROM shape
+    ),
+    zs_c AS (
+      SELECT flag, n, g1, b2, yy,
+             sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+      FROM zs_t
+    ),
+    zs AS (
+      SELECT flag, n, g1, b2,
+             ln(yy / sqrt(2.0 / (w2 - 1.0))
+                + sqrt((yy / sqrt(2.0 / (w2 - 1.0)))
+                       * (yy / sqrt(2.0 / (w2 - 1.0))) + 1.0))
+             / sqrt(ln(sqrt(w2 + 1.0))) AS z_skew
+      FROM zs_c
+    ),
+    zk_t AS (
+      SELECT flag, n, g1, b2, z_skew,
+             (b2 - 3.0 * (n - 1.0) / (n + 1.0))
+             / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                    / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))) AS x,
+             6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (n * (n - 2.0) * (n - 3.0))) AS sb1
+      FROM zs
+    ),
+    zk_a AS (
+      SELECT flag, n, g1, b2, z_skew, x,
+             6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))
+               AS aa
+      FROM zk_t
+    ),
+    zk AS (
+      SELECT flag, n, g1, b2, z_skew,
+             ((1.0 - 2.0 / (9.0 * aa))
+              - cbrt((1.0 - 2.0 / aa)
+                     / (1.0 + x * sqrt(2.0 / (aa - 4.0)))))
+             / sqrt(2.0 / (9.0 * aa)) AS z_kurt
+      FROM zk_a
+    )
+"""
+
+
+@query(
+    "q_dagostino_k2",
+    oracle=f"""
+    WITH {_QTY_MOMENTS_SQL}
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(g1, 6) AS skewness,
+           round(b2, 6) AS kurtosis,
+           round(z_skew, 4) AS z_skew,
+           round(z_kurt, 4) AS z_kurt,
+           round(z_skew * z_skew + z_kurt * z_kurt, 4) AS k2,
+           round(exp(-(z_skew * z_skew + z_kurt * z_kurt) / 2.0), 6)
+             AS p_value
+    FROM zk
+    """,
+)
+def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X578 — D'Agostino-Pearson K² omnibus normality test on order
+    quantities per return flag: the skewness z (D'Agostino 1970
+    Johnson-SU transform) and kurtosis z (Anscombe-Glynn 1983 cube-root
+    transform) combined as K² = zₛ²+zₖ² ~ χ²(2), whose survival
+    function is the CLOSED FORM exp(−K²/2) — no erf needed. The
+    moments-based complement to the X250 Jarque-Bera and X525
+    Anderson-Darling tests already in the battery: JB uses raw g1/b2,
+    K² uses their variance-stabilized transforms, AD uses the ECDF.
+    All four raw power sums round to 4 digits first, so both engines
+    run the identical double pipeline from identical inputs; one
+    map-side aggregation pass at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    raw = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(q), 4).alias("s1"),
+        F.round(F.sum(q * q), 4).alias("s2"),
+        F.round(F.sum(q * q * q), 4).alias("s3"),
+        F.round(F.sum(q * q * q * q), 4).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    mom = raw.select(
+        "flag",
+        "n",
+        (s2 / n - mu * mu).alias("m2"),
+        (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu).alias("m3"),
+        (
+            s4 / n
+            - 4 * mu * (s3 / n)
+            + 6 * mu * mu * (s2 / n)
+            - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    shape = mom.select(
+        "flag",
+        "n",
+        (F.col("m3") / F.pow("m2", 1.5)).alias("g1"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("b2"),
+    )
+    nn = F.col("n")
+    yy = F.col("g1") * F.sqrt((nn + 1.0) * (nn + 3.0) / (6.0 * (nn - 2.0)))
+    beta2 = (
+        3.0
+        * (nn * nn + 27.0 * nn - 70.0)
+        * (nn + 1.0)
+        * (nn + 3.0)
+        / ((nn - 2.0) * (nn + 5.0) * (nn + 7.0) * (nn + 9.0))
+    )
+    s_a = shape.withColumn("yy", yy).withColumn(
+        "w2", F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    )
+    alpha = F.sqrt(2.0 / (F.col("w2") - 1.0))
+    z_skew = F.log(
+        F.col("yy") / alpha
+        + F.sqrt((F.col("yy") / alpha) * (F.col("yy") / alpha) + 1.0)
+    ) / F.sqrt(F.log(F.sqrt(F.col("w2") + 1.0)))
+    s_b = s_a.withColumn("z_skew", z_skew)
+    x = (F.col("b2") - 3.0 * (nn - 1.0) / (nn + 1.0)) / F.sqrt(
+        24.0
+        * nn
+        * (nn - 2.0)
+        * (nn - 3.0)
+        / ((nn + 1.0) * (nn + 1.0) * (nn + 3.0) * (nn + 5.0))
+    )
+    sb1 = (
+        6.0
+        * (nn * nn - 5.0 * nn + 2.0)
+        / ((nn + 7.0) * (nn + 9.0))
+        * F.sqrt(
+            6.0 * (nn + 3.0) * (nn + 5.0) / (nn * (nn - 2.0) * (nn - 3.0))
+        )
+    )
+    s_c = s_b.withColumn("x", x).withColumn(
+        "aa",
+        6.0
+        + 8.0
+        / sb1
+        * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))),
+    )
+    aa = F.col("aa")
+    z_kurt = (
+        (1.0 - 2.0 / (9.0 * aa))
+        - F.cbrt(
+            (1.0 - 2.0 / aa)
+            / (1.0 + F.col("x") * F.sqrt(2.0 / (aa - 4.0)))
+        )
+    ) / F.sqrt(2.0 / (9.0 * aa))
+    s_d = s_c.withColumn("z_kurt", z_kurt)
+    k2 = F.col("z_skew") * F.col("z_skew") + F.col("z_kurt") * F.col("z_kurt")
+    return s_d.select(
+        "flag",
+        nn.cast("long").alias("n"),
+        F.round("g1", 6).alias("skewness"),
+        F.round("b2", 6).alias("kurtosis"),
+        F.round("z_skew", 4).alias("z_skew"),
+        F.round("z_kurt", 4).alias("z_kurt"),
+        F.round(k2, 4).alias("k2"),
+        F.round(F.exp(-k2 / 2.0), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X579 — Breusch-Pagan heteroscedasticity test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_breusch_pagan",
+    oracle="""
+    WITH s AS MATERIALIZED (
+      SELECT l_returnflag AS flag, count(*) AS n,
+             round(sum(l_quantity), 4) AS sx,
+             round(sum(l_extendedprice / 100000.0), 6) AS sy,
+             round(sum(l_quantity * l_quantity), 4) AS sxx,
+             round(sum(l_quantity * l_extendedprice / 100000.0), 6) AS sxy
+      FROM lineitem GROUP BY 1
+    ),
+    f AS MATERIALIZED (
+      SELECT flag, n, sx, sxx,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM s
+    ),
+    u AS MATERIALIZED (
+      SELECT l.l_returnflag AS flag, l.l_quantity AS x,
+             round(pow(l.l_extendedprice / 100000.0
+                       - f.a - f.b * l.l_quantity, 2), 6) AS uu
+      FROM lineitem l JOIN f ON f.flag = l.l_returnflag
+    ),
+    aux AS (
+      SELECT flag, count(*) AS n,
+             round(sum(x * 1.0), 4) AS sx, round(sum(uu), 4) AS su,
+             round(sum(x * 1.0 * x), 4) AS sxx,
+             round(sum(x * uu), 4) AS sxu,
+             round(sum(uu * uu), 4) AS suu
+      FROM u GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round(n * pow(sxu - sx * su / n, 2)
+                 / ((sxx - sx * sx / n) * (suu - su * su / n)), 4) AS lm,
+           round(1 - (1 - (0.254829592 * (1/(1 + 0.3275911 * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))/sqrt(2))) - 0.284496736 * pow(1/(1 + 0.3275911 * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))/sqrt(2)), 2) + 1.421413741 * pow(1/(1 + 0.3275911 * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))/sqrt(2)), 3) - 1.453152027 * pow(1/(1 + 0.3275911 * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))/sqrt(2)), 4) + 1.061405429 * pow(1/(1 + 0.3275911 * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))/sqrt(2)), 5)) * exp(-((sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n)))) * (sqrt(n * pow(sxu - sx * su / n, 2) / ((sxx - sx * sx / n) * (suu - su * su / n))))) / 2)), 6) AS p_value
+    FROM aux
+    """,
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X579 — Breusch-Pagan heteroscedasticity test per return flag:
+    does residual variance of price-on-quantity depend on quantity?
+    LM = n·R² of the auxiliary regression of squared residuals on the
+    regressor, ~χ²(1), whose survival is the two-sided-normal p of
+    √LM (the shared A&S erf polynomial). Prices are PRE-SCALED by 1e-5
+    before any squaring so fourth-power sums stay O(n) — round-the-sums
+    only pins determinism when the rounding digit is representable at
+    the sum's magnitude (the q_chow SSR lesson). LM and R² are
+    invariant to that scaling. Two aggregation passes with a 3-row
+    broadcast between them; no per-pair work."""
+    from .round4o import _p_two_sided
+
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / 100000.0
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(x), 4).alias("sx"),
+        F.round(F.sum(y), 6).alias("sy"),
+        F.round(F.sum(x * x), 4).alias("sxx"),
+        F.round(F.sum(x * y), 6).alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fdf = s.withColumn("b", b).withColumn(
+        "a", (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+    )
+    u = li.join(
+        F.broadcast(fdf.select("flag", "a", "b")),
+        li.l_returnflag == F.col("flag"),
+    ).select(
+        "flag",
+        x.alias("xv"),
+        F.round(
+            F.pow(y - F.col("a") - F.col("b") * x, 2), 6
+        ).alias("uu"),
+    )
+    aux = u.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("xv") * 1.0), 4).alias("sx"),
+        F.round(F.sum("uu"), 4).alias("su"),
+        F.round(F.sum(F.col("xv") * 1.0 * F.col("xv")), 4).alias("sxx"),
+        F.round(F.sum(F.col("xv") * F.col("uu")), 4).alias("sxu"),
+        F.round(F.sum(F.col("uu") * F.col("uu")), 4).alias("suu"),
+    )
+    lm = (
+        F.col("n")
+        * F.pow(F.col("sxu") - F.col("sx") * F.col("su") / F.col("n"), 2)
+        / (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            * (F.col("suu") - F.col("su") * F.col("su") / F.col("n"))
+        )
+    )
+    return aux.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round(lm, 4).alias("lm"),
+        F.round(_p_two_sided(F.sqrt(lm)), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X580 — Granger causality (lag 1) between daily click and purchase counts
+# ---------------------------------------------------------------------------
+
+_GRANGER_SQL = """
+    daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   * 1.0, 1) AS clicks,
+             round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   * 1.0, 1) AS purchases
+      FROM events GROUP BY 1
+    ),
+    lagged AS MATERIALIZED (
+      SELECT day, clicks, purchases,
+             lag(clicks) OVER (ORDER BY day) AS c_lag,
+             lag(purchases) OVER (ORDER BY day) AS p_lag
+      FROM daily
+    ),
+    pairs AS MATERIALIZED (
+      SELECT dir.direction,
+             CASE WHEN dir.direction = 'click->purchase'
+                  THEN purchases ELSE clicks END AS y,
+             CASE WHEN dir.direction = 'click->purchase'
+                  THEN p_lag ELSE c_lag END AS z1,
+             CASE WHEN dir.direction = 'click->purchase'
+                  THEN c_lag ELSE p_lag END AS z2
+      FROM lagged
+      CROSS JOIN (SELECT unnest(['click->purchase', 'purchase->click'])
+                    AS direction) dir
+      WHERE c_lag IS NOT NULL
+    ),
+    s AS MATERIALIZED (
+      SELECT direction, count(*) AS n,
+             round(sum(z1), 4) AS s1, round(sum(z2), 4) AS s2,
+             round(sum(y), 4) AS sy,
+             round(sum(z1 * z1), 4) AS s11,
+             round(sum(z2 * z2), 4) AS s22,
+             round(sum(z1 * z2), 4) AS s12,
+             round(sum(z1 * y), 4) AS s1y,
+             round(sum(z2 * y), 4) AS s2y,
+             round(sum(y * y), 4) AS syy
+      FROM pairs GROUP BY direction
+    ),
+    c AS (
+      SELECT direction, n,
+             s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+             s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy
+      FROM s
+    ),
+    fit AS (
+      SELECT direction, n, cyy,
+             cyy - ((c1y * c22 - c2y * c12) * c1y
+                    + (c2y * c11 - c1y * c12) * c2y)
+                   / (c11 * c22 - c12 * c12) AS ssr_u,
+             cyy - c1y * c1y / c11 AS ssr_r
+      FROM c
+    )
+"""
+
+
+@query(
+    "q_granger_lag1",
+    oracle=f"""
+    WITH {_GRANGER_SQL}
+    SELECT direction, CAST(n AS BIGINT) AS n,
+           round(ssr_r / ssr_u, 6) AS ssr_ratio,
+           round((ssr_r - ssr_u) / (ssr_u / (n - 3)), 4) AS f_stat
+    FROM fit
+    """,
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X580 — lag-1 Granger causality between the daily click and
+    purchase series, both directions: restricted AR(1) of y on its own
+    lag vs unrestricted y on (own lag, other series' lag);
+    F = (SSR_r − SSR_u)/(SSR_u/(n−3)) with 1 tested regressor. The
+    two-regressor OLS solves the 2×2 normal equations in closed form
+    from centered sums — the same sufficient-statistics discipline as
+    X322's multi-feature OLS, so no matrix library and one aggregation
+    pass per direction. Does clicking predict purchasing beyond
+    purchase momentum (and vice versa) — the standard lead-lag screen
+    before the X412 cross-correlation function."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum((F.col("event_type") == "click").cast("int")) * 1.0, 1
+        ).alias("clicks"),
+        F.round(
+            F.sum((F.col("event_type") == "purchase").cast("int")) * 1.0, 1
+        ).alias("purchases"),
+    )
+    w = Window.orderBy("day")
+    lagged = (
+        daily.withColumn("c_lag", F.lag("clicks").over(w))
+        .withColumn("p_lag", F.lag("purchases").over(w))
+        .filter(F.col("c_lag").isNotNull())
+    )
+    dirs = spark.sql(
+        "SELECT explode(array('click->purchase', 'purchase->click'))"
+        " AS direction"
+    )
+    cp = F.col("direction") == "click->purchase"
+    pairs = lagged.crossJoin(F.broadcast(dirs)).select(
+        "direction",
+        F.when(cp, F.col("purchases")).otherwise(F.col("clicks")).alias("y"),
+        F.when(cp, F.col("p_lag")).otherwise(F.col("c_lag")).alias("z1"),
+        F.when(cp, F.col("c_lag")).otherwise(F.col("p_lag")).alias("z2"),
+    )
+    s = pairs.groupBy("direction").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("z1"), 4).alias("s1"),
+        F.round(F.sum("z2"), 4).alias("s2"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("z1") * F.col("z1")), 4).alias("s11"),
+        F.round(F.sum(F.col("z2") * F.col("z2")), 4).alias("s22"),
+        F.round(F.sum(F.col("z1") * F.col("z2")), 4).alias("s12"),
+        F.round(F.sum(F.col("z1") * F.col("y")), 4).alias("s1y"),
+        F.round(F.sum(F.col("z2") * F.col("y")), 4).alias("s2y"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
+    )
+    n = F.col("n")
+    c = s.select(
+        "direction",
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    ssr_u = F.col("cyy") - (
+        (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12"))
+        * F.col("c1y")
+        + (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12"))
+        * F.col("c2y")
+    ) / det
+    ssr_r = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    fit = c.withColumn("ssr_u", ssr_u).withColumn("ssr_r", ssr_r)
+    return fit.select(
+        "direction",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("ssr_r") / F.col("ssr_u"), 6).alias("ssr_ratio"),
+        F.round(
+            (F.col("ssr_r") - F.col("ssr_u"))
+            / (F.col("ssr_u") / (F.col("n") - 3)),
+            4,
+        ).alias("f_stat"),
+    )
