@@ -895,3 +895,364 @@ def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X581 — multi-pattern blocklist filter (the safety/compliance gate every
+# corpus build runs before training)
+# ---------------------------------------------------------------------------
+
+from ..functions import text as textfn  # noqa: E402
+
+_BLOCKLIST = ("stream", "filter", "broadcast", "nonexistentterm")
+_BL_SQL = "['" + "', '".join(_BLOCKLIST) + "']"
+
+
+@query(
+    "q_blocklist_filter",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source, {textfn.tokens_sql('lower(text)')} AS t
+      FROM documents
+    ),
+    hits AS MATERIALIZED (
+      SELECT doc_id, source, p.pat
+      FROM tok CROSS JOIN (SELECT unnest({_BL_SQL}) AS pat) p
+      WHERE list_contains(t, p.pat)
+    ),
+    per_pattern AS (
+      SELECT b.pat AS pattern,
+             CAST(count(h.doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT unnest({_BL_SQL}) AS pat) b
+      LEFT JOIN (SELECT DISTINCT doc_id, pat FROM hits) h
+        ON h.pat = b.pat
+      GROUP BY b.pat
+    ),
+    per_source AS (
+      SELECT t.source,
+             count(*) AS n_docs_src,
+             sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_blocked
+      FROM tok t LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h
+        ON h.doc_id = t.doc_id
+      GROUP BY t.source
+    )
+    SELECT 'pattern:' || pattern AS key, n_docs AS n,
+           CAST(NULL AS DOUBLE) AS kept_frac
+    FROM per_pattern
+    UNION ALL
+    SELECT 'source:' || source AS key,
+           CAST(n_blocked AS BIGINT) AS n,
+           round(1.0 - n_blocked * 1.0 / n_docs_src, 6) AS kept_frac
+    FROM per_source
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X581 — multi-pattern blocklist audit: documents containing any
+    blocked token are flagged; output is per-pattern hit counts (how
+    hot is each list entry — including a zero-hit entry, which LEFT
+    joins must keep) and per-source blocked counts + kept fraction —
+    the safety/compliance filter every corpus build runs and the
+    report its curators read. Token-membership semantics (not
+    substring), shared tokenizer with the rest of the text stack.
+
+    Plan: the blocklist is a literal broadcast array; matching is one
+    map-side arrays_overlap/exists pass per pattern — at a 10k-entry
+    real blocklist this becomes an explode + broadcast hash join
+    against the list, never a scan per pattern."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        textfn.tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    pats = spark.sql(
+        "SELECT explode(array("
+        + ", ".join(f"'{p}'" for p in _BLOCKLIST)
+        + ")) AS pattern"
+    )
+    hits = (
+        tok.crossJoin(F.broadcast(pats))
+        .filter(F.array_contains(F.col("t"), F.col("pattern")))
+        .select("doc_id", "source", "pattern")
+    )
+    per_pattern = (
+        pats.join(hits.select("doc_id", "pattern").distinct(), "pattern", "left")
+        .groupBy("pattern")
+        .agg(F.count("doc_id").cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("pattern:"), F.col("pattern")).alias("key"),
+            "n",
+            F.lit(None).cast("double").alias("kept_frac"),
+        )
+    )
+    blocked = hits.select("doc_id").distinct().withColumn("blk", F.lit(1))
+    per_source = (
+        tok.join(blocked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_src"),
+            F.sum(F.col("blk").isNotNull().cast("int")).alias("n_blocked"),
+        )
+        .select(
+            F.concat(F.lit("source:"), F.col("source")).alias("key"),
+            F.col("n_blocked").cast("long").alias("n"),
+            F.round(
+                1.0 - F.col("n_blocked") * 1.0 / F.col("n_docs_src"), 6
+            ).alias("kept_frac"),
+        )
+    )
+    return per_pattern.unionByName(per_source)
+
+
+# ---------------------------------------------------------------------------
+# X582 — Stupid Backoff bigram scoring (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+from .textlm import _BIGRAMS_SQL, _doc_bigrams  # noqa: E402
+
+
+@query(
+    "q_stupid_backoff",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    bg_counts AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    uni AS MATERIALIZED (
+      SELECT w1 AS w, count(*) AS c1 FROM bg GROUP BY 1
+    ),
+    uni2 AS MATERIALIZED (
+      SELECT w2 AS w, count(*) AS c2 FROM bg GROUP BY 1
+    ),
+    total AS MATERIALIZED (SELECT count(*) AS nn FROM bg),
+    scored AS (
+      SELECT b.doc_id,
+             round(log10(
+               CASE WHEN bc.c12 IS NOT NULL
+                 THEN bc.c12 * 1.0 / u.c1
+                 ELSE 0.4 * coalesce(u2.c2, 0) * 1.0 / t.nn
+               END + 1e-12), 6) AS lg
+      FROM bg b
+      LEFT JOIN bg_counts bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      LEFT JOIN uni u ON u.w = b.w1
+      LEFT JOIN uni2 u2 ON u2.w = b.w2
+      CROSS JOIN total t
+    ),
+    per_doc AS (
+      SELECT doc_id, round(avg(lg), 6) AS doc_score FROM scored
+      GROUP BY doc_id
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p.doc_score), 6) AS mean_score,
+           round(min(p.doc_score), 6) AS min_score
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X582 — Stupid Backoff bigram LM scoring (Brants et al. 2007,
+    the web-scale LM that skips normalization): score(w₂|w₁) =
+    c(w₁w₂)/c(w₁·) when seen, else 0.4·c(·w₂)/N — per-doc mean log10
+    score rolled up per source. The third rung of the LM-quality
+    ladder next to X167's MLE bigram perplexity and X393's Kneser-Ney:
+    SB is what actually runs at corpus scale because its counts are
+    plain mergeable sums (no discount bookkeeping), which is also why
+    the streaming X318-style store could maintain it incrementally.
+
+    Plan: bigram counts shuffle on (w₁,w₂) with map-side combine; the
+    scoring join is bigram ⋈ count tables on their natural keys. The
+    trained model is identical in both engines, so the gate pins the
+    scoring arithmetic end-to-end."""
+    bg = _doc_bigrams(spark, sf_dir)
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni2 = bg.groupBy(F.col("w2").alias("w")).agg(
+        F.count("*").alias("c2")
+    )
+    total = bg.count()
+    scored = (
+        bg.join(bg_counts, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .join(uni2, bg.w2 == uni2.w, "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log10(
+                    F.when(
+                        F.col("c12").isNotNull(),
+                        F.col("c12") * 1.0 / F.col("c1"),
+                    ).otherwise(
+                        0.4
+                        * F.coalesce(F.col("c2"), F.lit(0))
+                        * 1.0
+                        / F.lit(float(total))
+                    )
+                    + 1e-12
+                ),
+                6,
+            ).alias("lg"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("lg"), 6).alias("doc_score")
+    )
+    d = load(spark, sf_dir, "documents")
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("doc_score"), 6).alias("mean_score"),
+            F.round(F.min("doc_score"), 6).alias("min_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X583 — Holm-Bonferroni step-down multiple-testing correction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_holm_bonferroni",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+      SELECT event_type,
+             count(*) AS n,
+             round(sum(value), 4) AS s,
+             round(sum(value * value), 4) AS ss
+      FROM events GROUP BY 1
+    ),
+    pooled AS MATERIALIZED (
+      SELECT count(*) AS n, round(sum(value), 4) AS s,
+             round(sum(value * value), 4) AS ss
+      FROM events
+    ),
+    z AS MATERIALIZED (
+      SELECT c.event_type,
+             round(abs(c.s / c.n - p.s / p.n)
+                   / sqrt((c.ss / c.n - (c.s / c.n) * (c.s / c.n)) / c.n
+                          + (p.ss / p.n - (p.s / p.n) * (p.s / p.n)) / p.n),
+                   6) AS zv
+      FROM cells c CROSS JOIN pooled p
+    ),
+    p AS MATERIALIZED (
+      SELECT event_type,
+             round(1 - (1 - (0.254829592 * (1/(1 + 0.3275911 * (zv)/sqrt(2))) - 0.284496736 * pow(1/(1 + 0.3275911 * (zv)/sqrt(2)), 2) + 1.421413741 * pow(1/(1 + 0.3275911 * (zv)/sqrt(2)), 3) - 1.453152027 * pow(1/(1 + 0.3275911 * (zv)/sqrt(2)), 4) + 1.061405429 * pow(1/(1 + 0.3275911 * (zv)/sqrt(2)), 5)) * exp(-((zv) * (zv)) / 2)), 8) AS pv
+      FROM z
+    ),
+    ranked AS (
+      SELECT event_type, pv,
+             row_number() OVER (ORDER BY pv, event_type) AS rk,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    stepped AS (
+      SELECT event_type, pv, rk, m,
+             max(least((m - rk + 1) * pv, 1.0))
+               OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS p_holm
+      FROM ranked
+    )
+    SELECT event_type, round(pv, 8) AS p_raw,
+           round(p_holm, 8) AS p_holm,
+           CAST(p_holm <= 0.05 AS BOOLEAN) AS reject_05
+    FROM stepped
+    """,
+)
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X583 — Holm-Bonferroni step-down correction over the family of
+    per-event-type mean-vs-pooled z-tests: order the m raw p-values
+    ascending, adjusted pᵢ = max over the prefix of min((m−i+1)·pᵢ, 1)
+    (a running max keeps the adjusted sequence monotone), reject while
+    adjusted ≤ α. The family-wise-error companion to X372's
+    Benjamini-Hochberg FDR — Holm controls FWER with no independence
+    assumption, which is what a dashboard of correlated per-segment
+    tests actually needs. One aggregation pass + one m-row window."""
+    from .round4o import _p_two_sided
+
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("ss"),
+    )
+    pooled = ev.agg(
+        F.count("*").alias("pn"),
+        F.round(F.sum("value"), 4).alias("ps"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("pss"),
+    )
+    j = cells.crossJoin(F.broadcast(pooled))
+    mean_c = F.col("s") / F.col("n")
+    mean_p = F.col("ps") / F.col("pn")
+    var_c = (F.col("ss") / F.col("n") - mean_c * mean_c) / F.col("n")
+    var_p = (F.col("pss") / F.col("pn") - mean_p * mean_p) / F.col("pn")
+    z = j.select(
+        "event_type",
+        F.round(
+            F.abs(mean_c - mean_p) / F.sqrt(var_c + var_p), 6
+        ).alias("zv"),
+    )
+    p = z.select(
+        "event_type",
+        F.round(_p_two_sided(F.col("zv")), 8).alias("pv"),
+    )
+    w_rank = Window.orderBy("pv", "event_type")
+    ranked = p.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "m", F.count("*").over(Window.partitionBy())
+    )
+    w_run = Window.orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = ranked.withColumn(
+        "p_holm",
+        F.max(
+            F.least((F.col("m") - F.col("rk") + 1) * F.col("pv"), F.lit(1.0))
+        ).over(w_run),
+    )
+    return stepped.select(
+        "event_type",
+        F.round("pv", 8).alias("p_raw"),
+        F.round("p_holm", 8).alias("p_holm"),
+        (F.col("p_holm") <= 0.05).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X584 — the reusable IVF operator's raw output under the gate
+# ---------------------------------------------------------------------------
+
+from ..operators import ann as _ann  # noqa: E402
+
+_ANN_OP_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 40 = 0
+    ), cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus WHERE n_id % 50 = 0
+    ), {_ann.ivf_search_sql("corpus", "qs", "cent", k=3, nprobe=2)}
+    SELECT q_id, n_id, score, CAST(rn AS BIGINT) AS rn FROM ivf_topk
+    """
+
+
+@query("q_ann_operator", oracle=_ANN_OP_ORACLE)
+def q_ann_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X584 — operators/ann.ivf_search's RAW output under the value-hash
+    gate: top-3 cosine neighbors for every 40th vector through the
+    nprobe=2 inverted-list routing, with the DuckDB oracle replaying
+    the identical routing via ivf_search_sql. X278/X231 pin the
+    operator THROUGH downstream consumers (vote matrices, label
+    filters); this pins the (q_id, n_id, score, rn) contract itself,
+    so an off-by-one in probe ranking or a tie-break drift anywhere in
+    the shared operator fails one focused query."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    qs = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = _ann.ivf_search(corpus, qs, k=3, nprobe=2, every=50, residue=0)
+    return got.select("q_id", "n_id", "score", F.col("rn").cast("long").alias("rn"))
