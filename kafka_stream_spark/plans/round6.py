@@ -1256,3 +1256,476 @@ def q_ann_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _ann.ivf_search(corpus, qs, k=3, nprobe=2, every=50, residue=0)
     return got.select("q_id", "n_id", "score", F.col("rn").cast("long").alias("rn"))
+
+
+# ---------------------------------------------------------------------------
+# X585 — ntile / cume_dist distribution windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ntile_cume",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_quantity, l_orderkey, l_linenumber,
+             ntile(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS quartile,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity) AS cd
+      FROM lineitem
+    )
+    SELECT flag, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_quantity), 2) AS q_min,
+           round(max(l_quantity), 2) AS q_max,
+           round(max(cd), 6) AS max_cume_dist
+    FROM ranked GROUP BY flag, quartile
+    """,
+)
+def q_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X585 — the distribution-window family ntile + cume_dist
+    (completing the analytic-window surface next to rank/dense_rank
+    X161 and percent_rank/nth_value X324): quartile buckets of order
+    quantity per return flag with each bucket's quantity range and top
+    cumulative-distribution value. ntile's bucket boundaries depend on
+    total order, so the ORDER BY carries (quantity, orderkey,
+    linenumber) — fully deterministic ties, the discipline every
+    windowed query here follows. cume_dist ties only on quantity
+    (its value is tie-invariant by definition)."""
+    li = load(spark, sf_dir, "lineitem")
+    w_nt = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w_cd = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        F.ntile(4).over(w_nt).alias("quartile"),
+        F.cume_dist().over(w_cd).alias("cd"),
+    )
+    return ranked.groupBy("flag", F.col("quartile").cast("long").alias("quartile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("l_quantity"), 2).alias("q_min"),
+        F.round(F.max("l_quantity"), 2).alias("q_max"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X586 — fill-in-the-middle (FIM) pretraining transform
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fim_transform",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, text, length(text) AS n,
+             CAST(floor(length(text) * 0.4) AS BIGINT) AS cut1,
+             CAST(floor(length(text) * 0.6) AS BIGINT) AS cut2,
+             doc_id % 2 = 0 AS fim
+      FROM documents
+    ),
+    xf AS (
+      SELECT doc_id, source, fim, n,
+             CASE WHEN fim THEN
+               '<PRE>' || substr(text, 1, CAST(cut1 AS INT))
+               || '<SUF>' || substr(text, CAST(cut2 + 1 AS INT))
+               || '<MID>' || substr(text, CAST(cut1 + 1 AS INT),
+                                    CAST(cut2 - cut1 AS INT))
+             ELSE text END AS out_text
+      FROM base
+    )
+    SELECT source, CAST(sum(CASE WHEN fim THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fim,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(out_text)) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(out_text), '' ORDER BY doc_id)) AS corpus_sig
+    FROM xf GROUP BY source
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X586 — fill-in-the-middle pretraining transform (Bavarian et
+    al. 2022): half the corpus (doc_id parity — the deterministic
+    stand-in for the paper's 50% FIM rate) is rewritten
+    prefix-suffix-middle with sentinel tokens, cuts at the 40%/60%
+    character marks; the rest passes through. Output per source:
+    transformed-doc count, total characters (sentinels add 15/doc),
+    and an order-pinned md5-of-md5s corpus signature — one wrong byte
+    in any split or reorder anywhere breaks the hash. This is the
+    standard infilling-capable LM data op, sitting next to X316's T5
+    span corruption on the objective-transform shelf.
+
+    Plan: pure per-row string projection (substring arithmetic, no
+    UDF), one per-source aggregation; at 100 TB this is a map-only
+    stage that parquet write pipelines absorb."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    cut1 = F.floor(n * 0.4).cast("int")
+    cut2 = F.floor(n * 0.6).cast("int")
+    fim = F.col("doc_id") % 2 == 0
+    out_text = F.when(
+        fim,
+        F.concat(
+            F.lit("<PRE>"),
+            F.col("text").substr(F.lit(1), cut1),
+            F.lit("<SUF>"),
+            F.col("text").substr(cut2 + 1, n),
+            F.lit("<MID>"),
+            F.col("text").substr(cut1 + 1, cut2 - cut1),
+        ),
+    ).otherwise(F.col("text"))
+    xf = d.select(
+        "doc_id",
+        "source",
+        fim.alias("fim"),
+        out_text.alias("out_text"),
+    )
+    return xf.groupBy("source").agg(
+        F.sum(F.col("fim").cast("int")).cast("long").alias("n_fim"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("out_text")).cast("long").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("doc_id"), F.md5("out_text"))
+                    )
+                ).getField("col2"),
+            )
+        ).alias("corpus_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X587 — table-valued functions in FROM position
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tvf_family",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(r.range AS BIGINT) AS wk FROM range(0, 53) r
+    ),
+    v AS (
+      SELECT * FROM (VALUES ('O', 'open'), ('F', 'fulfilled'),
+                            ('P', 'pending')) AS t(status, label)
+    ),
+    o AS (
+      SELECT CAST(floor(date_diff('day',
+               (SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+               CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) AS wk,
+             o_orderstatus AS status, o_totalprice
+      FROM orders
+    )
+    SELECT cal.wk, coalesce(v.label, 'none') AS label,
+           CAST(count(o.status) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM cal
+    LEFT JOIN o ON o.wk = cal.wk
+    LEFT JOIN v ON v.status = o.status
+    GROUP BY cal.wk, coalesce(v.label, 'none')
+    """,
+)
+def q_tvf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X587 — table-valued functions in FROM position: a range() TVF
+    calendar spine LEFT-joined to weekly order rollups, with a VALUES
+    inline table decoding status codes — the idiomatic
+    gap-preserving-report shape (weeks with zero orders still appear).
+    Exercises the Spark SQL TVF surface (range, inline VALUES) that
+    the DataFrame-first queries elsewhere never touch; both engines
+    run the same ANSI text modulo the TVF spelling."""
+    cal = spark.sql("SELECT id AS wk FROM range(0, 53)")
+    v = spark.sql(
+        "SELECT * FROM VALUES ('O', 'open'), ('F', 'fulfilled'),"
+        " ('P', 'pending') AS t(status, label)"
+    )
+    o = load(spark, sf_dir, "orders")
+    min_d = o.agg(F.min(F.to_date("o_orderdate")).alias("m"))
+    ow = o.crossJoin(F.broadcast(min_d)).select(
+        (
+            F.datediff(F.to_date("o_orderdate"), F.col("m")) / 7
+        ).cast("long").alias("wk"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return (
+        cal.join(ow, "wk", "left")
+        .join(F.broadcast(v), "status", "left")
+        .groupBy("wk", F.coalesce(F.col("label"), F.lit("none")).alias("label"))
+        .agg(
+            F.count("status").cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X588 — Aalen-Johansen cumulative incidence (competing risks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_aalen_johansen",
+    oracle="""
+    WITH subj AS MATERIALIZED (
+      SELECT o_orderkey,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       min(CAST(l.l_shipdate AS DATE))) AS t,
+             min(l.l_returnflag) AS risk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      HAVING date_diff('day', CAST(o_orderdate AS DATE),
+                       min(CAST(l.l_shipdate AS DATE))) >= 0
+    ),
+    times AS MATERIALIZED (
+      SELECT t, count(*) AS d_all,
+             sum(CASE WHEN risk = 'R' THEN 1 ELSE 0 END) AS d_r,
+             sum(CASE WHEN risk = 'A' THEN 1 ELSE 0 END) AS d_a
+      FROM subj GROUP BY t
+    ),
+    risk_set AS MATERIALIZED (
+      SELECT t, d_all, d_r, d_a,
+             sum(d_all) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+               AS n_at_risk
+      FROM times
+    ),
+    km AS MATERIALIZED (
+      SELECT t, d_all, d_r, d_a, n_at_risk,
+             exp(sum(ln(greatest(1.0 - d_all * 1.0 / n_at_risk, 1e-12)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s_t,
+             coalesce(exp(sum(ln(greatest(1.0 - d_all * 1.0 / n_at_risk,
+                                          1e-12)))
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)), 1.0) AS s_prev
+      FROM risk_set
+    ),
+    cif AS (
+      SELECT t, n_at_risk, d_r, d_a,
+             sum(s_prev * d_r / n_at_risk)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif_r,
+             sum(s_prev * d_a / n_at_risk)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif_a,
+             s_t
+      FROM km
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(s_t, 6) AS surv,
+           round(cif_r, 6) AS cif_returned,
+           round(cif_a, 6) AS cif_accepted
+    FROM cif WHERE t % 7 = 0
+    """,
+)
+def q_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X588 — Aalen-Johansen cumulative incidence under COMPETING
+    risks: each order 'fails' at its first shipment with competing
+    outcomes R(eturned) vs A(ccepted) (N censors nothing here — every
+    order ships, making the all-events KM the common survival).
+    CIFₖ(t) = Σ_{tᵢ≤t} S(tᵢ⁻)·dₖ(tᵢ)/nᵢ — the fix for the classic
+    mistake of running per-cause KM (X198) when causes compete, which
+    overestimates every cause's incidence. S(t⁻) via the exp-sum-ln
+    cumulative product, the X198 trick; the decreasing risk set is a
+    reverse running sum. Weekly grid rows keep the output bounded.
+
+    Plan: one per-order rollup shuffle, then three windows over the
+    (distinct event time) table — a few hundred rows at any corpus
+    size, the standard survival-curve shape."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    subj = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("od"))
+        .agg(
+            F.min(F.to_date("l_shipdate")).alias("ship"),
+            F.min("l_returnflag").alias("risk"),
+        )
+        .select(
+            F.datediff("ship", "od").alias("t"),
+            "risk",
+        )
+        .filter(F.col("t") >= 0)
+    )
+    times = subj.groupBy("t").agg(
+        F.count("*").alias("d_all"),
+        F.sum((F.col("risk") == "R").cast("int")).alias("d_r"),
+        F.sum((F.col("risk") == "A").cast("int")).alias("d_a"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk_set = times.withColumn("n_at_risk", F.sum("d_all").over(w_desc))
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    ln_term = F.log(
+        F.greatest(
+            1.0 - F.col("d_all") * 1.0 / F.col("n_at_risk"), F.lit(1e-12)
+        )
+    )
+    km = risk_set.withColumn(
+        "s_t", F.exp(F.sum(ln_term).over(w_asc))
+    ).withColumn(
+        "s_prev",
+        F.coalesce(F.exp(F.sum(ln_term).over(w_prev)), F.lit(1.0)),
+    )
+    cif = (
+        km.withColumn(
+            "cif_r",
+            F.sum(
+                F.col("s_prev") * F.col("d_r") / F.col("n_at_risk")
+            ).over(w_asc),
+        )
+        .withColumn(
+            "cif_a",
+            F.sum(
+                F.col("s_prev") * F.col("d_a") / F.col("n_at_risk")
+            ).over(w_asc),
+        )
+    )
+    return cif.filter(F.col("t") % 7 == 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round("s_t", 6).alias("surv"),
+        F.round("cif_r", 6).alias("cif_returned"),
+        F.round("cif_a", 6).alias("cif_accepted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X589 — Theta-method forecast (Assimakopoulos & Nikolopoulos 2000)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theta_forecast",
+    oracle="""
+    WITH monthly0 AS MATERIALIZED (
+      SELECT o_orderpriority AS pri,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS m,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    monthly AS MATERIALIZED (
+      SELECT pri, y,
+             row_number() OVER (PARTITION BY pri ORDER BY m) - 1 AS t,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM monthly0
+    ),
+    s AS MATERIALIZED (
+      SELECT pri, max(n) AS n,
+             round(sum(t * 1.0), 4) AS sx, round(sum(y), 4) AS sy,
+             round(sum(t * 1.0 * t), 4) AS sxx, round(sum(t * y), 4) AS sxy
+      FROM monthly GROUP BY pri
+    ),
+    fit AS MATERIALIZED (
+      SELECT pri, n, sx, sy, sxx, sxy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM s
+    ),
+    theta2 AS MATERIALIZED (
+      SELECT m.pri, m.t, m.n,
+             round(2.0 * m.y - (f.a + f.b * m.t), 4) AS z
+      FROM monthly m JOIN fit f ON f.pri = m.pri
+    ),
+    ses AS MATERIALIZED (
+      SELECT pri, n,
+             round(sum(CASE WHEN t = 0
+                       THEN pow(0.5, n - 1.0) * z
+                       ELSE 0.5 * pow(0.5, n - 1.0 - t) * z END), 4)
+               AS level
+      FROM theta2 GROUP BY pri, n
+    )
+    SELECT f.pri AS o_orderpriority, CAST(f.n AS BIGINT) AS n_months,
+           round(f.b, 4) AS trend_slope,
+           round(s.level, 4) AS theta2_level,
+           round((s.level + (f.a + f.b * f.n)) / 2.0, 4) AS forecast_1,
+           round((s.level + (f.a + f.b * (f.n + 1))) / 2.0, 4) AS forecast_2
+    FROM fit f JOIN ses s ON s.pri = f.pri
+    """,
+)
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X589 — the Theta method (M3-competition winner, Assimakopoulos
+    & Nikolopoulos 2000), classical decomposition form: the theta=0
+    line is the linear trend, the theta=2 line 2y−trend doubles local
+    curvature and is smoothed by SES (α=0.5, closed form — with fixed
+    α the recursive level is the exact weighted sum
+    Σ α(1−α)^{n−1−t}·zₜ with the t=0 term carrying (1−α)^{n−1}, so no
+    sequential fold is needed); forecasts average the two lines'
+    extrapolations. Sits next to Holt (X218), Holt-Winters (X340) and
+    AR (X531) on the forecasting shelf — Theta is what M-competition
+    practice actually defaults to for un-seasonal monthly series.
+    Sufficient-statistics plan: two aggregations + one window rank."""
+    o = load(spark, sf_dir, "orders")
+    monthly0 = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("m"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    w_rank = Window.partitionBy("pri").orderBy("m")
+    w_all = Window.partitionBy("pri")
+    monthly = monthly0.select(
+        "pri",
+        "y",
+        (F.row_number().over(w_rank) - 1).alias("t"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    s = monthly.groupBy("pri").agg(
+        F.max("n").alias("n"),
+        F.round(F.sum(F.col("t") * 1.0), 4).alias("sx"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("t") * 1.0 * F.col("t")), 4).alias("sxx"),
+        F.round(F.sum(F.col("t") * F.col("y")), 4).alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.withColumn("b", b).withColumn(
+        "a", (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+    )
+    theta2 = monthly.join(fit.select("pri", "a", "b"), "pri").select(
+        "pri",
+        "t",
+        "n",
+        F.round(
+            2.0 * F.col("y") - (F.col("a") + F.col("b") * F.col("t")), 4
+        ).alias("z"),
+    )
+    ses = theta2.groupBy("pri", "n").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("t") == 0,
+                    F.pow(0.5, F.col("n") - 1.0) * F.col("z"),
+                ).otherwise(
+                    0.5
+                    * F.pow(0.5, F.col("n") - 1.0 - F.col("t"))
+                    * F.col("z")
+                )
+            ),
+            4,
+        ).alias("level")
+    )
+    j = fit.join(ses.select("pri", "level"), "pri")
+    return j.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_months"),
+        F.round("b", 4).alias("trend_slope"),
+        F.round("level", 4).alias("theta2_level"),
+        F.round(
+            (F.col("level") + (F.col("a") + F.col("b") * F.col("n"))) / 2.0,
+            4,
+        ).alias("forecast_1"),
+        F.round(
+            (F.col("level") + (F.col("a") + F.col("b") * (F.col("n") + 1)))
+            / 2.0,
+            4,
+        ).alias("forecast_2"),
+    )
