@@ -1729,3 +1729,432 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("forecast_2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X590 — clustering quality: purity + NMI of the semantic clusters
+# ---------------------------------------------------------------------------
+
+from .llm_ext2 import _kmeans_assign2_ctes  # noqa: E402
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+    WITH {_kmeans_assign2_ctes()},
+    cl AS MATERIALIZED (
+      SELECT a.vec_id, a.cid, e.label
+      FROM assign2 a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    joint AS MATERIALIZED (
+      SELECT cid, label, count(*) AS n_cl FROM cl GROUP BY 1, 2
+    ),
+    per_c AS MATERIALIZED (
+      SELECT cid, sum(n_cl) AS n_c, max(n_cl) AS n_maj
+      FROM joint GROUP BY cid
+    ),
+    per_l AS MATERIALIZED (
+      SELECT label, sum(n_cl) AS n_l FROM joint GROUP BY label
+    ),
+    tot AS MATERIALIZED (SELECT sum(n_cl) AS nn FROM joint),
+    mi AS (
+      SELECT round(sum((j.n_cl * 1.0 / t.nn)
+                 * ln(t.nn * 1.0 * j.n_cl / (c.n_c * 1.0 * l.n_l))), 6)
+               AS i_cl
+      FROM joint j
+      JOIN per_c c ON c.cid = j.cid
+      JOIN per_l l ON l.label = j.label
+      CROSS JOIN tot t
+    ),
+    ents AS (
+      SELECT round(-sum((n_c * 1.0 / t.nn) * ln(n_c * 1.0 / t.nn)), 6)
+               AS h_c
+      FROM per_c CROSS JOIN tot t
+    ),
+    entl AS (
+      SELECT round(-sum((n_l * 1.0 / t.nn) * ln(n_l * 1.0 / t.nn)), 6)
+               AS h_l
+      FROM per_l CROSS JOIN tot t
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n_vectors,
+           CAST((SELECT count(*) FROM per_c) AS BIGINT) AS n_clusters,
+           CAST((SELECT count(*) FROM per_l) AS BIGINT) AS n_labels,
+           round((SELECT sum(n_maj) FROM per_c) * 1.0 / t.nn, 6) AS purity,
+           round(m.i_cl / sqrt(e1.h_c * e2.h_l), 6) AS nmi
+    FROM tot t CROSS JOIN mi m CROSS JOIN ents e1 CROSS JOIN entl e2
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X590 — external clustering-quality evaluation of the engine's
+    own semantic clusters (the k=8 deterministic Lloyd codebook the
+    SemDeDup gate pins) against the embedding labels: PURITY
+    (Σ_c max_l n_cl / N) and NMI (I(C;L)/√(H(C)·H(L))) — the two
+    numbers every clustering paper reports, closing the eval loop the
+    ANN family already has (X86 recall, X279 LSH recall). All three
+    tables are count rollups of the (cluster, label) contingency;
+    the entropies and MI are pure double arithmetic over rounded
+    ratios of exact integer counts."""
+    from ..operators.semdedup import assign_clusters, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = train_centroids(e, k=8, iters=2)
+    cl = assign_clusters(e, cent).select("vec_id", "cid").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    joint = cl.groupBy("cid", "label").agg(F.count("*").alias("n_cl"))
+    per_c = joint.groupBy("cid").agg(
+        F.sum("n_cl").alias("n_c"), F.max("n_cl").alias("n_maj")
+    )
+    per_l = joint.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    tot = joint.agg(F.sum("n_cl").alias("nn"))
+    mi = (
+        joint.join(per_c.select("cid", "n_c"), "cid")
+        .join(per_l, "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_cl") * 1.0 / F.col("nn"))
+                    * F.log(
+                        F.col("nn")
+                        * 1.0
+                        * F.col("n_cl")
+                        / (F.col("n_c") * 1.0 * F.col("n_l"))
+                    )
+                ),
+                6,
+            ).alias("i_cl")
+        )
+    )
+    h_c = per_c.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum(
+                (F.col("n_c") * 1.0 / F.col("nn"))
+                * F.log(F.col("n_c") * 1.0 / F.col("nn"))
+            ),
+            6,
+        ).alias("h_c")
+    )
+    h_l = per_l.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum(
+                (F.col("n_l") * 1.0 / F.col("nn"))
+                * F.log(F.col("n_l") * 1.0 / F.col("nn"))
+            ),
+            6,
+        ).alias("h_l")
+    )
+    counts = tot.crossJoin(
+        per_c.agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_maj").alias("maj"),
+        )
+    ).crossJoin(per_l.agg(F.count("*").alias("n_labels")))
+    return (
+        counts.crossJoin(mi).crossJoin(h_c).crossJoin(h_l).select(
+            F.col("nn").cast("long").alias("n_vectors"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.round(F.col("maj") * 1.0 / F.col("nn"), 6).alias("purity"),
+            F.round(
+                F.col("i_cl") / F.sqrt(F.col("h_c") * F.col("h_l")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X591 — skip-gram training-pair generation (window=2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, {textfn.tokens_sql('lower(text)')} AS t
+      FROM documents
+      WHERE len({textfn.tokens_sql('lower(text)')}) >= 2
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, unnest(t) AS center,
+             unnest(range(1, len(t) + 1)) AS p, t
+      FROM tok
+    ),
+    pairs AS MATERIALIZED (
+      SELECT center, t[p + d.off] AS context, d.off AS off
+      FROM pos CROSS JOIN (
+        SELECT unnest([-2, -1, 1, 2]) AS off) d
+      WHERE p + d.off >= 1 AND p + d.off <= len(t)
+    )
+    SELECT center, context, CAST(off AS BIGINT) AS off,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY center, context, off
+    HAVING count(*) >= 5
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X591 — skip-gram (center, context, offset) training-pair
+    generation with window 2, the word2vec data build: every token
+    pairs with its ±1/±2 neighbors, counted per signed offset so the
+    downstream sampler can weight by distance. The ≥5 support cut
+    bounds output to the pair vocabulary that matters (full pairs
+    stream to parquet in production; the count table is what the
+    X331 negative sampler joins against).
+
+    Plan: one explode to (doc, position, token) and a length-guarded
+    element_at per offset — map-side until the final (center, context,
+    off) count shuffle with partial aggregation."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", textfn.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    pos = tok.select(
+        F.posexplode("t").alias("p0", "center"), F.col("t")
+    ).withColumn("p", F.col("p0") + 1)
+    offs = spark.sql("SELECT explode(array(-2, -1, 1, 2)) AS off")
+    pairs = (
+        pos.crossJoin(F.broadcast(offs))
+        .filter(
+            (F.col("p") + F.col("off") >= 1)
+            & (F.col("p") + F.col("off") <= F.size("t"))
+        )
+        .select(
+            "center",
+            F.element_at("t", (F.col("p") + F.col("off")).cast("int")).alias(
+                "context"
+            ),
+            "off",
+        )
+    )
+    return (
+        pairs.groupBy("center", "context", F.col("off").cast("long").alias("off"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X592 — intraclass correlation ICC(1) from one-way ANOVA sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_icc",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT o_orderpriority AS grp, count(*) AS n_i,
+             round(sum(o_totalprice / 100000.0), 6) AS s_i,
+             round(sum((o_totalprice / 100000.0)
+                       * (o_totalprice / 100000.0)), 6) AS ss_i
+      FROM orders GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+      SELECT count(*) AS m, sum(n_i) AS nn,
+             round(sum(s_i), 4) AS s, round(sum(ss_i), 4) AS ss,
+             round(sum(s_i * s_i / n_i), 4) AS sb,
+             round(sum(n_i * 1.0 * n_i), 4) AS sn2
+      FROM g
+    ),
+    anova AS (
+      SELECT m, nn,
+             (sb - s * s / nn) / (m - 1) AS msb,
+             (ss - sb) / (nn - m) AS msw,
+             (nn - sn2 / nn) / (m - 1) AS k0
+      FROM tot
+    )
+    SELECT CAST(m AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n,
+           round(msb, 6) AS ms_between,
+           round(msw, 6) AS ms_within,
+           round(k0, 6) AS k0,
+           round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+    FROM anova
+    """,
+)
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X592 — intraclass correlation ICC(1), one-way random effects,
+    from the ANOVA sufficient statistics: how much of order-price
+    variance lives BETWEEN priority classes vs within them —
+    ICC(1) = (MSB − MSW)/(MSB + (k₀−1)·MSW) with the unequal-group
+    correction k₀ = (N − Σnᵢ²/N)/(m−1). The reliability companion to
+    X283's ANOVA F (same decomposition, effect-size framing vs test
+    framing) and X386's Cronbach α (which is ICC of item averages).
+    Prices pre-scale by 1e-5 (ICC is scale-invariant) so the
+    squared sums stay O(n) — the q_chow magnitude lesson.
+    One aggregation pass; the group table is m rows."""
+    o = load(spark, sf_dir, "orders")
+    y = F.col("o_totalprice") / 100000.0
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n_i"),
+        F.round(F.sum(y), 6).alias("s_i"),
+        F.round(F.sum(y * y), 6).alias("ss_i"),
+    )
+    tot = g.agg(
+        F.count("*").alias("m"),
+        F.sum("n_i").alias("nn"),
+        F.round(F.sum("s_i"), 4).alias("s"),
+        F.round(F.sum("ss_i"), 4).alias("ss"),
+        F.round(F.sum(F.col("s_i") * F.col("s_i") / F.col("n_i")), 4).alias(
+            "sb"
+        ),
+        F.round(F.sum(F.col("n_i") * 1.0 * F.col("n_i")), 4).alias("sn2"),
+    )
+    msb = (F.col("sb") - F.col("s") * F.col("s") / F.col("nn")) / (
+        F.col("m") - 1
+    )
+    msw = (F.col("ss") - F.col("sb")) / (F.col("nn") - F.col("m"))
+    k0 = (F.col("nn") - F.col("sn2") / F.col("nn")) / (F.col("m") - 1)
+    a = tot.withColumn("msb", msb).withColumn("msw", msw).withColumn(
+        "k0", k0
+    )
+    return a.select(
+        F.col("m").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round("msb", 6).alias("ms_between"),
+        F.round("msw", 6).alias("ms_within"),
+        F.round("k0", 6).alias("k0"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X593 — TOST equivalence testing
+# ---------------------------------------------------------------------------
+
+# one-sided upper-tail normal p with a signed CASE around the A&S
+# polynomial (valid for z >= 0 only): P(Z > z)
+_PHI_UPPER_SQL = """(CASE WHEN ({z}) >= 0
+  THEN 0.5 * (1 - (1 - (0.254829592 * (1/(1 + 0.3275911 * ({z})/sqrt(2))) - 0.284496736 * pow(1/(1 + 0.3275911 * ({z})/sqrt(2)), 2) + 1.421413741 * pow(1/(1 + 0.3275911 * ({z})/sqrt(2)), 3) - 1.453152027 * pow(1/(1 + 0.3275911 * ({z})/sqrt(2)), 4) + 1.061405429 * pow(1/(1 + 0.3275911 * ({z})/sqrt(2)), 5)) * exp(-(({z}) * ({z})) / 2)))
+  ELSE 1 - 0.5 * (1 - (1 - (0.254829592 * (1/(1 + 0.3275911 * (-({z}))/sqrt(2))) - 0.284496736 * pow(1/(1 + 0.3275911 * (-({z}))/sqrt(2)), 2) + 1.421413741 * pow(1/(1 + 0.3275911 * (-({z}))/sqrt(2)), 3) - 1.453152027 * pow(1/(1 + 0.3275911 * (-({z}))/sqrt(2)), 4) + 1.061405429 * pow(1/(1 + 0.3275911 * (-({z}))/sqrt(2)), 5)) * exp(-(({z}) * ({z})) / 2)))
+  END)"""
+
+
+def _phi_upper(z):
+    """P(Z > z) via the shared A&S polynomial, signed."""
+    from .round4o import _p_two_sided
+
+    half = _p_two_sided(F.abs(z)) / 2
+    return F.when(z >= 0, half).otherwise(1 - half)
+
+
+@query(
+    "q_tost",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT event_type, count(*) AS n,
+             round(sum(value), 4) AS s,
+             round(sum(value * value), 4) AS ss
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    w AS MATERIALIZED (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+             max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+             max(CASE WHEN event_type = 'view' THEN ss END) AS ss2
+      FROM cells
+    ),
+    d AS MATERIALIZED (
+      SELECT n1, n2, s1 / n1 - s2 / n2 AS diff,
+             0.05 * (s1 + s2) / (n1 + n2) AS margin,
+             sqrt((ss1 / n1 - (s1 / n1) * (s1 / n1)) / n1
+                  + (ss2 / n2 - (s2 / n2) * (s2 / n2)) / n2) AS se
+      FROM w
+    ),
+    z AS MATERIALIZED (
+      SELECT n1, n2, round(diff, 6) AS diff, round(margin, 6) AS margin,
+             round((diff + margin) / se, 6) AS z_lower,
+             round((diff - margin) / se, 6) AS z_upper
+      FROM d
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           diff, margin,
+           round(1 - {_PHI_UPPER_SQL.format(z='z_lower')}, 6) AS p_lower,
+           round({_PHI_UPPER_SQL.format(z='z_upper')}, 6) AS p_upper,
+           round(greatest(1 - {_PHI_UPPER_SQL.format(z='z_lower')},
+                          {_PHI_UPPER_SQL.format(z='z_upper')}), 6)
+             AS p_tost,
+           greatest(1 - {_PHI_UPPER_SQL.format(z='z_lower')},
+                    {_PHI_UPPER_SQL.format(z='z_upper')}) <= 0.05
+             AS equivalent_05
+    FROM z
+    """,
+)
+def q_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X593 — TOST (two one-sided tests) EQUIVALENCE testing between
+    click and view event values with a ±5%-of-pooled-mean margin: the
+    A/B question X199's z-test cannot answer — 'are these the same,
+    within a margin that matters' is not 'is the difference nonzero'.
+    p_TOST = max(P(diff ≤ −δ rejected), P(diff ≥ +δ rejected));
+    equivalence holds when both one-sided tests reject. One-sided
+    normal tails come from the shared A&S polynomial with an explicit
+    sign CASE (the polynomial is valid for z ≥ 0 only)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("ss"),
+    )
+    w = cells.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ss"))).alias(
+            "ss1"
+        ),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("ss"))).alias(
+            "ss2"
+        ),
+    )
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    d = w.select(
+        "n1",
+        "n2",
+        (m1 - m2).alias("diff0"),
+        (0.05 * (F.col("s1") + F.col("s2")) / (F.col("n1") + F.col("n2"))).alias(
+            "margin0"
+        ),
+        F.sqrt(
+            (F.col("ss1") / F.col("n1") - m1 * m1) / F.col("n1")
+            + (F.col("ss2") / F.col("n2") - m2 * m2) / F.col("n2")
+        ).alias("se"),
+    )
+    z = d.select(
+        "n1",
+        "n2",
+        F.round("diff0", 6).alias("diff"),
+        F.round("margin0", 6).alias("margin"),
+        F.round((F.col("diff0") + F.col("margin0")) / F.col("se"), 6).alias(
+            "z_lower"
+        ),
+        F.round((F.col("diff0") - F.col("margin0")) / F.col("se"), 6).alias(
+            "z_upper"
+        ),
+    )
+    p_lower = 1 - _phi_upper(F.col("z_lower"))
+    p_upper = _phi_upper(F.col("z_upper"))
+    p_tost = F.greatest(p_lower, p_upper)
+    return z.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        "diff",
+        "margin",
+        F.round(p_lower, 6).alias("p_lower"),
+        F.round(p_upper, 6).alias("p_upper"),
+        F.round(p_tost, 6).alias("p_tost"),
+        (p_tost <= 0.05).alias("equivalent_05"),
+    )

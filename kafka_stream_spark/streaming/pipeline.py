@@ -1645,3 +1645,153 @@ def semantic_dedup_routed_batch_fn(
         idempotent_upsert(assigned, batch_id, store_dir)
 
     return dedup_batch
+
+
+def run_streaming_lm_counts(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained Stupid-Backoff LM count store (the
+    streaming twin of q_stupid_backoff, X582): bigram counts, left/
+    right unigram counts and the bigram total are all PLAIN SUMS —
+    the property that makes Stupid Backoff the web-scale LM — so the
+    store merges by addition exactly like the X81 heavy-hitters store,
+    and scoring is a read-side view (lm_score_with_counts) over
+    sufficient statistics that never need the text again.
+
+    Layout: ``store_dir/bigrams`` (w1, w2, c12), ``store_dir/unigrams``
+    (w, c1, c2) — one row per word carrying BOTH the left-context and
+    right-occurrence counts. Replay-safe via the applied_bid marker
+    (additive store, skip-if-applied). pytest pins store counts equal
+    to batch counts and store-driven scoring equal to the batch
+    q_stupid_backoff on documents-so-far after every wave."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    return (
+        docs.writeStream.foreachBatch(lm_counts_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lm_counts_batch_fn(store_dir: str):
+    """foreachBatch body of ``run_streaming_lm_counts``."""
+    from ..functions import text
+
+    bigram_dir = os.path.join(store_dir, "bigrams")
+    unigram_dir = os.path.join(store_dir, "unigrams")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        if batch_already_applied(sess, bigram_dir, batch_id):
+            return
+        toks = batch.select(
+            "doc_id", text.tokens(F.col("text")).alias("t")
+        ).filter(F.size("t") >= 2)
+        bg = toks.select(
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias(
+                "pos", "w1"
+            ),
+            F.col("t"),
+        ).select("w1", F.element_at("t", F.col("pos") + 2).alias("w2"))
+        bg = bg.localCheckpoint(eager=True)
+        bpart = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        upart = (
+            bg.select(F.col("w1").alias("w"), F.lit(1).alias("l"),
+                      F.lit(0).alias("r"))
+            .unionByName(
+                bg.select(F.col("w2").alias("w"), F.lit(0).alias("l"),
+                          F.lit(1).alias("r"))
+            )
+            .groupBy("w")
+            .agg(F.sum("l").alias("c1"), F.sum("r").alias("c2"))
+        )
+        if os.path.exists(bigram_dir):
+            bpart = (
+                sess.read.parquet(bigram_dir)
+                .drop("applied_bid")
+                .unionByName(bpart)
+                .groupBy("w1", "w2")
+                .agg(F.sum("c12").alias("c12"))
+            )
+        if os.path.exists(unigram_dir):
+            upart = (
+                sess.read.parquet(unigram_dir)
+                .drop("applied_bid")
+                .unionByName(upart)
+                .groupBy("w")
+                .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+            )
+        bpart.withColumn(
+            "applied_bid", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            bigram_dir
+        )
+        upart.withColumn(
+            "applied_bid", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            unigram_dir
+        )
+
+    return merge
+
+
+def lm_score_with_counts(
+    docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame
+) -> DataFrame:
+    """Read side of the X585-stream: per-source Stupid-Backoff scores
+    from the count stores — the same arithmetic as q_stupid_backoff,
+    shared so incremental == batch is by construction."""
+    from ..functions import text
+
+    toks = docs.select(
+        "doc_id", "source", text.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("pos", "w1"),
+        F.col("t"),
+    ).select(
+        "doc_id", "source", "w1",
+        F.element_at("t", F.col("pos") + 2).alias("w2"),
+    )
+    total = bigrams.agg(F.sum("c12")).collect()[0][0]
+    uni = unigrams.select("w", "c1", "c2")
+    scored = (
+        bg.join(bigrams.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), "c2"), "w2", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.log10(
+                    F.when(
+                        F.col("c12").isNotNull(),
+                        F.col("c12") * 1.0 / F.col("c1"),
+                    ).otherwise(
+                        0.4
+                        * F.coalesce(F.col("c2"), F.lit(0))
+                        * 1.0
+                        / F.lit(float(total))
+                    )
+                    + 1e-12
+                ),
+                6,
+            ).alias("lg"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.round(F.avg("lg"), 6).alias("doc_score")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("doc_score"), 6).alias("mean_score"),
+        F.round(F.min("doc_score"), 6).alias("min_score"),
+    )

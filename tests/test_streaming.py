@@ -1042,3 +1042,62 @@ def test_streaming_semantic_dedup_routed_incremental_equals_batch(
     fn(waves[-1], 2)
     assert snap(store) == before_store
     assert snap(out) == before_out
+
+
+def test_streaming_lm_counts_incremental_equals_batch(spark, tmp_path):
+    """The Stupid-Backoff count store (bigram + two-sided unigram
+    counts, merged by addition) must reproduce the batch
+    q_stupid_backoff per-source scores on documents-so-far after every
+    wave, through the shared read-side scoring arithmetic — and
+    replaying a batch must not double-count."""
+    from kafka_stream_spark.plans.round6 import q_stupid_backoff
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        lm_counts_batch_fn,
+        lm_score_with_counts,
+        run_streaming_lm_counts,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_scores(seen):
+        bg = spark.read.parquet(f"{store}/bigrams")
+        uni = spark.read.parquet(f"{store}/unigrams")
+        return {
+            tuple(r)
+            for r in lm_score_with_counts(seen, bg, uni).collect()
+        }
+
+    def batch_scores(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/documents.parquet")
+        return {tuple(r) for r in q_stupid_backoff(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_lm_counts(spark, inp, store, ckpt).awaitTermination(240)
+    assert store_scores(wave1) == batch_scores(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_lm_counts(spark, inp, store, ckpt).awaitTermination(240)
+    assert store_scores(docs) == batch_scores(docs, "all")
+
+    # replay: re-apply wave2 under its committed batch_id
+    def snap(path):
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    before_b = snap(f"{store}/bigrams")
+    before_u = snap(f"{store}/unigrams")
+    lm_counts_batch_fn(store)(wave2, 1)
+    assert snap(f"{store}/bigrams") == before_b
+    assert snap(f"{store}/unigrams") == before_u
