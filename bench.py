@@ -227,6 +227,28 @@ HEADLINE = [
     "q_ewma_chart",       # small-shift SPC chart
     "q_gif_pipeline",     # GIF87a LZW encode+decode+aHash
     "q_mulaw_audio",      # G.711 companding round-trip
+    # round-6 additions
+    "q_gif_animation",
+    "q_hard_negatives",
+    "q_ann_operator",
+    "q_durbin_watson",
+    "q_newey_west",
+    "q_chow_test",
+    "q_dagostino_k2",
+    "q_breusch_pagan",
+    "q_granger_lag1",
+    "q_blocklist_filter",
+    "q_stupid_backoff",
+    "q_holm_bonferroni",
+    "q_ntile_cume",
+    "q_fim_transform",
+    "q_tvf_family",
+    "q_aalen_johansen",
+    "q_theta_forecast",
+    "q_cluster_purity",
+    "q_skipgram_pairs",
+    "q_icc",
+    "q_tost",
 ]
 
 

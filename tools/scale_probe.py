@@ -160,6 +160,27 @@ PROBE = [
     "q_audio_pipeline",
     "q_jpeg_progressive",
     "q_multimodal_manifest",
+    # round-6 components
+    "q_gif_animation",
+    "q_durbin_watson",
+    "q_newey_west",
+    "q_chow_test",
+    "q_dagostino_k2",
+    "q_breusch_pagan",
+    "q_granger_lag1",
+    "q_blocklist_filter",
+    "q_stupid_backoff",
+    "q_holm_bonferroni",
+    "q_ann_operator",
+    "q_ntile_cume",
+    "q_fim_transform",
+    "q_tvf_family",
+    "q_aalen_johansen",
+    "q_theta_forecast",
+    "q_cluster_purity",
+    "q_skipgram_pairs",
+    "q_icc",
+    "q_tost",
 ]
 
 
