@@ -2158,3 +2158,290 @@ def q_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_tost, 6).alias("p_tost"),
         (p_tost <= 0.05).alias("equivalent_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X573 gate pin — ANN-routed semantic dedup as an oracled query
+# ---------------------------------------------------------------------------
+
+from ..functions import vectors as _vec  # noqa: E402
+
+_COS_CENT = _vec.cosine_sql(
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "c.cvec"
+)
+_ROUTED_TAU = 0.4
+
+
+@query(
+    "q_semantic_dedup_routed",
+    oracle=f"""
+    WITH {_kmeans_assign2_ctes()},
+    ranked AS MATERIALIZED (
+      SELECT vec_id, cid, prn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_COS_CENT}, 6) DESC, c.cid) AS prn
+        FROM embeddings e CROSS JOIN cent1 c)
+      WHERE prn <= 2
+    ),
+    members AS MATERIALIZED (
+      SELECT r.vec_id, r.cid AS cell, e.embedding
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.prn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT r.vec_id, r.cid AS cell, e.embedding
+      FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+    ),
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM probes b JOIN members a
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_vec.cosine_sql('a.embedding', 'b.embedding')}, 6)
+              >= {_ROUTED_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cell AS cluster_id,
+           (d.dup_of IS NULL) AS kept, d.dup_of
+    FROM members m LEFT JOIN dups d ON d.vec_id = m.vec_id
+    """,
+)
+def q_semantic_dedup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X573 gate pin — operators/semdedup.semantic_dedup_routed under
+    the value-hash oracle: the same trained k=8 codebook as
+    q_semantic_dedup, but candidates come from IVF ROUTING (a vector
+    verifies against lower-id members whose ASSIGNED cell — cosine
+    rank 1 — is among its nprobe=2 PROBED cells) instead of
+    whole-cluster self-joins. The DuckDB twin replays the Lloyd
+    training (shared CTE chain with q_semantic_dedup), the cosine
+    probe ranking, and the asymmetric candidate rule, so the routed
+    scale path itself is hash-verified — not just pytest-pinned
+    against a Spark twin. nprobe > 1 is why a production codebook can
+    be fine (k ~ √n) without losing boundary pairs: a pair split
+    across adjacent cells still meets through the second probe."""
+    from ..operators.semdedup import semantic_dedup_routed, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = train_centroids(e, k=8, iters=2)
+    return semantic_dedup_routed(emb, cent, tau=_ROUTED_TAU, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# X594 — grouped K-fold cross-validation (leakage-safe splits)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grouped_cv",
+    oracle="""
+    WITH folds AS MATERIALIZED (
+      SELECT user_id, event_id, value,
+             CAST(concat('0x', substr(md5(
+               CAST(user_id AS VARCHAR) || '|gcv'), 1, 15)) AS BIGINT)
+               % 5 AS fold
+      FROM events
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM folds GROUP BY fold
+    """,
+)
+def q_grouped_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X594 — GroupKFold assignment: every event lands in the fold of
+    its USER (portable md5-prefix hash of the group key), so no
+    user's data
+    straddles a train/validation boundary — the leakage-safe split
+    behind every per-user model evaluation, complementing X60's
+    row-hash split (which leaks groups by design) and X502's purged
+    time-series CV (which guards the time axis instead). Both engines
+    hash the identical string, so fold membership is cross-engine
+    exact; the per-fold (events, users, value) audit is what a
+    pipeline asserts before training. pytest additionally pins the
+    no-user-in-two-folds invariant."""
+    ev = load(spark, sf_dir, "events")
+    from ..functions.hashing import token_hash
+
+    fold = token_hash(
+        F.concat(F.col("user_id").cast("string"), F.lit("|gcv"))
+    ) % 5
+    folds = ev.select(
+        "user_id", "event_id", "value", fold.cast("long").alias("fold")
+    )
+    return folds.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X595 — pinball (quantile) loss evaluation of quantile forecasts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pinball_loss",
+    oracle="""
+    WITH split AS MATERIALIZED (
+      SELECT o_orderpriority AS pri, o_totalprice AS y,
+             o_orderkey % 5 = 0 AS holdout
+      FROM orders
+    ),
+    train AS MATERIALIZED (
+      SELECT pri,
+             quantile_disc(y, 0.5) AS q50,
+             quantile_disc(y, 0.9) AS q90
+      FROM split WHERE NOT holdout GROUP BY pri
+    ),
+    eval AS (
+      SELECT s.pri, q.tau,
+             CASE WHEN q.tau = 0.5 THEN t.q50 ELSE t.q90 END AS pred,
+             s.y
+      FROM split s
+      JOIN train t ON t.pri = s.pri
+      CROSS JOIN (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS tau) q
+      WHERE s.holdout
+    )
+    SELECT pri AS o_orderpriority, tau,
+           CAST(count(*) AS BIGINT) AS n_holdout,
+           round(pred, 2) AS pred,
+           round(avg(CASE WHEN y >= pred THEN tau * (y - pred)
+                          ELSE (1 - tau) * (pred - y) END), 4)
+             AS pinball
+    FROM eval GROUP BY pri, tau, pred
+    """,
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X595 — pinball (quantile) loss: train-split per-priority
+    empirical q50/q90 price quantiles evaluated on a 20% hash holdout
+    with L_τ(y,ŷ) = τ(y−ŷ)⁺ + (1−τ)(ŷ−y)⁺ — THE proper scoring rule
+    for quantile forecasts, which the newsvendor (X435) and quantile-
+    treatment (X481) consumers here previously had no evaluator for.
+    Discrete quantiles (exact order statistics) keep the trained model
+    identical in both engines — the X134 percentile_disc discipline;
+    the holdout split is key-modulus, reproducible anywhere.
+
+    Plan: one train aggregation (5 rows broadcast back), one scoring
+    pass over the holdout — evaluation never shuffles the fact side."""
+    o = load(spark, sf_dir, "orders")
+    split = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 5 == 0).alias("holdout"),
+    )
+    train = (
+        split.filter(~F.col("holdout"))
+        .groupBy("pri")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias(
+                "q50"
+            ),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY y)").alias(
+                "q90"
+            ),
+        )
+    )
+    taus = spark.sql("SELECT explode(array(0.5D, 0.9D)) AS tau")
+    ev = (
+        split.filter(F.col("holdout"))
+        .join(F.broadcast(train), "pri")
+        .crossJoin(F.broadcast(taus))
+        .select(
+            "pri",
+            "tau",
+            F.when(F.col("tau") == 0.5, F.col("q50"))
+            .otherwise(F.col("q90"))
+            .alias("pred"),
+            "y",
+        )
+    )
+    loss = F.when(
+        F.col("y") >= F.col("pred"),
+        F.col("tau") * (F.col("y") - F.col("pred")),
+    ).otherwise((1 - F.col("tau")) * (F.col("pred") - F.col("y")))
+    return ev.groupBy(
+        F.col("pri").alias("o_orderpriority"), "tau", F.round("pred", 2).alias("pred")
+    ).agg(
+        F.count("*").cast("long").alias("n_holdout"),
+        F.round(F.avg(loss), 4).alias("pinball"),
+    ).select("o_orderpriority", "tau", "n_holdout", "pred", "pinball")
+
+
+# ---------------------------------------------------------------------------
+# X596 — sequential pattern support (X-before-Y, arbitrary gap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seq_pattern_support",
+    oracle="""
+    WITH firsts AS MATERIALIZED (
+      SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ),
+    users AS MATERIALIZED (
+      SELECT count(DISTINCT user_id) AS nu FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS x, b.event_type AS y,
+             count(*) AS support
+      FROM firsts a JOIN firsts b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      WHERE a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT x, y, CAST(support AS BIGINT) AS support,
+           round(support * 1.0 / u.nu, 6) AS support_frac
+    FROM pairs CROSS JOIN users u
+    WHERE support * 1.0 / u.nu >= 0.1
+    """,
+)
+def q_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X596 — sequential-pattern support with ARBITRARY gaps (the
+    PrefixSpan/SPAM counting primitive): a user supports X→Y when some
+    X event precedes some Y event anywhere in their history — which
+    reduces to first(X) < last(Y), so the pattern count needs only the
+    per-(user, type) first/last timestamps, NEVER an event-level
+    self-join. Complements X418's event trigrams (adjacent-only) and
+    X97's CEP patterns (windowed): this is the unordered-gap 'does the
+    journey ever go X then Y' count with a 10% support floor.
+
+    Plan: one (user, type) rollup — k rows per user — then a
+    user-keyed self-join of that tiny table; at 100 TB the rollup is
+    the only fact-sized shuffle."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    nu = ev.select("user_id").distinct().count()
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("x"),
+        F.col("first_ts").alias("x_first"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("y"),
+        F.col("last_ts").alias("y_last"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("x") != F.col("y"))
+            & (F.col("x_first") < F.col("y_last"))
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("support"))
+    )
+    return pairs.select(
+        "x",
+        "y",
+        F.col("support").cast("long").alias("support"),
+        F.round(F.col("support") * 1.0 / F.lit(nu), 6).alias(
+            "support_frac"
+        ),
+    ).filter(F.col("support") * 1.0 / F.lit(nu) >= 0.1)
