@@ -434,3 +434,130 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
     if not frames:
         raise ValueError("no image frame in GIF")
     return sw, sh, frames
+
+
+# ---------------------------------------------------------------------------
+# Interlaced frames + local color tables (closing two documented
+# boundaries of the round-5 decoder)
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(height: int) -> list[int]:
+    """Source-row order of an interlaced GIF frame (4-pass)."""
+    return [
+        y for start, step in _INTERLACE_PASSES
+        for y in range(start, height, step)
+    ]
+
+
+def encode_gif_frame(
+    width: int,
+    height: int,
+    rgb: bytes,
+    interlaced: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Single-frame GIF with optional INTERLACING (rows stored in the
+    4-pass 8/8/4/2 order, iflags bit 0x40) and optional LOCAL color
+    table (palette attached to the image descriptor instead of the
+    screen, iflags bit 0x80 — the multi-palette animation mechanism).
+    With both flags off this is byte-compatible with encode_gif."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length mismatch")
+    pixels = [rgb[i : i + 3] for i in range(0, len(rgb), 3)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError("GIF needs <=256 unique colors")
+    index = {c: i for i, c in enumerate(palette)}
+    k = 0
+    while (2 << k) < len(palette):
+        k += 1
+    table_len = 2 << k
+    mcs = max(2, k + 1)
+    out = bytearray(b"GIF89a")
+    screen_flags = 0x00 if local_palette else (0x80 | k)
+    out += struct.pack("<HHBBB", width, height, screen_flags, 0, 0)
+    if not local_palette:
+        out += b"".join(palette)
+        out += b"\x00\x00\x00" * (table_len - len(palette))
+    iflags = (0x40 if interlaced else 0) | (0x80 | k if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local_palette:
+        out += b"".join(palette)
+        out += b"\x00\x00\x00" * (table_len - len(palette))
+    out.append(mcs)
+    rows = _interlace_order(height) if interlaced else list(range(height))
+    idxs = [
+        index[pixels[y * width + x]] for y in rows for x in range(width)
+    ]
+    data = _lzw_encode(idxs, mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frame(payload: bytes) -> tuple[int, int, bytes]:
+    """GIF87a/89a single frame → (width, height, RGB24), handling
+    interlaced row order and local color tables — the full static-GIF
+    feature surface. (decode_gif remains the round-5 strict decoder;
+    this supersedes its NotImplementedError territory.)"""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct: list[bytes] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                table = [
+                    payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)
+                ]
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            indices = _lzw_decode(bytes(data), mcs)
+            if len(indices) < w * h:
+                raise ValueError("short GIF index stream")
+            if any(i >= len(table) for i in indices[: w * h]):
+                raise ValueError("index out of palette")
+            rows = (
+                _interlace_order(h) if iflags & 0x40 else list(range(h))
+            )
+            out = [b""] * h
+            for stored, y in enumerate(rows):
+                start = stored * w
+                out[y] = b"".join(
+                    table[i] for i in indices[start : start + w]
+                )
+            return w, h, b"".join(out)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image frame in GIF")
