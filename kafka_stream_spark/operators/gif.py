@@ -167,6 +167,44 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
     return bytes(out)
 
 
+def _unpack_at(fmt: str, payload: bytes, off: int):
+    """Bounds-checked struct.unpack over a payload slice: a truncated
+    stream raises the codec's documented ValueError instead of leaking
+    struct.error (same malformed-input hardening as jpeg._BitReader)."""
+    size = struct.calcsize(fmt)
+    if off + size > len(payload):
+        raise ValueError("truncated GIF stream")
+    return struct.unpack(fmt, payload[off : off + size])
+
+
+def _byte_at(payload: bytes, pos: int) -> int:
+    if pos >= len(payload):
+        raise ValueError("truncated GIF stream")
+    return payload[pos]
+
+
+def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Collect GIF data sub-blocks starting at ``pos``; returns
+    (data, position after the 0x00 terminator). Bounds-checked — a
+    payload that ends mid-block or without the terminator raises
+    ValueError rather than IndexError."""
+    data = bytearray()
+    while True:
+        ln = _byte_at(payload, pos)
+        if ln == 0:
+            return bytes(data), pos + 1
+        if pos + 1 + ln > len(payload):
+            raise ValueError("truncated GIF stream")
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += ln + 1
+
+
+def _color_table(payload: bytes, pos: int, n: int) -> tuple[list[bytes], int]:
+    if pos + 3 * n > len(payload):
+        raise ValueError("truncated GIF stream")
+    return [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)], pos + 3 * n
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     """GIF87a/89a → (width, height, RGB24).  Walks extensions, reads
     the global color table, LZW-decodes the first image frame.
@@ -175,37 +213,26 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     feature territory)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, _bg, _ar = _unpack_at("<HHBBB", payload, 6)
     pos = 13
     gct: list[bytes] = []
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
-        pos += 3 * n
+        gct, pos = _color_table(payload, pos, 2 << (flags & 0x07))
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while payload[pos] != 0:
-                pos += payload[pos] + 1
-            pos += 1
+            _, pos = _sub_blocks(payload, pos + 2)
         elif b0 == 0x2C:
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", payload[pos + 1 : pos + 10]
-            )
+            left, top, w, h, iflags = _unpack_at("<HHHHB", payload, pos + 1)
             pos += 10
             if iflags & 0x40:
                 raise NotImplementedError("interlaced GIF")
             if iflags & 0x80:
                 raise NotImplementedError("local color table")
-            mcs = payload[pos]
+            mcs = _byte_at(payload, pos)
             pos += 1
-            data = bytearray()
-            while payload[pos] != 0:
-                ln = payload[pos]
-                data += payload[pos + 1 : pos + 1 + ln]
-                pos += ln + 1
-            indices = _lzw_decode(bytes(data), mcs)
+            data, pos = _sub_blocks(payload, pos)
+            indices = _lzw_decode(data, mcs)
             if len(indices) < w * h:
                 raise ValueError("short GIF index stream")
             if any(i >= len(gct) for i in indices[: w * h]):
@@ -357,13 +384,11 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
     documented boundary)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, bg_idx, _ar = _unpack_at("<HHBBB", payload, 6)
     pos = 13
     gct: list[bytes] = []
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
-        pos += 3 * n
+        gct, pos = _color_table(payload, pos, 2 << (flags & 0x07))
     bg = gct[bg_idx] if gct and bg_idx < len(gct) else b"\x00\x00\x00"
     canvas: list[bytes] = [bg] * (sw * sh)
     frames: list[bytes] = []
@@ -372,41 +397,32 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:
-            label = payload[pos + 1]
+            label = _byte_at(payload, pos + 1)
             pos += 2
             if label == 0xF9:  # graphic control
-                ln = payload[pos]
-                packed = payload[pos + 1]
+                ln = _byte_at(payload, pos)
+                packed = _byte_at(payload, pos + 1)
                 disposal = (packed >> 2) & 0x07
                 trans_idx = (
-                    payload[pos + 4] if packed & 0x01 else None
+                    _byte_at(payload, pos + 4) if packed & 0x01 else None
                 )
                 pos += ln + 1
-                if payload[pos] != 0:
+                if _byte_at(payload, pos) != 0:
                     raise ValueError("unterminated GCE")
                 pos += 1
             else:  # other extensions: skip sub-blocks
-                while payload[pos] != 0:
-                    pos += payload[pos] + 1
-                pos += 1
+                _, pos = _sub_blocks(payload, pos)
         elif b0 == 0x2C:
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", payload[pos + 1 : pos + 10]
-            )
+            left, top, w, h, iflags = _unpack_at("<HHHHB", payload, pos + 1)
             pos += 10
             if iflags & 0x40:
                 raise NotImplementedError("interlaced GIF")
             if iflags & 0x80:
                 raise NotImplementedError("local color table")
-            mcs_f = payload[pos]
+            mcs_f = _byte_at(payload, pos)
             pos += 1
-            data = bytearray()
-            while payload[pos] != 0:
-                ln = payload[pos]
-                data += payload[pos + 1 : pos + 1 + ln]
-                pos += ln + 1
-            pos += 1
-            indices = _lzw_decode(bytes(data), mcs_f)
+            data, pos = _sub_blocks(payload, pos)
+            indices = _lzw_decode(data, mcs_f)
             if len(indices) < w * h:
                 raise ValueError("short GIF index stream")
             before = list(canvas)
@@ -508,40 +524,25 @@ def decode_gif_frame(payload: bytes) -> tuple[int, int, bytes]:
     this supersedes its NotImplementedError territory.)"""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, _bg, _ar = _unpack_at("<HHBBB", payload, 6)
     pos = 13
     gct: list[bytes] = []
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = [payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)]
-        pos += 3 * n
+        gct, pos = _color_table(payload, pos, 2 << (flags & 0x07))
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:
-            pos += 2
-            while payload[pos] != 0:
-                pos += payload[pos] + 1
-            pos += 1
+            _, pos = _sub_blocks(payload, pos + 2)
         elif b0 == 0x2C:
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", payload[pos + 1 : pos + 10]
-            )
+            left, top, w, h, iflags = _unpack_at("<HHHHB", payload, pos + 1)
             pos += 10
             table = gct
             if iflags & 0x80:  # local color table
-                n = 2 << (iflags & 0x07)
-                table = [
-                    payload[pos + 3 * i : pos + 3 * i + 3] for i in range(n)
-                ]
-                pos += 3 * n
-            mcs = payload[pos]
+                table, pos = _color_table(payload, pos, 2 << (iflags & 0x07))
+            mcs = _byte_at(payload, pos)
             pos += 1
-            data = bytearray()
-            while payload[pos] != 0:
-                ln = payload[pos]
-                data += payload[pos + 1 : pos + 1 + ln]
-                pos += ln + 1
-            indices = _lzw_decode(bytes(data), mcs)
+            data, pos = _sub_blocks(payload, pos)
+            indices = _lzw_decode(data, mcs)
             if len(indices) < w * h:
                 raise ValueError("short GIF index stream")
             if any(i >= len(table) for i in indices[: w * h]):

@@ -56,22 +56,143 @@ def store_read(
     return df
 
 
-def batch_already_applied(
-    sess: SparkSession, store_dir: str, batch_id: int
+def _merged_store_versions(store_dir: str) -> list[int]:
+    """Committed version ids of a versioned merged store: ``v=NNN``
+    subdirectories whose Spark write finished (``_SUCCESS`` present).
+    A directory without ``_SUCCESS`` is an in-flight or crashed write
+    and is invisible to readers — the ``_SUCCESS`` creation (a single
+    file create) is the store's atomic commit point."""
+    if not os.path.isdir(store_dir):
+        return []
+    out = []
+    for name in os.listdir(store_dir):
+        if not name.startswith("v="):
+            continue
+        vdir = os.path.join(store_dir, name)
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def merged_store_last_applied(store_dir: str) -> int | None:
+    """Replay guard for merged (read-modify-write) stores: the highest
+    batch_id whose merge committed. Each merge writes a fresh
+    ``v=<batch_id>`` directory and never mutates the previous version,
+    so a crash mid-write leaves the old version intact and the partial
+    new one uncommitted (no ``_SUCCESS``) — the replay reads the old
+    version, redoes the merge, and overwrites the partial directory."""
+    versions = _merged_store_versions(store_dir)
+    return versions[-1] if versions else None
+
+
+def merged_store_read(
+    sess: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """Read the latest committed version of a versioned merged store
+    (one maintained with ``merged_store_apply``); None if no merge has
+    committed yet."""
+    versions = _merged_store_versions(store_dir)
+    if not versions:
+        return None
+    return sess.read.parquet(os.path.join(store_dir, f"v={versions[-1]:012d}"))
+
+
+def merged_store_write(
+    df: DataFrame, store_dir: str, batch_id: int, keep: int = 2
+) -> None:
+    """Commit a merged store version: write ``store_dir/v=<batch_id>``
+    (overwrite — a replayed crash leftover is replaced wholesale), then
+    prune committed versions older than the newest ``keep``. Pruning
+    runs only AFTER the new version committed, so a crash anywhere
+    leaves at least one committed version readable; leftover stale
+    versions are re-pruned by the next write and never read (readers
+    take the max committed id)."""
+    import shutil
+
+    df.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"v={batch_id:012d}")
+    )
+    versions = _merged_store_versions(store_dir)
+    for v in versions[:-keep] if keep > 0 else []:
+        shutil.rmtree(
+            os.path.join(store_dir, f"v={v:012d}"), ignore_errors=True
+        )
+
+
+def merged_store_apply(
+    part: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    combine,
 ) -> bool:
-    """Replay guard for merged (read-modify-write) stores that carry an
-    ``applied_bid`` column: True when the store already folded this
-    batch in. The marker travels INSIDE the store's own parquet write,
-    so there is no window between data commit and marker commit — a
-    restart between the store write and the streaming checkpoint
-    commit replays the batch, sees its own id, and skips."""
-    if not os.path.exists(store_dir):
+    """The one read-modify-write store skeleton every merged streaming
+    store parameterizes (heavy hitters, DFG edges, KMV sketch, LM
+    counts): skip if this batch already committed (foreachBatch replay),
+    else fold the batch's partial into the latest committed version via
+    ``combine(existing, part) -> DataFrame`` and commit a new version.
+    Returns True when the merge ran, False when the replay was skipped.
+
+    Exactly-once on a plain filesystem: the commit point is the new
+    version directory's ``_SUCCESS`` file (single file create). A crash
+    before it leaves the prior version authoritative and the replay
+    redoes the merge from it; a crash after it makes the replay a
+    no-op. Because each sub-store guards independently, a multi-store
+    batch function that crashed between two stores' commits COMPLETES
+    the missing store on replay instead of skipping it."""
+    last = merged_store_last_applied(store_dir)
+    if last is not None and last >= batch_id:
         return False
-    df = sess.read.parquet(store_dir)
-    if "applied_bid" not in df.columns:
-        return False
-    row = df.agg(F.max("applied_bid").alias("m")).collect()[0]
-    return row["m"] is not None and row["m"] >= batch_id
+    existing = merged_store_read(part.sparkSession, store_dir)
+    merged = part if existing is None else combine(existing, part)
+    merged_store_write(merged, store_dir, batch_id)
+    return True
+
+
+def additive_combine(keys: list[str], sums: list[str]):
+    """``merged_store_apply`` combine for purely additive stores: union
+    the partial with the existing rows and re-sum per key, preserving
+    the partial's column dtypes."""
+
+    def combine(existing: DataFrame, part: DataFrame) -> DataFrame:
+        dtypes = dict(part.dtypes)
+        return (
+            existing.unionByName(part)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in sums])
+        )
+
+    return combine
+
+
+def prune_batch_partitions(
+    store_dir: str, current_batch_id: int, keep_last: int = 8
+) -> None:
+    """Compact a batch_id-partitioned state store whose effective value
+    is a RUNNING MAX over partitions (e.g. the late-router high-water
+    mark): drop partitions older than the last ``keep_last`` batches.
+    Safe because the per-batch values are monotone non-decreasing in
+    batch_id, so the max over any retained suffix equals the full max —
+    including for a replaying batch, which excludes only its own
+    partition. Without this the state directory grows one file set per
+    micro-batch forever and the per-batch state read degrades with
+    stream age."""
+    import shutil
+
+    if not os.path.isdir(store_dir):
+        return
+    cutoff = current_batch_id - keep_last
+    for name in os.listdir(store_dir):
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < cutoff:
+            shutil.rmtree(os.path.join(store_dir, name), ignore_errors=True)
 
 
 @dataclass(frozen=True)
@@ -935,29 +1056,12 @@ def run_streaming_process_map(
     ).parquet(input_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        # additive store: skip replayed batches (applied_bid marker is
-        # written in the same overwrite as the merged partials)
-        if batch_already_applied(sess, out_dir, batch_id):
-            return
         part = dfg_partials(dfg_edges(batch))
-        try:
-            existing = sess.read.parquet(out_dir).drop("applied_bid")
-            merged = (
-                existing.unionByName(part)
-                .groupBy("src", "dst")
-                .agg(
-                    F.sum("n").cast("long").alias("n"),
-                    F.sum("dur_sum").alias("dur_sum"),
-                    F.sum("dur_n").cast("long").alias("dur_n"),
-                )
-            )
-        except Exception:
-            merged = part
-        merged.withColumn(
-            "applied_bid", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            out_dir
+        merged_store_apply(
+            part,
+            out_dir,
+            batch_id,
+            additive_combine(["src", "dst"], ["n", "dur_sum", "dur_n"]),
         )
 
     return (
@@ -994,22 +1098,15 @@ def run_streaming_kmv(
     ).parquet(input_dir)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        # keep-k-smallest is idempotent under re-merge, but skip replays
-        # anyway so the store write count matches the batch count
-        if batch_already_applied(sess, out_dir, batch_id):
-            return
         part = kmv_keep(kmv_hashes(batch))
-        try:
-            existing = sess.read.parquet(out_dir).drop("applied_bid")
-            merged = kmv_keep(existing.unionByName(part).distinct())
-        except Exception:
-            merged = part
-        merged.withColumn(
-            "applied_bid", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        merged_store_apply(
+            part,
+            out_dir,
+            batch_id,
+            lambda existing, p: kmv_keep(
+                existing.unionByName(p).distinct()
+            ),
+        )
 
     return (
         li.writeStream.foreachBatch(upsert)
@@ -1165,9 +1262,10 @@ def run_streaming_heavy_hitters(
     vocabulary itself outgrows memory the X101 count-min sketch is the
     documented fallback — same merge-by-addition contract.
 
-    Replay safety: the store carries an ``applied_bid`` marker column
-    written in the SAME parquet overwrite as the merged counts, and the
-    merge skips any batch_id the store already folded in — an additive
+    Replay safety: versioned merged store (``merged_store_apply``) —
+    each merge commits a new ``v=<batch_id>`` directory whose
+    ``_SUCCESS`` file is the atomic commit point, and the merge skips
+    any batch_id at or below the last committed version — an additive
     store must never apply a replayed batch twice (pytest replays a
     batch and pins the counts unchanged)."""
     docs = spark.readStream.schema(
@@ -1189,9 +1287,6 @@ def heavy_hitters_batch_fn(store_dir: str):
     from ..functions import text
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        if batch_already_applied(sess, store_dir, batch_id):
-            return
         part = (
             batch.select(
                 "lang", F.explode(text.tokens(F.col("text"))).alias("token")
@@ -1199,18 +1294,11 @@ def heavy_hitters_batch_fn(store_dir: str):
             .groupBy("lang", "token")
             .agg(F.count("*").alias("cnt"))
         )
-        if os.path.exists(store_dir):
-            part = (
-                sess.read.parquet(store_dir)
-                .drop("applied_bid")
-                .unionByName(part)
-                .groupBy("lang", "token")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        part.withColumn(
-            "applied_bid", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            store_dir
+        merged_store_apply(
+            part,
+            store_dir,
+            batch_id,
+            additive_combine(["lang", "token"], ["cnt"]),
         )
 
     return merge
@@ -1280,6 +1368,10 @@ def run_streaming_late_router(
                 batch_id,
                 state_dir,
             )
+            # hwm is a running max (monotone per batch), so only a
+            # recent suffix of partitions is ever needed — compact the
+            # rest or the state read degrades with stream age
+            prune_batch_partitions(state_dir, batch_id)
 
     return (
         events.writeStream.foreachBatch(route)
@@ -1663,8 +1755,10 @@ def run_streaming_lm_counts(
 
     Layout: ``store_dir/bigrams`` (w1, w2, c12), ``store_dir/unigrams``
     (w, c1, c2) — one row per word carrying BOTH the left-context and
-    right-occurrence counts. Replay-safe via the applied_bid marker
-    (additive store, skip-if-applied). pytest pins store counts equal
+    right-occurrence counts. Each sub-store is an independently
+    versioned merged store with its own replay guard, so a crash
+    between the two commits completes (not skips) the second merge on
+    replay. pytest pins store counts equal
     to batch counts and store-driven scoring equal to the batch
     q_stupid_backoff on documents-so-far after every wave."""
     docs = spark.readStream.schema(
@@ -1687,8 +1781,13 @@ def lm_counts_batch_fn(store_dir: str):
     unigram_dir = os.path.join(store_dir, "unigrams")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        if batch_already_applied(sess, bigram_dir, batch_id):
+        # each sub-store guards its own replay independently (inside
+        # merged_store_apply): a crash between the bigram commit and the
+        # unigram commit COMPLETES the unigram merge on replay instead
+        # of skipping the whole batch on the bigram marker alone
+        done_b = (merged_store_last_applied(bigram_dir) or -1) >= batch_id
+        done_u = (merged_store_last_applied(unigram_dir) or -1) >= batch_id
+        if done_b and done_u:
             return
         toks = batch.select(
             "doc_id", text.tokens(F.col("text")).alias("t")
@@ -1711,31 +1810,17 @@ def lm_counts_batch_fn(store_dir: str):
             .groupBy("w")
             .agg(F.sum("l").alias("c1"), F.sum("r").alias("c2"))
         )
-        if os.path.exists(bigram_dir):
-            bpart = (
-                sess.read.parquet(bigram_dir)
-                .drop("applied_bid")
-                .unionByName(bpart)
-                .groupBy("w1", "w2")
-                .agg(F.sum("c12").alias("c12"))
-            )
-        if os.path.exists(unigram_dir):
-            upart = (
-                sess.read.parquet(unigram_dir)
-                .drop("applied_bid")
-                .unionByName(upart)
-                .groupBy("w")
-                .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
-            )
-        bpart.withColumn(
-            "applied_bid", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            bigram_dir
+        merged_store_apply(
+            bpart,
+            bigram_dir,
+            batch_id,
+            additive_combine(["w1", "w2"], ["c12"]),
         )
-        upart.withColumn(
-            "applied_bid", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            unigram_dir
+        merged_store_apply(
+            upart,
+            unigram_dir,
+            batch_id,
+            additive_combine(["w"], ["c1", "c2"]),
         )
 
     return merge
@@ -1761,7 +1846,12 @@ def lm_score_with_counts(
         "doc_id", "source", "w1",
         F.element_at("t", F.col("pos") + 2).alias("w2"),
     )
-    total = bigrams.agg(F.sum("c12")).collect()[0][0]
+    # empty store → sum is NULL; score nothing rather than raise
+    total = bigrams.agg(F.sum("c12")).collect()[0][0] or 0
+    if total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "source string, n_docs long, mean_score double, min_score double"
+        )
     uni = unigrams.select("w", "c1", "c2")
     scored = (
         bg.join(bigrams.select("w1", "w2", "c12"), ["w1", "w2"], "left")

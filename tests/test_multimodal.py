@@ -506,6 +506,42 @@ def test_gif_roundtrip_width_growth_and_reset():
     assert back == rgb
 
 
+def test_gif_truncation_raises_valueerror_everywhere():
+    """Every prefix of a valid GIF (static, animated, interlace-capable
+    decoder) must fail with the codec's documented ValueError — never
+    IndexError/struct.error — same malformed-input contract as the
+    round-5 jpeg.py hardening."""
+    import pytest
+
+    from kafka_stream_spark.operators.gif import (
+        decode_gif,
+        decode_gif_animation,
+        decode_gif_frame,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    rgb = (b"\x10\x10\x10" * 9 + b"\x80\x80\x80" * 7) * 4
+    static = encode_gif(8, 8, rgb)
+    frames = [rgb, rgb[3:] + rgb[:3]]
+    anim = encode_gif_animation(8, 8, frames)
+    for payload, fn in (
+        (static, decode_gif),
+        (static, decode_gif_frame),
+        (anim, decode_gif_animation),
+    ):
+        for cut in range(4, len(payload) - 1):
+            try:
+                fn(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass  # the documented malformed-input contract
+            # a prefix that still parses is a structurally complete
+            # earlier frame (e.g. animation cut after frame 1) — fine;
+            # what must NEVER escape is IndexError / struct.error
+    with pytest.raises(ValueError):
+        decode_gif_animation(anim[:40])
+
+
 def test_gif_compresses_flat_images():
     from kafka_stream_spark.operators.gif import encode_gif
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kafka_stream_spark.streaming.pipeline import (
     SinkPaths,
+    merged_store_read,
     run_board_stream,
     run_windowed_event_stream,
 )
@@ -508,7 +509,7 @@ def test_streaming_process_map_incremental_equals_batch(spark, tmp_path):
     def store_map():
         return {
             tuple(r)
-            for r in dfg_from_partials(spark.read.parquet(out)).collect()
+            for r in dfg_from_partials(merged_store_read(spark, out)).collect()
         }
 
     def batch_map(d, tag):
@@ -548,7 +549,7 @@ def test_streaming_kmv_incremental_equals_batch(spark, tmp_path):
     def store_est():
         return {
             tuple(r)
-            for r in kmv_estimates(spark.read.parquet(out)).collect()
+            for r in kmv_estimates(merged_store_read(spark, out)).collect()
         }
 
     def batch_est(d):
@@ -654,7 +655,7 @@ def test_streaming_heavy_hitters_incremental_equals_batch(spark, tmp_path, sf_di
         )
         return {
             (r["lang"], r["token"], r["cnt"], r["rk"])
-            for r in spark.read.parquet(store)
+            for r in merged_store_read(spark, store)
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .collect()
@@ -921,13 +922,19 @@ def test_streaming_store_replay_idempotent(spark, tmp_path, sf_dir):
         )
 
     # additive (read-modify-write) store: heavy hitters
+    def snap_merged(path):
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in merged_store_read(spark, path).collect()
+        )
+
     hh_store = str(tmp_path / "hh")
     hh = heavy_hitters_batch_fn(hh_store)
     hh(w1, 0)
     hh(w2, 1)
-    before = snap(hh_store)
+    before = snap_merged(hh_store)
     hh(w2, 1)  # replay of the last batch
-    assert snap(hh_store) == before
+    assert snap_merged(hh_store) == before
 
     # append-style store: MinHash near-dedup signatures + results
     nd_store = str(tmp_path / "nd_store")
@@ -1069,8 +1076,8 @@ def test_streaming_lm_counts_incremental_equals_batch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def store_scores(seen):
-        bg = spark.read.parquet(f"{store}/bigrams")
-        uni = spark.read.parquet(f"{store}/unigrams")
+        bg = merged_store_read(spark, f"{store}/bigrams")
+        uni = merged_store_read(spark, f"{store}/unigrams")
         return {
             tuple(r)
             for r in lm_score_with_counts(seen, bg, uni).collect()
@@ -1093,7 +1100,7 @@ def test_streaming_lm_counts_incremental_equals_batch(spark, tmp_path):
     def snap(path):
         return sorted(
             repr(sorted(r.asDict().items()))
-            for r in spark.read.parquet(path).collect()
+            for r in merged_store_read(spark, path).collect()
         )
 
     before_b = snap(f"{store}/bigrams")
@@ -1101,3 +1108,15 @@ def test_streaming_lm_counts_incremental_equals_batch(spark, tmp_path):
     lm_counts_batch_fn(store)(wave2, 1)
     assert snap(f"{store}/bigrams") == before_b
     assert snap(f"{store}/unigrams") == before_u
+
+    # partial-crash completion: wipe the unigram store as if the crash
+    # hit between the two sub-store commits, then replay — the bigram
+    # guard must NOT mask the unigram merge (it must be rebuilt)
+    import shutil
+
+    shutil.rmtree(f"{store}/unigrams")
+    lm_counts_batch_fn(store)(wave2, 1)
+    # bigrams untouched (still guarded), unigrams re-merged from wave2
+    assert snap(f"{store}/bigrams") == before_b
+    rebuilt = merged_store_read(spark, f"{store}/unigrams")
+    assert rebuilt is not None and rebuilt.count() > 0
