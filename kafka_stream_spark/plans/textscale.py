@@ -162,6 +162,149 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Capped-variant knobs: per-doc prefix-index cap and per-doc candidate cap.
+PREFIX_CAP = 4
+M_CAP = 8
+
+
+@query(
+    "q_jaccard_prefix_capped",
+    oracle=f"""
+    WITH s AS (SELECT * FROM {_SETS_SQL}),
+    e AS (SELECT doc_id, unnest(ts) AS tok, len(ts) AS n FROM s),
+    df AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+    ranked AS (
+      SELECT e.doc_id, e.tok, e.n,
+             row_number() OVER (
+               PARTITION BY e.doc_id ORDER BY df.df, e.tok) - 1 AS pos
+      FROM e JOIN df USING (tok)),
+    p AS (
+      SELECT * FROM ranked
+      WHERE pos < least(
+        n - CAST(ceil(CAST({TAU} AS DOUBLE) * n) AS BIGINT) + 1,
+        {PREFIX_CAP})),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             min(a.pos + b.pos) AS colpos
+      FROM p a JOIN p b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND greatest(a.n, b.n) * CAST({TAU} AS DOUBLE) <= least(a.n, b.n)
+       AND least(a.n - a.pos, b.n - b.pos) >=
+           ceil((a.n + b.n) * CAST({TAU / (1.0 + TAU)!r} AS DOUBLE))
+      GROUP BY 1, 2),
+    capped AS (
+      SELECT doc_a, doc_b, rn FROM (
+        SELECT doc_a, doc_b,
+               row_number() OVER (
+                 PARTITION BY doc_a ORDER BY colpos, doc_b) AS rn
+        FROM cand)
+      WHERE rn <= {M_CAP}),
+    v AS (
+      SELECT c.doc_a, c.doc_b, c.rn, count(*) AS o,
+             any_value(ea.n) AS na, any_value(eb.n) AS nb
+      FROM capped c
+      JOIN e ea ON ea.doc_id = c.doc_a
+      JOIN e eb ON eb.doc_id = c.doc_b AND eb.tok = ea.tok
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, CAST(rn AS INT) AS rn,
+           round(o * 1.0 / (na + nb - o), 6) AS jaccard
+    FROM v
+    WHERE o * 1.0 / (na + nb - o) >= {TAU}
+    """,
+)
+def q_jaccard_prefix_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X597 — the CAPPED scale variant of q_jaccard_prefix: identical
+    prefix machinery, but (1) each doc indexes at most PREFIX_CAP of its
+    rarest prefix tokens and (2) each doc retains at most M_CAP
+    candidate partners (larger doc_id side), ranked by the collision's
+    combined prefix position (rarer-end collisions first) with doc_id
+    tiebreak — so candidate generation, verification volume AND output
+    are all O(m · corpus) even when qualifying pairs grow quadratically
+    (the uncapped form's documented output-bound honest exception; the
+    uncapped q_jaccard_prefix stays registered as the completeness
+    oracle). The cap is deterministic over the same global (df, tok)
+    order, so the DuckDB twin replays the exact subset — this is a
+    hash-gated query, not a heuristic.
+
+    At 100 TB: the prefix index is ≤ PREFIX_CAP rows/doc; the rank cap
+    bounds the per-doc verify fan-out the way a top-k ANN search bounds
+    probe cost; dedup consumers take the best-m near-duplicate partners
+    per doc, which is what a canonical-selection pass actually consumes
+    (cf. Lee et al. 2022 dedup: per-doc match lists, not the full
+    quadratic pair set)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(text.hashed_tokens_mod(F.col("text"))).alias("ts"),
+    ).persist()
+    exploded = sets.select("doc_id", F.explode("ts").alias("tok"))
+    tokdf = exploded.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        exploded.join(F.broadcast(tokdf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s.getField("tok"),
+            ).alias("ord_ts")
+        )
+    )
+    n = F.size("ord_ts")
+    prefix_len = F.least(
+        (n - F.ceil(n * F.lit(TAU)) + 1).cast("int"), F.lit(PREFIX_CAP)
+    )
+    prefixes = ordered.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(F.slice("ord_ts", 1, prefix_len)).alias("pos", "ptok"),
+    ).persist()
+
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    min_overlap = F.ceil(
+        (F.col("a.n") + F.col("b.n")) * F.lit(TAU / (1.0 + TAU))
+    )
+    overlap_ubound = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest("a.n", "b.n") * F.lit(TAU)
+                <= F.least("a.n", "b.n")
+            )
+            & (overlap_ubound >= min_overlap),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.min(F.col("a.pos") + F.col("b.pos")).alias("colpos"))
+    )
+    w = Window.partitionBy("doc_a").orderBy("colpos", "doc_b")
+    capped = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= M_CAP)
+        .select("doc_a", "doc_b", "rn")
+    )
+
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jacc = inter * F.lit(1.0) / (F.size("ts_a") + F.size("ts_b") - inter)
+    return (
+        capped.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= TAU)
+        .select("doc_a", "doc_b", "rn", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 @query(
     "q_char_entropy",
     oracle="""
