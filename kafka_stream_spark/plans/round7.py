@@ -1,0 +1,389 @@
+"""Round-7 additions: the iterated BPE trainer + encoder (completing the
+tokenizer story X168 started — q_bpe_pairs does only the FIRST merge
+step), and the deterministic sequence-packing operator (completing
+X230, which only MEASURES padding waste).
+
+Reference scope note: the reference pipeline (kafka_s.py) has no
+tokenizer or packing surface at all — these are §2.13 LLM-data-pipeline
+mandate components, reference-free by design.
+
+Scale notes:
+
+* BPE trains on the WORD-TYPE table (word, freq), not the corpus —
+  vocabulary-sized by Heaps' law, so the per-round window passes touch
+  a relation orders of magnitude smaller than the corpus even at
+  100 TB; the corpus is read exactly once (word counting) and once
+  more at encode time (broadcast join against the trained pieces).
+  Every BPE implementation since Sennrich et al. 2016 uses this
+  word-type factorization.
+* Merge rounds are FIXED-DEPTH UNROLLED (R_BPE rounds), the same
+  discipline as the X74 PageRank / X558 power-iteration oracles: each
+  round is ~3 window passes + one vocabulary-sized aggregate, and the
+  argmax pair broadcasts.
+* Sequence packing runs greedy next-fit-decreasing INSIDE hash
+  buckets: the sequential fold is per-bucket (applyInPandas), buckets
+  are independent, and the DuckDB oracle replays the exact greedy scan
+  with a recursive CTE — packing quality is within a constant of FFD
+  while staying embarrassingly parallel across buckets, which is the
+  only packing discipline that works on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources.tables import load
+from .registry import query
+
+#: Number of unrolled BPE merge rounds (the trained vocabulary adds
+#: R_BPE merged symbols on top of the character alphabet).
+R_BPE = 6
+
+#: Sequence-packing token budget per training sequence, and the number
+#: of independent packing buckets (doc_id-hash partitions).
+B_PACK = 64
+N_PACK_BUCKETS = 16
+
+
+# ---------------------------------------------------------------------------
+# X598 — iterated BPE trainer (+ X599 encoder)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, pos, sym): every word type split into characters with
+    its corpus frequency — the relation all merge rounds fold."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return words.select(
+        "w",
+        "freq",
+        F.posexplode(F.regexp_extract_all("w", F.lit("."), 0)).alias(
+            "pos", "sym"
+        ),
+    )
+
+
+def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round: argmax adjacent pair (freq-weighted, ties
+    broken lexicographically) → greedy left-to-right non-overlapping
+    merge of its occurrences. Overlap chains only arise for L == R
+    (runs like 'aaa'); within each maximal run of consecutive matched
+    positions the even offsets win — exactly greedy scan order, and
+    exactly what the oracle's window-function replay computes.
+
+    Returns (next-round rows, this round's merge-table row)."""
+    wnd = Window.partitionBy("w").orderBy("pos")
+    pr = cur.withColumn("nsym", F.lead("sym").over(wnd))
+    counts = (
+        pr.filter(F.col("nsym").isNotNull())
+        .groupBy("sym", "nsym")
+        .agg(F.sum("freq").alias("n"))
+    )
+    best = (
+        counts.orderBy(F.desc("n"), F.asc("sym"), F.asc("nsym"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("bl"),
+            F.col("nsym").alias("br"),
+            F.col("n").alias("bn"),
+        )
+    )
+    j = pr.crossJoin(F.broadcast(best)).withColumn(
+        "m",
+        F.col("nsym").isNotNull()
+        & (F.col("sym") == F.col("bl"))
+        & (F.col("nsym") == F.col("br")),
+    )
+    wm = Window.partitionBy("w", "m").orderBy("pos")
+    j = j.withColumn(
+        "grp", F.when(F.col("m"), F.col("pos") - F.row_number().over(wm))
+    )
+    wg = Window.partitionBy("w", "grp").orderBy("pos")
+    j = j.withColumn(
+        "sel", F.col("m") & (((F.row_number().over(wg) - 1) % 2) == 0)
+    )
+    j = j.withColumn("psel", F.coalesce(F.lag("sel").over(wnd), F.lit(False)))
+    kept = j.filter(~F.col("psel")).select(
+        "w",
+        "freq",
+        "pos",
+        F.when(F.col("sel"), F.concat("sym", "nsym"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    renum = kept.select(
+        "w",
+        "freq",
+        (F.row_number().over(Window.partitionBy("w").orderBy("pos")) - 1)
+        .cast("int")
+        .alias("pos"),
+        "sym",
+    )
+    merge_row = best.select(
+        F.lit(rank).alias("merge_rank"),
+        F.col("bl").alias("lhs"),
+        F.col("br").alias("rhs"),
+        F.concat("bl", "br").alias("merged"),
+        F.col("bn").cast("long").alias("n"),
+    )
+    return renum, merge_row
+
+
+def _bpe_train_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run R_BPE unrolled merge rounds; returns (per-round merge rows,
+    final symbol table). Each round's rows are locally checkpointed —
+    the relation is word-type-sized, so the materialization is tiny,
+    and it keeps the R-round window-plan from stacking in Catalyst."""
+    cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, R_BPE + 1):
+        cur, mrow = _bpe_round(cur, r)
+        cur = cur.localCheckpoint(eager=True)
+        merges.append(mrow)
+    return merges, cur
+
+
+def _bpe_cte_chain(rounds: int) -> str:
+    """The DuckDB replay of the unrolled trainer: r0 = word types split
+    to characters; each round computes the argmax pair, marks matches,
+    resolves overlap runs by offset parity, merges and renumbers —
+    chained MATERIALIZED CTEs (each round is referenced twice)."""
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({text.tokens_sql('text')}) AS w FROM documents)
+      GROUP BY w),
+    r0 AS MATERIALIZED (
+      SELECT w, freq, i AS pos, substring(w, i + 1, 1) AS sym
+      FROM words, unnest(range(length(w))) AS t(i))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""r{r}_pairs AS MATERIALIZED (
+      SELECT w, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
+      FROM r{r - 1}),
+    r{r}_best AS MATERIALIZED (
+      SELECT sym AS bl, nsym AS br, sum(freq) AS bn
+      FROM r{r}_pairs WHERE nsym IS NOT NULL
+      GROUP BY sym, nsym ORDER BY bn DESC, bl, br LIMIT 1),
+    r{r}_sel AS MATERIALIZED (
+      SELECT *, m AND (row_number() OVER (PARTITION BY w, grp ORDER BY pos) - 1) % 2 = 0 AS sel
+      FROM (
+        SELECT *, CASE WHEN m THEN pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) END AS grp
+        FROM (
+          SELECT p.*, b.bl, b.br,
+                 (p.nsym IS NOT NULL AND p.sym = b.bl AND p.nsym = b.br) AS m
+          FROM r{r}_pairs p CROSS JOIN r{r}_best b))),
+    r{r} AS MATERIALIZED (
+      SELECT w, freq,
+             CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS INT) AS pos,
+             sym
+      FROM (
+        SELECT w, freq, pos,
+               CASE WHEN sel THEN sym || nsym ELSE sym END AS sym,
+               coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos), FALSE) AS psel
+        FROM r{r}_sel) WHERE NOT psel)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_TRAIN_SELECT = " UNION ALL ".join(
+    f"SELECT {r} AS merge_rank, bl AS lhs, br AS rhs, bl || br AS merged, "
+    f"CAST(bn AS BIGINT) AS n FROM r{r}_best"
+    for r in range(1, R_BPE + 1)
+)
+
+
+@query(
+    "q_bpe_train",
+    oracle=f"""
+    WITH {_bpe_cte_chain(R_BPE)}
+    {_BPE_TRAIN_SELECT}
+    """,
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X598 — the ITERATED BPE trainer (Sennrich et al. 2016), R_BPE
+    unrolled merge rounds over the word-type table: each round picks
+    the corpus-frequency-weighted argmax adjacent symbol pair
+    (lexicographic tiebreak), merges its occurrences greedily
+    left-to-right (offset-parity run resolution for L==R chains), and
+    the learned merge table — (merge_rank, lhs, rhs, merged, n) — is
+    the trained tokenizer. Completes what X168's q_bpe_pairs started
+    (one induction step); the DuckDB oracle replays every round with
+    the same window-function semantics, so the full training
+    trajectory sits under the value-hash gate, like the X74 unrolled
+    PageRank.
+
+    Scale: rounds operate on the word-TYPE relation (Heaps-law
+    vocabulary-sized); the argmax broadcasts; the corpus is scanned
+    once. At 100 TB the dominant cost is the initial word count — one
+    map-side-combinable shuffle."""
+    merges, _ = _bpe_train_frames(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH {_bpe_cte_chain(R_BPE)},
+    pieces AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+      FROM r{R_BPE} GROUP BY w),
+    tok AS (
+      SELECT doc_id, unnest({text.tokens_sql('text')}) AS w
+      FROM documents)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+           round(sum(p.n_pieces) * 1.0 / count(*), 6) AS pieces_per_token
+    FROM tok t JOIN pieces p ON t.w = p.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X599 — re-tokenize the corpus with the X598-trained merges:
+    the final word→pieces table (one row per word type after R_BPE
+    rounds) broadcast-joins to the exploded corpus, yielding per-doc
+    token/piece counts and fertility (pieces per token — the tokenizer-
+    quality number every multilingual-tokenizer paper reports). The
+    train and encode plans share the round machinery, so encode is
+    trained-on-this-corpus by construction (vocabulary closure makes
+    the inner join complete).
+
+    Scale: encode is ONE broadcast join against a vocabulary-sized
+    pieces table — the corpus never shuffles."""
+    _, final_rows = _bpe_train_frames(spark, sf_dir)
+    pieces = final_rows.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_pieces")
+    )
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+    return (
+        tok.join(F.broadcast(pieces), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") * F.lit(1.0) / F.count("*"), 6
+            ).alias("pieces_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X600 — deterministic sequence packing (next-fit-decreasing in buckets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sequence_pack_strict",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT doc_id,
+             CAST(least(len({text.tokens_sql('text')}), {B_PACK}) AS INT) AS len,
+             CAST(doc_id % {N_PACK_BUCKETS} AS INT) AS bucket
+      FROM documents),
+    ord AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket ORDER BY len DESC, doc_id) AS rn
+      FROM items),
+    pack AS (
+      SELECT bucket, rn, doc_id, len, 1 AS seq, len AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.len,
+             CASE WHEN p.fill + o.len <= {B_PACK} THEN p.seq ELSE p.seq + 1 END,
+             CASE WHEN p.fill + o.len <= {B_PACK} THEN p.fill + o.len ELSE o.len END
+      FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(seq AS INT) AS seq,
+           CAST(row_number() OVER (PARTITION BY bucket, seq ORDER BY rn) AS INT) AS slot,
+           doc_id,
+           CAST(len AS INT) AS len,
+           CAST(fill AS INT) AS fill
+    FROM pack
+    """,
+)
+def q_sequence_pack_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X600 — STRICT-CAPACITY sequence packing: greedy next-fit-
+    decreasing of (budget-capped) documents into fixed-B_PACK-token
+    training sequences, independently within N_PACK_BUCKETS doc_id
+    buckets, emitting full (bucket, seq, slot, doc_id, len, fill)
+    lineage. The existing X267 q_sequence_pack assigns windows by a
+    running-sum ceiling, which is two window functions but lets a
+    window straddle-overflow by up to one piece; THIS operator never
+    exceeds the budget (fill ≤ B_PACK is an invariant of the fold) —
+    the guarantee a fixed-context trainer actually requires — at the
+    cost of a genuinely sequential per-bucket scan, which is exactly
+    why it buckets. Docs longer than the budget are capped (the
+    chunking operator X33 is the upstream fix).
+
+    NFD (not first-fit-decreasing) is deliberate: NFD never revisits a
+    closed sequence, so the fold is a single ordered scan per bucket —
+    replayable row-by-row by the oracle's recursive CTE and streaming-
+    friendly — while its waste stays within a constant factor of FFD.
+
+    Spark side: the per-bucket scan is a tiny pandas fold via
+    applyInPandas (genuinely sequential semantics — the documented
+    Pandas-UDF escape hatch); buckets are independent, so parallelism
+    is the bucket count. At 100 TB: bucket by hash(doc_id) into
+    O(cluster cores) buckets; each bucket's item list is metadata
+    (doc_id + length), NOT text, so a bucket fold touches megabytes
+    while the text stays columnar until a final broadcast-join
+    materializes sequences."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    items = d.select(
+        "doc_id",
+        F.least(F.size(text.tokens(F.col("text"))), F.lit(B_PACK))
+        .cast("int")
+        .alias("len"),
+        (F.col("doc_id") % N_PACK_BUCKETS).cast("int").alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["len", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        seqs, slots, fills = [], [], []
+        seq, fill, slot = 1, 0, 0
+        for ln in pdf["len"]:
+            if fill + int(ln) > B_PACK:
+                seq += 1
+                fill = 0
+                slot = 0
+            fill += int(ln)
+            slot += 1
+            seqs.append(seq)
+            slots.append(slot)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"],
+                "seq": seqs,
+                "slot": slots,
+                "doc_id": pdf["doc_id"],
+                "len": pdf["len"],
+                "fill": fills,
+            }
+        )
+
+    return items.groupBy("bucket").applyInPandas(
+        pack,
+        "bucket int, seq int, slot int, doc_id long, len int, fill int",
+    )
