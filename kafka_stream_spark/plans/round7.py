@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..functions import text
 from ..sources.tables import load
 from .registry import query
+from .round6 import _DAILY_SQL
 
 #: Number of unrolled BPE merge rounds (the trained vocabulary adds
 #: R_BPE merged symbols on top of the character alphabet).
@@ -70,31 +71,13 @@ def _bpe_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
-    """One BPE merge round: argmax adjacent pair (freq-weighted, ties
-    broken lexicographically) → greedy left-to-right non-overlapping
-    merge of its occurrences. Overlap chains only arise for L == R
-    (runs like 'aaa'); within each maximal run of consecutive matched
-    positions the even offsets win — exactly greedy scan order, and
-    exactly what the oracle's window-function replay computes.
-
-    Returns (next-round rows, this round's merge-table row)."""
+def _merge_best(pr: DataFrame, best: DataFrame) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of the argmax pair's
+    occurrences. Overlap chains only arise for L == R (runs like
+    'aaa'); within each maximal run of consecutive matched positions
+    the even offsets win — exactly greedy scan order, and exactly what
+    the oracle's window-function replay computes."""
     wnd = Window.partitionBy("w").orderBy("pos")
-    pr = cur.withColumn("nsym", F.lead("sym").over(wnd))
-    counts = (
-        pr.filter(F.col("nsym").isNotNull())
-        .groupBy("sym", "nsym")
-        .agg(F.sum("freq").alias("n"))
-    )
-    best = (
-        counts.orderBy(F.desc("n"), F.asc("sym"), F.asc("nsym"))
-        .limit(1)
-        .select(
-            F.col("sym").alias("bl"),
-            F.col("nsym").alias("br"),
-            F.col("n").alias("bn"),
-        )
-    )
     j = pr.crossJoin(F.broadcast(best)).withColumn(
         "m",
         F.col("nsym").isNotNull()
@@ -118,13 +101,39 @@ def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
         .otherwise(F.col("sym"))
         .alias("sym"),
     )
-    renum = kept.select(
+    return kept.select(
         "w",
         "freq",
         (F.row_number().over(Window.partitionBy("w").orderBy("pos")) - 1)
         .cast("int")
         .alias("pos"),
         "sym",
+    )
+
+
+def _pair_rows(cur: DataFrame) -> DataFrame:
+    wnd = Window.partitionBy("w").orderBy("pos")
+    return cur.withColumn("nsym", F.lead("sym").over(wnd))
+
+
+def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge round: freq-weighted argmax adjacent pair
+    (lexicographic tiebreak) → greedy merge. Returns (next-round rows,
+    this round's merge-table row)."""
+    pr = _pair_rows(cur)
+    counts = (
+        pr.filter(F.col("nsym").isNotNull())
+        .groupBy("sym", "nsym")
+        .agg(F.sum("freq").alias("n"))
+    )
+    best = (
+        counts.orderBy(F.desc("n"), F.asc("sym"), F.asc("nsym"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("bl"),
+            F.col("nsym").alias("br"),
+            F.col("n").alias("bn"),
+        )
     )
     merge_row = best.select(
         F.lit(rank).alias("merge_rank"),
@@ -133,11 +142,64 @@ def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
         F.concat("bl", "br").alias("merged"),
         F.col("bn").cast("long").alias("n"),
     )
-    return renum, merge_row
+    return _merge_best(pr, best), merge_row
+
+
+def _wp_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
+    """One WordPiece merge round (Schuster & Nakajima 2012): the pair
+    maximizing the LIKELIHOOD score freq(lr) / (freq(l) · freq(r)) —
+    the unigram-LM gain of the merge — instead of BPE's raw frequency;
+    merge mechanics are identical. The argmax compares the exact
+    IEEE-double quotient of integer sums (identical in both engines),
+    ties broken lexicographically; the emitted merge table carries the
+    integer (n, c_lhs, c_rhs) triple rather than the quotient, so the
+    gate hashes exact integers."""
+    pr = _pair_rows(cur)
+    uni = cur.groupBy("sym").agg(F.sum("freq").alias("c"))
+    counts = (
+        pr.filter(F.col("nsym").isNotNull())
+        .groupBy("sym", "nsym")
+        .agg(F.sum("freq").alias("n"))
+    )
+    scored = (
+        counts.join(
+            uni.select(F.col("sym").alias("__ls"), F.col("c").alias("cl")),
+            F.col("sym") == F.col("__ls"),
+        )
+        .join(
+            uni.select(F.col("sym").alias("__rs"), F.col("c").alias("cr")),
+            F.col("nsym") == F.col("__rs"),
+        )
+        .select("sym", "nsym", "n", "cl", "cr")
+    )
+    score = F.col("n").cast("double") / (
+        F.col("cl").cast("double") * F.col("cr").cast("double")
+    )
+    best = (
+        scored.orderBy(score.desc(), F.asc("sym"), F.asc("nsym"))
+        .limit(1)
+        .select(
+            F.col("sym").alias("bl"),
+            F.col("nsym").alias("br"),
+            F.col("n").alias("bn"),
+            F.col("cl").alias("bcl"),
+            F.col("cr").alias("bcr"),
+        )
+    )
+    merge_row = best.select(
+        F.lit(rank).alias("merge_rank"),
+        F.col("bl").alias("lhs"),
+        F.col("br").alias("rhs"),
+        F.concat("bl", "br").alias("merged"),
+        F.col("bn").cast("long").alias("n"),
+        F.col("bcl").cast("long").alias("c_lhs"),
+        F.col("bcr").cast("long").alias("c_rhs"),
+    )
+    return _merge_best(pr, best.select("bl", "br")), merge_row
 
 
 def _bpe_train_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, round_fn=_bpe_round
 ) -> tuple[list[DataFrame], DataFrame]:
     """Run R_BPE unrolled merge rounds; returns (per-round merge rows,
     final symbol table). Each round's rows are locally checkpointed —
@@ -146,17 +208,19 @@ def _bpe_train_frames(
     cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=True)
     merges = []
     for r in range(1, R_BPE + 1):
-        cur, mrow = _bpe_round(cur, r)
+        cur, mrow = round_fn(cur, r)
         cur = cur.localCheckpoint(eager=True)
         merges.append(mrow)
     return merges, cur
 
 
-def _bpe_cte_chain(rounds: int) -> str:
+def _bpe_cte_chain(rounds: int, wordpiece: bool = False) -> str:
     """The DuckDB replay of the unrolled trainer: r0 = word types split
-    to characters; each round computes the argmax pair, marks matches,
-    resolves overlap runs by offset parity, merges and renumbers —
-    chained MATERIALIZED CTEs (each round is referenced twice)."""
+    to characters; each round computes the argmax pair (raw frequency
+    for BPE; likelihood score n/(c_l·c_r) for WordPiece), marks
+    matches, resolves overlap runs by offset parity, merges and
+    renumbers — chained MATERIALIZED CTEs (each round is referenced
+    twice)."""
     parts = [
         f"""words AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -167,15 +231,30 @@ def _bpe_cte_chain(rounds: int) -> str:
       FROM words, unnest(range(length(w))) AS t(i))"""
     ]
     for r in range(1, rounds + 1):
+        if wordpiece:
+            best_cte = f"""r{r}_uni AS MATERIALIZED (
+      SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM r{r - 1} GROUP BY sym),
+    r{r}_best AS MATERIALIZED (
+      SELECT bl, br, bn, ua.c AS bcl, ub.c AS bcr
+      FROM (
+        SELECT sym AS bl, nsym AS br, CAST(sum(freq) AS BIGINT) AS bn
+        FROM r{r}_pairs WHERE nsym IS NOT NULL GROUP BY 1, 2) cnt
+      JOIN r{r}_uni ua ON ua.sym = cnt.bl
+      JOIN r{r}_uni ub ON ub.sym = cnt.br
+      ORDER BY CAST(bn AS DOUBLE) / (CAST(bcl AS DOUBLE) * CAST(bcr AS DOUBLE))
+        DESC, bl, br
+      LIMIT 1),"""
+        else:
+            best_cte = f"""r{r}_best AS MATERIALIZED (
+      SELECT sym AS bl, nsym AS br, sum(freq) AS bn
+      FROM r{r}_pairs WHERE nsym IS NOT NULL
+      GROUP BY sym, nsym ORDER BY bn DESC, bl, br LIMIT 1),"""
         parts.append(
             f"""r{r}_pairs AS MATERIALIZED (
       SELECT w, freq, pos, sym,
              lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
       FROM r{r - 1}),
-    r{r}_best AS MATERIALIZED (
-      SELECT sym AS bl, nsym AS br, sum(freq) AS bn
-      FROM r{r}_pairs WHERE nsym IS NOT NULL
-      GROUP BY sym, nsym ORDER BY bn DESC, bl, br LIMIT 1),
+    {best_cte}
     r{r}_sel AS MATERIALIZED (
       SELECT *, m AND (row_number() OVER (PARTITION BY w, grp ORDER BY pos) - 1) % 2 = 0 AS sel
       FROM (
@@ -386,4 +465,122 @@ def q_sequence_pack_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.groupBy("bucket").applyInPandas(
         pack,
         "bucket int, seq int, slot int, doc_id long, len int, fill int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X601 — WordPiece trainer (likelihood-scored merges)
+# ---------------------------------------------------------------------------
+
+_WP_TRAIN_SELECT = " UNION ALL ".join(
+    f"SELECT {r} AS merge_rank, bl AS lhs, br AS rhs, bl || br AS merged, "
+    f"CAST(bn AS BIGINT) AS n, CAST(bcl AS BIGINT) AS c_lhs, "
+    f"CAST(bcr AS BIGINT) AS c_rhs FROM r{r}_best"
+    for r in range(1, R_BPE + 1)
+)
+
+
+@query(
+    "q_wordpiece_train",
+    oracle=f"""
+    WITH {_bpe_cte_chain(R_BPE, wordpiece=True)}
+    {_WP_TRAIN_SELECT}
+    """,
+)
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X601 — the WordPiece trainer (Schuster & Nakajima 2012, the BERT
+    tokenizer): identical merge mechanics to X598 BPE but each round's
+    argmax maximizes the unigram-LM LIKELIHOOD GAIN
+    freq(lr) / (freq(l) · freq(r)) instead of raw pair frequency —
+    rare-but-cohesive pairs merge before frequent-but-independent ones.
+    Output is the merge table with the exact integer score components
+    (n, c_lhs, c_rhs) so the gate hashes integers while the internal
+    argmax compares the exact IEEE quotient (identical across engines
+    for identical integer inputs, ties broken lexicographically).
+
+    The BPE/WordPiece pair demonstrates the trainer harness is
+    algorithm-parameterized: same word-type factorization, same greedy
+    merge, same unrolled-CTE oracle discipline — only the per-round
+    scoring CTE differs."""
+    merges, _ = _bpe_train_frames(spark, sf_dir, round_fn=_wp_round)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X602 — PRESS / leave-one-out regression diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_press_loo",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    lev AS (
+      SELECT r.flag, r.t, r.e,
+             1.0 / s.n + (r.t - s.sx / s.n) * (r.t - s.sx / s.n)
+               / (s.sxx - s.sx * s.sx / s.n) AS h
+      FROM resid r JOIN sums s ON s.flag = r.flag
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum((e / (1 - h)) * (e / (1 - h))) / 1e9, 4) AS press_b,
+           round(1 - sum((e / (1 - h)) * (e / (1 - h)))
+                     / any_value(syy_c), 6) AS r2_pred,
+           round(max(h), 6) AS max_leverage
+    FROM lev JOIN (
+      SELECT flag, syy - sy * sy / n AS syy_c FROM sums) c USING (flag)
+    GROUP BY flag
+    """,
+)
+def q_press_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X602 — PRESS (predicted residual error sum of squares) and
+    leave-one-out diagnostics for the per-flag daily-revenue OLS trend
+    (the same series the X575-X580 diagnostics battery uses): hat
+    leverage h_i = 1/n + (t_i − t̄)²/Sxx_c in closed form, LOO residual
+    e_i/(1−h_i) WITHOUT refitting n models (the classic hat-matrix
+    identity), PRESS = Σ(e_loo)², and predictive R² = 1 − PRESS/SST —
+    the honest generalization check an in-sample R² overstates.
+    Residuals and sums follow the round-the-sums cross-engine
+    discipline shared with X575; PRESS itself is emitted in units of
+    1e9 (press_b) because at ~7e13 raw magnitude the engines'
+    different summation orders leave ULP noise above a 4-decimal
+    rounding — the ratio statistics (r2_pred) are scale-free and
+    round at 6.
+
+    Plan: everything derives from the one daily rollup + the 5-row
+    broadcast fit — two exchanges at any scale."""
+    from .round6 import _daily_series, _ols_fit, _ols_sums, _residuals
+
+    daily = _daily_series(spark, sf_dir)
+    sums = _ols_sums(daily)
+    fit = _ols_fit(sums)
+    resid = _residuals(daily, fit)
+    lev = resid.join(
+        sums.select(
+            "flag",
+            "n",
+            "sx",
+            "sxx",
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias(
+                "syy_c"
+            ),
+        ),
+        "flag",
+    ).withColumn(
+        "h",
+        1.0 / F.col("n")
+        + (F.col("t") - F.col("sx") / F.col("n"))
+        * (F.col("t") - F.col("sx") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+    )
+    e_loo2 = (F.col("e") / (1 - F.col("h"))) * (F.col("e") / (1 - F.col("h")))
+    return lev.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.sum(e_loo2) / 1e9, 4).alias("press_b"),
+        F.round(1 - F.sum(e_loo2) / F.any_value("syy_c"), 6).alias(
+            "r2_pred"
+        ),
+        F.round(F.max("h"), 6).alias("max_leverage"),
     )
