@@ -130,14 +130,17 @@ def ivf_search_sql(
     corpus_extra: tuple[str, ...] = (),
     query_extra: tuple[str, ...] = (),
     pair_filter: str = "TRUE",
+    prefix: str = "ivf_",
 ) -> str:
     """DuckDB twin of ``ivf_search`` as a CTE-chain fragment: the
     caller provides CTE names for corpus (n_id, emb, *corpus_extra),
     queries (q_id, q_emb, *query_extra) and centroids (c_id, c_emb);
-    the fragment defines ``ivf_assigned``, ``ivf_probes`` and
-    ``ivf_topk`` — the last holding (q_id, *query_extra, n_id,
+    the fragment defines ``<prefix>assigned``, ``<prefix>probes`` and
+    ``<prefix>topk`` — the last holding (q_id, *query_extra, n_id,
     *corpus_extra, score, rn).  ``pair_filter`` may reference
-    ``p.<query col>`` and ``a.<corpus col>``."""
+    ``p.<query col>`` and ``a.<corpus col>``.  ``prefix`` lets one
+    query embed the fragment twice (e.g. graph build + query seeding
+    in graph_ann_sql)."""
     ce_x = "".join(f", x.{c}" for c in corpus_extra)
     ce = "".join(f", {c}" for c in corpus_extra)
     ce_a = "".join(f", a.{c}" for c in corpus_extra)
@@ -147,31 +150,172 @@ def ivf_search_sql(
     cos_assign = vectors.cosine_sql("x.emb", "c.c_emb")
     cos_probe = vectors.cosine_sql("q.q_emb", "c.c_emb")
     cos_score = vectors.cosine_sql("p.q_emb", "a.emb")
-    return f"""ivf_assigned AS (
+    return f"""{prefix}assigned AS (
       SELECT n_id, emb{ce}, centroid_id FROM (
         SELECT x.n_id, x.emb{ce_x}, c.c_id AS centroid_id,
                row_number() OVER (PARTITION BY x.n_id
                  ORDER BY round({cos_assign}, 6) DESC, c.c_id) AS arn
         FROM {corpus} x CROSS JOIN {centroids} c)
       WHERE arn = 1
-    ), ivf_probes AS (
+    ), {prefix}probes AS (
       SELECT q_id, q_emb{qe}, centroid_id FROM (
         SELECT q.q_id, q.q_emb{qe_q}, c.c_id AS centroid_id,
                row_number() OVER (PARTITION BY q.q_id
                  ORDER BY round({cos_probe}, 6) DESC, c.c_id) AS prn
         FROM {queries} q CROSS JOIN {centroids} c)
       WHERE prn <= {nprobe}
-    ), ivf_topk AS (
+    ), {prefix}topk AS (
       SELECT q_id{qe}, n_id{ce}, score, rn FROM (
         SELECT p.q_id{qe_p}, a.n_id{ce_a},
                round({cos_score}, 6) AS score,
                row_number() OVER (PARTITION BY p.q_id
                  ORDER BY round({cos_score}, 6) DESC, a.n_id) AS rn
-        FROM ivf_probes p
-        JOIN ivf_assigned a ON a.centroid_id = p.centroid_id
+        FROM {prefix}probes p
+        JOIN {prefix}assigned a ON a.centroid_id = p.centroid_id
         WHERE a.n_id <> p.q_id AND ({pair_filter}))
       WHERE rn <= {k}
     )"""
+
+
+def knn_graph(
+    corpus: DataFrame,
+    g: int = 6,
+    nprobe: int = 2,
+    every: int = 50,
+    residue: int = 0,
+) -> DataFrame:
+    """Directed k-NN graph over the corpus, built with the IVF routing
+    (sub-quadratic — never all-pairs): each vector's ``g`` nearest
+    IVF-candidates become its out-edges (src, dst). This is the graph
+    the NSW/HNSW family searches; building it through ivf_search keeps
+    construction O(n·√n) instead of O(n²)."""
+    qs = corpus.select(
+        F.col("n_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    nn = ivf_search(
+        corpus, qs, k=g, nprobe=nprobe, every=every, residue=residue
+    )
+    return nn.select(F.col("q_id").alias("src"), F.col("n_id").alias("dst"))
+
+
+def graph_ann_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    g: int = 6,
+    beam: int = 4,
+    hops: int = 3,
+    nprobe: int = 2,
+    every: int = 50,
+    residue: int = 0,
+) -> DataFrame:
+    """Greedy beam search over the k-NN graph, IVF-seeded (the
+    DiskANN/SPANN hybrid recipe: a coarse index supplies each query's
+    starting beam, the graph walk refines it): seed = the query's
+    IVF top-``beam`` candidates, then ``hops`` rounds of
+    expand-neighbors → exact-rescore → keep-best-``beam``; the final
+    beam's top-``k`` is the answer. Keeping the previous beam in every
+    candidate set makes per-query best-so-far scores monotone
+    non-decreasing across hops. Self-pairs never enter candidate sets.
+
+    Deterministic end to end: scores round to 6 before every
+    comparison, ties break on n_id — the DuckDB twin
+    (``graph_ann_sql``) replays build, seeding and every hop.
+
+    At 100 TB: the graph is built once and persisted partitioned by
+    src (the HNSW index analog) and the seeding reuses the persisted
+    IVF index; a search hop is one join of the (query, beam) frontier
+    — |Q|·beam rows — against the edge table, then a g·beam-candidate
+    rescore per query. Hop cost is independent of corpus size; only
+    the one-time builds scan the corpus."""
+    edges = knn_graph(corpus, g=g, nprobe=nprobe, every=every, residue=residue)
+    seed = ivf_search(
+        corpus, queries, k=beam, nprobe=nprobe, every=every, residue=residue
+    ).select("q_id", "n_id")
+    b = seed.join(queries, "q_id").select("q_id", "q_emb", "n_id")
+    for _ in range(hops):
+        nbr = b.join(edges, b["n_id"] == edges["src"]).select(
+            "q_id", "q_emb", F.col("dst").alias("n_id")
+        )
+        cand = (
+            b.select("q_id", "q_emb", "n_id")
+            .unionByName(nbr)
+            .dropDuplicates(["q_id", "n_id"])
+            .filter(F.col("n_id") != F.col("q_id"))
+        )
+        scored = cand.join(corpus, "n_id").withColumn(
+            "score", F.round(vectors.cosine(F.col("q_emb"), F.col("emb")), 6)
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+        b = (
+            scored.withColumn("brn", F.row_number().over(w))
+            .filter(F.col("brn") <= beam)
+            .select("q_id", "q_emb", "n_id", "score")
+            .localCheckpoint(eager=True)
+        )
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "score", "rn")
+    )
+
+
+def graph_ann_sql(
+    corpus: str,
+    queries: str,
+    centroids: str,
+    k: int,
+    g: int = 6,
+    beam: int = 4,
+    hops: int = 3,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of ``graph_ann_search`` as a CTE-chain fragment:
+    reuses ``ivf_search_sql`` (corpus as its own query set) for the
+    graph build, then unrolls the beam hops; defines ``gann_topk``
+    holding (q_id, n_id, score, rn). Beam CTEs are MATERIALIZED — each
+    is referenced twice per hop, so un-materialized evaluation would
+    re-run the whole prefix 2^hops times."""
+    gq = f"(SELECT n_id AS q_id, emb AS q_emb FROM {corpus})"
+    cos = vectors.cosine_sql("q.q_emb", "x.emb")
+    parts = [
+        ivf_search_sql(corpus, gq, centroids, k=g, nprobe=nprobe, prefix="g_"),
+        "edges AS MATERIALIZED (SELECT q_id AS src, n_id AS dst FROM g_topk)",
+        ivf_search_sql(
+            corpus, queries, centroids, k=beam, nprobe=nprobe, prefix="s_"
+        ),
+        "beam0 AS MATERIALIZED (SELECT q_id, n_id FROM s_topk)",
+    ]
+    for r in range(1, hops + 1):
+        parts.append(
+            f"""cand{r} AS MATERIALIZED (
+      SELECT DISTINCT q_id, n_id FROM (
+        SELECT b.q_id, gr.dst AS n_id
+        FROM beam{r - 1} b JOIN edges gr ON gr.src = b.n_id
+        UNION ALL
+        SELECT q_id, n_id FROM beam{r - 1})
+      WHERE n_id <> q_id),
+    beam{r} AS MATERIALIZED (
+      SELECT q_id, n_id, score FROM (
+        SELECT c.q_id, c.n_id, round({cos}, 6) AS score,
+               row_number() OVER (PARTITION BY c.q_id
+                 ORDER BY round({cos}, 6) DESC, c.n_id) AS brn
+        FROM cand{r} c
+        JOIN {corpus} x ON x.n_id = c.n_id
+        JOIN {queries} q ON q.q_id = c.q_id)
+      WHERE brn <= {beam})"""
+        )
+    parts.append(
+        f"""gann_topk AS (
+      SELECT q_id, n_id, score, rn FROM (
+        SELECT q_id, n_id, score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id) AS rn
+        FROM beam{hops})
+      WHERE rn <= {k})"""
+    )
+    return ", ".join(parts)
 
 
 def routed_candidates(

