@@ -704,3 +704,210 @@ def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X605 — Unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+#: unigram-LM segmenter knobs: max piece length, multi-char vocabulary
+#: budget, max word length the unrolled DP covers (corpus max is 8).
+PIECE_MAX = 4
+V_TOP = 24
+SEG_MAXLEN = 12
+
+_UNI_VOCAB_SQL = f"""
+    words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq, length(w) AS len
+      FROM (SELECT unnest({text.tokens_sql('text')}) AS w FROM documents)
+      WHERE length(w) <= {SEG_MAXLEN}
+      GROUP BY w),
+    occ AS (
+      SELECT substring(w.w, s.s, l.l) AS piece, w.freq
+      FROM words w,
+           unnest(range(1, w.len + 1)) AS s(s),
+           unnest(range(1, {PIECE_MAX} + 1)) AS l(l)
+      WHERE s.s + l.l - 1 <= w.len),
+    piece_freq AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS pf
+      FROM occ GROUP BY piece),
+    vocab AS MATERIALIZED (
+      SELECT piece, pf FROM piece_freq WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, pf FROM (
+        SELECT piece, pf FROM piece_freq WHERE length(piece) >= 2
+        ORDER BY pf DESC, piece LIMIT {V_TOP})),
+    ptab AS MATERIALIZED (
+      SELECT piece, CAST(pf AS DOUBLE)
+               / (SELECT CAST(sum(pf) AS DOUBLE) FROM vocab) AS p
+      FROM vocab)
+"""
+
+
+def _uni_dp_sql(maxlen: int, piece_max: int) -> str:
+    parts = [
+        """dp0 AS MATERIALIZED (
+      SELECT w, len, 0 AS i, CAST(1.0 AS DOUBLE) AS prob, 0 AS np
+      FROM words)"""
+    ]
+    for i in range(1, maxlen + 1):
+        js = [j for j in range(max(0, i - piece_max), i)]
+        prior = " UNION ALL ".join(
+            f"SELECT w, len, i, prob, np FROM dp{j}" for j in js
+        )
+        parts.append(
+            f"""dp{i} AS MATERIALIZED (
+      SELECT w, len, i, prob, np FROM (
+        SELECT c.w, c.len, {i} AS i, c.prob * v.p AS prob,
+               c.np + 1 AS np,
+               row_number() OVER (PARTITION BY c.w
+                 ORDER BY c.prob * v.p DESC, c.np + 1 ASC, c.i DESC) AS rn
+        FROM ({prior}) c
+        JOIN ptab v ON v.piece = substring(c.w, c.i + 1, {i} - c.i)
+        WHERE {i} <= c.len)
+      WHERE rn = 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT w, len, prob, np FROM dp{i} WHERE len = {i}"
+        for i in range(1, maxlen + 1)
+    )
+    parts.append(f"dpfin AS ({final})")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_unigram_segment",
+    oracle=f"""
+    WITH {_UNI_VOCAB_SQL},
+    {_uni_dp_sql(SEG_MAXLEN, PIECE_MAX)}
+    SELECT f.w, wd.freq,
+           CAST(f.np AS BIGINT) AS n_pieces,
+           round(CAST(f.len AS DOUBLE) / f.np, 6) AS avg_piece_len,
+           round(log10(f.prob), 6) AS log10_prob
+    FROM dpfin f JOIN words wd ON wd.w = f.w
+    """,
+)
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X605 — Unigram-LM segmentation (the SentencePiece/Kudo 2018
+    model, completing the tokenizer trio: X598 BPE, X601 WordPiece,
+    X605 Unigram): a substring vocabulary (all single chars for
+    coverage + the V_TOP most corpus-frequent multi-char pieces up to
+    PIECE_MAX chars) with unigram probabilities p = freq/total, then
+    EXACT Viterbi segmentation of every word type — dp[i] = max over
+    j of dp[j]·p(w[j+1..i]) — as a POSITION-UNROLLED dynamic program
+    (SEG_MAXLEN stages, each joining the previous PIECE_MAX stages
+    against the piece table). Argmax compares exact IEEE products
+    (multiplication is correctly-rounded and engine-identical), ties
+    prefer fewer pieces then the longer final piece; only the EMITTED
+    log10(prob) is rounded.
+
+    Scale: the DP runs on the word-TYPE table like the other trainers
+    (vocabulary-sized, Heaps' law); each unrolled stage is a
+    broadcast-joinable lookup against a V-sized piece table. The
+    corpus is scanned once for the counts."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") <= SEG_MAXLEN)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn("len", F.length("w"))
+    )
+    occ = (
+        words.select(
+            "w",
+            "freq",
+            "len",
+            F.explode(F.sequence(F.lit(1), F.col("len"))).alias("s"),
+        )
+        .select(
+            "w",
+            "freq",
+            "len",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(PIECE_MAX), F.col("len") - F.col("s") + 1),
+                )
+            ).alias("l"),
+        )
+        .select(
+            F.col("w").substr(F.col("s"), F.col("l")).alias("piece"), "freq"
+        )
+    )
+    piece_freq = occ.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("pf")
+    )
+    chars = piece_freq.filter(F.length("piece") == 1)
+    multi = (
+        piece_freq.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("pf"), F.asc("piece"))
+        .limit(V_TOP)
+    )
+    vocab = chars.unionByName(multi)
+    total = vocab.agg(F.sum("pf").cast("double").alias("tot"))
+    ptab = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece", (F.col("pf").cast("double") / F.col("tot")).alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    dp0 = words.select(
+        "w",
+        "len",
+        F.lit(0).alias("i"),
+        F.lit(1.0).alias("prob"),
+        F.lit(0).alias("np"),
+    ).localCheckpoint(eager=True)
+    recent = [dp0]  # only the last PIECE_MAX stages are reachable
+    finals = []
+    for i in range(1, SEG_MAXLEN + 1):
+        prev = recent[0]
+        for s in recent[1:]:
+            prev = prev.unionByName(s)
+        prev = prev.filter(F.lit(i) <= F.col("len"))
+        cand = prev.withColumn(
+            "piece",
+            F.col("w").substr(F.col("i") + 1, F.lit(i) - F.col("i")),
+        ).join(F.broadcast(ptab), "piece")
+        w_best = Window.partitionBy("w").orderBy(
+            (F.col("prob") * F.col("p")).desc(),
+            (F.col("np") + 1).asc(),
+            F.col("i").desc(),
+        )
+        # eager per-stage checkpoint: each stage is referenced by the
+        # next PIECE_MAX stages, so un-materialized lineage re-evaluates
+        # the shared prefix exponentially (measured 16 s → 64 s when
+        # thinned to every 4th stage); the materialized frame is
+        # word-type-sized, so the checkpoint is microscopic
+        stage = (
+            cand.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select(
+                "w",
+                "len",
+                F.lit(i).alias("i"),
+                (F.col("prob") * F.col("p")).alias("prob"),
+                (F.col("np") + 1).alias("np"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        finals.append(stage.filter(F.col("len") == i))
+        recent = (recent + [stage])[-PIECE_MAX:]
+    fin = finals[0]
+    for f in finals[1:]:
+        fin = fin.unionByName(f)
+    return fin.join(
+        words.select("w", "freq"), "w"
+    ).select(
+        "w",
+        "freq",
+        F.col("np").cast("long").alias("n_pieces"),
+        F.round(F.col("len").cast("double") / F.col("np"), 6).alias(
+            "avg_piece_len"
+        ),
+        F.round(F.log10("prob"), 6).alias("log10_prob"),
+    )
