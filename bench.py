@@ -249,6 +249,18 @@ HEADLINE = [
     "q_skipgram_pairs",
     "q_icc",
     "q_tost",
+    # round-7 additions
+    "q_jaccard_prefix_capped",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_wordpiece_train",
+    "q_unigram_segment",
+    "q_sequence_pack_strict",
+    "q_press_loo",
+    "q_graph_ann",
+    # q_graph_ann_recall is the measurement twin (re-runs the graph
+    # build PLUS an exact brute-force pass) — excluded like the other
+    # correctness/measurement twins; q_graph_ann IS benchmarked.
 ]
 
 
