@@ -51,6 +51,25 @@ def deterministic_centroids(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Corpus → nearest-centroid assignment (the inverted index).
+    Exposed so callers running several searches against one corpus
+    (e.g. graph_ann_search's build + seed passes) compute and persist
+    it once — exactly what the persisted-index deployment does."""
+    c_scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "cscore", F.round(vectors.cosine(F.col("emb"), F.col("c_emb")), 6)
+    )
+    w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    return (
+        c_scored.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .drop("arn", "cscore", "c_emb")
+        .withColumnRenamed("c_id", "centroid_id")
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,6 +79,7 @@ def ivf_search(
     every: int = 50,
     residue: int = 0,
     pair_filter: Column | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k cosine search of ``queries`` against ``corpus``.
 
@@ -82,17 +102,8 @@ def ivf_search(
     pure function of its inputs."""
     if centroids is None:
         centroids = deterministic_centroids(corpus, every, residue)
-
-    c_scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine(F.col("emb"), F.col("c_emb")), 6)
-    )
-    w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
-    assigned = (
-        c_scored.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .drop("arn", "cscore", "c_emb")
-        .withColumnRenamed("c_id", "centroid_id")
-    )
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids)
 
     q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
         "cscore", F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6)
@@ -183,6 +194,8 @@ def knn_graph(
     nprobe: int = 2,
     every: int = 50,
     residue: int = 0,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Directed k-NN graph over the corpus, built with the IVF routing
     (sub-quadratic — never all-pairs): each vector's ``g`` nearest
@@ -193,7 +206,14 @@ def knn_graph(
         F.col("n_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     nn = ivf_search(
-        corpus, qs, k=g, nprobe=nprobe, every=every, residue=residue
+        corpus,
+        qs,
+        k=g,
+        nprobe=nprobe,
+        every=every,
+        residue=residue,
+        centroids=centroids,
+        assigned=assigned,
     )
     return nn.select(F.col("q_id").alias("src"), F.col("n_id").alias("dst"))
 
@@ -228,9 +248,22 @@ def graph_ann_search(
     — |Q|·beam rows — against the edge table, then a g·beam-candidate
     rescore per query. Hop cost is independent of corpus size; only
     the one-time builds scan the corpus."""
-    edges = knn_graph(corpus, g=g, nprobe=nprobe, every=every, residue=residue)
+    centroids = deterministic_centroids(corpus, every, residue)
+    # the inverted index is shared by the graph build and the seeding
+    # (and persisted once in a real deployment) — computing it twice
+    # was the single biggest cost of the first cut
+    assigned = ivf_assign(corpus, centroids).localCheckpoint(eager=True)
+    edges = knn_graph(
+        corpus, g=g, nprobe=nprobe, centroids=centroids, assigned=assigned
+    ).localCheckpoint(eager=True)  # joined by EVERY hop — materialize
+    # once or each hop re-runs the whole build
     seed = ivf_search(
-        corpus, queries, k=beam, nprobe=nprobe, every=every, residue=residue
+        corpus,
+        queries,
+        k=beam,
+        nprobe=nprobe,
+        centroids=centroids,
+        assigned=assigned,
     ).select("q_id", "n_id")
     b = seed.join(queries, "q_id").select("q_id", "q_emb", "n_id")
     for _ in range(hops):
