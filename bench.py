@@ -255,6 +255,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_wordpiece_train",
     "q_unigram_segment",
+    "q_unigram_em",
     "q_sequence_pack_strict",
     "q_press_loo",
     "q_graph_ann",

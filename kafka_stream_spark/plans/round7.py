@@ -744,34 +744,41 @@ _UNI_VOCAB_SQL = f"""
 """
 
 
-def _uni_dp_sql(maxlen: int, piece_max: int) -> str:
+def _uni_dp_sql(
+    maxlen: int, piece_max: int, sfx: str = "", ptab: str = "ptab"
+) -> str:
+    """One Viterbi chain (dp{sfx}0..dp{sfx}maxlen + dpfin{sfx}),
+    parameterized by the probability table so the EM query can run it
+    twice. Each dp row carries the chosen piece and its predecessor
+    position j — the backpointers the EM E-step walks."""
     parts = [
-        """dp0 AS MATERIALIZED (
-      SELECT w, len, 0 AS i, CAST(1.0 AS DOUBLE) AS prob, 0 AS np
+        f"""dp{sfx}0 AS MATERIALIZED (
+      SELECT w, len, 0 AS i, CAST(1.0 AS DOUBLE) AS prob, 0 AS np,
+             '' AS piece, 0 AS j
       FROM words)"""
     ]
     for i in range(1, maxlen + 1):
         js = [j for j in range(max(0, i - piece_max), i)]
         prior = " UNION ALL ".join(
-            f"SELECT w, len, i, prob, np FROM dp{j}" for j in js
+            f"SELECT w, len, i, prob, np FROM dp{sfx}{j}" for j in js
         )
         parts.append(
-            f"""dp{i} AS MATERIALIZED (
-      SELECT w, len, i, prob, np FROM (
+            f"""dp{sfx}{i} AS MATERIALIZED (
+      SELECT w, len, i, prob, np, piece, j FROM (
         SELECT c.w, c.len, {i} AS i, c.prob * v.p AS prob,
-               c.np + 1 AS np,
+               c.np + 1 AS np, v.piece, c.i AS j,
                row_number() OVER (PARTITION BY c.w
                  ORDER BY c.prob * v.p DESC, c.np + 1 ASC, c.i DESC) AS rn
         FROM ({prior}) c
-        JOIN ptab v ON v.piece = substring(c.w, c.i + 1, {i} - c.i)
+        JOIN {ptab} v ON v.piece = substring(c.w, c.i + 1, {i} - c.i)
         WHERE {i} <= c.len)
       WHERE rn = 1)"""
         )
     final = " UNION ALL ".join(
-        f"SELECT w, len, prob, np FROM dp{i} WHERE len = {i}"
+        f"SELECT w, len, prob, np, piece, j FROM dp{sfx}{i} WHERE len = {i}"
         for i in range(1, maxlen + 1)
     )
-    parts.append(f"dpfin AS ({final})")
+    parts.append(f"dpfin{sfx} AS ({final})")
     return ",\n    ".join(parts)
 
 
@@ -805,6 +812,26 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized, Heaps' law); each unrolled stage is a
     broadcast-joinable lookup against a V-sized piece table. The
     corpus is scanned once for the counts."""
+    words, ptab = _uni_words_ptab(spark, sf_dir)
+    fin, _steps = _viterbi_frames(words, ptab)
+    return fin.join(
+        words.select("w", "freq"), "w"
+    ).select(
+        "w",
+        "freq",
+        F.col("np").cast("long").alias("n_pieces"),
+        F.round(F.col("len").cast("double") / F.col("np"), 6).alias(
+            "avg_piece_len"
+        ),
+        F.round(F.log10("prob"), 6).alias("log10_prob"),
+    )
+
+
+def _uni_words_ptab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(word-type table, initial piece-probability table) for the
+    unigram-LM family — char coverage + top-V substrings, p = freq/total."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
@@ -846,29 +873,46 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(V_TOP)
     )
     vocab = chars.unionByName(multi)
-    total = vocab.agg(F.sum("pf").cast("double").alias("tot"))
-    ptab = (
-        vocab.crossJoin(F.broadcast(total))
+    ptab = _probs_from_counts(vocab)
+    return words, ptab
+
+
+def _probs_from_counts(counts: DataFrame) -> DataFrame:
+    """(piece, pf) → checkpointed (piece, p = pf/Σpf) probability table."""
+    total = counts.agg(F.sum("pf").cast("double").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
         .select(
             "piece", (F.col("pf").cast("double") / F.col("tot")).alias("p")
         )
         .localCheckpoint(eager=True)
     )
 
+
+def _viterbi_frames(
+    words: DataFrame, ptab: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Position-unrolled Viterbi over the word-type table under ``ptab``.
+    Returns (fin, steps): fin = the i == len(w) rows (w, len, prob, np,
+    piece, j); steps = every stage's argmax row with its chosen piece
+    and predecessor position j — the backpointer table the EM E-step
+    walks."""
     dp0 = words.select(
         "w",
         "len",
         F.lit(0).alias("i"),
         F.lit(1.0).alias("prob"),
         F.lit(0).alias("np"),
+        F.lit("").alias("piece"),
+        F.lit(0).alias("j"),
     ).localCheckpoint(eager=True)
     recent = [dp0]  # only the last PIECE_MAX stages are reachable
-    finals = []
+    finals, steps = [], []
     for i in range(1, SEG_MAXLEN + 1):
         prev = recent[0]
         for s in recent[1:]:
             prev = prev.unionByName(s)
-        prev = prev.filter(F.lit(i) <= F.col("len"))
+        prev = prev.filter(F.lit(i) <= F.col("len")).drop("piece", "j")
         cand = prev.withColumn(
             "piece",
             F.col("w").substr(F.col("i") + 1, F.lit(i) - F.col("i")),
@@ -892,22 +936,139 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(i).alias("i"),
                 (F.col("prob") * F.col("p")).alias("prob"),
                 (F.col("np") + 1).alias("np"),
+                "piece",
+                F.col("i").alias("j"),
             )
             .localCheckpoint(eager=True)
         )
         finals.append(stage.filter(F.col("len") == i))
+        steps.append(stage)
         recent = (recent + [stage])[-PIECE_MAX:]
     fin = finals[0]
     for f in finals[1:]:
         fin = fin.unionByName(f)
-    return fin.join(
-        words.select("w", "freq"), "w"
-    ).select(
-        "w",
-        "freq",
-        F.col("np").cast("long").alias("n_pieces"),
-        F.round(F.col("len").cast("double") / F.col("np"), 6).alias(
-            "avg_piece_len"
-        ),
-        F.round(F.log10("prob"), 6).alias("log10_prob"),
+    allsteps = steps[0]
+    for s in steps[1:]:
+        allsteps = allsteps.unionByName(s)
+    return fin, allsteps
+
+
+# ---------------------------------------------------------------------------
+# X606 — hard-EM refinement of the unigram LM (one full EM round)
+# ---------------------------------------------------------------------------
+
+
+def _uni_bt_sql(maxlen: int) -> str:
+    """Backtrace CTEs: walk dpfin's backpointers through the steps
+    table (≤ maxlen hops), emitting every chosen piece — the E-step's
+    segmentation extraction."""
+    parts = [
+        "steps AS MATERIALIZED (SELECT w, i, piece, j FROM ("
+        + " UNION ALL ".join(
+            f"SELECT w, i, piece, j FROM dp{i}" for i in range(1, maxlen + 1)
+        )
+        + "))",
+        "bt0 AS MATERIALIZED (SELECT w, piece, j FROM dpfin)",
+    ]
+    for k in range(1, maxlen):
+        parts.append(
+            f"""bt{k} AS MATERIALIZED (
+      SELECT b.w, s.piece, s.j
+      FROM bt{k - 1} b JOIN steps s ON s.w = b.w AND s.i = b.j
+      WHERE b.j > 0)"""
+        )
+    seg = " UNION ALL ".join(
+        f"SELECT w, piece FROM bt{k}" for k in range(maxlen)
+    )
+    parts.append(f"seg AS MATERIALIZED ({seg})")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_unigram_em",
+    oracle=f"""
+    WITH {_UNI_VOCAB_SQL},
+    {_uni_dp_sql(SEG_MAXLEN, PIECE_MAX)},
+    {_uni_bt_sql(SEG_MAXLEN)},
+    seg_counts AS MATERIALIZED (
+      SELECT piece, CAST(sum(wd.freq) AS BIGINT) AS pf
+      FROM seg JOIN words wd USING (w) GROUP BY piece),
+    ptab2 AS MATERIALIZED (
+      SELECT piece, CAST(pf AS DOUBLE)
+               / (SELECT CAST(sum(pf) AS DOUBLE) FROM seg_counts) AS p
+      FROM seg_counts),
+    {_uni_dp_sql(SEG_MAXLEN, PIECE_MAX, sfx="b", ptab="ptab2")}
+    SELECT f1.w, wd.freq,
+           CAST(f1.np AS BIGINT) AS n_pieces_init,
+           CAST(f2.np AS BIGINT) AS n_pieces_em,
+           round(log10(f1.prob), 6) AS lp_init,
+           round(log10(f2.prob), 6) AS lp_em
+    FROM dpfin f1
+    JOIN dpfinb f2 ON f2.w = f1.w
+    JOIN words wd ON wd.w = f1.w
+    """,
+)
+def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X606 — one full HARD-EM round of the X605 unigram LM (the
+    training step SentencePiece iterates): E-step = Viterbi segment
+    every word type under the initial substring probabilities and
+    extract the chosen pieces by walking the DP backpointers (an
+    unrolled backtrace — at most SEG_MAXLEN hops); M-step = re-estimate
+    piece probabilities from the segmentation's own freq-weighted piece
+    counts (the MLE given the hard assignments, which also PRUNES every
+    never-chosen piece — SentencePiece's vocabulary-shrinking step);
+    then re-segment under the new table. Hard EM guarantees the corpus
+    log-likelihood is monotone non-decreasing (p₂ is the MLE for seg₁,
+    and Viterbi under p₂ only improves on seg₁) — pinned in
+    tests/test_tokenizers.py; the emitted per-word (lp_init, lp_em)
+    pairs put both rounds under the value-hash gate.
+
+    Coverage stays guaranteed without chars: every word's round-1
+    segmentation survives into the round-2 vocabulary by construction.
+    Scale: two Viterbi chains + one vocabulary-sized recount — same
+    word-type factorization as the rest of the trainer family."""
+    words, ptab1 = _uni_words_ptab(spark, sf_dir)
+    fin1, steps1 = _viterbi_frames(words, ptab1)
+    stepsl = steps1.select("w", "i", "piece", "j")
+    cur = fin1.select("w", "piece", "j")
+    seg_frames = [cur.select("w", "piece")]
+    for _ in range(SEG_MAXLEN - 1):
+        cur = (
+            cur.filter(F.col("j") > 0)
+            .select("w", F.col("j").alias("i"))
+            .join(stepsl, ["w", "i"])
+            .select("w", "piece", "j")
+        )
+        seg_frames.append(cur.select("w", "piece"))
+    seg = seg_frames[0]
+    for s in seg_frames[1:]:
+        seg = seg.unionByName(s)
+    counts = (
+        seg.join(words.select("w", "freq"), "w")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("pf"))
+    )
+    ptab2 = _probs_from_counts(counts)
+    fin2, _ = _viterbi_frames(words, ptab2)
+    return (
+        fin1.select(
+            "w",
+            F.col("np").alias("np1"),
+            F.col("prob").alias("prob1"),
+        )
+        .join(
+            fin2.select(
+                "w", F.col("np").alias("np2"), F.col("prob").alias("prob2")
+            ),
+            "w",
+        )
+        .join(words.select("w", "freq"), "w")
+        .select(
+            "w",
+            "freq",
+            F.col("np1").cast("long").alias("n_pieces_init"),
+            F.col("np2").cast("long").alias("n_pieces_em"),
+            F.round(F.log10("prob1"), 6).alias("lp_init"),
+            F.round(F.log10("prob2"), 6).alias("lp_em"),
+        )
     )
