@@ -43,8 +43,10 @@ from .round6 import _DAILY_SQL
 R_BPE = 6
 
 #: Sequence-packing token budget per training sequence, and the number
-#: of independent packing buckets (doc_id-hash partitions).
-B_PACK = 64
+#: of independent packing buckets (doc_id-hash partitions). The budget
+#: is ~4-5 median documents (median 56 tokens) so sequences genuinely
+#: pack; a budget at the median would degenerate to one doc per seq.
+B_PACK = 256
 N_PACK_BUCKETS = 16
 
 

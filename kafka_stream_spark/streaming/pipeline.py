@@ -89,12 +89,17 @@ def merged_store_last_applied(store_dir: str) -> int | None:
 
 
 def merged_store_read(
-    sess: SparkSession, store_dir: str
+    sess: SparkSession, store_dir: str, before: int | None = None
 ) -> DataFrame | None:
     """Read the latest committed version of a versioned merged store
     (one maintained with ``merged_store_apply``); None if no merge has
-    committed yet."""
+    committed yet. ``before=batch_id`` reads the latest version BELOW
+    that id — the as-of read a replaying batch needs when the state it
+    FOLDS also feeds an append output it must regenerate identically
+    (its own crashed attempt may already have committed v=batch_id)."""
     versions = _merged_store_versions(store_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
     if not versions:
         return None
     return sess.read.parquet(os.path.join(store_dir, f"v={versions[-1]:012d}"))
@@ -1824,6 +1829,135 @@ def lm_counts_batch_fn(store_dir: str):
         )
 
     return merge
+
+
+def run_streaming_sequence_pack(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int = 256,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Streaming sequence packing (the incremental twin of the X600
+    batch packer): documents pack into fixed-``budget`` training
+    sequences as they ARRIVE, continuing each bucket's open sequence
+    across micro-batches via a versioned state store of
+    (bucket, open seq, fill, slot). Within a batch the order is
+    (len DESC, doc_id) — NFD locally, next-fit across batches, the
+    strict-capacity invariant (fill ≤ budget) holds globally.
+
+    Replay safety is the full composed recipe: assignments are
+    batch_id-partitioned appends (``idempotent_upsert``); state is a
+    versioned merged store whose REPLAY READ is as-of (*before* the
+    replaying batch's id — ``merged_store_read(before=...)``), because
+    the state both folds AND feeds the append output, so a replay must
+    regenerate assignments from the PRE-batch state even when its own
+    crashed attempt already committed the post-batch version. The
+    default keep=2 version retention exists exactly for this read."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+    return (
+        docs.writeStream.foreachBatch(
+            sequence_pack_batch_fn(out_dir, state_dir, budget, n_buckets)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sequence_pack_batch_fn(
+    out_dir: str, state_dir: str, budget: int = 256, n_buckets: int = 16
+):
+    """foreachBatch body of ``run_streaming_sequence_pack``, exposed so
+    pytest can replay a batch_id and pin byte-identical output."""
+    import pandas as pd
+
+    from ..functions import text
+
+    def pack(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        items = batch.select(
+            "doc_id",
+            F.least(F.size(text.tokens(F.col("text"))), F.lit(budget))
+            .cast("int")
+            .alias("len"),
+            (F.col("doc_id") % n_buckets).cast("int").alias("bucket"),
+        )
+        prior = merged_store_read(sess, state_dir, before=batch_id)
+        if prior is None:
+            prior = sess.createDataFrame(
+                [], "bucket int, open_seq int, open_fill int, open_slot int"
+            )
+        joined = items.join(F.broadcast(prior), "bucket", "left")
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["len", "doc_id"], ascending=[False, True]
+            ).reset_index(drop=True)
+            seq = int(pdf["open_seq"].iloc[0]) if pd.notna(
+                pdf["open_seq"].iloc[0]
+            ) else 1
+            fill = int(pdf["open_fill"].iloc[0]) if pd.notna(
+                pdf["open_fill"].iloc[0]
+            ) else 0
+            slot = int(pdf["open_slot"].iloc[0]) if pd.notna(
+                pdf["open_slot"].iloc[0]
+            ) else 0
+            seqs, slots, fills = [], [], []
+            for ln in pdf["len"]:
+                if fill + int(ln) > budget:
+                    seq += 1
+                    fill = 0
+                    slot = 0
+                fill += int(ln)
+                slot += 1
+                seqs.append(seq)
+                slots.append(slot)
+                fills.append(fill)
+            return pd.DataFrame(
+                {
+                    "bucket": pdf["bucket"],
+                    "seq": seqs,
+                    "slot": slots,
+                    "doc_id": pdf["doc_id"],
+                    "len": pdf["len"],
+                    "fill": fills,
+                }
+            )
+
+        out = joined.groupBy("bucket").applyInPandas(
+            fold,
+            "bucket int, seq int, slot int, doc_id long, len int, fill int",
+        ).localCheckpoint(eager=True)
+        idempotent_upsert(out, batch_id, out_dir)
+        new_state = (
+            out.groupBy("bucket")
+            .agg(
+                F.max_by(
+                    F.struct("seq", "fill", "slot"),
+                    F.struct("seq", "slot"),
+                ).alias("s")
+            )
+            .select(
+                "bucket",
+                F.col("s.seq").alias("open_seq"),
+                F.col("s.fill").alias("open_fill"),
+                F.col("s.slot").alias("open_slot"),
+            )
+        )
+
+        def replace_by_bucket(existing: DataFrame, part: DataFrame):
+            return existing.join(
+                part.select("bucket"), "bucket", "left_anti"
+            ).unionByName(part)
+
+        merged_store_apply(new_state, state_dir, batch_id, replace_by_bucket)
+
+    return pack
 
 
 def lm_score_with_counts(

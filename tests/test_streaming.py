@@ -1120,3 +1120,80 @@ def test_streaming_lm_counts_incremental_equals_batch(spark, tmp_path):
     assert snap(f"{store}/bigrams") == before_b
     rebuilt = merged_store_read(spark, f"{store}/unigrams")
     assert rebuilt is not None and rebuilt.count() > 0
+
+
+def test_streaming_sequence_pack_capacity_and_replay(spark, tmp_path):
+    """The streaming packer must (1) assign every arriving doc exactly
+    once, (2) never exceed the budget in any (bucket, seq) — the
+    strict-capacity invariant across micro-batch boundaries, (3)
+    continue a bucket's open sequence across batches (state store
+    works), and (4) replay byte-identically, including regenerating
+    assignments from the PRE-batch state via the as-of read."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        run_streaming_sequence_pack,
+        sequence_pack_batch_fn,
+    )
+
+    B = 256
+    docs = load(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # split in blocks of 16 so both waves hit every bucket (bucket =
+    # doc_id % 16; any doc_id-mod split whose modulus divides 16 gives
+    # the waves disjoint buckets and no sequence could span batches)
+    w1 = docs.filter((F.col("doc_id") / 16).cast("long") % 2 == 0)
+    w2 = docs.filter((F.col("doc_id") / 16).cast("long") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    w1.write.mode("append").parquet(inp)
+    assert run_streaming_sequence_pack(
+        spark, inp, out, state, ckpt, budget=B
+    ).awaitTermination(240)
+    w2.write.mode("append").parquet(inp)
+    assert run_streaming_sequence_pack(
+        spark, inp, out, state, ckpt, budget=B
+    ).awaitTermination(240)
+
+    rows = spark.read.parquet(out).collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    # capacity invariant per (bucket, seq) ACROSS batches
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq"]), []).append(r)
+    assert all(
+        sum(x["len"] for x in grp) <= B for grp in by_seq.values()
+    )
+    # cross-batch continuation: at least one sequence holds docs from
+    # both batches (else the state store did nothing)
+    mixed = any(
+        len({x["batch_id"] for x in grp}) > 1 for grp in by_seq.values()
+    )
+    assert mixed
+
+    # replay wave2's committed batch under its batch_id: byte-identical
+    def snap(path):
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    from kafka_stream_spark.streaming.pipeline import merged_store_read
+
+    before_out = snap(out)
+    before_state = sorted(
+        map(repr, merged_store_read(spark, state).collect())
+    )
+    sequence_pack_batch_fn(out, state, budget=B)(w2, 1)
+    assert snap(out) == before_out
+    assert (
+        sorted(map(repr, merged_store_read(spark, state).collect()))
+        == before_state
+    )
