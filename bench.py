@@ -259,6 +259,7 @@ HEADLINE = [
     "q_sequence_pack_strict",
     "q_press_loo",
     "q_graph_ann",
+    "q_betweenness",
     # q_graph_ann_recall is the measurement twin (re-runs the graph
     # build PLUS an exact brute-force pass) — excluded like the other
     # correctness/measurement twins; q_graph_ann IS benchmarked.
