@@ -1,11 +1,15 @@
-"""Round-7 additions: the iterated BPE trainer + encoder (completing the
-tokenizer story X168 started — q_bpe_pairs does only the FIRST merge
-step), and the deterministic sequence-packing operator (completing
-X230, which only MEASURES padding waste).
+"""Round-7 additions (X598–X608): the tokenizer-trainer trio — iterated
+BPE (X598/X599, completing the story X168's single induction step
+started), WordPiece (X601) and Unigram-LM Viterbi segmentation +
+hard-EM refinement (X605/X606) — plus strict-capacity sequence packing
+(X600, completing X230's waste AUDIT with the packing OPERATOR),
+PRESS/leave-one-out regression diagnostics (X602), graph-based ANN
+with measured recall (X603/X604), and sampled-Brandes betweenness
+centrality (X608).
 
 Reference scope note: the reference pipeline (kafka_s.py) has no
-tokenizer or packing surface at all — these are §2.13 LLM-data-pipeline
-mandate components, reference-free by design.
+tokenizer, packing, ANN or centrality surface at all — these are §2.13
+LLM-data-pipeline mandate components, reference-free by design.
 
 Scale notes:
 
