@@ -1,0 +1,179 @@
+"""Round-7 batch B (X609-X610): count-data overdispersion models —
+the two members the stats battery lacked between Poisson rate tests
+(X237 family) and the distribution-fit family (Weibull X-, Benford):
+negative-binomial moment fitting with a Poisson-dispersion test, and
+Tweedie variance-power estimation via the mean-variance power law.
+
+Reference scope: §2.13 mandate components (the reference has no
+statistics surface); both are one-pass moment computations — exact
+integer or rounded-sum inputs, so the cross-engine doubles are
+identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import query
+
+
+@query(
+    "q_negbin_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(s1 * 1.0 / n, 6) AS mean_c,
+           round((s2 - s1 * 1.0 * s1 / n) / (n - 1), 6) AS var_c,
+           round(((s2 - s1 * 1.0 * s1 / n) / (n - 1)) / (s1 * 1.0 / n), 6)
+             AS dispersion_ratio,
+           round((s1 * 1.0 / n) * (s1 * 1.0 / n)
+                 / (((s2 - s1 * 1.0 * s1 / n) / (n - 1)) - s1 * 1.0 / n), 6)
+             AS nb_r,
+           round((s1 * 1.0 / n)
+                 / ((s2 - s1 * 1.0 * s1 / n) / (n - 1)), 6) AS nb_p,
+           round(sqrt(2 * (n - 1) * ((s2 - s1 * 1.0 * s1 / n) / (n - 1))
+                      / (s1 * 1.0 / n))
+                 - sqrt(2.0 * (n - 1) - 1), 6) AS disp_z
+    FROM sums
+    """,
+)
+def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X609 — negative-binomial moment fit + Poisson-dispersion test on
+    daily event counts per type: the count-data model between Poisson
+    (variance = mean) and "just use a z-test". Method-of-moments
+    r = m²/(s²−m), p = m/s² (the standard NB2 parameterization), the
+    dispersion ratio s²/m (Poisson ⇒ 1), and the Wilson-Hilferty-style
+    normal approximation z = √(2D) − √(2(n−1)−1) of the dispersion
+    statistic D = (n−1)s²/m ~ χ²(n−1) under Poisson — the test that
+    says whether the NB fit is even needed.
+
+    Cross-engine determinism is structural: every statistic derives
+    from the EXACT integer sums (Σc, Σc², n) — no doubles until the
+    final divisions, which both engines compute identically.
+    Plan: two map-side-combinable aggregations, 5 output rows at any
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean_c = s1 * 1.0 / n
+    var_c = (s2 - s1 * 1.0 * s1 / n) / (n - 1)
+    return sums.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.round(mean_c, 6).alias("mean_c"),
+        F.round(var_c, 6).alias("var_c"),
+        F.round(var_c / mean_c, 6).alias("dispersion_ratio"),
+        F.round(mean_c * mean_c / (var_c - mean_c), 6).alias("nb_r"),
+        F.round(mean_c / var_c, 6).alias("nb_p"),
+        F.round(
+            F.sqrt(2 * (n - 1) * var_c / mean_c)
+            - F.sqrt(2.0 * (n - 1) - 1),
+            6,
+        ).alias("disp_z"),
+    )
+
+
+@query(
+    "q_tweedie_power",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_suppkey, date_trunc('week', l_shipdate) AS wk,
+             round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    per_supp AS (
+      SELECT l_suppkey, count(*) AS nw,
+             round(sum(rev), 4) AS s1, round(sum(rev * rev), 4) AS s2
+      FROM weekly GROUP BY l_suppkey HAVING count(*) >= 8),
+    mv AS (
+      SELECT l_suppkey,
+             ln(s1 / nw) AS x,
+             ln((s2 - s1 * s1 / nw) / (nw - 1)) AS y
+      FROM per_supp
+      WHERE s1 > 0 AND (s2 - s1 * s1 / nw) / (nw - 1) > 0),
+    reg AS (
+      SELECT count(*) AS n,
+             round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+             round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy,
+             round(sum(y * y), 6) AS syy
+      FROM mv)
+    SELECT CAST(n AS BIGINT) AS n_suppliers,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS var_power,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS log_phi,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM reg
+    """,
+)
+def q_tweedie_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X610 — Tweedie variance-power estimation via the mean-variance
+    power law (Jørgensen; the standard actuarial/revenue-modeling
+    diagnostic): per-supplier weekly revenue gives (mean, variance)
+    pairs; Var = φ·μ^p means ln(var) is linear in ln(mean) with slope
+    p — p∈(1,2) is the compound Poisson-gamma regime that justifies a
+    Tweedie GLM for zero-inflated continuous revenue, p≈2 is gamma.
+    One OLS on the log-log moments, round-the-sums discipline (the
+    per-supplier sums round at 4 before the logs, the regression sums
+    at 6 before the slope — ln() differs at ULP between engines but
+    the rounded sums absorb it).
+
+    Plan: weekly rollup → per-supplier moments → 1-row regression;
+    every stage is a map-side-combinable aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_suppkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    per_supp = (
+        weekly.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("nw"),
+            F.round(F.sum("rev"), 4).alias("s1"),
+            F.round(F.sum(F.col("rev") * F.col("rev")), 4).alias("s2"),
+        )
+        .filter(F.col("nw") >= 8)
+    )
+    nw, s1, s2 = F.col("nw"), F.col("s1"), F.col("s2")
+    var_ = (s2 - s1 * s1 / nw) / (nw - 1)
+    mv = per_supp.filter((s1 > 0) & (var_ > 0)).select(
+        F.log(s1 / nw).alias("x"), F.log(var_).alias("y")
+    )
+    reg = mv.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 6).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return reg.select(
+        n.cast("long").alias("n_suppliers"),
+        F.round(slope, 6).alias("var_power"),
+        F.round((sy - slope * sx) / n, 6).alias("log_phi"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
