@@ -720,7 +720,7 @@ def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: budget, max word length the unrolled DP covers (corpus max is 8).
 PIECE_MAX = 4
 V_TOP = 24
-SEG_MAXLEN = 12
+SEG_MAXLEN = 9
 
 _UNI_VOCAB_SQL = f"""
     words AS MATERIALIZED (

@@ -177,3 +177,128 @@ def q_tweedie_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X611 — preference-pair construction (DPO/RLHF data prep)
+# ---------------------------------------------------------------------------
+
+from ..functions import text  # noqa: E402
+
+_PP_K = 4
+_PP_MARGIN = 0.05
+
+_QUALITY_SQL = f"""
+    q AS (
+      SELECT doc_id, lang, source,
+             round(0.4 * least(len({text.tokens_sql('text')}) / 100.0, 1.0)
+                 + 0.3 * (1.0 - round(CAST({text.stopword_ratio_sql(text.tokens_sql('text'))} AS DOUBLE), 6))
+                 + 0.3 * least(round(CAST(list_aggregate(list_transform({text.tokens_sql('text')}, x -> len(x)), 'sum') AS DOUBLE)
+                   / greatest(len({text.tokens_sql('text')}), 1), 6) / 10.0, 1.0), 6) AS quality
+      FROM documents)
+"""
+
+
+@query(
+    "q_preference_pairs",
+    oracle=f"""
+    WITH {_QUALITY_SQL},
+    ranked AS (
+      SELECT doc_id, lang, source, quality,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY quality DESC, doc_id) AS rk_hi,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY quality ASC, doc_id) AS rk_lo
+      FROM q)
+    SELECT h.lang, h.source, CAST(h.rk_hi AS BIGINT) AS pair_rank,
+           h.doc_id AS chosen_id, l.doc_id AS rejected_id,
+           h.quality AS chosen_q, l.quality AS rejected_q,
+           round(h.quality - l.quality, 6) AS margin
+    FROM ranked h
+    JOIN ranked l ON l.lang = h.lang AND l.source = h.source
+                 AND l.rk_lo = h.rk_hi
+    WHERE h.rk_hi <= {_PP_K}
+      AND h.doc_id <> l.doc_id
+      AND h.quality - l.quality >= {_PP_MARGIN}
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X611 — preference-pair construction for DPO/reward-model
+    training: within each (lang, source) group — the "same prompt
+    distribution" proxy — the k-th best document by the E4d quality
+    score pairs with the k-th worst (extreme pairing, k ≤ 4), kept
+    only when the quality margin clears a confidence threshold (0.05)
+    — the standard "don't train on ambiguous pairs" filter. Emits
+    full (chosen, rejected, margin) lineage. Deterministic: ranks on
+    the ROUNDED score with doc_id tiebreak.
+
+    Plan: one score pass + two window ranks per group + a group-local
+    self-join on rank index — each group's pair count is capped at k,
+    so output is O(k · groups) at any scale."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    sw = F.round(text.stopword_ratio(toks).cast("double"), 6)
+    avg_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    quality = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - sw)
+        + 0.3 * F.least(avg_len / 10.0, F.lit(1.0)),
+        6,
+    )
+    q = d.select("doc_id", "lang", "source", quality.alias("quality"))
+    w_hi = Window.partitionBy("lang", "source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    w_lo = Window.partitionBy("lang", "source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    ranked = q.withColumn("rk_hi", F.row_number().over(w_hi)).withColumn(
+        "rk_lo", F.row_number().over(w_lo)
+    )
+    h = ranked.filter(F.col("rk_hi") <= _PP_K).select(
+        "lang",
+        "source",
+        F.col("rk_hi").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("chosen_q"),
+    )
+    lo = ranked.select(
+        F.col("lang").alias("l_lang"),
+        F.col("source").alias("l_source"),
+        F.col("rk_lo").alias("l_rk"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("rejected_q"),
+    )
+    return (
+        h.join(
+            lo,
+            (F.col("l_lang") == F.col("lang"))
+            & (F.col("l_source") == F.col("source"))
+            & (F.col("l_rk") == F.col("pair_rank")),
+        )
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") >= _PP_MARGIN)
+        )
+        .select(
+            "lang",
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q",
+            "rejected_q",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias(
+                "margin"
+            ),
+        )
+    )
