@@ -230,6 +230,14 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P^12 by repeated squaring: O(log K) joins instead of K vector steps
     # (8x8-per-scenario operands — association differs from the oracle's
     # sequential unroll only at ULP, absorbed by the 6-dp rounding).
+    # Each product checkpoints: thinning these was MEASURED SLOWER
+    # (2.65 s → 3.27 s isolated) — un-materialized products duplicate
+    # their shuffle stages inside one deep DAG, costing more than the
+    # ~0.35 s/checkpoint they save. The query's wall time is
+    # checkpoint-scheduling-bound and varies ±25% between bench rounds
+    # at identical code (r5 1.91 s, r6 1.58 s, r7 2.02 s — normalized
+    # cost flat); treat sub-1.5× calibration-normalized drifts here as
+    # noise.
     p2 = matmul(probs, probs).localCheckpoint(eager=True)
     p4 = matmul(p2, p2).localCheckpoint(eager=True)
     p8 = matmul(p4, p4).localCheckpoint(eager=True)
