@@ -263,6 +263,7 @@ HEADLINE = [
     "q_negbin_fit",
     "q_tweedie_power",
     "q_preference_pairs",
+    "q_scene_changes",
     # q_graph_ann_recall is the measurement twin (re-runs the graph
     # build PLUS an exact brute-force pass) — excluded like the other
     # correctness/measurement twins; q_graph_ann IS benchmarked.

@@ -261,14 +261,16 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _video_frames_oracle() -> str:
-    """aHash of every SAMPLED frame of the embedding-derived AVI,
+def frame_phash_sql(frames: tuple[int, ...]) -> str:
+    """aHash of the given frames of the embedding-derived AVI,
     unrolled to scalar SQL. Frame f's pixel i is quantized byte
     b[(i + 16*f) % 64]; luminance, per-frame mean (left-associated sum
     in CELL order, matching operators.multimodal.ahash64), and the
     64-bit threshold fingerprint replicate the Python arithmetic
     op-for-op, so a hash match proves the AVI encoder, the RIFF frame
-    walker, the DIB pixel conversion, and aHash agree bit-for-bit."""
+    walker, the DIB pixel conversion, and aHash agree bit-for-bit.
+    Shared by q_video_frames (frames 0, 2) and round7b's
+    q_scene_changes (all four)."""
 
     def b(j: int) -> str:
         return (
@@ -277,7 +279,7 @@ def _video_frames_oracle() -> str:
         )
 
     per_frame = []
-    for f in (0, 2):
+    for f in frames:
         lums = []
         for i in range(64):
             j = (i + 16 * f) % 64
@@ -304,6 +306,10 @@ def _video_frames_oracle() -> str:
     """
         )
     return " UNION ALL ".join(per_frame)
+
+
+def _video_frames_oracle() -> str:
+    return frame_phash_sql((0, 2))
 
 
 @query("q_video_frames", oracle=_video_frames_oracle())

@@ -302,3 +302,97 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X612 — temporal scene-change detection over the certified video stack
+# ---------------------------------------------------------------------------
+
+from .llm_ext2 import frame_phash_sql  # noqa: E402
+
+#: hamming threshold (of 64 aHash bits) above which consecutive frames
+#: count as a cut
+SCENE_THRESH = 16
+
+
+@query(
+    "q_scene_changes",
+    oracle=f"""
+    WITH fh AS ({frame_phash_sql((0, 1, 2, 3))}),
+    lagged AS (
+      SELECT vec_id, frame_idx, phash,
+             lag(phash) OVER (PARTITION BY vec_id ORDER BY frame_idx)
+               AS prev
+      FROM fh)
+    SELECT vec_id, frame_idx,
+           CAST(bit_count(xor(phash, prev)) AS BIGINT) AS hamming,
+           bit_count(xor(phash, prev)) > {SCENE_THRESH} AS is_cut
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X612 — temporal scene-change (cut) detection: decode EVERY frame
+    of the embedding-derived AVI through the certified RIFF/DIB stack
+    (X268 gates the encoder+walker+aHash arithmetic; this adds the
+    TEMPORAL layer), fingerprint each frame, and flag consecutive-frame
+    aHash hamming distances above SCENE_THRESH of 64 bits — the
+    standard shot-boundary heuristic every video-curation pipeline
+    runs before frame sampling (sample per shot, not per stride). The
+    oracle recomputes all four frame hashes arithmetically and replays
+    the lag/xor/popcount, so the cut decisions themselves are
+    value-hash-gated.
+
+    Scale: decode+hash is the same Arrow-batched mapInPandas pass as
+    X268 (no pixel shuffles); the temporal pass shuffles 16-byte
+    fingerprint rows once on doc_id."""
+    from ..operators.multimodal import encode_avi, video_frames
+    from ..session import default_parallelism
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
+    px = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round((v.cast("double") + F.lit(1.0)) * F.lit(127.5), 0)
+                .cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    )
+    quant = emb.select(F.col("vec_id").alias("doc_id"), px.alias("px"))
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for vals in pdf["px"]:
+                g = [int(v) for v in vals]
+                frames = []
+                for f in range(4):
+                    rot = g[16 * f :] + g[: 16 * f]
+                    frames.append(b"".join(bytes((p, p, p)) for p in rot))
+                payloads.append(encode_avi(8, 8, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    avis = quant.mapInPandas(build, schema="doc_id long, payload binary")
+    fh = video_frames(avis, every_n=1).select(
+        F.col("doc_id").alias("vec_id"), "frame_idx", "phash"
+    )
+    w = Window.partitionBy("vec_id").orderBy("frame_idx")
+    lagged = fh.withColumn("prev", F.lag("phash").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("prev")))
+    return lagged.select(
+        "vec_id",
+        "frame_idx",
+        ham.cast("long").alias("hamming"),
+        (ham > SCENE_THRESH).alias("is_cut"),
+    )
