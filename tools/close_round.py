@@ -1,0 +1,121 @@
+"""One-command round close: the audit-trail steps the verdict flagged
+when done by hand (CHECK_r5 lagged 45 queries; CHECK_r6 was cited but
+never written) — now a single script that cannot skip a step.
+
+    python tools/close_round.py r8 [--bench] [--shards 4]
+
+1. Runs the FULL differential gate over every registered query in N
+   sequential shards (interleaved over the sorted name list so shard
+   runtimes balance), streaming each shard's checker output.
+2. Writes CHECK_<tag>.txt with a machine-generated header (totals
+   counted from the actual output, never typed) and the full
+   per-query lines.
+3. FAILS (exit 1, no CHECK file) if any query FAILED.
+4. Regenerates the README status block (check.py --summary), which
+   itself fails if any registered key lacks a SURVEY §2 row.
+5. With --bench, runs bench.py and reports the regressions field.
+
+The caller still commits — the script prints the files to stage so
+the closing record lands in the same commit that ends the round.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args or not args[0].startswith("r"):
+        print("usage: close_round.py r<N> [--bench] [--shards K]")
+        return 2
+    tag = args[0]
+    bench = "--bench" in args
+    shards = int(args[args.index("--shards") + 1]) if "--shards" in args else 4
+    sf_dir = "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entry_mod
+
+    names = sorted(entry_mod.queries())
+    lines: list[str] = []
+    n_ok = n_ro = n_fail = 0
+    for i in range(shards):
+        part = names[i::shards]
+        print(f"shard {i}: {len(part)} queries", flush=True)
+        proc = subprocess.run(
+            [sys.executable, "tools/check.py", sf_dir, *part],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        out = proc.stdout.replace("\r", "\n")
+        shard_lines = [
+            ln
+            for ln in out.splitlines()
+            if re.match(r"^(ok|FAIL|rows-only|[0-9]+ ok)", ln)
+        ]
+        lines.append(f"## shard {i}")
+        lines.extend(shard_lines)
+        n_ok += sum(1 for ln in shard_lines if ln.startswith("ok"))
+        n_ro += sum(1 for ln in shard_lines if ln.startswith("rows-only"))
+        fails = [ln for ln in shard_lines if ln.startswith("FAIL")]
+        n_fail += len(fails)
+        for ln in fails:
+            print(ln, flush=True)
+    if n_ok + n_ro + n_fail != len(names):
+        print(
+            f"COVERAGE GAP: {n_ok + n_ro + n_fail} result lines for "
+            f"{len(names)} registered queries — aborting, no CHECK file",
+            file=sys.stderr,
+        )
+        return 1
+    if n_fail:
+        print(f"{n_fail} FAILED — aborting, no CHECK file", file=sys.stderr)
+        return 1
+
+    ro_names = sorted(
+        ln.split()[1].rstrip(":") for ln in lines if ln.startswith("rows-only")
+    )
+    header = [
+        f"# CHECK_{tag} — full differential gate over all "
+        f"{len(names)} registered queries",
+        f"# sf_dir: {sf_dir}  protocol: tools/close_round.py, "
+        f"{shards} interleaved shards (sorted names[i::{shards}])",
+        f"# TOTAL: {n_ok} ok (value-hash match vs DuckDB), "
+        f"{n_ro} rows-only by design ({', '.join(ro_names)}), 0 FAILED.",
+    ]
+    path = f"/root/repo/CHECK_{tag}.txt"
+    with open(path, "w") as f:
+        f.write("\n".join(header + lines) + "\n")
+    print(f"wrote {path}: {n_ok} ok, {n_ro} rows-only, 0 FAILED")
+
+    rc = subprocess.run(
+        [sys.executable, "tools/check.py", "--summary", tag],
+        cwd="/root/repo",
+    ).returncode
+    if rc:
+        return rc
+
+    if bench:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        last = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        print(last)
+
+    print(
+        f"stage for the closing commit: CHECK_{tag}.txt README.md "
+        "BENCH_DETAIL.json SCALE_PROBE.json"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
