@@ -1197,3 +1197,48 @@ def test_streaming_sequence_pack_capacity_and_replay(spark, tmp_path):
         sorted(map(repr, merged_store_read(spark, state).collect()))
         == before_state
     )
+
+
+def test_merged_store_commit_point_semantics(spark, tmp_path):
+    """The versioned store's crash contract, simulated directly:
+    (1) a version directory WITHOUT _SUCCESS (crash mid-write) is
+    invisible to readers and to the replay guard; (2) the replaying
+    batch overwrites the crashed leftover wholesale; (3) pruning keeps
+    the as-of read (before=bid) serviceable after the next commit."""
+    import os
+    import shutil
+
+    from kafka_stream_spark.streaming.pipeline import (
+        additive_combine,
+        merged_store_apply,
+        merged_store_last_applied,
+        merged_store_read,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, c long")
+    assert merged_store_apply(df, store, 0, additive_combine(["k"], ["c"]))
+    assert merged_store_last_applied(store) == 0
+
+    # simulate a crash mid-write of batch 1: full data, no _SUCCESS
+    crashed = os.path.join(store, f"v={1:012d}")
+    shutil.copytree(os.path.join(store, f"v={0:012d}"), crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    assert merged_store_last_applied(store) == 0  # invisible to guard
+    got = {(r["k"], r["c"]) for r in merged_store_read(spark, store).collect()}
+    assert got == {("a", 1), ("b", 2)}  # reader ignores the leftover
+
+    # the replay of batch 1 folds from v=0 and overwrites the leftover
+    df1 = spark.createDataFrame([("a", 10)], "k string, c long")
+    assert merged_store_apply(df1, store, 1, additive_combine(["k"], ["c"]))
+    assert merged_store_last_applied(store) == 1
+    got = {(r["k"], r["c"]) for r in merged_store_read(spark, store).collect()}
+    assert got == {("a", 11), ("b", 2)}
+
+    # a second replay of batch 1 is skipped; as-of read sees v=0
+    assert not merged_store_apply(df1, store, 1, additive_combine(["k"], ["c"]))
+    asof = {
+        (r["k"], r["c"])
+        for r in merged_store_read(spark, store, before=1).collect()
+    }
+    assert asof == {("a", 1), ("b", 2)}
