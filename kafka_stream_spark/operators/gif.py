@@ -401,6 +401,10 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int, list[bytes]]:
             pos += 2
             if label == 0xF9:  # graphic control
                 ln = _byte_at(payload, pos)
+                if ln < 4:
+                    # packed/trans_idx live at pos+1..pos+4; a declared
+                    # size below 4 would read outside the sub-block
+                    raise ValueError("truncated GIF stream")
                 packed = _byte_at(payload, pos + 1)
                 disposal = (packed >> 2) & 0x07
                 trans_idx = (

@@ -114,8 +114,20 @@ def merged_store_write(
     runs only AFTER the new version committed, so a crash anywhere
     leaves at least one committed version readable; leftover stale
     versions are re-pruned by the next write and never read (readers
-    take the max committed id)."""
+    take the max committed id).
+
+    ``keep`` must be >= 2: the streaming sequence packer's replay path
+    reads ``merged_store_read(before=batch_id)`` — the PRE-batch
+    version — so pruning down to a single version (or disabling the
+    floor with keep<=0) could delete the exact snapshot a replayed
+    batch regenerates its append output from."""
     import shutil
+
+    if keep < 2:
+        raise ValueError(
+            f"merged_store_write keep={keep}: must retain >= 2 versions "
+            "for the as-of replay read (merged_store_read(before=...))"
+        )
 
     df.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"v={batch_id:012d}")

@@ -114,7 +114,17 @@ def write_summary(round_tag: str) -> int:
         cwd="/root/repo",
     )
     m = re.search(r"(\d+) tests collected", collect.stdout)
-    n_tests = int(m.group(1)) if m else 0
+    if collect.returncode != 0 or not m:
+        # never write "0 pytest cases" into the README because collection
+        # broke or the summary-line format changed — fail loudly instead
+        print(
+            "pytest collection failed or count pattern missed "
+            f"(rc={collect.returncode}); last output:\n"
+            + "\n".join(collect.stdout.splitlines()[-5:]),
+            file=sys.stderr,
+        )
+        return 1
+    n_tests = int(m.group(1))
 
     # SURVEY §2 coverage guard: every registered key must have a row —
     # un-surveyed components are invisible capabilities to the judge
@@ -127,6 +137,20 @@ def write_summary(round_tag: str) -> int:
             file=sys.stderr,
         )
         return 1
+
+    # bench line comes from the committed record itself so the README
+    # can never drift from BENCH_DETAIL.json (round-7 verdict item #2)
+    import json
+
+    bd = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    total = sum(bd["queries"].values())
+    bench_line = (
+        f"- **Bench**: {bd['n_queries']} headline queries at sf{bd['sf']}, "
+        f"{total:.1f} s total ({bd['agg']}-of-{bd['reps']}, "
+        f"calibration {bd['calibration_sec']:.3f} s), "
+        f"{len(bd['regressions'])} regressions vs the prior committed "
+        "record — BENCH_DETAIL.json.\n"
+    )
 
     check_file = f"CHECK_{round_tag}.txt"
     check_note = (
@@ -142,7 +166,8 @@ def write_summary(round_tag: str) -> int:
         "  Component inventory: SURVEY.md §2.\n"
         f"- **{n_tests} pytest cases** (documented environment-gated skips: the\n"
         "  live-broker Kafka run and protobuf-gated transformWithState).\n"
-        "<!-- STATUS:COUNTS:END -->"
+        + bench_line
+        + "<!-- STATUS:COUNTS:END -->"
     )
     readme = open("/root/repo/README.md").read()
     new = re.sub(

@@ -53,10 +53,12 @@ def main() -> int:
             cwd="/root/repo",
         )
         out = proc.stdout.replace("\r", "\n")
+        # per-query result lines only — check.py's "<N> ok, ..." summary
+        # row would otherwise interleave into the audit record
         shard_lines = [
             ln
             for ln in out.splitlines()
-            if re.match(r"^(ok|FAIL|rows-only|[0-9]+ ok)", ln)
+            if re.match(r"^(ok|FAIL|rows-only)\s", ln)
         ]
         lines.append(f"## shard {i}")
         lines.extend(shard_lines)
@@ -110,10 +112,28 @@ def main() -> int:
         last = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         print(last)
 
-    print(
-        f"stage for the closing commit: CHECK_{tag}.txt README.md "
-        "BENCH_DETAIL.json SCALE_PROBE.json"
-    )
+    # Stage everything the closing commit needs — including the driver's
+    # own round artifacts (BENCH_r*/CORRECTNESS_r*/LEAKCHECK/COPYCHECK),
+    # which were untracked at close two rounds running (verdict item #3).
+    import glob
+    import os
+
+    stage = [f"CHECK_{tag}.txt", "README.md", "BENCH_DETAIL.json"]
+    for pat in (
+        "SCALE_PROBE.json",
+        "SCALE.md",
+        "BENCH_r*.json",
+        "CORRECTNESS_r*.json",
+        "LEAKCHECK.json",
+        "COPYCHECK.json",
+        "VERDICT.md",
+        "ADVICE.md",
+    ):
+        stage.extend(
+            os.path.basename(p) for p in glob.glob(f"/root/repo/{pat}")
+        )
+    subprocess.run(["git", "add", "--"] + sorted(set(stage)), cwd="/root/repo")
+    print(f"staged for the closing commit: {' '.join(sorted(set(stage)))}")
     return 0
 
 
