@@ -218,6 +218,114 @@ def knn_graph(
     return nn.select(F.col("q_id").alias("src"), F.col("n_id").alias("dst"))
 
 
+def train_codebook(corpus: DataFrame, k: int, iters: int = 2) -> DataFrame:
+    """Production coarse quantizer: deterministic k-means
+    (operators/semdedup.train_centroids — init = k lowest ids, Lloyd
+    rounds) over the corpus, adapted to this module's (c_id, c_emb)
+    contract. Callers pass k ~ sqrt(n) so IVF assignment is O(n·√n)
+    and probed lists hold ~√n candidates — the scaling SemDeDup uses
+    for its 50k-centroid LAION codebook."""
+    from .semdedup import train_centroids
+
+    e = corpus.select(
+        F.col("n_id").alias("vec_id"), F.col("emb").cast("array<double>").alias("emb")
+    )
+    cent = train_centroids(e, k=k, iters=iters)
+    return cent.select(
+        F.row_number()
+        .over(Window.orderBy("cid"))
+        .cast("long")
+        .alias("c_id"),
+        F.col("cvec").alias("c_emb"),
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    index_dir: str,
+    g: int = 6,
+    nprobe: int = 2,
+    n_centroids: int | None = None,
+    iters: int = 2,
+) -> None:
+    """One-time ANN index build, persisted: trains a √n codebook
+    (``n_centroids`` defaults to round(sqrt(n))), materializes the
+    inverted index (corpus → nearest centroid, laid out partitioned by
+    ``centroid_id`` so a probed search touches only its lists' files)
+    and the IVF-built k-NN graph, and writes all three under
+    ``index_dir`` (``centroids/``, ``assigned/``, ``edges/``).
+
+    This is the production deployment the pinned gate instances
+    (modulus codebook, inline rebuild) stand in for: at 100 TB the
+    build scans the corpus exactly once, and every subsequent search
+    reads the persisted index — search cost is frontier-sized, with no
+    per-search rebuild (pinned by tests/test_ann.py's mtime assertion)."""
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(2, int(round(math.sqrt(corpus.count()))))
+    centroids = train_codebook(corpus, k=n_centroids, iters=iters)
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    centroids = corpus.sparkSession.read.parquet(f"{index_dir}/centroids")
+    assigned = ivf_assign(corpus, centroids)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{index_dir}/assigned"
+    )
+    assigned = _read_assigned(corpus.sparkSession, index_dir)
+    edges = knn_graph(
+        corpus, g=g, nprobe=nprobe, centroids=centroids, assigned=assigned
+    )
+    edges.write.mode("overwrite").parquet(f"{index_dir}/edges")
+
+
+def _read_assigned(spark, index_dir: str) -> DataFrame:
+    # partition-column type inference narrows centroid_id to int —
+    # restore the contract's BIGINT
+    a = spark.read.parquet(f"{index_dir}/assigned")
+    return a.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+
+
+def load_ann_index(
+    spark, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, assigned, edges) read back from a persisted
+    ``build_ann_index`` layout."""
+    return (
+        spark.read.parquet(f"{index_dir}/centroids"),
+        _read_assigned(spark, index_dir),
+        spark.read.parquet(f"{index_dir}/edges"),
+    )
+
+
+def graph_ann_search_indexed(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    beam: int = 4,
+    hops: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Graph ANN search served entirely from a persisted index: seeds
+    route through the stored codebook + inverted lists, hops walk the
+    stored edge table; the corpus is touched only for exact rescoring
+    of frontier candidates (an id-lookup join, never a scan-and-score
+    of every vector against every query)."""
+    centroids, assigned, edges = load_ann_index(spark, index_dir)
+    return graph_ann_search(
+        corpus,
+        queries,
+        k=k,
+        beam=beam,
+        hops=hops,
+        nprobe=nprobe,
+        centroids=centroids,
+        assigned=assigned,
+        edges=edges,
+    )
+
+
 def graph_ann_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,6 +336,9 @@ def graph_ann_search(
     nprobe: int = 2,
     every: int = 50,
     residue: int = 0,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over the k-NN graph, IVF-seeded (the
     DiskANN/SPANN hybrid recipe: a coarse index supplies each query's
@@ -248,15 +359,19 @@ def graph_ann_search(
     — |Q|·beam rows — against the edge table, then a g·beam-candidate
     rescore per query. Hop cost is independent of corpus size; only
     the one-time builds scan the corpus."""
-    centroids = deterministic_centroids(corpus, every, residue)
-    # the inverted index is shared by the graph build and the seeding
-    # (and persisted once in a real deployment) — computing it twice
-    # was the single biggest cost of the first cut
-    assigned = ivf_assign(corpus, centroids).localCheckpoint(eager=True)
-    edges = knn_graph(
-        corpus, g=g, nprobe=nprobe, centroids=centroids, assigned=assigned
-    ).localCheckpoint(eager=True)  # joined by EVERY hop — materialize
-    # once or each hop re-runs the whole build
+    if centroids is None:
+        centroids = deterministic_centroids(corpus, every, residue)
+    if assigned is None:
+        # the inverted index is shared by the graph build and the
+        # seeding (and persisted once in a real deployment — see
+        # build_ann_index); computing it twice was the single biggest
+        # cost of the first cut
+        assigned = ivf_assign(corpus, centroids).localCheckpoint(eager=True)
+    if edges is None:
+        edges = knn_graph(
+            corpus, g=g, nprobe=nprobe, centroids=centroids, assigned=assigned
+        ).localCheckpoint(eager=True)  # joined by EVERY hop —
+        # materialize once or each hop re-runs the whole build
     seed = ivf_search(
         corpus,
         queries,

@@ -136,3 +136,112 @@ def test_graph_ann_refines_its_ivf_seeds(spark, sf_dir):
     bs, bg = best(seed_rows), best(graph_rows)
     assert all(bg[q] >= bs[q] for q in bs)
     assert recall(graph_rows) > recall(seed_rows)
+
+
+def test_persisted_index_serves_searches_without_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """The production graph-ANN deployment (round-7 verdict #1): build
+    the √n-trained codebook, the inverted index and the k-NN graph
+    ONCE with build_ann_index, persist all three, then serve searches
+    from the persisted layout. Pinned here:
+
+    * two searches (different query sets) leave every index file's
+      mtime untouched — no rebuild, no rewrite;
+    * the search plan reads the persisted index location (not an
+      inline re-derivation);
+    * the indexed search is deterministic across runs and equals the
+      in-memory graph_ann_search handed the same persisted frames;
+    * the graph walk still refines: per-query best score >= its own
+      persisted-index IVF seeds."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    idx = str(tmp_path / "annidx")
+    ann.build_ann_index(corpus, idx, g=8, nprobe=2)
+
+    def mtimes():
+        return {
+            os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+            for d, _dirs, files in os.walk(idx)
+            for f in files
+        }
+
+    before = mtimes()
+    assert before, "index build wrote nothing"
+
+    q1 = emb.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q2 = emb.filter(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    df1 = ann.graph_ann_search_indexed(
+        spark, idx, corpus, q1, k=3, beam=4, hops=3, nprobe=2
+    )
+    r1 = sorted(map(tuple, df1.collect()))
+    r2 = ann.graph_ann_search_indexed(
+        spark, idx, corpus, q2, k=3, beam=4, hops=3, nprobe=2
+    ).collect()
+    assert r1 and r2
+    assert mtimes() == before, "a search rebuilt or rewrote the index"
+
+    # the seed stage's plan reads the persisted index location (the
+    # final frame's lineage is cut by the per-hop localCheckpoint, so
+    # the scan only shows before the walk)
+    import contextlib
+    import io
+
+    cent, assigned, edges = ann.load_ann_index(spark, idx)
+    seed_df = ann.ivf_search(
+        corpus, q1, k=3, nprobe=2, centroids=cent, assigned=assigned
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seed_df.explain("formatted")
+    assert idx in buf.getvalue()
+    r1_again = sorted(
+        map(
+            tuple,
+            ann.graph_ann_search_indexed(
+                spark, idx, corpus, q1, k=3, beam=4, hops=3, nprobe=2
+            ).collect(),
+        )
+    )
+    assert r1_again == r1
+
+    # indexed == in-memory search over the same persisted frames
+    r_mem = sorted(
+        map(
+            tuple,
+            ann.graph_ann_search(
+                corpus,
+                q1,
+                k=3,
+                beam=4,
+                hops=3,
+                nprobe=2,
+                centroids=cent,
+                assigned=assigned,
+                edges=edges,
+            ).collect(),
+        )
+    )
+    assert r_mem == r1
+
+    # monotone refinement over the same index's IVF seeds
+    seeds = ann.ivf_search(
+        corpus, q1, k=3, nprobe=2, centroids=cent, assigned=assigned
+    ).collect()
+    best_seed: dict = {}
+    for r in seeds:
+        best_seed[r["q_id"]] = max(best_seed.get(r["q_id"], -2.0), r["score"])
+    best_graph: dict = {}
+    for r in [dict(zip(df1.columns, t)) for t in r1]:
+        best_graph[r["q_id"]] = max(
+            best_graph.get(r["q_id"], -2.0), r["score"]
+        )
+    assert all(best_graph[q] >= best_seed[q] for q in best_seed)
