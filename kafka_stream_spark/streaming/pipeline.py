@@ -2031,3 +2031,106 @@ def lm_score_with_counts(
         F.round(F.avg("doc_score"), 6).alias("mean_score"),
         F.round(F.min("doc_score"), 6).alias("min_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X616 — the full reference-pipeline replacement story in one witness:
+# custom stream source → enrich/dedup → idempotent sink + versioned store,
+# exactly-once under a mid-batch crash (round-7 verdict "Next round" #6)
+# ---------------------------------------------------------------------------
+
+
+def cdcgen_enrich(df: DataFrame) -> DataFrame:
+    """Shared batch/stream enrich for the cdcgen exactly-once witness:
+    insert-only filter (the reference's ``if 'o' in data`` gate),
+    deterministic surrogate key, title stats — a pure Column transform
+    so the streaming result can be checked ≡ the batch read of the
+    SAME custom source."""
+    return df.filter(F.col("op") == "i").select(
+        "seq",
+        "st_code",
+        "title",
+        F.md5(F.concat_ws("|", "st_code", "title")).alias("only_id"),
+        F.size(F.split("title", " ")).cast("long").alias("n_words"),
+    )
+
+
+def cdcgen_batch_fn(out_dir: str, state_dir: str, fail_flag: str | None = None):
+    """foreachBatch body composing BOTH exactly-once recipes in the
+    order that creates the classic partial-failure window: (1) the
+    enriched rows land batch_id-partitioned with dynamic overwrite
+    (``idempotent_upsert``); (2) per-code running counts fold into the
+    VERSIONED merged store (``merged_store_apply`` — _SUCCESS commit
+    point, replay guard).  ``fail_flag``: path to a file holding a
+    batch id — when that batch first runs, the function crashes AFTER
+    the sink write but BEFORE the store commit (and removes the flag),
+    simulating a mid-batch kill.  On restart Spark replays the batch
+    from its offset log (the SimpleDataSourceStreamReader's
+    readBetweenOffsets path): the sink overwrite replaces the partial
+    attempt's partition, the store — never committed — folds exactly
+    once."""
+    import os
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        enriched = cdcgen_enrich(batch).dropDuplicates(["seq"])
+        enriched.persist()
+        try:
+            idempotent_upsert(enriched, batch_id, out_dir)
+            if (
+                fail_flag
+                and os.path.exists(fail_flag)
+                and batch_id == int(open(fail_flag).read())
+            ):
+                os.remove(fail_flag)
+                raise RuntimeError(
+                    "injected mid-batch crash: sink written, store not"
+                )
+            part = enriched.groupBy("st_code").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("n_words").cast("long").alias("words"),
+            )
+            merged_store_apply(
+                part,
+                state_dir,
+                batch_id,
+                additive_combine(["st_code"], ["n", "words"]),
+            )
+        finally:
+            enriched.unpersist()
+
+    return fn
+
+
+def run_cdcgen_pipeline(
+    spark: SparkSession,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    rows: int = 400,
+    batch_size: int = 100,
+    fail_flag: str | None = None,
+) -> StreamingQuery:
+    """End-to-end exactly-once pipeline over the registered custom
+    Python DataSource (sources/pysource ``cdcgen``): micro-batch
+    stream → insert-only enrich/dedup → idempotent batch-partitioned
+    sink + versioned per-code store.  The source feed never "ends"
+    (a live CDC topic doesn't), so callers poll the sink and stop —
+    exactly how tests/test_pysource.py drives it; killed and resumed
+    with the same checkpoint, the composition converges on the batch
+    answer (pytest-pinned, including an injected mid-batch crash)."""
+    from ..sources.pysource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("cdcgen")
+        .option("rows", str(rows))
+        .option("batch_size", str(batch_size))
+        .load()
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            cdcgen_batch_fn(out_dir, state_dir, fail_flag)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -98,3 +98,94 @@ def test_stream_reader_replays_full_relation(spark, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == sorted(_row(i) for i in range(300))
+
+
+def test_cdcgen_pipeline_exactly_once_through_midbatch_crash(spark, tmp_path):
+    """The composed reference-replacement story in one witness
+    (round-7 verdict #6): custom stream source → enrich/dedup →
+    idempotent batch-partitioned sink + versioned merged store, with
+    a crash injected MID-BATCH (after the sink write, before the
+    store commit) and the query resumed from its checkpoint. Source
+    offsets replay the killed batch (readBetweenOffsets), the sink
+    overwrite replaces the partial attempt, the store folds exactly
+    once — final sink and store must equal the batch-mode computation
+    over the same source, with zero duplicates."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_spark.streaming.pipeline import (
+        cdcgen_enrich,
+        merged_store_read,
+        run_cdcgen_pipeline,
+    )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "crash_at")
+    with open(flag, "w") as fh:
+        fh.write("1")  # kill the SECOND micro-batch mid-flight
+
+    ROWS, BATCH = 400, 100
+    q = run_cdcgen_pipeline(
+        spark, out, state, ckpt, rows=ROWS, batch_size=BATCH, fail_flag=flag
+    )
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces as StreamingQueryException
+    assert q.exception() is not None, "injected crash never fired"
+
+    # mid-batch partial state is REAL: batch 1's sink partition landed,
+    # but the store's latest committed version is still batch 0
+    import os
+
+    assert os.path.isdir(os.path.join(out, "batch_id=1"))
+    from kafka_stream_spark.streaming.pipeline import (
+        merged_store_last_applied,
+    )
+
+    assert merged_store_last_applied(state) == 0, (
+        "store must still be at batch 0: the crash fired after the "
+        "sink write but before batch 1's store commit"
+    )
+
+    # resume from the same checkpoint (flag already consumed)
+    q2 = run_cdcgen_pipeline(
+        spark, out, state, ckpt, rows=ROWS, batch_size=BATCH
+    )
+    expected = cdcgen_enrich(
+        spark.read.format("cdcgen").option("rows", str(ROWS)).load()
+    )
+    n_expected = expected.count()
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n_expected:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q2.stop()
+
+    got = spark.read.parquet(out).drop("batch_id")
+    assert got.count() == n_expected, "duplicate or missing sink rows"
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    want_store = {
+        (r["st_code"], r["n"], r["words"])
+        for r in expected.groupBy("st_code")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_words").cast("long").alias("words"),
+        )
+        .collect()
+    }
+    got_store = {
+        (r["st_code"], r["n"], r["words"])
+        for r in merged_store_read(spark, state).collect()
+    }
+    assert got_store == want_store
