@@ -1,0 +1,470 @@
+"""Round-8 batch 2 (X624+): generation-eval metrics and RLHF data ops.
+
+Reference scope note: the reference pipeline (kafka_s.py) has no eval
+or preference-data surface; these are §2.13 LLM-data-pipeline mandate
+components, reference-free by design.
+
+- X624 q_bleu: corpus-level BLEU-4 (Papineni et al. 2002) — clipped
+  modified n-gram precision for n=1..4 plus the brevity penalty,
+  candidate/reference pairs drawn deterministically from adjacent
+  documents within a language.
+- X625 q_rouge_n: ROUGE-1/ROUGE-2 recall/precision/F1 (Lin 2004),
+  per-pair rounded then averaged per language.
+- X626 q_grpo_advantage: group-relative advantage normalization
+  (the GRPO data transform: z-score rewards within a prompt group,
+  keep the top samples) over the event stream.
+- X627 q_best_of_n: rejection-sampling curation (best-of-n): per
+  prompt group keep the argmax-reward sample when it clears the
+  corpus-level reward bar, with the selection margin over the
+  runner-up.
+
+Scale notes: the metric pair is one explode→count→join per n-gram
+order (map-side combinable counts, the join keyed by (pair, gram) —
+never full texts); the RLHF pair is a single groupBy each plus a
+broadcast scalar. All rankings order on ROUNDED scores so float ULPs
+cannot flip ranks between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared: candidate/reference pairs + n-gram machinery (no short-doc
+# fallback — BLEU/ROUGE define zero n-grams for docs shorter than n)
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(toks, n: int):
+    if n == 1:
+        return toks
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ngrams_sql(toks: str, n: int) -> str:
+    if n == 1:
+        return toks
+    parts = " || ' ' || ".join(f"{toks}[i + {k + 1}]" for k in range(n))
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(len({toks}) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END)"
+    )
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pid, ct, rt): candidate = each doc, reference = the next doc
+    in the same language by doc_id (a deterministic, SF-invariant
+    pairing; the metric mechanics are the component under test)."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    base = d.select(
+        "lang",
+        F.col("doc_id").alias("pid"),
+        "text",
+        F.lead("text").over(w).alias("ref"),
+    ).filter(F.col("ref").isNotNull())
+    return base.select(
+        "lang",
+        "pid",
+        text.tokens(F.col("text")).alias("ct"),
+        text.tokens(F.col("ref")).alias("rt"),
+    )
+
+
+_PAIRS_SQL = f"""
+    base AS (
+      SELECT lang, doc_id AS pid, text,
+             lead(text) OVER (PARTITION BY lang ORDER BY doc_id) AS ref
+      FROM documents),
+    pairs AS (
+      SELECT lang, pid,
+             {text.tokens_sql("text")} AS ct,
+             {text.tokens_sql("ref")} AS rt
+      FROM base WHERE ref IS NOT NULL)"""
+
+
+def _clip_counts(pairs: DataFrame, n: int) -> DataFrame:
+    """Per n: one row (n, clip, tot) — clipped matches and candidate
+    n-gram total, the two BLEU ingredients."""
+    cg = (
+        pairs.select("pid", F.explode(_ngrams(F.col("ct"), n)).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    rg = (
+        pairs.select("pid", F.explode(_ngrams(F.col("rt"), n)).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("r"))
+    )
+    j = cg.join(rg, ["pid", "g"], "left")
+    return j.agg(
+        F.lit(n).alias("n"),
+        F.sum(F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0)))).alias(
+            "clip"
+        ),
+        F.sum("c").alias("tot"),
+    )
+
+
+def _clip_sql(n: int) -> str:
+    return f"""
+    cg{n} AS (
+      SELECT pid, g, count(*) AS c FROM (
+        SELECT pid, unnest({_ngrams_sql("ct", n)}) AS g FROM pairs)
+      GROUP BY pid, g),
+    rg{n} AS (
+      SELECT pid, g, count(*) AS r FROM (
+        SELECT pid, unnest({_ngrams_sql("rt", n)}) AS g FROM pairs)
+      GROUP BY pid, g),
+    clip{n} AS (
+      SELECT sum(least(c.c, coalesce(r.r, 0))) AS clip, sum(c.c) AS tot
+      FROM cg{n} c LEFT JOIN rg{n} r ON c.pid = r.pid AND c.g = r.g)"""
+
+
+# ---------------------------------------------------------------------------
+# X624 — corpus BLEU-4
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bleu",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    {",".join(_clip_sql(n).lstrip() for n in (1, 2, 3, 4))},
+    lens AS (
+      SELECT CAST(sum(len(ct)) AS BIGINT) AS c_len,
+             CAST(sum(len(rt)) AS BIGINT) AS r_len
+      FROM pairs),
+    ps AS (
+      SELECT greatest(round(c1.clip * 1.0 / c1.tot, 10), 1e-12) AS p1,
+             greatest(round(c2.clip * 1.0 / c2.tot, 10), 1e-12) AS p2,
+             greatest(round(c3.clip * 1.0 / c3.tot, 10), 1e-12) AS p3,
+             greatest(round(c4.clip * 1.0 / c4.tot, 10), 1e-12) AS p4
+      FROM clip1 c1, clip2 c2, clip3 c3, clip4 c4)
+    SELECT lens.c_len, lens.r_len,
+           round(ps.p1, 6) AS p1, round(ps.p2, 6) AS p2,
+           round(ps.p3, 6) AS p3, round(ps.p4, 6) AS p4,
+           round(CASE WHEN lens.c_len > lens.r_len THEN 1.0
+                      ELSE exp(1.0 - lens.r_len * 1.0 / lens.c_len) END,
+                 6) AS bp,
+           round(round(CASE WHEN lens.c_len > lens.r_len THEN 1.0
+                      ELSE exp(1.0 - lens.r_len * 1.0 / lens.c_len) END, 10)
+                 * exp(0.25 * (ln(ps.p1) + ln(ps.p2) + ln(ps.p3) + ln(ps.p4))),
+                 6) AS bleu
+    FROM lens, ps
+    """,
+)
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X624 — corpus-level BLEU-4 with brevity penalty (Papineni et
+    al. 2002): clipped modified n-gram precision per order, combined
+    geometrically. One row: corpus lengths, p1..p4 (rounded to 10
+    before the log so both engines exponentiate identical doubles),
+    bp, bleu.
+
+    Scale shape: per order one explode → (pid, gram) count (map-side
+    combinable) → key-local left join → scalar sums. Nothing holds
+    full texts past the tokenize; corpus-level reduction is 4 scalar
+    rows. At 100 TB the (pid, gram) shuffle is the cost — bounded by
+    token volume, the same as any word-count."""
+    pairs = _pairs(spark, sf_dir)
+    stats = (
+        _clip_counts(pairs, 1)
+        .unionByName(_clip_counts(pairs, 2))
+        .unionByName(_clip_counts(pairs, 3))
+        .unionByName(_clip_counts(pairs, 4))
+    )
+    ps = stats.agg(
+        *[
+            F.greatest(
+                F.round(
+                    F.sum(F.when(F.col("n") == n, F.col("clip")))
+                    / F.sum(F.when(F.col("n") == n, F.col("tot"))),
+                    10,
+                ),
+                F.lit(1e-12),
+            ).alias(f"p{n}")
+            for n in (1, 2, 3, 4)
+        ]
+    )
+    lens = pairs.agg(
+        F.sum(F.size("ct")).cast("long").alias("c_len"),
+        F.sum(F.size("rt")).cast("long").alias("r_len"),
+    )
+    bp = F.round(
+        F.when(F.col("c_len") > F.col("r_len"), F.lit(1.0)).otherwise(
+            F.exp(F.lit(1.0) - F.col("r_len") / F.col("c_len"))
+        ),
+        10,
+    )
+    logsum = sum(F.log(F.col(f"p{n}")) for n in (2, 3, 4))
+    logsum = F.log(F.col("p1")) + logsum
+    return lens.crossJoin(ps).select(
+        "c_len",
+        "r_len",
+        *[F.round(f"p{n}", 6).alias(f"p{n}") for n in (1, 2, 3, 4)],
+        F.round(bp, 6).alias("bp"),
+        F.round(bp * F.exp(F.lit(0.25) * logsum), 6).alias("bleu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X625 — ROUGE-1 / ROUGE-2 per-language averages
+# ---------------------------------------------------------------------------
+
+
+def _rouge_pair(pairs: DataFrame, n: int) -> DataFrame:
+    """(lang, pid, rec, prec, f) per pair for order n — per-pair
+    values rounded to 10 before the per-language average."""
+    cg = (
+        pairs.select("lang", "pid", F.explode(_ngrams(F.col("ct"), n)).alias("g"))
+        .groupBy("lang", "pid", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    rg = (
+        pairs.select("pid", F.explode(_ngrams(F.col("rt"), n)).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("r"))
+    )
+    j = cg.join(rg, ["pid", "g"], "full").withColumn(
+        "ov", F.least(F.coalesce("c", F.lit(0)), F.coalesce("r", F.lit(0)))
+    )
+    per = j.groupBy("pid").agg(
+        F.any_value("lang", True).alias("lang"),
+        F.sum("ov").alias("ov"),
+        F.sum("c").alias("ctot"),
+        F.sum("r").alias("rtot"),
+    )
+    rec = F.round(F.col("ov") / F.greatest("rtot", F.lit(1)), 10)
+    prec = F.round(F.col("ov") / F.greatest("ctot", F.lit(1)), 10)
+    f1 = F.round(
+        F.when(
+            rec + prec > 0, F.lit(2.0) * rec * prec / (rec + prec)
+        ).otherwise(F.lit(0.0)),
+        10,
+    )
+    return per.select(
+        "lang", "pid", rec.alias("rec"), prec.alias("prec"), f1.alias("f")
+    )
+
+
+def _rouge_sql(n: int) -> str:
+    rec = "round(ov * 1.0 / greatest(rtot, 1), 10)"
+    prec = "round(ov * 1.0 / greatest(ctot, 1), 10)"
+    return f"""
+    rcg{n} AS (
+      SELECT lang, pid, g, count(*) AS c FROM (
+        SELECT lang, pid, unnest({_ngrams_sql("ct", n)}) AS g FROM pairs)
+      GROUP BY lang, pid, g),
+    rrg{n} AS (
+      SELECT pid, g, count(*) AS r FROM (
+        SELECT pid, unnest({_ngrams_sql("rt", n)}) AS g FROM pairs)
+      GROUP BY pid, g),
+    rj{n} AS (
+      SELECT coalesce(c.pid, r.pid) AS pid, any_value(c.lang) AS lang,
+             sum(least(coalesce(c.c, 0), coalesce(r.r, 0))) AS ov,
+             sum(c.c) AS ctot, sum(r.r) AS rtot
+      FROM rcg{n} c FULL JOIN rrg{n} r ON c.pid = r.pid AND c.g = r.g
+      GROUP BY 1),
+    rp{n} AS (
+      SELECT lang, pid, {rec} AS rec, {prec} AS prec,
+             round(CASE WHEN {rec} + {prec} > 0
+                   THEN 2.0 * {rec} * {prec} / ({rec} + {prec})
+                   ELSE 0.0 END, 10) AS f
+      FROM rj{n})"""
+
+
+@query(
+    "q_rouge_n",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    {",".join(_rouge_sql(n).lstrip() for n in (1, 2))}
+    SELECT p1.lang, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p1.rec), 6) AS r1_recall,
+           round(avg(p1.prec), 6) AS r1_precision,
+           round(avg(p1.f), 6) AS r1_f,
+           round(avg(p2.rec), 6) AS r2_recall,
+           round(avg(p2.f), 6) AS r2_f
+    FROM rp1 p1 JOIN rp2 p2 ON p1.pid = p2.pid
+    GROUP BY p1.lang ORDER BY p1.lang
+    """,
+)
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X625 — ROUGE-1/ROUGE-2 (Lin 2004): per-pair clipped-overlap
+    recall/precision/F1 rounded to 10, averaged per language. The
+    full outer join keeps reference-only grams in the recall
+    denominator (any_value(lang) rides the candidate side, so the
+    ignore-nulls form is used on both engines).
+
+    Scale: same (pid, gram) count-join shape as q_bleu; the per-pair
+    reduce is keyed by pid (no global state) and the language rollup
+    touches one row per pair."""
+    pairs = _pairs(spark, sf_dir)
+    p1 = _rouge_pair(pairs, 1)
+    p2 = _rouge_pair(pairs, 2).select(
+        "pid",
+        F.col("rec").alias("rec2"),
+        F.col("f").alias("f2"),
+    )
+    j = p1.join(p2, "pid")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("rec"), 6).alias("r1_recall"),
+            F.round(F.avg("prec"), 6).alias("r1_precision"),
+            F.round(F.avg("f"), 6).alias("r1_f"),
+            F.round(F.avg("rec2"), 6).alias("r2_recall"),
+            F.round(F.avg("f2"), 6).alias("r2_f"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X626 — GRPO group-relative advantage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grpo_advantage",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, sum(value) AS s1, sum(value * value) AS s2,
+             count(*) AS n
+      FROM events GROUP BY user_id HAVING count(*) >= 4),
+    a AS (
+      SELECT e.user_id, e.event_id, e.value AS reward,
+             round((e.value - g.s1 / g.n)
+                   / sqrt(greatest(g.s2 / g.n - (g.s1 / g.n) * (g.s1 / g.n),
+                                   1e-12)), 6) AS adv
+      FROM events e JOIN g ON e.user_id = g.user_id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY adv DESC, event_id) AS rnk
+      FROM a)
+    SELECT user_id, event_id, reward, adv, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2 ORDER BY user_id, rnk
+    """,
+)
+def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X626 — group-relative advantage (the GRPO reward transform,
+    Shao et al. 2024): within each prompt group (user_id here) rewards
+    are z-scored against the group's own mean/std — no learned value
+    baseline — and the top-2 samples per group are kept. Mean/var come
+    from the same (s1, s2, n) sums on both engines; the variance floor
+    guards constant-reward groups; ranking is on the ROUNDED advantage.
+
+    Scale: one map-side-combinable groupBy for the moments, a
+    key-local join back, one per-group window — the canonical
+    two-pass normalize. 100 TB: groups are independent, skew bounded
+    by samples-per-prompt (small by construction in RLHF data)."""
+    e = load(spark, sf_dir, "events")
+    g = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(
+        F.col("s2") / F.col("n") - mean * mean, F.lit(1e-12)
+    )
+    a = e.join(g, "user_id").select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("reward"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("adv"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("adv"), "event_id")
+    return (
+        a.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("user_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X627 — best-of-n rejection sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_best_of_n",
+    oracle="""
+    WITH bar AS (SELECT avg(value) AS m FROM events),
+    r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    top2 AS (
+      SELECT user_id, any_value(n) AS n,
+             max(CASE WHEN rn = 1 THEN event_id END) AS event_id,
+             max(CASE WHEN rn = 1 THEN value END) AS best,
+             max(CASE WHEN rn = 2 THEN value END) AS second
+      FROM r WHERE rn <= 2 GROUP BY user_id)
+    SELECT t.user_id, t.event_id, round(t.best, 6) AS best_reward,
+           CAST(t.n AS BIGINT) AS n_samples,
+           round(t.best - t.second, 6) AS margin
+    FROM top2 t, bar
+    WHERE t.n >= 3 AND t.best >= bar.m
+    ORDER BY t.user_id
+    """,
+)
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X627 — best-of-n rejection sampling (the SFT-data curation
+    step behind RAFT/RSO): per prompt group keep the argmax-reward
+    sample, but only when it clears the corpus-level reward bar
+    (global mean — a scalar broadcast), and report the selection
+    margin over the runner-up (the confidence signal downstream
+    filtering thresholds on).
+
+    Scale: one per-group window (rank over samples-per-prompt, small
+    by construction), one scalar aggregate joined as a broadcast —
+    no global sort, no driver loop."""
+    e = load(spark, sf_dir, "events")
+    bar = e.agg(F.avg("value").alias("m"))
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    wc = W.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    ).filter(F.col("rn") <= 2)
+    top2 = r.groupBy("user_id").agg(
+        F.any_value("n").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias("event_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("best"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("second"),
+    )
+    return (
+        top2.crossJoin(bar)
+        .filter((F.col("n") >= 3) & (F.col("best") >= F.col("m")))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("best", 6).alias("best_reward"),
+            F.col("n").cast("long").alias("n_samples"),
+            F.round(F.col("best") - F.col("second"), 6).alias("margin"),
+        )
+        .orderBy("user_id")
+    )

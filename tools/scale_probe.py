@@ -201,6 +201,33 @@ def _semantic_dedup_kscaled(spark, sf_dir):
     return semantic_dedup(e, k=k, tau=0.4, iters=2)
 
 
+def _semantic_dedup_routed_kscaled(spark, sf_dir):
+    """Probe variant of q_semantic_dedup_routed with BOTH production
+    knobs on: IVF-routed candidates (assigned cell ∈ nprobe=2 probed
+    cells, the X573 rule) AND SemDeDup's k ~ sqrt(n) codebook (the
+    gate pins k=8 for oracle determinism, which is quadratic by
+    construction at 64x — same exclusion policy as q_semantic_dedup).
+    Cluster width stays ~sqrt(n), so routed candidate volume per
+    vector is ~nprobe·sqrt(n) and the pair stage stays ~n^1.5 total
+    on fixed cores — sub-linear wall time once the shuffle dominates."""
+    import math
+
+    from kafka_stream_spark.operators.semdedup import (
+        semantic_dedup_routed,
+        train_centroids,
+    )
+    from kafka_stream_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n = e.count()
+    k = max(8, int(round(8 * math.sqrt(n / 2000.0))))
+    cent = train_centroids(e, k=k, iters=2)
+    return semantic_dedup_routed(emb, cent, tau=0.4, nprobe=2)
+
+
 def _knn_ivf_scaled(spark, sf_dir):
     """Probe variant of q_knn_classify with the production centroid
     scaling: every ~ sqrt(n) so n_centroids ~ sqrt(n) (the gate pins
@@ -317,6 +344,7 @@ def _graph_ann_indexed(spark, sf_dir):
 
 VARIANTS = {
     "q_semantic_dedup_kscaled": _semantic_dedup_kscaled,
+    "q_semantic_dedup_routed_kscaled": _semantic_dedup_routed_kscaled,
     "q_knn_ivf_scaled": _knn_ivf_scaled,
     "q_hard_negatives_scaled": _hard_negatives_scaled,
     "q_graph_ann_indexed": _graph_ann_indexed,
@@ -333,9 +361,16 @@ KEY_OFFSETS = {
 DIMS = ["nation", "region", "part", "supplier"]
 
 
-def build(spark, dst: str, copies: int, natural: bool = False) -> None:
+def build(
+    spark, dst: str, copies: int, natural: bool = False, tables=None
+) -> None:
+    """tables=None builds every table; a set restricts the build to
+    just those (the 64x probes touch only documents/embeddings — no
+    point materializing a 38M-row lineitem nobody reads)."""
     os.makedirs(dst, exist_ok=True)
     for name, keycols in KEY_OFFSETS.items():
+        if tables is not None and name not in tables:
+            continue
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         if natural and name == "documents":
             out = _natural_documents(spark, df, copies, keycols["doc_id"])
@@ -367,6 +402,8 @@ def build(spark, dst: str, copies: int, natural: bool = False) -> None:
                 out = p if out is None else out.union(p)
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for t in DIMS:
+        if tables is not None and t not in tables:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
@@ -508,12 +545,17 @@ def main() -> None:
     natural = "--natural" in args
     if natural:
         args.remove("--natural")
+    tables = None
+    for a in list(args):
+        if a.startswith("--tables="):
+            tables = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
     copies = int(args[0]) if args else 8
     subset = args[1:] or None
     dst = f"/tmp/scale{copies}{'nat' if natural else ''}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, dst, copies, natural=natural)
+    build(spark, dst, copies, natural=natural, tables=tables)
     base = timed_pass(spark, SRC, subset)
     scaled = timed_pass(spark, dst, subset)
     print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s} {'exp':>5s}")
