@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import text
+from ..functions import hashing, text
 from ..sources.tables import load
 from .registry import query
 
@@ -467,4 +467,227 @@ def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("best") - F.col("second"), 6).alias("margin"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X628 — winnowing fingerprints (MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # char k-gram length
+_WINNOW_W = 4  # window of consecutive k-gram hashes
+_WINNOW_T = 8  # min shared fingerprints to report a candidate pair
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH kg AS (
+      SELECT doc_id, p + 1 AS pos,
+             {hashing.token_hash_sql(f"substr(text, p + 1, {_WINNOW_K})")} AS h
+      FROM (SELECT doc_id, text, unnest(range(length(text) - {_WINNOW_K - 1})) AS p
+            FROM documents)),
+    win AS (
+      SELECT k.doc_id, j.j, k.h, k.pos,
+             row_number() OVER (PARTITION BY k.doc_id, j.j
+                                ORDER BY k.h ASC, k.pos DESC) AS rn
+      FROM kg k JOIN (
+        SELECT doc_id, unnest(range(1, CAST(max(pos) AS BIGINT) - {_WINNOW_W - 2})) AS j
+        FROM kg GROUP BY doc_id) j
+        ON k.doc_id = j.doc_id AND k.pos BETWEEN j.j AND j.j + {_WINNOW_W - 1}),
+    fp AS (
+      SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pr
+    WHERE n_shared >= {_WINNOW_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X628 — winnowing (Schleimer-Wilkerson-Aiken 2003, the MOSS
+    fingerprinting scheme): hash every char 5-gram, slide a window of
+    4 consecutive hashes, keep the window minimum (rightmost on ties
+    — the left-to-right fold's natural argmin), and report document
+    pairs sharing >= 8 distinct fingerprints. Winnowing's guarantee:
+    any shared substring of length >= k + w - 1 yields at least one
+    shared fingerprint, at ~2/(w+1) the density of full k-gram
+    hashing.
+
+    Scale shape: fingerprints are selected in ONE map-side array pass
+    per document (no position explosion — the fold walks slices of
+    the hash array), the candidate join shuffles only (hash, doc_id)
+    pairs at winnowed density, and the pair count is a groupBy. This
+    is the same banded-candidate discipline as MinHash-LSH with a
+    locality guarantee instead of a probabilistic one."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_WINNOW_K - 1)),
+        lambda p: F.struct(
+            hashing.token_hash(F.substring(F.col("text"), p, _WINNOW_K)).alias(
+                "h"
+            ),
+            p.alias("pos"),
+        ),
+    )
+    # fold each w-slice left->right; <= keeps the RIGHTMOST minimum
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("arr")) - (_WINNOW_W - 1)),
+        lambda j: F.aggregate(
+            F.slice(F.col("arr"), j + 1, _WINNOW_W - 1),
+            F.element_at(F.col("arr"), j),
+            lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
+        ),
+    )
+    fp = (
+        d.select("doc_id", arr.alias("arr"))
+        .select("doc_id", F.explode(fps).alias("f"))
+        .select("doc_id", F.col("f.h").alias("h"))
+        .distinct()
+    )
+    other = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        fp.join(other, "h")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X629 — content-defined chunking (Rabin-style boundaries) + chunk dedup
+# ---------------------------------------------------------------------------
+
+_CDC_D = 8  # boundary divisor: expected chunk length ~ D tokens
+
+
+@query(
+    "q_cdc_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, p AS pos,
+             {hashing.token_hash_sql("t[p + 1]")} % {hashing.MERSENNE_P} AS h
+      FROM (SELECT doc_id, source, {text.tokens_sql("text")} AS t,
+                   unnest(range(len({text.tokens_sql("text")}))) AS p
+            FROM documents)),
+    rolled AS (
+      SELECT doc_id, source, pos,
+             (h + 31 * lag(h, 1, 0) OVER w + 961 * lag(h, 2, 0) OVER w)
+               % {hashing.MERSENNE_P} AS hw,
+             lag(h, 2) OVER w IS NOT NULL AS full_win
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    flagged AS (
+      SELECT t.doc_id, t.source, t.pos,
+             CASE WHEN r.full_win AND r.hw % {_CDC_D} = 0 THEN 1 ELSE 0 END
+               AS boundary
+      FROM tok t JOIN rolled r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+    chunked AS (
+      SELECT f.doc_id, f.source, f.pos,
+             coalesce(sum(f.boundary) OVER (PARTITION BY f.doc_id ORDER BY f.pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+      FROM flagged f),
+    chunks AS (
+      SELECT c.doc_id, any_value(c.source) AS source, c.chunk_idx,
+             count(*) AS n_toks,
+             md5(string_agg(t2.tok, ' ' ORDER BY c.pos)) AS chash
+      FROM chunked c JOIN (
+        SELECT doc_id, p AS pos, t[p + 1] AS tok
+        FROM (SELECT doc_id, {text.tokens_sql("text")} AS t,
+                     unnest(range(len({text.tokens_sql("text")}))) AS p
+              FROM documents)) t2
+        ON c.doc_id = t2.doc_id AND c.pos = t2.pos
+      GROUP BY c.doc_id, c.chunk_idx)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT chash) * 1.0 / count(*), 6)
+             AS dup_ratio,
+           round(avg(n_toks), 6) AS avg_chunk_toks
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X629 — content-defined chunking (the Rabin-fingerprint boundary
+    rule LBFS/restic/borg dedup storage uses, token-grain here): a
+    rolling hash of the last 3 token hashes declares a chunk boundary
+    whenever hw % 8 == 0, so boundaries depend only on LOCAL content —
+    insert a token and only the chunks around the edit change, which
+    is the whole point vs fixed-size chunking. Chunks are then
+    deduplicated globally by hash and the per-source dup ratio
+    reported.
+
+    Scale shape: tokenize + rolling hash are one window pass per doc
+    (keyed by doc_id — no global state), chunk assembly is a
+    (doc, chunk_idx) groupBy, and dedup is a count-distinct on 16-byte
+    chunk hashes — never chunk texts — per source."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok"),
+    ).withColumn(
+        "h",
+        hashing.token_hash(F.col("tok")) % hashing.MERSENNE_P,
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    rolled = tok.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        (
+            (
+                F.col("h")
+                + 31 * F.lag("h", 1, 0).over(w)
+                + 961 * F.lag("h", 2, 0).over(w)
+            )
+            % hashing.MERSENNE_P
+        ).alias("hw"),
+        F.lag("h", 2).over(w).isNotNull().alias("full_win"),
+    )
+    flagged = rolled.withColumn(
+        "boundary",
+        F.when(
+            F.col("full_win") & (F.col("hw") % _CDC_D == 0), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    wcum = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("boundary").over(wcum), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.any_value("source").alias("source"),
+        F.count("*").alias("n_toks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chash"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("chash").cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct("chash") / F.count("*"), 6
+            ).alias("dup_ratio"),
+            F.round(F.avg("n_toks"), 6).alias("avg_chunk_toks"),
+        )
+        .orderBy("source")
     )
