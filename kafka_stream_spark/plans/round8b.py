@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import hashing, text
+from ..functions import hashing, text, vectors
 from ..sources.tables import load
 from .registry import query
 
@@ -690,4 +690,252 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_toks"), 6).alias("avg_chunk_toks"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X630 — preference-transitivity audit (Condorcet cycle counting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pref_transitivity",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    duel AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             sum(CASE WHEN a.m > b.m THEN 1 ELSE 0 END) AS w_ab,
+             sum(CASE WHEN b.m > a.m THEN 1 ELSE 0 END) AS w_ba
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    alledges AS (
+      SELECT x.event_type AS ta, y.event_type AS tb,
+             coalesce(d.w_ab, 0) AS w_ab, coalesce(d.w_ba, 0) AS w_ba
+      FROM types x JOIN types y ON x.event_type < y.event_type
+      LEFT JOIN duel d ON d.ta = x.event_type AND d.tb = y.event_type),
+    edges AS (
+      SELECT CASE WHEN w_ab >= w_ba THEN ta ELSE tb END AS win,
+             CASE WHEN w_ab >= w_ba THEN tb ELSE ta END AS lose
+      FROM alledges),
+    cyc AS (
+      SELECT count(*) AS n_cyclic
+      FROM edges e1 JOIN edges e2 ON e2.win = e1.lose
+      JOIN edges e3 ON e3.win = e2.lose AND e3.lose = e1.win
+      WHERE e1.win < e1.lose AND e1.win < e2.lose),
+    np AS (SELECT count(*) AS k FROM types)
+    SELECT CAST(np.k AS BIGINT) AS n_players,
+           CAST(np.k * (np.k - 1) * (np.k - 2) / 6 AS BIGINT) AS n_triples,
+           CAST(cyc.n_cyclic AS BIGINT) AS n_cyclic,
+           round(1.0 - cyc.n_cyclic * 1.0
+                 / greatest(np.k * (np.k - 1) * (np.k - 2) / 6, 1), 6)
+             AS transitivity
+    FROM np, cyc
+    """,
+)
+def q_pref_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X630 — preference-transitivity audit: build a round-robin
+    tournament over event types (daily duels decided by the rounded
+    daily mean reward; the pairwise edge goes to the type winning
+    more days, ties to the lexicographically smaller — so the
+    tournament is complete) and count Condorcet 3-cycles, the
+    quantity reward-model training data is audited for before fitting
+    Bradley-Terry (intransitive preference sets cap achievable
+    pairwise accuracy). Each cycle is counted once by anchoring on
+    its minimum vertex.
+
+    Scale: duels aggregate per (day, type) — map-side combinable —
+    and the cycle join runs on the TYPE tournament (vocabulary-sized,
+    broadcast), never on raw events."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type",
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    types = daily.select("event_type").distinct()
+    a = daily.select(
+        "day", F.col("event_type").alias("ta"), F.col("m").alias("ma")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("tb"), F.col("m").alias("mb")
+    )
+    duel = (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.when(F.col("ma") > F.col("mb"), 1).otherwise(0)).alias(
+                "w_ab"
+            ),
+            F.sum(F.when(F.col("mb") > F.col("ma"), 1).otherwise(0)).alias(
+                "w_ba"
+            ),
+        )
+    )
+    allpairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+        .join(duel, ["ta", "tb"], "left")
+        .fillna(0, ["w_ab", "w_ba"])
+    )
+    edges = allpairs.select(
+        F.when(F.col("w_ab") >= F.col("w_ba"), F.col("ta"))
+        .otherwise(F.col("tb"))
+        .alias("win"),
+        F.when(F.col("w_ab") >= F.col("w_ba"), F.col("tb"))
+        .otherwise(F.col("ta"))
+        .alias("lose"),
+    )
+    e1 = edges.select(F.col("win").alias("w1"), F.col("lose").alias("l1"))
+    e2 = edges.select(F.col("win").alias("w2"), F.col("lose").alias("l2"))
+    e3 = edges.select(F.col("win").alias("w3"), F.col("lose").alias("l3"))
+    cyc = (
+        e1.join(e2, F.col("w2") == F.col("l1"))
+        .join(
+            e3,
+            (F.col("w3") == F.col("l2")) & (F.col("l3") == F.col("w1")),
+        )
+        .filter((F.col("w1") < F.col("l1")) & (F.col("w1") < F.col("l2")))
+        .agg(F.count("*").alias("n_cyclic"))
+    )
+    np_ = types.agg(F.count("*").alias("k"))
+    tri = (
+        F.col("k") * (F.col("k") - 1) * (F.col("k") - 2) / 2 / 3
+    ).cast("long")
+    return np_.crossJoin(cyc).select(
+        F.col("k").cast("long").alias("n_players"),
+        tri.alias("n_triples"),
+        F.col("n_cyclic").cast("long").alias("n_cyclic"),
+        F.round(
+            1.0 - F.col("n_cyclic") / F.greatest(tri, F.lit(1)), 6
+        ).alias("transitivity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X631 — margin-based bitext mining (ratio margin, mutual best match)
+# ---------------------------------------------------------------------------
+
+_MARGIN_NK = 4  # neighborhood depth for the margin denominator
+_MARGIN_TAU = 1.02  # mining threshold
+
+
+@query(
+    "q_margin_mining",
+    oracle=f"""
+    WITH xs AS (
+      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+      WHERE label % 2 = 0),
+    ys AS (
+      SELECT vec_id AS y_id, embedding AS ye FROM embeddings
+      WHERE label % 2 = 1),
+    cs AS (
+      SELECT x_id, y_id,
+             round({vectors.cosine_sql("xe", "ye")}, 10) AS c
+      FROM xs, ys),
+    mx AS (
+      SELECT x_id, round(avg(c), 10) AS mx FROM (
+        SELECT x_id, c, row_number() OVER (PARTITION BY x_id
+                 ORDER BY c DESC, y_id) AS rn FROM cs)
+      WHERE rn <= {_MARGIN_NK} GROUP BY x_id),
+    my AS (
+      SELECT y_id, round(avg(c), 10) AS my FROM (
+        SELECT y_id, c, row_number() OVER (PARTITION BY y_id
+                 ORDER BY c DESC, x_id) AS rn FROM cs)
+      WHERE rn <= {_MARGIN_NK} GROUP BY y_id),
+    mg AS (
+      SELECT cs.x_id, cs.y_id,
+             round(cs.c / ((mx.mx + my.my) / 2), 6) AS margin
+      FROM cs JOIN mx ON mx.x_id = cs.x_id
+              JOIN my ON my.y_id = cs.y_id),
+    bx AS (
+      SELECT x_id, y_id, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY x_id
+                 ORDER BY margin DESC, y_id) AS rn FROM mg)
+      WHERE rn = 1),
+    by_ AS (
+      SELECT x_id, y_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY y_id
+                 ORDER BY margin DESC, x_id) AS rn FROM mg)
+      WHERE rn = 1)
+    SELECT bx.x_id, bx.y_id, bx.margin
+    FROM bx JOIN by_ ON bx.x_id = by_.x_id AND bx.y_id = by_.y_id
+    WHERE bx.margin >= {_MARGIN_TAU}
+    ORDER BY bx.x_id
+    """,
+)
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X631 — margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER mining rule): candidate pairs across two embedding
+    populations (label parity splits the corpus) are scored by the
+    RATIO margin — cosine divided by the mean of both endpoints'
+    top-4 neighborhood cosines — which cancels hubness: a vector
+    whose neighborhood is uniformly close scores no pair highly.
+    Mined pairs must be MUTUAL best matches above tau=1.02.
+
+    Gate instance is exact all-pairs (the documented sf0.01 oracle
+    policy for similarity ops); the production path routes candidates
+    through operators/ann ivf_search exactly like q_hard_negatives —
+    the margin denominator only needs each endpoint's local top-k,
+    which IS the ANN result set. Rankings and the mutual-best rule
+    use rounded cosines/margins with id tie-breaks, engine-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), F.col("embedding").alias("xe")
+    )
+    ys = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), F.col("embedding").alias("ye")
+    )
+    cs = xs.crossJoin(ys).select(
+        "x_id",
+        "y_id",
+        F.round(vectors.cosine(F.col("xe"), F.col("ye")), 10).alias("c"),
+    )
+    wx = W.partitionBy("x_id").orderBy(F.desc("c"), "y_id")
+    wy = W.partitionBy("y_id").orderBy(F.desc("c"), "x_id")
+    mx = (
+        cs.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _MARGIN_NK)
+        .groupBy("x_id")
+        .agg(F.round(F.avg("c"), 10).alias("mx"))
+    )
+    my = (
+        cs.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _MARGIN_NK)
+        .groupBy("y_id")
+        .agg(F.round(F.avg("c"), 10).alias("my"))
+    )
+    mg = (
+        cs.join(mx, "x_id")
+        .join(my, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.round(
+                F.col("c") / ((F.col("mx") + F.col("my")) / 2), 6
+            ).alias("margin"),
+        )
+    )
+    wmx = W.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    wmy = W.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    bx = (
+        mg.withColumn("rn", F.row_number().over(wmx))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    by = (
+        mg.withColumn("rn", F.row_number().over(wmy))
+        .filter(F.col("rn") == 1)
+        .select("x_id", "y_id")
+    )
+    return (
+        bx.join(by, ["x_id", "y_id"])
+        .filter(F.col("margin") >= _MARGIN_TAU)
+        .select("x_id", "y_id", "margin")
+        .orderBy("x_id")
     )
