@@ -939,3 +939,363 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x_id", "y_id", "margin")
         .orderBy("x_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X632 — memorization audit (per-generation duplication predictor)
+# ---------------------------------------------------------------------------
+
+_NOV_N = 8  # n-gram order for the novelty test
+
+
+@query(
+    "q_memorization_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {text.tokens_sql("text")} AS t FROM documents),
+    gen AS (
+      SELECT doc_id, unnest({_ngrams_sql("t", _NOV_N)}) AS g
+      FROM toks WHERE doc_id % 97 = 3),
+    corpus AS (
+      SELECT g, count(*) AS dup FROM (
+        SELECT unnest({_ngrams_sql("t", _NOV_N)}) AS g
+        FROM toks WHERE doc_id % 97 <> 3)
+      GROUP BY g),
+    j AS (
+      SELECT gen.doc_id, gen.g, corpus.dup
+      FROM gen LEFT JOIN corpus ON corpus.g = gen.g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dup IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN dup IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty,
+           round(avg(coalesce(dup, 0)), 6) AS mean_dup
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X632 — n-gram novelty / memorization audit (the Gopher /
+    Carlini et al. check: duplication count in the training corpus is
+    the strongest predictor of verbatim memorization): treat a
+    deterministic doc subset (doc_id % 97 == 3) as generations and
+    measure, per generation, the fraction of its 8-grams that never
+    occur in the rest of the corpus (novelty) and the mean corpus
+    duplication count of the rest — high mean_dup flags likely
+    regurgitation, novelty ~1 flags genuinely fresh text.
+
+    Scale: the corpus side is a (gram → count) aggregate — map-side
+    combinable, exactly a word count at 8-gram grain; the audit join
+    is keyed by gram hash. At 100 TB one would hash grams to 8 bytes
+    first (the q_decontaminate trick); kept as raw strings here for
+    oracle transparency."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    gen = toks.filter(F.col("doc_id") % 97 == 3).select(
+        "doc_id", F.explode(_ngrams(F.col("t"), _NOV_N)).alias("g")
+    )
+    corpus = (
+        toks.filter(F.col("doc_id") % 97 != 3)
+        .select(F.explode(_ngrams(F.col("t"), _NOV_N)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("dup"))
+    )
+    j = gen.join(corpus, "g", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("dup").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("dup").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+            F.round(F.avg(F.coalesce("dup", F.lit(0))), 6).alias(
+                "mean_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X633 — token-budget-constrained corpus selection
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.25  # select until 25% of total corpus tokens
+
+
+@query(
+    "q_token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, len({text.tokens_sql("text")}) AS n_toks,
+             round(len(list_distinct({text.tokens_sql("text")})) * 1.0
+                   / greatest(len({text.tokens_sql("text")}), 1), 6)
+               AS quality
+      FROM documents),
+    budget AS (
+      SELECT CAST(floor(sum(n_toks) * {_BUDGET_FRAC}) AS BIGINT) AS b
+      FROM scored),
+    ranked AS (
+      SELECT doc_id, n_toks, quality,
+             sum(n_toks) OVER (ORDER BY quality DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_toks
+      FROM scored)
+    SELECT r.doc_id, CAST(r.n_toks AS BIGINT) AS n_toks, r.quality,
+           CAST(r.cum_toks AS BIGINT) AS cum_toks
+    FROM ranked r, budget
+    WHERE r.cum_toks <= budget.b
+    ORDER BY r.quality DESC, r.doc_id
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X633 — token-budget-constrained corpus selection: greedily
+    admit documents in quality order (type-token ratio as the quality
+    proxy — any upstream score slots in) until the running token
+    total hits the budget (25% of corpus tokens — fraction-based so
+    the contract is SF-invariant). This is the final cut every
+    budgeted pretraining run makes after scoring: the greedy
+    quality-first fill.
+
+    Scale: one global running sum over the quality order. At 100 TB
+    the exact prefix is found in two passes without a global sort:
+    histogram quality into bins, find the cut bin from bin token
+    sums (broadcast), then only the cut bin needs exact ordering —
+    the same two-pass trick as q_weighted_sample's quantile cut."""
+    d = load(spark, sf_dir, "documents")
+    t = text.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(t).alias("n_toks"),
+        F.round(
+            F.size(F.array_distinct(t))
+            / F.greatest(F.size(t), F.lit(1)),
+            6,
+        ).alias("quality"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_toks") * _BUDGET_FRAC).cast("long").alias("b")
+    )
+    w = (
+        W.orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        ranked.crossJoin(budget)
+        .filter(F.col("cum_toks") <= F.col("b"))
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            "quality",
+            F.col("cum_toks").cast("long").alias("cum_toks"),
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X634 — NMF topic model (Lee-Seung multiplicative updates, unrolled)
+# ---------------------------------------------------------------------------
+
+_NMF_K = 4  # topics
+_NMF_R = 2  # unrolled multiplicative-update rounds
+
+
+def _nmf_init_sql() -> str:
+    hw = hashing.token_hash_sql(
+        "'w|' || CAST(d AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
+    )
+    hh = hashing.token_hash_sql(
+        "'h|' || CAST(k AS VARCHAR) || '|' || t2"
+    )
+    return f"""
+    v AS (
+      SELECT doc_id AS d, tok AS t2, CAST(count(*) AS DOUBLE) AS v
+      FROM (SELECT doc_id, unnest({text.tokens_sql("text")}) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    docs_ AS (SELECT DISTINCT d FROM v),
+    terms_ AS (SELECT DISTINCT t2 FROM v),
+    topics_ AS (SELECT CAST(r.range AS BIGINT) AS k FROM range({_NMF_K}) r),
+    w0 AS (
+      SELECT d, k, round(0.1 + ({hw} % 1000) / 1000.0, 10) AS w
+      FROM docs_, topics_),
+    h0 AS (
+      SELECT k, t2, round(0.1 + ({hh} % 1000) / 1000.0, 10) AS h
+      FROM topics_, terms_)"""
+
+
+def _nmf_round_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+    numh{r} AS (
+      SELECT w.k, v.t2, round(sum(w.w * v.v), 10) AS x
+      FROM w{p} w JOIN v ON v.d = w.d GROUP BY w.k, v.t2),
+    wtw{r} AS (
+      SELECT a.k AS k1, b.k AS k2, round(sum(a.w * b.w), 10) AS x
+      FROM w{p} a JOIN w{p} b ON a.d = b.d GROUP BY a.k, b.k),
+    denh{r} AS (
+      SELECT m.k1 AS k, h.t2, round(sum(m.x * h.h), 10) AS x
+      FROM wtw{r} m JOIN h{p} h ON h.k = m.k2 GROUP BY m.k1, h.t2),
+    h{r} AS (
+      SELECT n.k, n.t2, round(h.h * n.x / (dn.x + 1e-9), 10) AS h
+      FROM numh{r} n
+      JOIN denh{r} dn ON dn.k = n.k AND dn.t2 = n.t2
+      JOIN h{p} h ON h.k = n.k AND h.t2 = n.t2),
+    numw{r} AS (
+      SELECT v.d, h.k, round(sum(v.v * h.h), 10) AS x
+      FROM v JOIN h{r} h ON h.t2 = v.t2 GROUP BY v.d, h.k),
+    hht{r} AS (
+      SELECT a.k AS k1, b.k AS k2, round(sum(a.h * b.h), 10) AS x
+      FROM h{r} a JOIN h{r} b ON a.t2 = b.t2 GROUP BY a.k, b.k),
+    denw{r} AS (
+      SELECT w.d, m.k2 AS k, round(sum(w.w * m.x), 10) AS x
+      FROM w{p} w JOIN hht{r} m ON m.k1 = w.k GROUP BY w.d, m.k2),
+    w{r} AS (
+      SELECT n.d, n.k, round(w.w * n.x / (dn.x + 1e-9), 10) AS w
+      FROM numw{r} n
+      JOIN denw{r} dn ON dn.d = n.d AND dn.k = n.k
+      JOIN w{p} w ON w.d = n.d AND w.k = n.k)"""
+
+
+@query(
+    "q_nmf_topics",
+    oracle=f"""
+    WITH {_nmf_init_sql().lstrip()},
+    {",".join(_nmf_round_sql(r).lstrip() for r in range(1, _NMF_R + 1))}
+    SELECT d AS doc_id, CAST(k AS BIGINT) AS topic,
+           round(w, 6) AS weight
+    FROM (SELECT d, k, w, row_number() OVER (PARTITION BY d
+               ORDER BY w DESC, k) AS rn FROM w{_NMF_R})
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X634 — NMF topic model (Lee & Seung 2001 Frobenius
+    multiplicative updates): V(doc×term) term counts factorized as
+    W·H with k=4 topics, {_NMF_R} update rounds unrolled. Every
+    factor cell and every intermediate aggregate (WᵀV, WᵀW·H, V·Hᵀ,
+    W·H·Hᵀ) is rounded to 10 dp so both engines advance from
+    bit-identical doubles — the X606 unigram-EM discipline applied to
+    matrix factorization. Init is a portable keyed hash of (matrix,
+    row, col), so the factorization is seed-stable and engine-free.
+    Output: each doc's argmax topic and weight.
+
+    Scale shape: W updates are (doc×k)-keyed joins against k×k /
+    k×term broadcasts (k=4, vocab-sized H — both tiny at any corpus
+    scale); the only data-sized shuffles are the two V-keyed products
+    per round, each a map-side-combinable groupBy. The doc×term V
+    relation is the sparse explode — never a dense matrix."""
+    d = load(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            F.col("doc_id").alias("d"),
+            F.explode(text.tokens(F.col("text"))).alias("t2"),
+        )
+        .groupBy("d", "t2")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    docs_ = v.select("d").distinct()
+    terms_ = v.select("t2").distinct()
+    topics_ = spark.range(_NMF_K).select(F.col("id").alias("k"))
+    hkey = lambda pre, a, b: hashing.token_hash(  # noqa: E731
+        F.concat(
+            F.lit(pre), a.cast("string"), F.lit("|"), b.cast("string")
+        )
+    )
+    w = docs_.crossJoin(topics_).select(
+        "d",
+        "k",
+        F.round(
+            0.1 + (hkey("w|", F.col("d"), F.col("k")) % 1000) / 1000.0, 10
+        ).alias("w"),
+    )
+    h = topics_.crossJoin(terms_).select(
+        "k",
+        "t2",
+        F.round(
+            0.1 + (hkey("h|", F.col("k"), F.col("t2")) % 1000) / 1000.0, 10
+        ).alias("h"),
+    )
+    v = v.localCheckpoint(eager=True)
+    for _ in range(_NMF_R):
+        numh = (
+            w.join(v, "d")
+            .groupBy("k", "t2")
+            .agg(F.round(F.sum(F.col("w") * F.col("v")), 10).alias("x"))
+        )
+        wtw = (
+            w.alias("a")
+            .join(w.alias("b"), "d")
+            .groupBy(
+                F.col("a.k").alias("k1"), F.col("b.k").alias("k2")
+            )
+            .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 10).alias("x"))
+        )
+        denh = (
+            wtw.join(h.withColumnRenamed("k", "k2"), "k2")
+            .groupBy(F.col("k1").alias("k"), "t2")
+            .agg(F.round(F.sum(F.col("x") * F.col("h")), 10).alias("x"))
+        )
+        h = (
+            numh.withColumnRenamed("x", "nx")
+            .join(denh.withColumnRenamed("x", "dx"), ["k", "t2"])
+            .join(h, ["k", "t2"])
+            .select(
+                "k",
+                "t2",
+                F.round(
+                    F.col("h") * F.col("nx") / (F.col("dx") + 1e-9), 10
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        numw = (
+            v.join(h, "t2")
+            .groupBy("d", "k")
+            .agg(F.round(F.sum(F.col("v") * F.col("h")), 10).alias("x"))
+        )
+        hht = (
+            h.alias("a")
+            .join(h.alias("b"), "t2")
+            .groupBy(
+                F.col("a.k").alias("k1"), F.col("b.k").alias("k2")
+            )
+            .agg(F.round(F.sum(F.col("a.h") * F.col("b.h")), 10).alias("x"))
+        )
+        denw = (
+            w.withColumnRenamed("k", "k1")
+            .join(hht, "k1")
+            .groupBy("d", F.col("k2").alias("k"))
+            .agg(F.round(F.sum(F.col("w") * F.col("x")), 10).alias("x"))
+        )
+        w = (
+            numw.withColumnRenamed("x", "nx")
+            .join(denw.withColumnRenamed("x", "dx"), ["d", "k"])
+            .join(w, ["d", "k"])
+            .select(
+                "d",
+                "k",
+                F.round(
+                    F.col("w") * F.col("nx") / (F.col("dx") + 1e-9), 10
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wn = W.partitionBy("d").orderBy(F.desc("w"), "k")
+    return (
+        w.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("k").cast("long").alias("topic"),
+            F.round("w", 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
