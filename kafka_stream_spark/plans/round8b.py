@@ -1299,3 +1299,378 @@ def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X635 — logistic regression via unrolled IRLS (Newton) steps
+# ---------------------------------------------------------------------------
+
+_IRLS_STEPS = 3
+
+
+def _irls_step_sql(r: int) -> str:
+    p = r - 1
+    eta = f"(b{p}.b0 + b{p}.b1 * s.x)"
+    pr = f"round(1.0 / (1.0 + exp(-{eta})), 10)"
+    return f"""
+    m{r} AS (
+      SELECT round(sum({pr} * (1.0 - {pr})), 10) AS sw,
+             round(sum({pr} * (1.0 - {pr}) * s.x), 10) AS swx,
+             round(sum({pr} * (1.0 - {pr}) * s.x * s.x), 10) AS swxx,
+             round(sum(s.y - {pr}), 10) AS g0,
+             round(sum((s.y - {pr}) * s.x), 10) AS g1
+      FROM s, b{p}),
+    b{r} AS (
+      SELECT round(b{p}.b0 + (m.swxx * m.g0 - m.swx * m.g1)
+                   / (m.sw * m.swxx - m.swx * m.swx), 10) AS b0,
+             round(b{p}.b1 + (m.sw * m.g1 - m.swx * m.g0)
+                   / (m.sw * m.swxx - m.swx * m.swx), 10) AS b1
+      FROM m{r} m, b{p})"""
+
+
+@query(
+    "q_logit_irls",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y,
+             round(value / 10.0, 10) AS x
+      FROM events),
+    b0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+    {",".join(_irls_step_sql(r).lstrip() for r in range(1, _IRLS_STEPS + 1))},
+    ll AS (
+      SELECT round(sum(s.y * ln(greatest(
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * s.x))), 1e-12))
+             + (1.0 - s.y) * ln(greatest(
+               1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * s.x))), 1e-12))), 6)
+               AS loglik
+      FROM s, b{_IRLS_STEPS} b)
+    SELECT round(b.b0, 6) + 0.0 AS b0, round(b.b1, 6) + 0.0 AS b1,
+           ll.loglik
+    FROM b{_IRLS_STEPS} b, ll
+    """,
+)
+def q_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X635 — logistic regression trained by {_IRLS_STEPS} unrolled
+    IRLS (Newton-Raphson) steps: y = 1[event_type=='error'] on the
+    scaled reward. Each step aggregates the weighted moment matrix
+    (Σw, Σwx, Σwx²) and score (Σ(y−p), Σ(y−p)x) — every sum rounded
+    to 10 dp — and solves the 2×2 system in closed form, so both
+    engines walk bit-identical Newton iterates (the X623 Kalman
+    discipline applied to a model trainer). Output: coefficients and
+    final log-likelihood.
+
+    Scale shape: each step is ONE map-side-combinable scalar
+    aggregate over the data and a broadcast coefficient row — the
+    textbook distributed GLM fit. Steps are data passes, not state:
+    nothing per-row persists between iterations."""
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        F.when(F.col("event_type") == "error", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        F.round(F.col("value") / 10.0, 10).alias("x"),
+    ).localCheckpoint(eager=True)
+    b = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_IRLS_STEPS):
+        j = s.crossJoin(F.broadcast(b))
+        pr = F.round(
+            1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))),
+            10,
+        )
+        m = j.agg(
+            F.round(F.sum(pr * (1.0 - pr)), 10).alias("sw"),
+            F.round(F.sum(pr * (1.0 - pr) * F.col("x")), 10).alias("swx"),
+            F.round(
+                F.sum(pr * (1.0 - pr) * F.col("x") * F.col("x")), 10
+            ).alias("swxx"),
+            F.round(F.sum(F.col("y") - pr), 10).alias("g0"),
+            F.round(F.sum((F.col("y") - pr) * F.col("x")), 10).alias("g1"),
+            F.any_value("b0").alias("pb0"),
+            F.any_value("b1").alias("pb1"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        b = m.select(
+            F.round(
+                F.col("pb0")
+                + (F.col("swxx") * F.col("g0") - F.col("swx") * F.col("g1"))
+                / det,
+                10,
+            ).alias("b0"),
+            F.round(
+                F.col("pb1")
+                + (F.col("sw") * F.col("g1") - F.col("swx") * F.col("g0"))
+                / det,
+                10,
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+    j = s.crossJoin(F.broadcast(b))
+    p_ = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+    ll = j.agg(
+        F.round(
+            F.sum(
+                F.col("y") * F.log(F.greatest(p_, F.lit(1e-12)))
+                + (1.0 - F.col("y"))
+                * F.log(F.greatest(1.0 - p_, F.lit(1e-12)))
+            ),
+            6,
+        ).alias("loglik"),
+        F.any_value("b0").alias("fb0"),
+        F.any_value("b1").alias("fb1"),
+    )
+    return ll.select(
+        (F.round("fb0", 6) + 0.0).alias("b0"),
+        (F.round("fb1", 6) + 0.0).alias("b1"),
+        "loglik",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X636 — 1-D two-component Gaussian mixture via unrolled EM
+# ---------------------------------------------------------------------------
+
+_GMM_ROUNDS = 2
+
+
+def _gmm_round_sql(r: int) -> str:
+    p = r - 1
+    d1 = f"exp(-((s.x - t{p}.mu1) * (s.x - t{p}.mu1)) / (2 * t{p}.v1)) / sqrt(t{p}.v1)"
+    d2 = f"exp(-((s.x - t{p}.mu2) * (s.x - t{p}.mu2)) / (2 * t{p}.v2)) / sqrt(t{p}.v2)"
+    g = f"round(t{p}.pi1 * {d1} / greatest(t{p}.pi1 * {d1} + (1 - t{p}.pi1) * {d2}, 1e-300), 10)"
+    return f"""
+    e{r} AS (
+      SELECT round(sum({g}), 10) AS n1,
+             round(sum(1.0 - {g}), 10) AS n2,
+             round(sum({g} * s.x), 10) AS sx1,
+             round(sum((1.0 - {g}) * s.x), 10) AS sx2,
+             round(sum({g} * s.x * s.x), 10) AS sxx1,
+             round(sum((1.0 - {g}) * s.x * s.x), 10) AS sxx2,
+             count(*) AS n
+      FROM s, t{p}),
+    t{r} AS (
+      SELECT round(n1 / n, 10) AS pi1,
+             round(sx1 / n1, 10) AS mu1,
+             round(greatest(sxx1 / n1 - (sx1 / n1) * (sx1 / n1), 1e-6), 10) AS v1,
+             round(sx2 / n2, 10) AS mu2,
+             round(greatest(sxx2 / n2 - (sx2 / n2) * (sx2 / n2), 1e-6), 10) AS v2
+      FROM e{r})"""
+
+
+@query(
+    "q_gmm_em_1d",
+    oracle=f"""
+    WITH s AS (SELECT round(value, 10) AS x FROM events),
+    q AS (
+      SELECT round(min(x) + (max(x) - min(x)) / 4.0, 10) AS mu1,
+             round(min(x) + 3.0 * (max(x) - min(x)) / 4.0, 10) AS mu2,
+             round(greatest(avg(x * x) - avg(x) * avg(x), 1e-6), 10) AS v
+      FROM s),
+    t0 AS (SELECT 0.5 AS pi1, mu1, v AS v1, mu2, v AS v2 FROM q),
+    {",".join(_gmm_round_sql(r).lstrip() for r in range(1, _GMM_ROUNDS + 1))}
+    SELECT round(pi1, 6) AS pi1, round(mu1, 6) AS mu1,
+           round(sqrt(v1), 6) AS sigma1, round(mu2, 6) AS mu2,
+           round(sqrt(v2), 6) AS sigma2
+    FROM t{_GMM_ROUNDS}
+    """,
+)
+def q_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X636 — 1-D two-component Gaussian mixture fit by {_GMM_ROUNDS}
+    unrolled EM rounds over the reward distribution: deterministic
+    range-quartile init, E-step responsibilities and every M-step
+    weighted sum rounded to 10 dp (the unrolled-recurrence discipline
+    again — both engines walk identical parameter iterates). Output:
+    mixing weight, component means and sigmas.
+
+    Scale: each EM round is one scalar aggregate against a broadcast
+    parameter row — embarrassingly map-side at any data size; no
+    per-row state survives a round."""
+    e = load(spark, sf_dir, "events")
+    s = e.select(F.round("value", 10).alias("x")).localCheckpoint(
+        eager=True
+    )
+    q = s.agg(
+        F.round(
+            F.min("x") + (F.max("x") - F.min("x")) / 4.0, 10
+        ).alias("mu1"),
+        F.round(
+            F.min("x") + 3.0 * (F.max("x") - F.min("x")) / 4.0, 10
+        ).alias("mu2"),
+        F.round(
+            F.greatest(
+                F.avg(F.col("x") * F.col("x"))
+                - F.avg("x") * F.avg("x"),
+                F.lit(1e-6),
+            ),
+            10,
+        ).alias("v"),
+    )
+    t = q.select(
+        F.lit(0.5).alias("pi1"),
+        "mu1",
+        F.col("v").alias("v1"),
+        "mu2",
+        F.col("v").alias("v2"),
+    )
+    for _ in range(_GMM_ROUNDS):
+        j = s.crossJoin(F.broadcast(t))
+        d1 = F.exp(
+            -((F.col("x") - F.col("mu1")) ** 2) / (2 * F.col("v1"))
+        ) / F.sqrt("v1")
+        d2 = F.exp(
+            -((F.col("x") - F.col("mu2")) ** 2) / (2 * F.col("v2"))
+        ) / F.sqrt("v2")
+        g = F.round(
+            F.col("pi1")
+            * d1
+            / F.greatest(
+                F.col("pi1") * d1 + (1 - F.col("pi1")) * d2,
+                F.lit(1e-300),
+            ),
+            10,
+        )
+        agg = j.agg(
+            F.round(F.sum(g), 10).alias("n1"),
+            F.round(F.sum(1.0 - g), 10).alias("n2"),
+            F.round(F.sum(g * F.col("x")), 10).alias("sx1"),
+            F.round(F.sum((1.0 - g) * F.col("x")), 10).alias("sx2"),
+            F.round(F.sum(g * F.col("x") * F.col("x")), 10).alias("sxx1"),
+            F.round(
+                F.sum((1.0 - g) * F.col("x") * F.col("x")), 10
+            ).alias("sxx2"),
+            F.count("*").alias("n"),
+        )
+        t = agg.select(
+            F.round(F.col("n1") / F.col("n"), 10).alias("pi1"),
+            F.round(F.col("sx1") / F.col("n1"), 10).alias("mu1"),
+            F.round(
+                F.greatest(
+                    F.col("sxx1") / F.col("n1")
+                    - (F.col("sx1") / F.col("n1")) ** 2,
+                    F.lit(1e-6),
+                ),
+                10,
+            ).alias("v1"),
+            F.round(F.col("sx2") / F.col("n2"), 10).alias("mu2"),
+            F.round(
+                F.greatest(
+                    F.col("sxx2") / F.col("n2")
+                    - (F.col("sx2") / F.col("n2")) ** 2,
+                    F.lit(1e-6),
+                ),
+                10,
+            ).alias("v2"),
+        ).localCheckpoint(eager=True)
+    return t.select(
+        F.round("pi1", 6).alias("pi1"),
+        F.round("mu1", 6).alias("mu1"),
+        F.round(F.sqrt("v1"), 6).alias("sigma1"),
+        F.round("mu2", 6).alias("mu2"),
+        F.round(F.sqrt("v2"), 6).alias("sigma2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X637 — AR(2) fit by Yule-Walker on the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ar2_yule_walker",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1),
+    ctr AS (
+      SELECT day, y - (SELECT avg(y) FROM daily) AS z,
+             row_number() OVER (ORDER BY day) AS i
+      FROM daily),
+    acv AS (
+      SELECT round(sum(a.z * a.z) / count(*), 10) AS c0,
+             round(sum(CASE WHEN b1.z IS NOT NULL THEN a.z * b1.z END)
+                   / count(*), 10) AS c1,
+             round(sum(CASE WHEN b2.z IS NOT NULL THEN a.z * b2.z END)
+                   / count(*), 10) AS c2
+      FROM ctr a
+      LEFT JOIN ctr b1 ON b1.i = a.i - 1
+      LEFT JOIN ctr b2 ON b2.i = a.i - 2),
+    fit AS (
+      SELECT round((c1 * c0 - c1 * c2) / (c0 * c0 - c1 * c1), 10) AS phi1,
+             round((c0 * c2 - c1 * c1) / (c0 * c0 - c1 * c1), 10) AS phi2,
+             c0, c1, c2
+      FROM acv)
+    SELECT round(phi1, 6) AS phi1, round(phi2, 6) AS phi2,
+           round(c0 - phi1 * c1 - phi2 * c2, 6) AS noise_var,
+           round(c1 / c0, 6) AS rho1, round(c2 / c0, 6) AS rho2
+    FROM fit
+    """,
+)
+def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X637 — AR(2) fit by Yule-Walker: autocovariances c0..c2 of the
+    daily event-count series (biased 1/n estimator, rounded before
+    the solve), the 2×2 Yule-Walker system solved in closed form, and
+    the innovation variance c0 − φ1·c1 − φ2·c2. The lag joins are
+    index-shifted self-joins on the day rank, denominators shared so
+    both engines divide identical doubles.
+
+    Scale: the series is date-grained (tiny at any corpus size); the
+    heavy step is the per-day count — map-side combinable."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    mean = daily.agg(F.avg("y").alias("m"))
+    ctr = (
+        daily.crossJoin(F.broadcast(mean))
+        .select(
+            "day",
+            (F.col("y") - F.col("m")).alias("z"),
+            F.row_number().over(W.orderBy("day")).alias("i"),
+        )
+    )
+    b1 = ctr.select(F.col("i").alias("i1"), F.col("z").alias("z1"))
+    b2 = ctr.select(F.col("i").alias("i2"), F.col("z").alias("z2"))
+    acv = (
+        ctr.join(b1, F.col("i1") == F.col("i") - 1, "left")
+        .join(b2, F.col("i2") == F.col("i") - 2, "left")
+        .agg(
+            F.round(
+                F.sum(F.col("z") * F.col("z")) / F.count("*"), 10
+            ).alias("c0"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("z1").isNotNull(), F.col("z") * F.col("z1")
+                    )
+                )
+                / F.count("*"),
+                10,
+            ).alias("c1"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("z2").isNotNull(), F.col("z") * F.col("z2")
+                    )
+                )
+                / F.count("*"),
+                10,
+            ).alias("c2"),
+        )
+    )
+    det = F.col("c0") * F.col("c0") - F.col("c1") * F.col("c1")
+    phi1 = F.round(
+        (F.col("c1") * F.col("c0") - F.col("c1") * F.col("c2")) / det, 10
+    )
+    phi2 = F.round(
+        (F.col("c0") * F.col("c2") - F.col("c1") * F.col("c1")) / det, 10
+    )
+    return acv.select(
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(
+            F.col("c0") - phi1 * F.col("c1") - phi2 * F.col("c2"), 6
+        ).alias("noise_var"),
+        F.round(F.col("c1") / F.col("c0"), 6).alias("rho1"),
+        F.round(F.col("c2") / F.col("c0"), 6).alias("rho2"),
+    )
