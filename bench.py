@@ -267,6 +267,30 @@ HEADLINE = [
     # q_graph_ann_recall is the measurement twin (re-runs the graph
     # build PLUS an exact brute-force pass) — excluded like the other
     # correctness/measurement twins; q_graph_ann IS benchmarked.
+    # round-8 additions
+    "q_bpe_bytes",
+    "q_byte_fallback_encode",
+    "q_temperature_mix",
+    "q_unimax_alloc",
+    "q_shuffle_order",
+    "q_basket_rules",
+    "q_apriori3",
+    "q_cluster_agreement",
+    "q_kalman_1d",
+    "q_bleu",
+    "q_rouge_n",
+    "q_grpo_advantage",
+    "q_best_of_n",
+    "q_winnow_fingerprints",
+    "q_cdc_chunks",
+    "q_pref_transitivity",
+    "q_margin_mining",
+    "q_memorization_audit",
+    "q_token_budget_select",
+    "q_nmf_topics",
+    "q_logit_irls",
+    "q_gmm_em_1d",
+    "q_ar2_yule_walker",
 ]
 
 
