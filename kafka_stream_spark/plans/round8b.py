@@ -1674,3 +1674,451 @@ def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c1") / F.col("c0"), 6).alias("rho1"),
         F.round(F.col("c2") / F.col("c0"), 6).alias("rho2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X638 — jackknife variance for a ratio metric (leave-one-group-out)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jackknife_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, sum(value) AS x, count(*) AS y FROM events
+      GROUP BY user_id),
+    tot AS (SELECT sum(x) AS tx, sum(y) AS ty,
+                   count(*) AS k FROM g),
+    pseudo AS (
+      SELECT g.user_id,
+             round((tot.tx - g.x) / (tot.ty - g.y), 10) AS r_loo
+      FROM g, tot),
+    jk AS (
+      SELECT round(avg(r_loo), 10) AS rbar,
+             round(sum((r_loo - (SELECT round(avg(r_loo), 10) FROM pseudo))
+                   * (r_loo - (SELECT round(avg(r_loo), 10) FROM pseudo))),
+                   10) AS ss,
+             count(*) AS k
+      FROM pseudo)
+    SELECT round(tot.tx / tot.ty, 6) AS ratio,
+           round(jk.rbar, 6) AS jk_mean,
+           round(sqrt((jk.k - 1.0) / jk.k * jk.ss), 6) AS jk_se,
+           CAST(jk.k AS BIGINT) AS n_groups
+    FROM tot, jk
+    """,
+)
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X638 — leave-one-group-out jackknife for a ratio metric
+    (revenue per event, grouped by user — the delta-method
+    alternative every experimentation platform ships for ratio
+    metrics whose numerator and denominator are correlated within
+    user): each pseudo-value is the ratio with one user's totals
+    removed (computed from the GLOBAL totals minus the group row —
+    no per-group rescan), jackknife SE = sqrt((k-1)/k · Σ(r_i − r̄)²).
+
+    Scale: one groupBy for per-user totals, one scalar total, then
+    arithmetic per group row — the entire jackknife costs one
+    aggregate more than the metric itself."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.sum("value").alias("x"), F.count("*").alias("y")
+    )
+    tot = g.agg(
+        F.sum("x").alias("tx"),
+        F.sum("y").alias("ty"),
+        F.count("*").alias("k"),
+    )
+    pseudo = g.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.round(
+            (F.col("tx") - F.col("x")) / (F.col("ty") - F.col("y")), 10
+        ).alias("r_loo"),
+    )
+    rbar = pseudo.agg(F.round(F.avg("r_loo"), 10).alias("rbar"))
+    jk = (
+        pseudo.crossJoin(F.broadcast(rbar))
+        .agg(
+            F.any_value("rbar").alias("rbar"),
+            F.round(
+                F.sum(
+                    (F.col("r_loo") - F.col("rbar"))
+                    * (F.col("r_loo") - F.col("rbar"))
+                ),
+                10,
+            ).alias("ss"),
+            F.count("*").alias("k"),
+        )
+    )
+    return tot.crossJoin(jk.withColumnRenamed("k", "k2")).select(
+        F.round(F.col("tx") / F.col("ty"), 6).alias("ratio"),
+        F.round("rbar", 6).alias("jk_mean"),
+        F.round(
+            F.sqrt((F.col("k2") - 1.0) / F.col("k2") * F.col("ss")), 6
+        ).alias("jk_se"),
+        F.col("k2").cast("long").alias("n_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X639 — difference-in-differences (2×2 design)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid
+      FROM events),
+    cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN epoch_us(ts) >= bounds.mid THEN 1 ELSE 0 END AS post,
+             value
+      FROM events, bounds),
+    m AS (
+      SELECT treated, post, round(avg(value), 10) AS mu,
+             count(*) AS n
+      FROM cells GROUP BY treated, post)
+    SELECT round(tp.mu, 6) AS mean_t_pre, round(tq.mu, 6) AS mean_t_post,
+           round(cp.mu, 6) AS mean_c_pre, round(cq.mu, 6) AS mean_c_post,
+           CAST(tp.n + tq.n + cp.n + cq.n AS BIGINT) AS n_total,
+           round((tq.mu - tp.mu) - (cq.mu - cp.mu), 6) AS did
+    FROM m tp, m tq, m cp, m cq
+    WHERE tp.treated = 1 AND tp.post = 0 AND tq.treated = 1 AND tq.post = 1
+      AND cp.treated = 0 AND cp.post = 0 AND cq.treated = 0 AND cq.post = 1
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X639 — 2×2 difference-in-differences: treatment = user parity,
+    post = second half of the stream's time range (midpoint of epoch
+    extremes — engine-shared arithmetic), DiD = (T,post − T,pre) −
+    (C,post − C,pre) from per-cell means rounded before the
+    subtraction. The parallel-trends estimator every experimentation
+    stack reaches for when randomization wasn't available.
+
+    Scale: one scalar bounds pass + one 4-cell aggregate."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / 2.0
+        ).alias("mid")
+    )
+    cells = e.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.unix_micros("ts") >= F.col("mid"), 1)
+        .otherwise(0)
+        .alias("post"),
+        "value",
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.round(F.avg("value"), 10).alias("mu"), F.count("*").alias("n")
+    )
+    p = m.groupBy().pivot("treated", [0, 1]).agg(
+        F.max(F.when(F.col("post") == 0, F.col("mu"))).alias("pre"),
+        F.max(F.when(F.col("post") == 1, F.col("mu"))).alias("post"),
+        F.sum("n").alias("n"),
+    )
+    return p.select(
+        F.round("1_pre", 6).alias("mean_t_pre"),
+        F.round("1_post", 6).alias("mean_t_post"),
+        F.round("0_pre", 6).alias("mean_c_pre"),
+        F.round("0_post", 6).alias("mean_c_post"),
+        (F.col("0_n") + F.col("1_n")).cast("long").alias("n_total"),
+        F.round(
+            (F.col("1_post") - F.col("1_pre"))
+            - (F.col("0_post") - F.col("0_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X640 — instrumental variable (2SLS / Wald with a binary instrument)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_iv_2sls",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS z,
+             value AS x,
+             CAST(length(props) AS DOUBLE) AS y
+      FROM events),
+    m AS (
+      SELECT count(*) AS n,
+             round(sum(z), 10) AS sz, round(sum(x), 10) AS sx,
+             round(sum(y), 10) AS sy,
+             round(sum(z * x), 10) AS szx, round(sum(z * y), 10) AS szy,
+             round(sum(z * z), 10) AS szz, round(sum(x * x), 10) AS sxx
+      FROM s),
+    c AS (
+      SELECT n,
+             round(szy - sz * sy / n, 10) AS cov_zy,
+             round(szx - sz * sx / n, 10) AS cov_zx,
+             round(szz - sz * sz / n, 10) AS var_z,
+             round(sxx - sx * sx / n, 10) AS var_x
+      FROM m)
+    SELECT round(cov_zy / cov_zx, 6) AS beta_iv,
+           round(cov_zx / var_z, 6) AS first_stage_coef,
+           round((n - 2) * (cov_zx * cov_zx / (var_z * var_x))
+                 / (1.0 - cov_zx * cov_zx / (var_z * var_x)), 6)
+             AS first_stage_f,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X640 — instrumental-variable estimate (2SLS with one binary
+    instrument = the Wald estimator): β_IV = cov(z,y)/cov(z,x), with
+    the first-stage coefficient and F statistic (the weak-instrument
+    diagnostic — F < 10 means the IV answer is noise, the first thing
+    a causal reviewer checks). All moments from one rounded scalar
+    aggregate; covariances derived from the same sums on both
+    engines.
+
+    Scale: one map-side-combinable aggregate over the data."""
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        F.when(F.col("user_id") % 3 == 0, 1.0).otherwise(0.0).alias("z"),
+        F.col("value").alias("x"),
+        F.length("props").cast("double").alias("y"),
+    )
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("z"), 10).alias("sz"),
+        F.round(F.sum("x"), 10).alias("sx"),
+        F.round(F.sum("y"), 10).alias("sy"),
+        F.round(F.sum(F.col("z") * F.col("x")), 10).alias("szx"),
+        F.round(F.sum(F.col("z") * F.col("y")), 10).alias("szy"),
+        F.round(F.sum(F.col("z") * F.col("z")), 10).alias("szz"),
+        F.round(F.sum(F.col("x") * F.col("x")), 10).alias("sxx"),
+    )
+    c = m.select(
+        "n",
+        F.round(
+            F.col("szy") - F.col("sz") * F.col("sy") / F.col("n"), 10
+        ).alias("cov_zy"),
+        F.round(
+            F.col("szx") - F.col("sz") * F.col("sx") / F.col("n"), 10
+        ).alias("cov_zx"),
+        F.round(
+            F.col("szz") - F.col("sz") * F.col("sz") / F.col("n"), 10
+        ).alias("var_z"),
+        F.round(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), 10
+        ).alias("var_x"),
+    )
+    r2 = (
+        F.col("cov_zx")
+        * F.col("cov_zx")
+        / (F.col("var_z") * F.col("var_x"))
+    )
+    return c.select(
+        F.round(F.col("cov_zy") / F.col("cov_zx"), 6).alias("beta_iv"),
+        F.round(F.col("cov_zx") / F.col("var_z"), 6).alias(
+            "first_stage_coef"
+        ),
+        F.round((F.col("n") - 2) * r2 / (1.0 - r2), 6).alias(
+            "first_stage_f"
+        ),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X641 — regression discontinuity (local linear, closed form)
+# ---------------------------------------------------------------------------
+
+_RDD_CUT = 5.0
+_RDD_BW = 2.0
+
+
+def _rdd_side_sql(side: str, cond: str) -> str:
+    return f"""
+    m{side} AS (
+      SELECT count(*) AS n,
+             round(sum(r), 10) AS sr, round(sum(y), 10) AS sy,
+             round(sum(r * r), 10) AS srr, round(sum(r * y), 10) AS sry
+      FROM s WHERE {cond}),
+    f{side} AS (
+      SELECT n,
+             round((sry - sr * sy / n) / (srr - sr * sr / n), 10)
+               AS slope,
+             round(sy / n - (sry - sr * sy / n)
+                   / (srr - sr * sr / n) * sr / n, 10) AS icept
+      FROM m{side})"""
+
+
+@query(
+    "q_rdd_local_linear",
+    oracle=f"""
+    WITH s AS (
+      SELECT value - {_RDD_CUT} AS r,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE abs(value - {_RDD_CUT}) <= {_RDD_BW}),
+    {_rdd_side_sql("l", "r < 0").lstrip()},
+    {_rdd_side_sql("r", "r >= 0").lstrip()}
+    SELECT round(fl.icept, 6) AS intercept_left,
+           round(fr.icept, 6) AS intercept_right,
+           round(fl.slope, 6) AS slope_left,
+           round(fr.slope, 6) AS slope_right,
+           CAST(ml.n AS BIGINT) AS n_left, CAST(mr.n AS BIGINT) AS n_right,
+           round(fr.icept - fl.icept, 6) AS effect
+    FROM fl, fr, ml, mr
+    """,
+)
+def q_rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X641 — sharp regression discontinuity with local linear fits:
+    running variable = reward centered at the 5.0 cutoff, outcome =
+    purchase indicator, bandwidth ±2.0. Each side gets a closed-form
+    OLS line from rounded moment sums; the causal effect is the jump
+    between the two intercepts AT the cutoff (local linear, not
+    difference-in-means — the boundary-bias correction that makes RDD
+    credible).
+
+    Scale: bandwidth filter pushes to the scan; two scalar moment
+    aggregates."""
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.abs(F.col("value") - _RDD_CUT) <= _RDD_BW).select(
+        (F.col("value") - _RDD_CUT).alias("r"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+    def side(cond):
+        m = s.filter(cond).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("r"), 10).alias("sr"),
+            F.round(F.sum("y"), 10).alias("sy"),
+            F.round(F.sum(F.col("r") * F.col("r")), 10).alias("srr"),
+            F.round(F.sum(F.col("r") * F.col("y")), 10).alias("sry"),
+        )
+        slope = F.round(
+            (F.col("sry") - F.col("sr") * F.col("sy") / F.col("n"))
+            / (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")),
+            10,
+        )
+        return m.select(
+            "n",
+            slope.alias("slope"),
+            F.round(
+                F.col("sy") / F.col("n") - slope * F.col("sr") / F.col("n"),
+                10,
+            ).alias("icept"),
+        )
+
+    left = side(F.col("r") < 0).select(
+        F.col("n").alias("n_l"),
+        F.col("slope").alias("sl_l"),
+        F.col("icept").alias("ic_l"),
+    )
+    right = side(F.col("r") >= 0).select(
+        F.col("n").alias("n_r"),
+        F.col("slope").alias("sl_r"),
+        F.col("icept").alias("ic_r"),
+    )
+    return left.crossJoin(right).select(
+        F.round("ic_l", 6).alias("intercept_left"),
+        F.round("ic_r", 6).alias("intercept_right"),
+        F.round("sl_l", 6).alias("slope_left"),
+        F.round("sl_r", 6).alias("slope_right"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.round(F.col("ic_r") - F.col("ic_l"), 6).alias("effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X642 — Qini curve / uplift evaluation by score decile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_qini_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS treated,
+             count(*) AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS outcome
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM u),
+    per AS (
+      SELECT decile,
+             sum(treated) AS nt, sum(1 - treated) AS nc,
+             sum(CASE WHEN treated = 1 THEN outcome ELSE 0 END) AS rt,
+             sum(CASE WHEN treated = 0 THEN outcome ELSE 0 END) AS rc
+      FROM ranked GROUP BY decile),
+    cum AS (
+      SELECT decile,
+             sum(nt) OVER w AS nt_cum, sum(nc) OVER w AS nc_cum,
+             sum(rt) OVER w AS rt_cum, sum(rc) OVER w AS rc_cum
+      FROM per WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(nt_cum AS BIGINT) AS nt_cum,
+           CAST(nc_cum AS BIGINT) AS nc_cum,
+           CAST(rt_cum AS BIGINT) AS rt_cum,
+           CAST(rc_cum AS BIGINT) AS rc_cum,
+           round(rt_cum - rc_cum * nt_cum * 1.0 / nc_cum, 6) AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X642 — Qini curve (Radcliffe 2007, the uplift-model evaluation
+    standard): users ranked by a targeting score (engagement = event
+    count; any uplift model's score slots in), cumulated by decile;
+    Qini(d) = Rt_cum − Rc_cum·Nt_cum/Nc_cum measures incremental
+    responders vs targeting nobody — the area under this curve (AUUC)
+    is the model's value. Treatment = user parity, outcome = any
+    purchase. Integer counts cumulate exactly; only the final Qini
+    value divides.
+
+    Scale: one per-user aggregate, one decile ntile (2-pass histogram
+    cut at scale), a 10-row window."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.max("user_id") % 2).cast("long").alias("treated"),
+        F.count("*").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("outcome"),
+    )
+    ranked = u.withColumn(
+        "decile", F.ntile(10).over(W.orderBy(F.desc("score"), "user_id"))
+    )
+    per = ranked.groupBy("decile").agg(
+        F.sum("treated").alias("nt"),
+        F.sum(1 - F.col("treated")).alias("nc"),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("outcome")).otherwise(0)
+        ).alias("rt"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("outcome")).otherwise(0)
+        ).alias("rc"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "decile",
+        F.sum("nt").over(wc).alias("nt_cum"),
+        F.sum("nc").over(wc).alias("nc_cum"),
+        F.sum("rt").over(wc).alias("rt_cum"),
+        F.sum("rc").over(wc).alias("rc_cum"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("nt_cum").cast("long").alias("nt_cum"),
+        F.col("nc_cum").cast("long").alias("nc_cum"),
+        F.col("rt_cum").cast("long").alias("rt_cum"),
+        F.col("rc_cum").cast("long").alias("rc_cum"),
+        F.round(
+            F.col("rt_cum")
+            - F.col("rc_cum") * F.col("nt_cum") / F.col("nc_cum"),
+            6,
+        ).alias("qini"),
+    ).orderBy("decile")
