@@ -362,7 +362,12 @@ DIMS = ["nation", "region", "part", "supplier"]
 
 
 def build(
-    spark, dst: str, copies: int, natural: bool = False, tables=None
+    spark,
+    dst: str,
+    copies: int,
+    natural: bool = False,
+    tables=None,
+    heaps: bool = False,
 ) -> None:
     """tables=None builds every table; a set restricts the build to
     just those (the 64x probes touch only documents/embeddings — no
@@ -373,7 +378,9 @@ def build(
             continue
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         if natural and name == "documents":
-            out = _natural_documents(spark, df, copies, keycols["doc_id"])
+            out = _natural_documents(
+                spark, df, copies, keycols["doc_id"], heaps=heaps
+            )
         elif natural and name == "events":
             out = _natural_events(spark, df, copies, keycols)
         elif natural and name == "embeddings":
@@ -463,7 +470,9 @@ def _natural_embeddings(emb, copies: int, id_off: int):
     return out
 
 
-def _natural_documents(spark, docs, copies: int, id_off: int):
+def _natural_documents(
+    spark, docs, copies: int, id_off: int, heaps: bool = False
+):
     """Natural-growth corpus synthesis (VERDICT r4 Next round #4):
     key-offset replication gives every document N-1 near-identical
     twins, so the dedup-family probes measure a ~28x duplicate-pair
@@ -479,7 +488,19 @@ def _natural_documents(spark, docs, copies: int, id_off: int):
     share no shingles with old ones beyond chance, exactly like newly
     crawled pages in a fixed language. Lengths and the
     lang/source/doc-count mix are preserved per copy; n_chars is
-    recomputed from the synthesized text."""
+    recomputed from the synthesized text.
+
+    heaps=True additionally grows the VOCABULARY at Heaps-law rate
+    (the multi-decade regime): each drawn token is, with probability
+    1/4 (hash-derived), suffixed with its copy's GENERATION tag
+    g = floor(sqrt(copy)), so after c copies the corpus holds
+    ~vocab·sqrt(c) word types — beta ≈ 0.5, real-text Heaps. Without
+    it, a 64x closed-vocabulary corpus packs every 3-token shingle
+    into ≤31³ distinct values and shingle-bucket candidate volume
+    grows ~quadratically with corpus size — a generator artifact no
+    real crawl exhibits (their buckets stay bounded precisely because
+    vocabulary grows). Closed-vocab mode remains the single-decade
+    (8x) generator for round-7 comparability."""
     rows = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.col("t") != "")
@@ -494,22 +515,43 @@ def _natural_documents(spark, docs, copies: int, id_off: int):
     slots = (slots + slots)[:1024]  # deterministic pad/trim to 1024
     alias = F.array(*[F.lit(s) for s in slots])
 
+    import math
+
     out = docs
     for i in range(1, copies):
         toks = F.split(F.col("text"), " ")
-        fresh = F.transform(
-            toks,
-            lambda _t, pos: F.element_at(
-                alias,
-                (
+        gen = int(math.isqrt(i))
+
+        def draw_factory(_i, _gen):
+            def draw(_t, pos):
+                base = F.element_at(
+                    alias,
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id"), F.lit(_i), pos),
+                            F.lit(1024),
+                        )
+                        + 1
+                    ).cast("int"),
+                )
+                if not heaps:
+                    return base
+                tail = (
                     F.pmod(
-                        F.xxhash64(F.col("doc_id"), F.lit(i), pos),
-                        F.lit(1024),
+                        F.xxhash64(
+                            F.col("doc_id"), F.lit(_i), pos, F.lit("v")
+                        ),
+                        F.lit(4),
                     )
-                    + 1
-                ).cast("int"),
-            ),
-        )
+                    == 0
+                )
+                return F.when(
+                    tail, F.concat(base, F.lit(f"~{_gen}"))
+                ).otherwise(base)
+
+            return draw
+
+        fresh = F.transform(toks, draw_factory(i, gen))
         p = (
             docs.withColumn("text", F.array_join(fresh, " "))
             .withColumn("doc_id", F.col("doc_id") + F.lit(i * id_off))
@@ -545,6 +587,10 @@ def main() -> None:
     natural = "--natural" in args
     if natural:
         args.remove("--natural")
+    heaps = "--heaps" in args
+    if heaps:
+        args.remove("--heaps")
+        natural = True
     tables = None
     for a in list(args):
         if a.startswith("--tables="):
@@ -552,10 +598,10 @@ def main() -> None:
             args.remove(a)
     copies = int(args[0]) if args else 8
     subset = args[1:] or None
-    dst = f"/tmp/scale{copies}{'nat' if natural else ''}"
+    dst = f"/tmp/scale{copies}{'nat' if natural else ''}{'hp' if heaps else ''}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, dst, copies, natural=natural, tables=tables)
+    build(spark, dst, copies, natural=natural, tables=tables, heaps=heaps)
     base = timed_pass(spark, SRC, subset)
     scaled = timed_pass(spark, dst, subset)
     print(f"{'query':28s} {'1x':>7s} {f'{copies}x':>7s} {'ratio':>6s} {'exp':>5s}")
@@ -565,6 +611,8 @@ def main() -> None:
         # observed scaling exponent: time ~ n^exp  =>  exp = log_c(ratio)
         exp = math.log(max(r, 1e-9)) / math.log(copies)
         key = f"{name}@natural" if natural else name
+        if heaps:
+            key = f"{key}@heaps"
         if copies != 8:  # default-scale keys stay unsuffixed (history)
             key = f"{key}@{copies}x"
         rows[key] = {
