@@ -87,7 +87,7 @@ def test_stream_reader_replays_full_relation(spark, tmp_path):
     # never ends) — poll the sink until the full relation has landed
     import time
 
-    deadline = time.time() + 120
+    deadline = time.time() + 360
     while time.time() < deadline:
         try:
             if spark.read.parquet(out).count() >= 300:
@@ -131,10 +131,16 @@ def test_cdcgen_pipeline_exactly_once_through_midbatch_crash(spark, tmp_path):
     q = run_cdcgen_pipeline(
         spark, out, state, ckpt, rows=ROWS, batch_size=BATCH, fail_flag=flag
     )
-    try:
-        q.awaitTermination(180)
-    except Exception:
-        pass  # the injected crash surfaces as StreamingQueryException
+    # poll for the injected failure instead of one fixed await: under
+    # full-machine contention (concurrent probes) micro-batches can
+    # take minutes to schedule — the condition, not the clock, is the
+    # contract being tested
+    deadline = time.time() + 600
+    while time.time() < deadline and q.exception() is None:
+        try:
+            q.awaitTermination(5)
+        except Exception:
+            break  # the crash surfaces as StreamingQueryException
     assert q.exception() is not None, "injected crash never fired"
 
     # mid-batch partial state is REAL: batch 1's sink partition landed,
@@ -159,10 +165,19 @@ def test_cdcgen_pipeline_exactly_once_through_midbatch_crash(spark, tmp_path):
         spark.read.format("cdcgen").option("rows", str(ROWS)).load()
     )
     n_expected = expected.count()
-    deadline = time.time() + 180
+    last_batch = ROWS // BATCH - 1
+    # wait for BOTH the sink AND the store's commit of the last batch:
+    # polling the sink alone can stop the query inside the very
+    # sink-written/store-uncommitted window this test exists to prove
+    # survivable — stopping there is a crash the NEXT run would heal,
+    # but here nothing restarts it
+    deadline = time.time() + 600
     while time.time() < deadline:
         try:
-            if spark.read.parquet(out).count() >= n_expected:
+            if (
+                spark.read.parquet(out).count() >= n_expected
+                and merged_store_last_applied(state) >= last_batch
+            ):
                 break
         except Exception:
             pass
