@@ -1981,7 +1981,12 @@ def q_rdd_local_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bandwidth filter pushes to the scan; two scalar moment
     aggregates."""
     e = load(spark, sf_dir, "events")
-    s = e.filter(F.abs(F.col("value") - _RDD_CUT) <= _RDD_BW).select(
+    # explicit range (not abs()) so parquet gets two PUSHABLE
+    # comparisons — at 100 TB the bandwidth filter IS the plan
+    s = e.filter(
+        (F.col("value") >= _RDD_CUT - _RDD_BW)
+        & (F.col("value") <= _RDD_CUT + _RDD_BW)
+    ).select(
         (F.col("value") - _RDD_CUT).alias("r"),
         F.when(F.col("event_type") == "purchase", 1.0)
         .otherwise(0.0)
