@@ -181,6 +181,22 @@ PROBE = [
     "q_skipgram_pairs",
     "q_icc",
     "q_tost",
+    # round-8 additions: the heavy/new-shape tier (metric joins,
+    # fingerprint candidate joins, factorization, mining).
+    # q_margin_mining is deliberately NOT probed: its gate instance is
+    # the documented all-pairs correctness twin (like q_cosine_topk);
+    # the production path routes candidates through ann.ivf_search.
+    "q_bleu",
+    "q_rouge_n",
+    "q_winnow_fingerprints",
+    "q_cdc_chunks",
+    "q_memorization_audit",
+    "q_nmf_topics",
+    "q_basket_rules",
+    "q_apriori3",
+    "q_kalman_1d",
+    "q_qini_curve",
+    "q_bpe_bytes",
 ]
 
 
