@@ -2127,3 +2127,149 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# X643 — Mann-Kendall trend test (exact integer S, tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS y
+      FROM events GROUP BY 1),
+    n_ AS (SELECT count(*) AS n FROM daily),
+    s_ AS (
+      SELECT sum(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+      FROM daily a JOIN daily b ON b.day > a.day),
+    ties AS (
+      SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tsum
+      FROM (SELECT count(*) AS t FROM daily GROUP BY y HAVING count(*) > 1)),
+    v AS (
+      SELECT (n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tsum) / 18.0
+               AS var_s
+      FROM n_, ties)
+    SELECT CAST(s_.s AS BIGINT) AS s,
+           CAST(n_.n AS BIGINT) AS n_days,
+           round(v.var_s, 6) AS var_s,
+           round((s_.s - CASE WHEN s_.s > 0 THEN 1
+                              WHEN s_.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(v.var_s), 6) AS z
+    FROM s_, n_, v
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X643 — Mann-Kendall trend test on the daily event-count
+    series: S = Σ_{i<j} sign(y_j − y_i) is an exact integer (no float
+    order dependence at all), variance tie-corrected
+    ((n(n−1)(2n+5) − Σt(t−1)(2t+5))/18), z continuity-corrected. The
+    standard nonparametric is-this-series-drifting check for metric
+    monitoring — no distributional assumption, robust to outliers.
+
+    Scale: the pair join runs on the DATE-grained series (days², not
+    events²); the heavy step is the per-day count, map-side
+    combinable."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("y"))
+    n_ = daily.agg(F.count("*").alias("n"))
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s_ = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tsum")
+        )
+    )
+    j = s_.crossJoin(n_).crossJoin(ties)
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tsum")
+    ) / 18.0
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return j.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round((F.col("s") - cc) / F.sqrt(var_s), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X644 — corpus source concentration (HHI + effective sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_concentration",
+    oracle="""
+    WITH bylang AS (
+      SELECT lang, source, sum(n_chars) AS chars
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT lang, sum(chars) AS t FROM bylang GROUP BY lang),
+    sh AS (
+      SELECT b.lang, round(b.chars * 1.0 / t.t, 10) AS share
+      FROM bylang b JOIN tot t ON t.lang = b.lang)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+           round(sum(share * share), 6) AS hhi,
+           round(1.0 / sum(share * share), 6) AS effective_sources,
+           round(max(share), 6) AS top_share
+    FROM sh GROUP BY lang ORDER BY lang
+    """,
+)
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X644 — per-language source concentration: Herfindahl-Hirschman
+    index of char-volume shares, effective source count (1/HHI), and
+    the top source's share — the corpus-governance dashboard row that
+    flags a language secretly dominated by one crawl source (the
+    diversity failure mode behind benchmark contamination and style
+    collapse).
+
+    Scale: one (lang, source) aggregate — map-side combinable — then
+    vocabulary-sized arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    bylang = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").alias("chars")
+    )
+    tot = bylang.groupBy("lang").agg(F.sum("chars").alias("t"))
+    sh = bylang.join(tot, "lang").select(
+        "lang", F.round(F.col("chars") / F.col("t"), 10).alias("share")
+    )
+    return (
+        sh.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias(
+                "hhi"
+            ),
+            F.round(
+                1.0 / F.sum(F.col("share") * F.col("share")), 6
+            ).alias("effective_sources"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("lang")
+    )
