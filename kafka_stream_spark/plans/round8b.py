@@ -477,6 +477,7 @@ def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 5  # char k-gram length
 _WINNOW_W = 4  # window of consecutive k-gram hashes
 _WINNOW_T = 8  # min shared fingerprints to report a candidate pair
+_WINNOW_DF = 50  # drop fingerprints present in more docs (MOSS rule)
 
 
 @query(
@@ -495,8 +496,11 @@ _WINNOW_T = 8  # min shared fingerprints to report a candidate pair
         SELECT doc_id, unnest(range(1, CAST(max(pos) AS BIGINT) - {_WINNOW_W - 2})) AS j
         FROM kg GROUP BY doc_id) j
         ON k.doc_id = j.doc_id AND k.pos BETWEEN j.j AND j.j + {_WINNOW_W - 1}),
-    fp AS (
+    fp0 AS (
       SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+    fp AS (
+      SELECT doc_id, h FROM fp0
+      QUALIFY count(*) OVER (PARTITION BY h) <= {_WINNOW_DF}),
     pr AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS n_shared
@@ -542,12 +546,18 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
         ),
     )
-    fp = (
+    fp0 = (
         d.select("doc_id", arr.alias("arr"))
         .select("doc_id", F.explode(fps).alias("f"))
         .select("doc_id", F.col("f.h").alias("h"))
         .distinct()
     )
+    # MOSS's ubiquity rule: a fingerprint in more than _WINNOW_DF docs
+    # identifies boilerplate, not copying — dropping it bounds every
+    # posting list, which bounds the candidate join at any corpus size
+    fp = fp0.withColumn(
+        "df", F.count("*").over(W.partitionBy("h"))
+    ).filter(F.col("df") <= _WINNOW_DF).drop("df")
     other = fp.select(F.col("doc_id").alias("doc_b"), "h")
     return (
         fp.join(other, "h")
