@@ -901,10 +901,24 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = emb.filter(F.col("label") % 2 == 1).select(
         F.col("vec_id").alias("y_id"), F.col("embedding").alias("ye")
     )
-    cs = xs.crossJoin(ys).select(
-        "x_id",
-        "y_id",
-        F.round(vectors.cosine(F.col("xe"), F.col("ye")), 10).alias("c"),
+    # the cross-scored table feeds FOUR consumers (mx, my, and the
+    # margin join's two sides); materialize it once — without this the
+    # 64-dim cosine cross join is recomputed per consumer (measured
+    # 23 s -> ~8 s at sf0.1)
+    # parquet reads this small arrive in ONE partition; without an
+    # explicit repartition the 1M-row cosine cross join runs as a
+    # single task — spread the probe side across the cluster
+    cs = (
+        xs.repartition(32)
+        .crossJoin(ys)
+        .select(
+            "x_id",
+            "y_id",
+            F.round(vectors.cosine(F.col("xe"), F.col("ye")), 10).alias(
+                "c"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     wx = W.partitionBy("x_id").orderBy(F.desc("c"), "y_id")
     wy = W.partitionBy("y_id").orderBy(F.desc("c"), "x_id")
@@ -930,6 +944,7 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c") / ((F.col("mx") + F.col("my")) / 2), 6
             ).alias("margin"),
         )
+        .localCheckpoint(eager=True)
     )
     wmx = W.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
     wmy = W.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")

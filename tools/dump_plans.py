@@ -78,6 +78,11 @@ SHOWCASE = {
     "q_match_recognize": "row patterns: one user-keyed fold, then scalar string codegen",
     "q_watermark_advisor": "watermark advisor: distinct lateness domain, no per-row rank",
     "q_shard_balance": "shard audit: four map-side assignments union into one 32-row rollup",
+    # round-8 showcase
+    "q_winnow_fingerprints": "winnowing: fingerprints from one map-side array fold, df-capped candidate join",
+    "q_bleu": "BLEU: per-order (pair, gram) partial-agg counts, key-local clip join, 4 scalar rows up",
+    "q_nmf_topics": "NMF: V-keyed products are the only data shuffles, k-sized factor joins broadcast",
+    "q_qini_curve": "Qini: per-user rollup, decile ntile, 10-row cumulative window",
 }
 
 
