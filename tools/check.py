@@ -176,6 +176,15 @@ def write_summary(round_tag: str) -> int:
         readme,
         flags=re.S,
     )
+    # the section heading carries the round number too — keep it in
+    # lockstep with the tag instead of hand-editing it each round
+    mround = re.match(r"r(\d+)$", round_tag)
+    if mround:
+        new = re.sub(
+            r"## Status \(round \d+\)",
+            f"## Status (round {mround.group(1)})",
+            new,
+        )
     if new == readme and "STATUS:COUNTS:BEGIN" not in readme:
         print("README.md has no STATUS:COUNTS markers", file=sys.stderr)
         return 1

@@ -95,13 +95,9 @@ def main() -> int:
         f.write("\n".join(header + lines) + "\n")
     print(f"wrote {path}: {n_ok} ok, {n_ro} rows-only, 0 FAILED")
 
-    rc = subprocess.run(
-        [sys.executable, "tools/check.py", "--summary", tag],
-        cwd="/root/repo",
-    ).returncode
-    if rc:
-        return rc
-
+    # bench BEFORE the README summary: the summary's bench line reads
+    # BENCH_DETAIL.json, which must be this close's run, not the prior
+    # round's (the round-8 close shipped a stale bench line this way)
     if bench:
         proc = subprocess.run(
             [sys.executable, "bench.py"],
@@ -111,6 +107,13 @@ def main() -> int:
         )
         last = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         print(last)
+
+    rc = subprocess.run(
+        [sys.executable, "tools/check.py", "--summary", tag],
+        cwd="/root/repo",
+    ).returncode
+    if rc:
+        return rc
 
     # Stage everything the closing commit needs — including the driver's
     # own round artifacts (BENCH_r*/CORRECTNESS_r*/LEAKCHECK/COPYCHECK),
