@@ -341,16 +341,22 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_grpo_advantage",
     oracle="""
-    WITH g AS (
-      SELECT user_id, sum(value) AS s1, sum(value * value) AS s2,
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT user_id, sum(cents) AS s1c, sum(cents * cents) AS s2c,
              count(*) AS n
-      FROM events GROUP BY user_id HAVING count(*) >= 4),
+      FROM c GROUP BY user_id HAVING count(*) >= 4),
     a AS (
       SELECT e.user_id, e.event_id, e.value AS reward,
-             round((e.value - g.s1 / g.n)
-                   / sqrt(greatest(g.s2 / g.n - (g.s1 / g.n) * (g.s1 / g.n),
+             round((e.value - g.s1c / (100.0 * g.n))
+                   / sqrt(greatest(g.s2c / (10000.0 * g.n)
+                                   - (g.s1c / (100.0 * g.n))
+                                     * (g.s1c / (100.0 * g.n)),
                                    1e-12)), 6) AS adv
-      FROM events e JOIN g ON e.user_id = g.user_id),
+      FROM c e JOIN g ON e.user_id = g.user_id),
     r AS (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY adv DESC, event_id) AS rnk
@@ -363,27 +369,35 @@ def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X626 — group-relative advantage (the GRPO reward transform,
     Shao et al. 2024): within each prompt group (user_id here) rewards
     are z-scored against the group's own mean/std — no learned value
-    baseline — and the top-2 samples per group are kept. Mean/var come
-    from the same (s1, s2, n) sums on both engines; the variance floor
-    guards constant-reward groups; ranking is on the ROUNDED advantage.
+    baseline — and the top-2 samples per group are kept. Moments are
+    EXACT INTEGERS (reward cents — the data is 2-decimal): integer
+    sums are associative, so any partial-sum grouping (engine, shuffle
+    plan, or the incremental streaming store) yields bit-identical
+    moments — incremental == batch by construction, not by tolerance.
+    The variance floor guards constant-reward groups; ranking is on
+    the ROUNDED advantage. (At extreme group sizes the squared-cents
+    sum approaches int64 range — a DECIMAL(38) upgrade, not a design
+    change; RLHF groups are small by construction.)
 
     Scale: one map-side-combinable groupBy for the moments, a
     key-local join back, one per-group window — the canonical
     two-pass normalize. 100 TB: groups are independent, skew bounded
     by samples-per-prompt (small by construction in RLHF data)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
     g = (
         e.groupBy("user_id")
         .agg(
-            F.sum("value").alias("s1"),
-            F.sum(F.col("value") * F.col("value")).alias("s2"),
+            F.sum("cents").alias("s1c"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2c"),
             F.count("*").alias("n"),
         )
         .filter(F.col("n") >= 4)
     )
-    mean = F.col("s1") / F.col("n")
+    mean = F.col("s1c") / (100.0 * F.col("n"))
     var = F.greatest(
-        F.col("s2") / F.col("n") - mean * mean, F.lit(1e-12)
+        F.col("s2c") / (10000.0 * F.col("n")) - mean * mean, F.lit(1e-12)
     )
     a = e.join(g, "user_id").select(
         "user_id",

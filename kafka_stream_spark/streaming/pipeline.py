@@ -2134,3 +2134,83 @@ def run_cdcgen_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def run_streaming_grpo_moments(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained GRPO normalization state (X626's
+    streaming face): the per-prompt-group reward moments (s1, s2, n)
+    the group-relative advantage divides by, folded into the versioned
+    merged store as reward events stream in. Moments are purely
+    additive, so this is the X182 sketch-store discipline again —
+    per-batch partials merged by ``additive_combine``, exactly-once
+    via the store's version commit protocol.
+
+    This is how an RLHF data service actually runs: rollouts arrive
+    continuously, and the advantage job must not rescan the full
+    reward history per batch. pytest pins store-derived advantages ==
+    the batch q_grpo_advantage on events-so-far after every wave."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    # the per-batch PARTIAL is aggregated inside foreachBatch from the
+    # raw rows — NOT as a streaming groupBy upstream: update-mode
+    # streaming aggregation emits the state store's CUMULATIVE per-key
+    # totals, which an additive store would double-count. Folding raw
+    # batches keeps the versioned store the ONLY state (the X574
+    # replay story), and the moments are exact integer cents (the
+    # batch query's contract): integer sums are associative, so the
+    # fold order cannot drift from the batch aggregation by one ULP.
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("value") * 100).cast("long")
+        part = batch.groupBy("user_id").agg(
+            F.sum(cents).alias("s1c"),
+            F.sum(cents * cents).alias("s2c"),
+            F.count("*").alias("n"),
+        )
+        merged_store_apply(
+            part,
+            store_dir,
+            batch_id,
+            additive_combine(["user_id"], ["s1c", "s2c", "n"]),
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def grpo_from_moments(events: DataFrame, moments: DataFrame) -> DataFrame:
+    """(events-so-far, store moments) → the q_grpo_advantage output
+    shape: the read side of the streaming moments store, sharing the
+    batch query's arithmetic exactly (n >= 4 gate, variance floor,
+    rounded advantage, top-2 per group on the rounded value) so
+    incremental == batch is by construction."""
+    from pyspark.sql.window import Window as W
+
+    g = moments.filter(F.col("n") >= 4)
+    mean = F.col("s1c") / (100.0 * F.col("n"))
+    var = F.greatest(
+        F.col("s2c") / (10000.0 * F.col("n")) - mean * mean, F.lit(1e-12)
+    )
+    a = events.join(g, "user_id").select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("reward"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("adv"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("adv"), "event_id")
+    return (
+        a.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("user_id", "rnk")
+    )

@@ -1242,3 +1242,48 @@ def test_merged_store_commit_point_semantics(spark, tmp_path):
         for r in merged_store_read(spark, store, before=1).collect()
     }
     assert asof == {("a", 1), ("b", 2)}
+
+
+def test_streaming_grpo_moments_incremental_equals_batch(spark, tmp_path):
+    """The streaming GRPO moments store, read through the shared
+    advantage arithmetic, must equal the batch q_grpo_advantage on
+    events-so-far after every wave."""
+    from kafka_stream_spark.plans.round8b import q_grpo_advantage
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        grpo_from_moments,
+        run_streaming_grpo_moments,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "moments")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_adv():
+        return {
+            tuple(r)
+            for r in grpo_from_moments(
+                spark.read.parquet(inp), merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_adv(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_grpo_advantage(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_grpo_moments(spark, inp, store, ckpt).awaitTermination(
+        180
+    )
+    assert store_adv() == batch_adv(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_grpo_moments(spark, inp, store, ckpt).awaitTermination(
+        180
+    )
+    assert store_adv() == batch_adv(events, "all")
