@@ -421,7 +421,10 @@ def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_best_of_n",
     oracle="""
-    WITH bar AS (SELECT avg(value) AS m FROM events),
+    WITH bar AS (
+      SELECT sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
+               AS m
+      FROM events),
     r AS (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id
@@ -454,7 +457,15 @@ def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction), one scalar aggregate joined as a broadcast —
     no global sort, no driver loop."""
     e = load(spark, sf_dir, "events")
-    bar = e.agg(F.avg("value").alias("m"))
+    # the bar from exact integer cents (associative sums — the same
+    # contract as q_grpo_advantage, and what lets the streaming twin's
+    # incrementally-merged bar equal this one bit-for-bit)
+    bar = e.agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count("*"))
+        ).alias("m")
+    )
     w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
     wc = W.partitionBy("user_id")
     r = e.select(

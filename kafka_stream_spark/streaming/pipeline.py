@@ -2214,3 +2214,127 @@ def grpo_from_moments(events: DataFrame, moments: DataFrame) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .orderBy("user_id", "rnk")
     )
+
+
+def _top2_combine(existing: DataFrame, part: DataFrame) -> DataFrame:
+    """RANK-merge for the best-of-n store: each side holds per-user
+    top-2 (v1, e1, v2, e2) plus the sample count; the merge explodes
+    both sides' candidates, re-ranks to top-2 of the union, and adds
+    the counts. Unlike the additive stores this is a semilattice merge
+    on ORDER (max is associative and idempotent per candidate), so no
+    arithmetic can drift with fold order — doubles are compared, never
+    summed."""
+    from pyspark.sql.window import Window as W
+
+    def cands(df: DataFrame) -> DataFrame:
+        one = df.select(
+            "user_id", F.col("v1").alias("v"), F.col("e1").alias("e")
+        )
+        two = df.filter(F.col("v2").isNotNull()).select(
+            "user_id", F.col("v2").alias("v"), F.col("e2").alias("e")
+        )
+        return one.unionByName(two)
+
+    ns = (
+        existing.select("user_id", "n")
+        .unionByName(part.select("user_id", "n"))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("v"), "e")
+    ranked = (
+        cands(existing)
+        .unionByName(cands(part))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    wide = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 1, F.col("e"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("v2"),
+        F.max(F.when(F.col("rn") == 2, F.col("e"))).alias("e2"),
+    )
+    return wide.join(ns, "user_id")
+
+
+def run_streaming_best_of_n(
+    spark: SparkSession,
+    input_dir: str,
+    top2_dir: str,
+    bar_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming best-of-n curation state (X627's streaming face): two
+    independently-committed sub-stores per batch — a RANK-merge store
+    holding each prompt group's top-2 (reward, sample) plus count, and
+    an additive scalar store for the corpus reward bar in exact integer
+    cents. A crash between the two commits is healed by replay (each
+    sub-store guards its own batch id — the multi-store property
+    merged_store_apply documents). Read through
+    ``best_of_n_from_store`` the pair equals the batch q_best_of_n on
+    events-so-far bit-for-bit: the top-2 merge compares doubles (never
+    sums), and the bar divides associative integer sums."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("value"), "event_id"
+        )
+        top2 = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_b", F.count("*").over(W.partitionBy("user_id")))
+            .filter(F.col("rn") <= 2)
+            .groupBy("user_id")
+            .agg(
+                F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v1"),
+                F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+                    "e1"
+                ),
+                F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("v2"),
+                F.max(F.when(F.col("rn") == 2, F.col("event_id"))).alias(
+                    "e2"
+                ),
+                F.any_value("n_b").alias("n"),
+            )
+        )
+        merged_store_apply(top2, top2_dir, batch_id, _top2_combine)
+        bar = batch.groupBy(F.lit(0).alias("k")).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s1c"),
+            F.count("*").alias("n"),
+        )
+        merged_store_apply(
+            bar, bar_dir, batch_id, additive_combine(["k"], ["s1c", "n"])
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def best_of_n_from_store(top2: DataFrame, bar: DataFrame) -> DataFrame:
+    """(top-2 store, bar store) → the q_best_of_n output shape,
+    sharing the batch query's arithmetic (integer-cents bar, n >= 3
+    gate, rounded margin over the runner-up)."""
+    m = bar.select(
+        (F.col("s1c") / (100.0 * F.col("n"))).alias("m")
+    )
+    return (
+        top2.crossJoin(F.broadcast(m))
+        .filter((F.col("n") >= 3) & (F.col("v1") >= F.col("m")))
+        .select(
+            "user_id",
+            F.col("e1").alias("event_id"),
+            F.round("v1", 6).alias("best_reward"),
+            F.col("n").cast("long").alias("n_samples"),
+            F.round(F.col("v1") - F.col("v2"), 6).alias("margin"),
+        )
+        .orderBy("user_id")
+    )

@@ -1287,3 +1287,51 @@ def test_streaming_grpo_moments_incremental_equals_batch(spark, tmp_path):
         180
     )
     assert store_adv() == batch_adv(events, "all")
+
+
+def test_streaming_best_of_n_incremental_equals_batch(spark, tmp_path):
+    """The rank-merge top-2 store + additive integer bar store, read
+    through the shared curation arithmetic, must equal the batch
+    q_best_of_n on events-so-far after every wave — the non-additive
+    (order-semilattice) flavor of the merged-store discipline."""
+    from kafka_stream_spark.plans.round8b import q_best_of_n
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        best_of_n_from_store,
+        run_streaming_best_of_n,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    top2 = str(tmp_path / "top2")
+    bar = str(tmp_path / "bar")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_sel():
+        return {
+            tuple(r)
+            for r in best_of_n_from_store(
+                merged_store_read(spark, top2),
+                merged_store_read(spark, bar),
+            ).collect()
+        }
+
+    def batch_sel(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_best_of_n(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_best_of_n(
+        spark, inp, top2, bar, ckpt
+    ).awaitTermination(180)
+    assert store_sel() == batch_sel(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_best_of_n(
+        spark, inp, top2, bar, ckpt
+    ).awaitTermination(180)
+    assert store_sel() == batch_sel(events, "all")
