@@ -2323,3 +2323,76 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X646 — Good-Turing frequency smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_good_turing",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest({text.tokens_sql("text")}) AS tok FROM documents)
+      GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    freqfreq AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS nc FROM cnt GROUP BY c),
+    gt AS (
+      SELECT f.c, f.nc, f2.nc AS nc1,
+             round((f.c + 1) * f2.nc * 1.0 / f.nc, 10) AS c_star
+      FROM freqfreq f LEFT JOIN freqfreq f2 ON f2.c = f.c + 1)
+    SELECT gt.c, gt.nc,
+           round(gt.c_star, 6) AS c_star,
+           round(gt.c_star / tot.n, 8) AS p_gt,
+           round(gt.c * 1.0 / tot.n, 8) AS p_mle
+    FROM gt, tot
+    WHERE gt.nc1 IS NOT NULL
+    ORDER BY gt.c
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X646 — Good-Turing frequency smoothing (the count-of-counts
+    estimator under Katz backoff and the classical unseen-mass
+    argument): adjusted count c* = (c+1)·N_{c+1}/N_c per observed
+    frequency class, with the smoothed vs MLE probability side by
+    side. Rows whose N_{c+1} is empty are omitted (the standard cutoff
+    — high counts keep their MLE). N_1/N, the first row's probability
+    mass, is the Good-Turing estimate of everything never seen — the
+    number an LM's OOV budget comes from.
+
+    Scale: a token count, a count-of-counts rollup (frequency-class
+    sized), and a self-join on c+1 — nothing data-sized past the
+    first aggregate."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
+    ff = cnt.groupBy("c").agg(F.count("*").alias("nc"))
+    nxt = ff.select(
+        (F.col("c") - 1).alias("c"), F.col("nc").alias("nc1")
+    )
+    gt = (
+        ff.join(nxt, "c", "left")
+        .filter(F.col("nc1").isNotNull())
+        .withColumn(
+            "c_star",
+            F.round((F.col("c") + 1) * F.col("nc1") / F.col("nc"), 10),
+        )
+    )
+    return (
+        gt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c").cast("long").alias("c"),
+            F.col("nc").cast("long").alias("nc"),
+            F.round("c_star", 6).alias("c_star"),
+            F.round(F.col("c_star") / F.col("n"), 8).alias("p_gt"),
+            F.round(F.col("c") / F.col("n"), 8).alias("p_mle"),
+        )
+        .orderBy("c")
+    )
