@@ -291,6 +291,14 @@ HEADLINE = [
     "q_logit_irls",
     "q_gmm_em_1d",
     "q_ar2_yule_walker",
+    "q_jackknife_ratio",
+    "q_diff_in_diff",
+    "q_iv_2sls",
+    "q_rdd_local_linear",
+    "q_qini_curve",
+    "q_mann_kendall",
+    "q_source_concentration",
+    "q_good_turing",
 ]
 
 
