@@ -74,6 +74,71 @@ def veto_only(title: Column, filter_rules: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Driver-compiled predicates — the join-condition-safe form.
+#
+# Spark 4.x has a fresh-session bug with higher-order-function lambdas in a
+# JOIN condition: when the stream-side attribute holds a low exprId (text#1
+# in a cold session), the lambda-variable exprIds collide with it, the
+# conjunct's computed references drop the stream-side column, and the
+# predicate is pushed into a FilterExec over the broadcast side alone —
+# [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] Could not find text#1 in [rule_id#5L,
+# …]. Reproduced with Python-built HOFs, F.expr-parsed HOFs, and a full
+# spark.sql formulation alike; warming the session (any prior action) bumps
+# the exprId counter past the collision and masks it — which is why warm
+# sharded gates never saw it.
+#
+# The robust fix mirrors the reference's own architecture: the rules dim is
+# tiny and the reference loops over it per record after loading it into a
+# Python list (kafka_s.py:240-249, mysql_yi/mysql_rules.py:26-64). We
+# collect the dim driver-side once and COMPILE each rule's keyword logic
+# into literal `contains` conjunctions — the join condition becomes a plain
+# boolean tree with zero lambdas, immune to the collision, and still pure
+# whole-stage-codegen (contains over literals). At 100 TB the work is
+# identical to the HOF form: BroadcastNestedLoopJoin evaluates ~K literal
+# substring tests per fact row, the fact side never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def parse_rule_py(in_rules: str, filter_rules: str) -> tuple[list[list[str]], list[str]]:
+    """Driver-side parse with semantics identical to :func:`parse_in_rules` /
+    :func:`parse_filter_rules` (OR-groups stripped, AND-parts not; empty
+    filter keywords dropped)."""
+    groups = [g.strip().split(AND_SEP) for g in in_rules.split(OR_SEP)]
+    vetoes = [kw for kw in filter_rules.split(OR_SEP) if kw != ""]
+    return groups, vetoes
+
+
+def compile_match(title: Column, in_rules: str, filter_rules: str) -> Column:
+    """Literal-predicate form of :func:`rule_matches` for ONE known rule."""
+    groups, vetoes = parse_rule_py(in_rules, filter_rules)
+    included = None
+    for grp in groups:
+        conj = None
+        for kw in grp:
+            t = title.contains(F.lit(kw))
+            conj = t if conj is None else (conj & t)
+        included = conj if included is None else (included | conj)
+    cond = included
+    for kw in vetoes:
+        cond = cond & ~title.contains(F.lit(kw))
+    return cond
+
+
+def compiled_join_cond(title: Column, rule_id: Column, rule_rows) -> Column:
+    """Join condition for fact ⋈ rules as OR of per-rule literal branches.
+
+    ``rule_rows`` is an iterable of (rule_id, in_rules, filter_rules)
+    collected from the (tiny) rules dim. Each branch pins the rules-side
+    row by primary key and tests the fact-side title with literal
+    keywords — a lambda-free theta-join condition (J3)."""
+    cond = None
+    for rid, in_rules, filter_rules in rule_rows:
+        branch = (rule_id == F.lit(rid)) & compile_match(title, in_rules, filter_rules)
+        cond = branch if cond is None else (cond | branch)
+    return cond
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-oracle SQL fragments for the same semantics (used by plans.queries).
 # DuckDB lambdas: list_filter/list_transform with `x -> expr`.
 # ---------------------------------------------------------------------------

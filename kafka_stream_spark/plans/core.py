@@ -367,10 +367,19 @@ def q_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter keyword is (kafka_s.py:240-285). One row per (title, rule)
     match. Physical shape at scale: BroadcastNestedLoopJoin with the tiny
     rules side broadcast — the 100 TB fact side never shuffles, and the
-    predicate is pure codegen (no UDF)."""
+    predicate is pure codegen (no UDF). The condition is driver-COMPILED
+    from the collected rules dim (the reference's own loop-over-rules-list
+    architecture, kafka_s.py:240-249) rather than HOF lambdas: lambdas in
+    a join condition hit a fresh-session exprId collision that pushes a
+    stream-side conjunct into the broadcast side (see functions/rules.py;
+    pinned by tests/test_cold_session.py)."""
     d = load(spark, sf_dir, "documents")
     r = dims.rules_df(spark)
-    cond = rules.rule_matches(d["text"], r["in_rules"], r["filter_rules"])
+    rule_rows = [
+        (row.rule_id, row.in_rules, row.filter_rules)
+        for row in r.select("rule_id", "in_rules", "filter_rules").collect()
+    ]
+    cond = rules.compiled_join_cond(d["text"], r["rule_id"], rule_rows)
     return d.join(F.broadcast(r), cond, "inner").select(
         "doc_id", "rule_id", "category_code", "category_name", "sentiment", "importance"
     )

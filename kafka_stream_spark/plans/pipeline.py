@@ -42,9 +42,16 @@ def enrich(d: DataFrame, spark: SparkSession, cfg: BoardConfig = NEEQ) -> DataFr
     d = d.join(F.broadcast(sites), "source", "left").withColumn(
         "site_name", decode.default_empty(F.col("site_name"))
     )
-    # J3: rule classification — one output row per matching rule
+    # J3: rule classification — one output row per matching rule. The
+    # condition is driver-compiled from the collected (tiny) rules dim:
+    # HOF lambdas in a join condition hit a fresh-session exprId collision
+    # (functions/rules.py compiled_join_cond docstring; tests/test_cold_session.py).
     r = dims.rules_df(spark)
-    cond = rules.rule_matches(d["title"], r["in_rules"], r["filter_rules"])
+    rule_rows = [
+        (row.rule_id, row.in_rules, row.filter_rules)
+        for row in r.select("rule_id", "in_rules", "filter_rules").collect()
+    ]
+    cond = rules.compiled_join_cond(d["title"], r["rule_id"], rule_rows)
     m = d.join(F.broadcast(r), cond, "inner")
     # P4-P8: keys + decodes; P7/P9/P10: literals, defaults, wide assembly
     yqid = keys.surrogate_key(F.col("title"), F.col("source"), F.col("doc_id"))

@@ -209,8 +209,12 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         10,
     )
-    logsum = sum(F.log(F.col(f"p{n}")) for n in (2, 3, 4))
-    logsum = F.log(F.col("p1")) + logsum
+    # left-fold ln(p1)..ln(p4) in oracle order — float addition is
+    # non-associative, so both engines must add in the same association
+    # (ADVICE r8: the old p1+((p2+p3)+p4) grouping risked ULP drift)
+    logsum = F.log(F.col("p1"))
+    for n in (2, 3, 4):
+        logsum = logsum + F.log(F.col(f"p{n}"))
     return lens.crossJoin(ps).select(
         "c_len",
         "r_len",
@@ -932,9 +936,10 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 23 s -> ~8 s at sf0.1)
     # parquet reads this small arrive in ONE partition; without an
     # explicit repartition the 1M-row cosine cross join runs as a
-    # single task — spread the probe side across the cluster
+    # single task — spread the probe side across the cluster (sized by
+    # the session's actual parallelism, not a baked-in local core count)
     cs = (
-        xs.repartition(32)
+        xs.repartition(spark.sparkContext.defaultParallelism)
         .crossJoin(ys)
         .select(
             "x_id",
@@ -1735,13 +1740,14 @@ def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_jackknife_ratio",
     oracle="""
     WITH g AS (
-      SELECT user_id, sum(value) AS x, count(*) AS y FROM events
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS xc,
+             count(*) AS y FROM events
       GROUP BY user_id),
-    tot AS (SELECT sum(x) AS tx, sum(y) AS ty,
+    tot AS (SELECT sum(xc) AS txc, sum(y) AS ty,
                    count(*) AS k FROM g),
     pseudo AS (
       SELECT g.user_id,
-             round((tot.tx - g.x) / (tot.ty - g.y), 10) AS r_loo
+             round(((tot.txc - g.xc) / 100.0) / (tot.ty - g.y), 10) AS r_loo
       FROM g, tot),
     jk AS (
       SELECT round(avg(r_loo), 10) AS rbar,
@@ -1750,7 +1756,7 @@ def q_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
                    10) AS ss,
              count(*) AS k
       FROM pseudo)
-    SELECT round(tot.tx / tot.ty, 6) AS ratio,
+    SELECT round((tot.txc / 100.0) / tot.ty, 6) AS ratio,
            round(jk.rbar, 6) AS jk_mean,
            round(sqrt((jk.k - 1.0) / jk.k * jk.ss), 6) AS jk_se,
            CAST(jk.k AS BIGINT) AS n_groups
@@ -1768,20 +1774,27 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy for per-user totals, one scalar total, then
     arithmetic per group row — the entire jackknife costs one
-    aggregate more than the metric itself."""
+    aggregate more than the metric itself.
+
+    Value sums use the integer-cents contract (events.value is exactly
+    2-decimal): bigint cent sums are associative, so Spark's partition
+    tree and DuckDB's sequential sum cannot diverge (ADVICE r8)."""
     e = load(spark, sf_dir, "events")
     g = e.groupBy("user_id").agg(
-        F.sum("value").alias("x"), F.count("*").alias("y")
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("xc"),
+        F.count("*").alias("y"),
     )
     tot = g.agg(
-        F.sum("x").alias("tx"),
+        F.sum("xc").alias("txc"),
         F.sum("y").alias("ty"),
         F.count("*").alias("k"),
     )
     pseudo = g.crossJoin(F.broadcast(tot)).select(
         "user_id",
         F.round(
-            (F.col("tx") - F.col("x")) / (F.col("ty") - F.col("y")), 10
+            ((F.col("txc") - F.col("xc")) / 100.0)
+            / (F.col("ty") - F.col("y")),
+            10,
         ).alias("r_loo"),
     )
     rbar = pseudo.agg(F.round(F.avg("r_loo"), 10).alias("rbar"))
@@ -1800,7 +1813,7 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tot.crossJoin(jk.withColumnRenamed("k", "k2")).select(
-        F.round(F.col("tx") / F.col("ty"), 6).alias("ratio"),
+        F.round((F.col("txc") / 100.0) / F.col("ty"), 6).alias("ratio"),
         F.round("rbar", 6).alias("jk_mean"),
         F.round(
             F.sqrt((F.col("k2") - 1.0) / F.col("k2") * F.col("ss")), 6
@@ -1892,17 +1905,23 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_iv_2sls",
     oracle="""
     WITH s AS (
-      SELECT CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS z,
-             value AS x,
-             CAST(length(props) AS DOUBLE) AS y
+      SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS z,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             CAST(length(props) AS BIGINT) AS y
       FROM events),
-    m AS (
+    mi AS (
       SELECT count(*) AS n,
-             round(sum(z), 10) AS sz, round(sum(x), 10) AS sx,
-             round(sum(y), 10) AS sy,
-             round(sum(z * x), 10) AS szx, round(sum(z * y), 10) AS szy,
-             round(sum(z * z), 10) AS szz, round(sum(x * x), 10) AS sxx
+             sum(z) AS szi, sum(xc) AS sxc, sum(y) AS syi,
+             sum(z * xc) AS szxc, sum(z * y) AS szyi,
+             sum(xc * xc) AS sxxc
       FROM s),
+    m AS (
+      SELECT n,
+             CAST(szi AS DOUBLE) AS sz, sxc / 100.0 AS sx,
+             CAST(syi AS DOUBLE) AS sy,
+             szxc / 100.0 AS szx, CAST(szyi AS DOUBLE) AS szy,
+             CAST(szi AS DOUBLE) AS szz, sxxc / 10000.0 AS sxx
+      FROM mi),
     c AS (
       SELECT n,
              round(szy - sz * sy / n, 10) AS cov_zy,
@@ -1924,26 +1943,39 @@ def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
     instrument = the Wald estimator): β_IV = cov(z,y)/cov(z,x), with
     the first-stage coefficient and F statistic (the weak-instrument
     diagnostic — F < 10 means the IV answer is noise, the first thing
-    a causal reviewer checks). All moments from one rounded scalar
-    aggregate; covariances derived from the same sums on both
-    engines.
+    a causal reviewer checks). All moments from one scalar aggregate
+    over EXACT INTEGERS (z binary, y = length, x in 2-decimal cents —
+    ADVICE r8: integer sums are associative, so Spark's partition tree
+    and DuckDB's sequential sum cannot diverge); covariances derived
+    from the same converted doubles on both engines.
 
-    Scale: one map-side-combinable aggregate over the data."""
+    Scale: one map-side-combinable aggregate over the data. (Like the
+    GRPO squared-cents store, sum(xc²) bounds n at ~10^8 rows per
+    bigint — beyond that, promote to DECIMAL.)"""
     e = load(spark, sf_dir, "events")
     s = e.select(
-        F.when(F.col("user_id") % 3 == 0, 1.0).otherwise(0.0).alias("z"),
-        F.col("value").alias("x"),
-        F.length("props").cast("double").alias("y"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).cast("long").alias("z"),
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        F.length("props").cast("long").alias("y"),
     )
-    m = s.agg(
+    mi = s.agg(
         F.count("*").alias("n"),
-        F.round(F.sum("z"), 10).alias("sz"),
-        F.round(F.sum("x"), 10).alias("sx"),
-        F.round(F.sum("y"), 10).alias("sy"),
-        F.round(F.sum(F.col("z") * F.col("x")), 10).alias("szx"),
-        F.round(F.sum(F.col("z") * F.col("y")), 10).alias("szy"),
-        F.round(F.sum(F.col("z") * F.col("z")), 10).alias("szz"),
-        F.round(F.sum(F.col("x") * F.col("x")), 10).alias("sxx"),
+        F.sum("z").alias("szi"),
+        F.sum("xc").alias("sxc"),
+        F.sum("y").alias("syi"),
+        F.sum(F.col("z") * F.col("xc")).alias("szxc"),
+        F.sum(F.col("z") * F.col("y")).alias("szyi"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxxc"),
+    )
+    m = mi.select(
+        "n",
+        F.col("szi").cast("double").alias("sz"),
+        (F.col("sxc") / 100.0).alias("sx"),
+        F.col("syi").cast("double").alias("sy"),
+        (F.col("szxc") / 100.0).alias("szx"),
+        F.col("szyi").cast("double").alias("szy"),
+        F.col("szi").cast("double").alias("szz"),
+        (F.col("sxxc") / 10000.0).alias("sxx"),
     )
     c = m.select(
         "n",

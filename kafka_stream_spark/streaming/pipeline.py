@@ -252,7 +252,16 @@ def enrich_cdc(
         F.broadcast(sites), d["cmp_code"] == sites["source"], "left"
     ).withColumn("site_name", decode.default_empty(F.col("site_name")))
     r = rules_df if rules_df is not None else dims.rules_df(spark)
-    cond = rules.rule_matches(d["title"], r["in_rules"], r["filter_rules"])
+    # Driver-compiled join condition (lambda-free): HOF lambdas in a join
+    # condition hit a fresh-session exprId collision (functions/rules.py).
+    # Collecting the tiny rules dim here keeps the T2 refresh semantics —
+    # the collect happens at query (re)start, exactly when the static
+    # side's file listing is captured anyway.
+    rule_rows = [
+        (row.rule_id, row.in_rules, row.filter_rules)
+        for row in r.select("rule_id", "in_rules", "filter_rules").collect()
+    ]
+    cond = rules.compiled_join_cond(d["title"], r["rule_id"], rule_rows)
     m = d.join(F.broadcast(r), cond, "inner")
     yqid = keys.surrogate_key(
         F.col("title"), F.col("url"), F.col("publish_date")

@@ -55,17 +55,41 @@ def test_winnowing_guarantee(spark, sf_dir):
     assert _WINNOW_K + _WINNOW_W - 1 == 8  # guarantee threshold doc'd
 
 
-def test_cdc_chunks_boundaries_are_content_local(spark, sf_dir):
+def test_cdc_chunks_boundaries_are_content_local(spark, sf_dir, tmp_path):
     """Duplicate a document's text under a NEW doc_id: content-defined
     boundaries depend only on token context, so the twin contributes
-    chunk hashes already seen — per-source distinct count must not
-    grow when the twin lands in the same source."""
-    base = q_cdc_chunks(spark, sf_dir).collect()
-    per_src = {r["source"]: r for r in base}
-    assert per_src, "chunking must produce per-source rows"
-    for r in base:
+    only chunk hashes already seen — the per-source distinct count must
+    not grow when the twin lands in the same source (ADVICE r8: this
+    invariance is now actually exercised, via a twin corpus on disk)."""
+    base = {r["source"]: r for r in q_cdc_chunks(spark, sf_dir).collect()}
+    assert base, "chunking must produce per-source rows"
+    for r in base.values():
         assert r["n_distinct"] <= r["n_chunks"]
         assert 0.0 <= r["dup_ratio"] < 1.0
+
+    # build the twin corpus: one existing doc re-emitted verbatim under a
+    # fresh doc_id, same source
+    d = load(spark, sf_dir, "documents")
+    donor = d.orderBy("doc_id").limit(1).collect()[0]
+    new_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    twin = spark.createDataFrame(
+        [(new_id,) + tuple(donor[c] for c in d.columns if c != "doc_id")],
+        schema=d.schema,
+    )
+    twin_dir = str(tmp_path / "twin_sf")
+    d.unionByName(twin).coalesce(1).write.parquet(f"{twin_dir}/documents.parquet")
+
+    twinned = {r["source"]: r for r in q_cdc_chunks(spark, twin_dir).collect()}
+    src = donor["source"]
+    assert twinned[src]["n_distinct"] == base[src]["n_distinct"], (
+        "a verbatim twin doc must not mint new chunk hashes"
+    )
+    assert twinned[src]["n_chunks"] > base[src]["n_chunks"]
+    # every other source is untouched
+    for s, r in base.items():
+        if s != src:
+            assert twinned[s]["n_chunks"] == r["n_chunks"]
+            assert twinned[s]["n_distinct"] == r["n_distinct"]
 
 
 def test_grpo_advantage_zero_mean_groups(spark, sf_dir):

@@ -21,11 +21,87 @@ the closing record lands in the same commit that ends the round.
 
 from __future__ import annotations
 
+import concurrent.futures
+import os
 import re
 import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+#: The reference-surface keys (SURVEY §2 rows S/F/P/J/A/D/K/T — the 39
+#: operators mapped in VERDICT's coverage table). The warm sharded gate
+#: structurally cannot see first-query-of-a-fresh-session bugs (the
+#: q_rule_match exprId collision hid behind warm shards for 8 rounds), so
+#: each of these also runs COLD: one check.py subprocess per key, the key
+#: as the first and only query of its own SparkSession.
+REFERENCE_SURFACE_KEYS: list[str] = [
+    "q_source_scan",       # S1
+    "q_stream_pipeline",   # S1/T1-T3
+    "q_insert_only_filter",  # S2/F1
+    "q_dim_scan",          # S3
+    "q_notnull_filter",    # S4/F5
+    "q_limit",             # S5
+    "q_inlist_filter",     # F2-F3
+    "q_count_since",       # F4/A1
+    "q_project_rename",    # P1
+    "q_ts_format",         # P2
+    "q_current_ts",        # P3
+    "q_surrogate_key",     # P4
+    "q_concat_key",        # P6
+    "q_uuid3_key",         # P5
+    "q_score_decode",      # P8
+    "q_assemble_wide",     # P10
+    "q_rule_match",        # P11/J3
+    "q_anti_filter",       # J3 veto half
+    "q_name_lookup_join",  # J1
+    "q_industry_join",     # J2
+    "q_board_pipeline",    # J4 + flagship
+    "q_pivot_levels",      # A2
+    "q_dedup",             # D1
+    "q_multi_sink",        # K1-K4
+    "q_csv_source",        # K3
+    "q_stream_window",     # T4
+    "q_session_window",    # T4
+    "q_stateful_stats",    # T5
+]
+
+
+def run_cold_tier(sf_dir: str, keys: list[str]) -> tuple[list[str], int]:
+    """Run each key as the FIRST query of its own fresh process.
+
+    Returns (per-key result lines, n_failed). 4 subprocesses at a time,
+    8 cores each — cold isolation is about session freshness, not about
+    serialising the wall clock.
+    """
+    registered = set(_registered_keys())
+    keys = [k for k in keys if k in registered]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    def one(key: str) -> str:
+        proc = subprocess.run(
+            [sys.executable, "tools/check.py", sf_dir, key],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            env=env,
+        )
+        out = proc.stdout.replace("\r", "\n")
+        for ln in out.splitlines():
+            if re.match(r"^(ok|FAIL|rows-only)\s", ln):
+                return ln
+        return f"FAIL  {key}: no result line (rc={proc.returncode})"
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        lines = list(pool.map(one, keys))
+    n_fail = sum(1 for ln in lines if ln.startswith("FAIL"))
+    return lines, n_fail
+
+
+def _registered_keys() -> list[str]:
+    import __spark_entry__ as entry_mod
+
+    return sorted(entry_mod.queries())
 
 
 def main() -> int:
@@ -79,8 +155,24 @@ def main() -> int:
         print(f"{n_fail} FAILED — aborting, no CHECK file", file=sys.stderr)
         return 1
 
+    # Cold-isolation tier (VERDICT r8 #2): every reference-surface key as
+    # the first query of its own fresh process — the only protocol that
+    # can see first-query bugs like the q_rule_match exprId collision.
+    print(f"cold tier: {len(REFERENCE_SURFACE_KEYS)} reference-surface keys",
+          flush=True)
+    cold_lines, cold_fail = run_cold_tier(sf_dir, REFERENCE_SURFACE_KEYS)
+    for ln in cold_lines:
+        if ln.startswith("FAIL"):
+            print(f"cold {ln}", flush=True)
+    if cold_fail:
+        print(f"{cold_fail} COLD FAILED — aborting, no CHECK file",
+              file=sys.stderr)
+        return 1
+    lines.append("## cold (each key = first query of its own fresh session)")
+    lines.extend(cold_lines)
+
     ro_names = sorted(
-        ln.split()[1].rstrip(":") for ln in lines if ln.startswith("rows-only")
+        {ln.split()[1].rstrip(":") for ln in lines if ln.startswith("rows-only")}
     )
     header = [
         f"# CHECK_{tag} — full differential gate over all "
@@ -89,6 +181,9 @@ def main() -> int:
         f"{shards} interleaved shards (sorted names[i::{shards}])",
         f"# TOTAL: {n_ok} ok (value-hash match vs DuckDB), "
         f"{n_ro} rows-only by design ({', '.join(ro_names)}), 0 FAILED.",
+        f"# COLD: {len(cold_lines)} reference-surface keys re-run "
+        f"cold-isolated (one fresh process each, key is the first query): "
+        f"{len(cold_lines) - cold_fail} ok, {cold_fail} FAILED.",
     ]
     path = f"/root/repo/CHECK_{tag}.txt"
     with open(path, "w") as f:
@@ -105,6 +200,16 @@ def main() -> int:
             text=True,
             cwd="/root/repo",
         )
+        if proc.returncode != 0:
+            # ADVICE r8: a failed bench leaves BENCH_DETAIL.json stale or
+            # partial — regenerating the README line from it would ship
+            # the exact stale-bench-line bug the reorder was meant to fix.
+            print(
+                f"bench.py failed (rc={proc.returncode}) — aborting before "
+                f"README summary; stderr tail:\n{proc.stderr[-1500:]}",
+                file=sys.stderr,
+            )
+            return 1
         last = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         print(last)
 
