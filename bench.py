@@ -299,6 +299,19 @@ HEADLINE = [
     "q_mann_kendall",
     "q_source_concentration",
     "q_good_turing",
+    # round 9
+    "q_margin_mining_routed",
+    "q_kalman_1d_grouped",
+    "q_ndcg_mrr",
+    "q_pass_at_k",
+    "q_rbo",
+    "q_ess_diagnostics",
+    "q_distinct_n",
+    "q_data_map",
+    "q_dawid_skene",
+    "q_krippendorff_alpha",
+    "q_doremi_weights",
+    "q_facility_location",
 ]
 
 

@@ -263,3 +263,1140 @@ def q_kalman_1d_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, d date, y long, "
         "k_gain double, x_hat double, p_var double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X649 — retrieval evaluation: nDCG@10 / MRR@10 / recall@10 over ANN results
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+
+
+def _dcg_weight_sql(rank: str) -> str:
+    return f"(1.0 / log2({rank} + 1.0))"
+
+
+_NDCG_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb, label AS clbl
+      FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS albl
+      FROM embeddings WHERE vec_id % 25 = 0),
+    cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus WHERE n_id % 50 = 0),
+    {{ivf}},
+    rel_tot AS (
+      SELECT a.q_id, count(*) AS n_rel
+      FROM anchors a JOIN corpus c
+        ON c.clbl = a.albl AND c.n_id <> a.q_id
+      GROUP BY a.q_id),
+    hits AS (
+      SELECT q_id, rn,
+             CASE WHEN clbl = albl THEN 1 ELSE 0 END AS rel
+      FROM ivf_topk),
+    per_q AS (
+      SELECT h.q_id,
+             round(sum(h.rel * {_dcg_weight_sql('h.rn')}), 10) AS dcg,
+             CAST(sum(h.rel) AS BIGINT) AS n_hit,
+             CAST(min(CASE WHEN h.rel = 1 THEN h.rn END) AS BIGINT)
+               AS first_rel
+      FROM hits h GROUP BY h.q_id),
+    idcg AS (
+      SELECT r.q_id,
+             round(sum(CASE WHEN d.d <= least(r.n_rel, {_EVAL_K})
+                       THEN {_dcg_weight_sql('d.d')} ELSE 0 END), 10)
+               AS idcg, r.n_rel
+      FROM rel_tot r CROSS JOIN
+           (SELECT unnest(range(1, {_EVAL_K} + 1)) AS d) d
+      GROUP BY r.q_id, r.n_rel),
+    scored AS (
+      SELECT p.q_id,
+             round(p.dcg / i.idcg, 10) AS ndcg,
+             round(CASE WHEN p.first_rel IS NULL THEN 0.0
+                   ELSE 1.0 / p.first_rel END, 10) AS rr,
+             round(p.n_hit * 1.0 / least(i.n_rel, {_EVAL_K}), 10)
+               AS recall
+      FROM per_q p JOIN idcg i ON i.q_id = p.q_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(ndcg), 6) AS mean_ndcg,
+           round(avg(rr), 6) AS mean_mrr,
+           round(avg(recall), 6) AS mean_recall
+    FROM scored
+    """.format(ivf=_ann.ivf_search_sql(
+        "corpus", "anchors", "cent", k=_EVAL_K, nprobe=_MM_NPROBE,
+        corpus_extra=("clbl",), query_extra=("albl",)))
+
+
+@query("q_ndcg_mrr", oracle=_NDCG_ORACLE)
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X649 — retrieval-quality evaluation (nDCG@10, MRR@10, recall@10)
+    of the ANN serving path itself: anchors (4% sample) search the
+    corpus through operators/ann.ivf_search, a hit is a same-label
+    neighbor, and the three standard ranking metrics aggregate per
+    anchor then average. This is the eval harness an embedding-based
+    retrieval/dedup deployment runs after every index build; the
+    DuckDB oracle replays the identical routing (ivf_search_sql), so
+    the measured numbers are pinned, not sampled. IDCG truncates at
+    min(R, k) with R = the anchor's total same-label population —
+    textbook nDCG. Per-anchor values round(10) before the round(6)
+    means; ranks use the ANN's (score DESC, n_id) tie-break.
+
+    Scale: metric cost is one groupBy over the ANN result set (q×k
+    rows) plus a label-count broadcast — negligible next to the
+    search it audits."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("clbl"),
+    )
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    topk = _ann.ivf_search(
+        corpus, anchors, k=_EVAL_K, nprobe=_MM_NPROBE,
+        every=_MM_EVERY, residue=0,
+    )
+    rel_tot = (
+        anchors.join(
+            corpus,
+            (corpus["clbl"] == anchors["albl"])
+            & (corpus["n_id"] != anchors["q_id"]),
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    dcg_w = 1.0 / F.log2(F.col("rn") + 1.0)
+    per_q = (
+        topk.withColumn("rel", (F.col("clbl") == F.col("albl")).cast("int"))
+        .groupBy("q_id")
+        .agg(
+            F.round(F.sum(F.col("rel") * dcg_w), 10).alias("dcg"),
+            F.sum("rel").cast("long").alias("n_hit"),
+            F.min(F.when(F.col("rel") == 1, F.col("rn")))
+            .cast("long")
+            .alias("first_rel"),
+        )
+    )
+    depths = spark.range(1, _EVAL_K + 1).select(F.col("id").alias("d"))
+    idcg = (
+        rel_tot.crossJoin(F.broadcast(depths))
+        .groupBy("q_id", "n_rel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("d") <= F.least(F.col("n_rel"), F.lit(_EVAL_K)),
+                        1.0 / F.log2(F.col("d") + 1.0),
+                    ).otherwise(0.0)
+                ),
+                10,
+            ).alias("idcg")
+        )
+    )
+    scored = per_q.join(idcg, "q_id").select(
+        "q_id",
+        F.round(F.col("dcg") / F.col("idcg"), 10).alias("ndcg"),
+        F.round(
+            F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                1.0 / F.col("first_rel")
+            ),
+            10,
+        ).alias("rr"),
+        F.round(
+            F.col("n_hit") / F.least(F.col("n_rel"), F.lit(_EVAL_K)), 10
+        ).alias("recall"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(F.avg("rr"), 6).alias("mean_mrr"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X650 — pass@k (unbiased estimator, Chen et al. 2021)
+# ---------------------------------------------------------------------------
+
+_PASS_THRESH = 100.0
+_PASS_KS = (1, 5, 10)
+
+
+def _pass_prod_sql(k: int) -> str:
+    """1 - prod_{i=0..k-1} round(greatest(n-c-i,0)/(n-i), 10), factors
+    multiplied left-to-right — identical association on both engines."""
+    factors = " * ".join(
+        f"round(greatest(n - c - {i}, 0) * 1.0 / (n - {i}), 10)"
+        for i in range(k)
+    )
+    return f"round(1.0 - {factors}, 10)"
+
+
+_PASS_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_prompts,
+           round(avg(p), 6) AS mean_pass
+    FROM (
+      SELECT {_pass_prod_sql(k)} AS p
+      FROM (SELECT user_id, count(*) AS n,
+                   sum(CASE WHEN value >= {_PASS_THRESH} THEN 1 ELSE 0 END)
+                     AS c
+            FROM events GROUP BY user_id)
+      WHERE n >= {k})
+    """
+    for k in _PASS_KS
+)
+
+
+@query("q_pass_at_k", oracle=_PASS_ORACLE)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X650 — pass@k with the unbiased estimator (Chen et al. 2021,
+    Codex): per prompt (user) with n trials and c passes
+    (value >= 100), pass@k = 1 − C(n−c,k)/C(n,k), computed as the
+    telescoped product Π (n−c−i)/(n−i) — no factorials, no overflow —
+    with each factor rounded(10) and multiplied left-to-right so both
+    engines run the identical float sequence. Averaged over prompts
+    with n ≥ k for k ∈ (1, 5, 10): THE completion-eval curve every
+    code/reasoning benchmark reports.
+
+    Scale: one groupBy(user) for (n, c), then constant arithmetic per
+    prompt — map-side combinable counts, nothing else."""
+    e = load(spark, sf_dir, "events")
+    nc = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= _PASS_THRESH).cast("int")).alias("c"),
+    )
+    outs = []
+    for k in _PASS_KS:
+        prod = None
+        for i in range(k):
+            fac = F.round(
+                F.greatest(F.col("n") - F.col("c") - i, F.lit(0))
+                * 1.0
+                / (F.col("n") - i),
+                10,
+            )
+            prod = fac if prod is None else prod * fac
+        p = F.round(1.0 - prod, 10)
+        outs.append(
+            nc.filter(F.col("n") >= k)
+            .select(p.alias("p"))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count("*").cast("long").alias("n_prompts"),
+                F.round(F.avg("p"), 6).alias("mean_pass"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X651 — rank-biased overlap between two rankings (Webber et al. 2010)
+# ---------------------------------------------------------------------------
+
+_RBO_K = 50
+_RBO_P = 0.5  # top-weightedness; 0.5^d is float-EXACT (power of two)
+
+_RBO_ORACLE = f"""
+    WITH ra AS (
+      SELECT user_id, row_number() OVER (
+               ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC,
+                        user_id) AS r
+      FROM events GROUP BY user_id),
+    rb AS (
+      SELECT user_id, row_number() OVER (
+               ORDER BY count(*) DESC, user_id) AS r
+      FROM events GROUP BY user_id),
+    pairs AS (
+      SELECT greatest(ra.r, rb.r) AS mx
+      FROM ra JOIN rb ON ra.user_id = rb.user_id
+      WHERE ra.r <= {_RBO_K} AND rb.r <= {_RBO_K}),
+    depths AS (SELECT unnest(range(1, {_RBO_K} + 1)) AS d),
+    xd AS (
+      SELECT d.d,
+             (SELECT count(*) FROM pairs WHERE pairs.mx <= d.d) AS x
+      FROM depths d),
+    terms AS (
+      SELECT round(power({_RBO_P}, d - 1) * x / d, 10) AS term,
+             CASE WHEN d = {_RBO_K} THEN x END AS x_at_k
+      FROM xd)
+    SELECT CAST({_RBO_K} AS BIGINT) AS k,
+           round((1 - {_RBO_P}) * sum(term), 6) AS rbo,
+           round(max(x_at_k) * 1.0 / {_RBO_K}, 6) AS overlap_at_k
+    FROM terms
+    """
+
+
+@query("q_rbo", oracle=_RBO_ORACLE)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X651 — rank-biased overlap (Webber, Moffat & Zobel 2010) between
+    the revenue ranking and the activity ranking of users:
+    RBO@K = (1−p)·Σ_{{d≤K}} p^(d−1)·|A_d ∩ B_d|/d — the top-weighted,
+    non-conjoint rank-similarity measure used to compare retrieval
+    runs, feed rankers, and leaderboard versions (Kendall tau treats
+    depth 1 and depth 1000 alike; RBO does not). p = 0.5 here: every
+    p^(d−1) is a power of two, float-exact on both engines. Revenue
+    ranks sum integer cents (associative); overlap-at-depth X_d comes
+    from each shared user's max(rank_a, rank_b) — integers until the
+    final rounded terms.
+
+    Scale: two user-grain aggregates + a K-row depth table; the
+    windowed rankings are the only shuffles."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    ra = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("s"), "user_id"))
+            .alias("r_a"),
+        )
+    )
+    rb = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "user_id"))
+            .alias("r_b"),
+        )
+    )
+    pairs = (
+        ra.join(rb, "user_id")
+        .filter((F.col("r_a") <= _RBO_K) & (F.col("r_b") <= _RBO_K))
+        .select(F.greatest("r_a", "r_b").alias("mx"))
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.crossJoin(pairs)
+        .groupBy("d")
+        .agg(F.sum((F.col("mx") <= F.col("d")).cast("long")).alias("x"))
+    )
+    terms = xd.select(
+        F.round(
+            F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("x") / F.col("d"),
+            10,
+        ).alias("term"),
+        F.when(F.col("d") == _RBO_K, F.col("x")).alias("x_at_k"),
+    )
+    return terms.agg(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.round((1 - _RBO_P) * F.sum("term"), 6).alias("rbo"),
+        F.round(F.max("x_at_k") * 1.0 / _RBO_K, 6).alias("overlap_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X652 — importance-sampling diagnostics (ESS, clipping)
+# ---------------------------------------------------------------------------
+
+_ESS_CAP = 5.0
+
+_ESS_ORACLE = f"""
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    nb AS (
+      SELECT bucket,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc_b,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np_b
+      FROM b GROUP BY bucket),
+    tot AS (
+      SELECT sum(nc_b) AS nc, sum(np_b) AS np FROM nb),
+    w AS (
+      SELECT nb.bucket, nb.nc_b,
+             round((nb.np_b * 1.0 / tot.np) / (nb.nc_b * 1.0 / tot.nc), 10)
+               AS w_b
+      FROM nb, tot WHERE nb.nc_b > 0),
+    s AS (
+      SELECT sum(nc_b * w_b) AS sw,
+             sum(nc_b * round(w_b * w_b, 10)) AS sw2,
+             max(w_b) AS max_w,
+             sum(nc_b * least(w_b, {_ESS_CAP})) AS swc,
+             sum(nc_b * round(least(w_b, {_ESS_CAP})
+                              * least(w_b, {_ESS_CAP}), 10)) AS swc2
+      FROM w)
+    SELECT CAST(tot.nc AS BIGINT) AS n_proposal,
+           CAST(tot.np AS BIGINT) AS n_target,
+           round(s.sw * s.sw / s.sw2, 6) AS ess,
+           round(s.sw * s.sw / s.sw2 / tot.nc, 6) AS ess_frac,
+           round(s.max_w, 6) AS max_w,
+           round(s.swc * s.swc / s.swc2, 6) AS ess_clipped,
+           round(s.swc / s.sw, 6) AS clip_mass
+    FROM s, tot
+    """
+
+
+@query("q_ess_diagnostics", oracle=_ESS_ORACLE)
+def q_ess_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X652 — importance-sampling diagnostics for distribution shift:
+    reweight the click population to the purchase population via the
+    bucketed density ratio w(b) = P_target(b)/P_proposal(b) (10
+    fixed-width value buckets — count ratios, exact integers until
+    the one rounded division), then report Kish effective sample size
+    (Σw)²/Σw², its fraction of n, the max weight, and the same under
+    weight clipping at 5 (the truncated-IS estimator every off-policy
+    eval uses when ESS collapses). Low ESS says the proposal barely
+    covers the target — THE go/no-go check before reweighted training
+    or off-policy evaluation.
+
+    Scale: one bucket-grain aggregate (10 rows) after a dual-filter
+    scan; everything else is scalar arithmetic."""
+    e = load(spark, sf_dir, "events")
+    b = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+        "event_type",
+    )
+    nb = b.groupBy("bucket").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("nc_b"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "np_b"
+        ),
+    )
+    tot = nb.agg(
+        F.sum("nc_b").alias("nc"), F.sum("np_b").alias("np")
+    )
+    w = (
+        nb.crossJoin(F.broadcast(tot))
+        .filter(F.col("nc_b") > 0)
+        .select(
+            "nc_b",
+            F.round(
+                (F.col("np_b") * 1.0 / F.col("np"))
+                / (F.col("nc_b") * 1.0 / F.col("nc")),
+                10,
+            ).alias("w_b"),
+        )
+    )
+    wc = F.least(F.col("w_b"), F.lit(_ESS_CAP))
+    s = w.agg(
+        F.sum(F.col("nc_b") * F.col("w_b")).alias("sw"),
+        F.sum(
+            F.col("nc_b") * F.round(F.col("w_b") * F.col("w_b"), 10)
+        ).alias("sw2"),
+        F.max("w_b").alias("max_w"),
+        F.sum(F.col("nc_b") * wc).alias("swc"),
+        F.sum(F.col("nc_b") * F.round(wc * wc, 10)).alias("swc2"),
+    )
+    return s.crossJoin(tot).select(
+        F.col("nc").cast("long").alias("n_proposal"),
+        F.col("np").cast("long").alias("n_target"),
+        F.round(F.col("sw") * F.col("sw") / F.col("sw2"), 6).alias("ess"),
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sw2") / F.col("nc"), 6
+        ).alias("ess_frac"),
+        F.round("max_w", 6).alias("max_w"),
+        F.round(F.col("swc") * F.col("swc") / F.col("swc2"), 6).alias(
+            "ess_clipped"
+        ),
+        F.round(F.col("swc") / F.col("sw"), 6).alias("clip_mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X653 — generation diversity: distinct-n ratios per language
+# ---------------------------------------------------------------------------
+
+from ..functions import text as _text  # noqa: E402
+from .round8b import _ngrams, _ngrams_sql  # noqa: E402
+
+_DISTINCT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT lang, CAST({n} AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+           round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
+    FROM (
+      SELECT lang, unnest({_ngrams_sql(_text.tokens_sql('text'), n)}) AS g
+      FROM documents)
+    GROUP BY lang
+    """
+    for n in (1, 2, 3)
+)
+
+
+@query("q_distinct_n", oracle=_DISTINCT_ORACLE)
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X653 — distinct-n (Li et al. 2016): the fraction of n-gram
+    tokens that are unique, per language, for n = 1..3 — the standard
+    corpus/generation diversity dial (mode-collapsed generations and
+    template-heavy crawls both crater distinct-2). Pure
+    explode→count-distinct per order; the repetition complement of
+    q_intra_doc_repetition (within-doc) at corpus grain.
+
+    Scale: one (lang, gram) shuffle per order — word-count shaped;
+    count(DISTINCT) over 16-byte-ish grams, never texts."""
+    d = load(spark, sf_dir, "documents")
+    outs = []
+    for n in (1, 2, 3):
+        grams = d.select(
+            "lang",
+            F.explode(_ngrams(_text.tokens(F.col("text")), n)).alias("g"),
+        )
+        outs.append(
+            grams.groupBy("lang").agg(
+                F.lit(n).cast("long").alias("n"),
+                F.count("*").cast("long").alias("total_grams"),
+                F.countDistinct("g").cast("long").alias("distinct_grams"),
+                F.round(
+                    F.countDistinct("g") * 1.0 / F.count("*"), 6
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "lang", "n", "total_grams", "distinct_grams", "distinct_ratio"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X654 — dataset cartography (training-dynamics data map)
+# ---------------------------------------------------------------------------
+
+_DM_THRESH = 100.0
+
+_DATA_MAP_ORACLE = f"""
+    WITH pd AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             round(sum(CASE WHEN value >= {_DM_THRESH} THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 10) AS p
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    mo AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_epochs,
+             round(avg(p), 10) AS m1,
+             round(avg(round(p * p, 10)), 10) AS m2,
+             round(avg(CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END), 10)
+               AS corr
+      FROM pd GROUP BY user_id)
+    SELECT user_id, n_epochs,
+           round(m1, 6) AS confidence,
+           round(sqrt(greatest(round(m2 - round(m1 * m1, 10), 10), 0)), 6)
+             AS variability,
+           round(corr, 6) AS correctness,
+           CASE WHEN sqrt(greatest(round(m2 - round(m1 * m1, 10), 10), 0))
+                     >= 0.2 THEN 'ambiguous'
+                WHEN m1 >= 0.5 THEN 'easy' ELSE 'hard' END AS quadrant
+    FROM mo
+    """
+
+
+@query("q_data_map", oracle=_DATA_MAP_ORACLE)
+def q_data_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X654 — dataset cartography (Swayamdipta et al. 2020): treat each
+    day as a training epoch and each user as a sample; the per-epoch
+    "correctness" p is the fraction of that sample's events clearing
+    the reward bar. Confidence = mean_epoch(p), variability =
+    population std of p, correctness = fraction of epochs with p > ½;
+    the (confidence, variability) plane splits the data into
+    easy-to-learn / ambiguous / hard-to-learn — the map used to pick
+    fine-tuning subsets (ambiguous helps most) and to flag label noise
+    (hard + low variability). Moments from rounded per-epoch values;
+    std via the rounded m2 − m1² identity on both engines.
+
+    Scale: two grouped aggregates (user×day, then user) — the same
+    shuffle a daily rollup already pays."""
+    e = load(spark, sf_dir, "events")
+    pd_ = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(
+            F.sum((F.col("value") >= _DM_THRESH).cast("int"))
+            * 1.0
+            / F.count("*"),
+            10,
+        ).alias("p")
+    )
+    mo = pd_.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_epochs"),
+        F.round(F.avg("p"), 10).alias("m1"),
+        F.round(F.avg(F.round(F.col("p") * F.col("p"), 10)), 10).alias(
+            "m2"
+        ),
+        F.round(
+            F.avg(F.when(F.col("p") > 0.5, 1.0).otherwise(0.0)), 10
+        ).alias("corr"),
+    )
+    var = F.greatest(
+        F.round(F.col("m2") - F.round(F.col("m1") * F.col("m1"), 10), 10),
+        F.lit(0.0),
+    )
+    return mo.select(
+        "user_id",
+        "n_epochs",
+        F.round("m1", 6).alias("confidence"),
+        F.round(F.sqrt(var), 6).alias("variability"),
+        F.round("corr", 6).alias("correctness"),
+        F.when(F.sqrt(var) >= 0.2, "ambiguous")
+        .when(F.col("m1") >= 0.5, "easy")
+        .otherwise("hard")
+        .alias("quadrant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X655 — Dawid-Skene label model (2 unrolled EM rounds, binary)
+# ---------------------------------------------------------------------------
+
+_DS_EPS = 1e-6
+
+
+def _ds_clamp_sql(x: str) -> str:
+    return f"least(greatest({x}, {_DS_EPS}), 1 - {_DS_EPS})"
+
+
+_DAWID_SKENE_ORACLE = f"""
+    WITH votes AS (
+      SELECT user_id AS item, event_type AS annot,
+             CASE WHEN sum(CAST(round(value * 100) AS BIGINT))
+                       > 3500 * count(*) THEN 1 ELSE 0 END AS v
+      FROM events GROUP BY user_id, event_type),
+    q0 AS (
+      SELECT item, round(avg(v * 1.0), 10) AS q
+      FROM votes GROUP BY item),
+    acc1 AS (
+      SELECT v.annot,
+             round({_ds_clamp_sql(
+                 "sum(CASE WHEN v.v = 1 THEN q0.q ELSE 1 - q0.q END)"
+                 " / count(*)")}, 10) AS acc
+      FROM votes v JOIN q0 ON q0.item = v.item
+      GROUP BY v.annot),
+    pi1 AS (SELECT round(avg(q), 10) AS pi FROM q0),
+    ll AS (
+      SELECT v.item,
+             round(sum(round(ln(CASE WHEN v.v = 1 THEN a.acc
+                                ELSE 1 - a.acc END), 10)), 10) AS s1,
+             round(sum(round(ln(CASE WHEN v.v = 0 THEN a.acc
+                                ELSE 1 - a.acc END), 10)), 10) AS s0
+      FROM votes v JOIN acc1 a ON a.annot = v.annot
+      GROUP BY v.item),
+    q1 AS (
+      SELECT ll.item,
+             round(1.0 / (1.0 + exp(
+               round((round(ln(1 - pi1.pi), 10) + ll.s0)
+                     - (round(ln(pi1.pi), 10) + ll.s1), 10))), 10) AS q
+      FROM ll, pi1),
+    acc2 AS (
+      SELECT v.annot,
+             CAST(count(*) AS BIGINT) AS n_items,
+             round({_ds_clamp_sql(
+                 "sum(CASE WHEN v.v = 1 THEN q1.q ELSE 1 - q1.q END)"
+                 " / count(*)")}, 10) AS acc
+      FROM votes v JOIN q1 ON q1.item = v.item
+      GROUP BY v.annot)
+    SELECT annot AS annotator, n_items,
+           round(acc, 6) AS accuracy,
+           round((SELECT avg(q) FROM q1), 6) AS prevalence
+    FROM acc2
+    """
+
+
+@query("q_dawid_skene", oracle=_DAWID_SKENE_ORACLE)
+def q_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X655 — Dawid-Skene label model (1979; the weak-supervision /
+    rater-quality workhorse behind Snorkel-style labeling and RLHF
+    rater audits), binary symmetric-accuracy variant, 2 unrolled EM
+    rounds: items = users, annotators = event types, a vote is
+    whether the annotator's integer-cent average for the item clears
+    the bar (exact integer comparison). Init posterior = majority
+    fraction; M-step re-estimates each annotator's accuracy as its
+    posterior-weighted agreement; E-step recomputes item posteriors
+    in log space (clamped accuracies, per-term round(10) — the
+    unrolled-iteration discipline). Output: per-annotator estimated
+    accuracy + the class prevalence — the numbers that tell you which
+    rater stream to trust and how much.
+
+    Scale: votes are one (user, event_type) aggregate; each EM round
+    is one join + one annotator-grain groupBy — annotators are few,
+    items arbitrarily many."""
+    e = load(spark, sf_dir, "events")
+    votes = e.groupBy(
+        F.col("user_id").alias("item"), F.col("event_type").alias("annot")
+    ).agg(
+        F.when(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            > 3500 * F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("v")
+    )
+    q0 = votes.groupBy("item").agg(
+        F.round(F.avg(F.col("v") * 1.0), 10).alias("q")
+    )
+
+    def clamp(c):
+        return F.least(
+            F.greatest(c, F.lit(_DS_EPS)), F.lit(1 - _DS_EPS)
+        )
+
+    acc1 = (
+        votes.join(q0, "item")
+        .groupBy("annot")
+        .agg(
+            F.round(
+                clamp(
+                    F.sum(
+                        F.when(F.col("v") == 1, F.col("q")).otherwise(
+                            1 - F.col("q")
+                        )
+                    )
+                    / F.count("*")
+                ),
+                10,
+            ).alias("acc")
+        )
+    )
+    pi1 = q0.agg(F.round(F.avg("q"), 10).alias("pi"))
+    ll = (
+        votes.join(acc1, "annot")
+        .groupBy("item")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.log(
+                            F.when(F.col("v") == 1, F.col("acc")).otherwise(
+                                1 - F.col("acc")
+                            )
+                        ),
+                        10,
+                    )
+                ),
+                10,
+            ).alias("s1"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.log(
+                            F.when(F.col("v") == 0, F.col("acc")).otherwise(
+                                1 - F.col("acc")
+                            )
+                        ),
+                        10,
+                    )
+                ),
+                10,
+            ).alias("s0"),
+        )
+    )
+    q1 = ll.crossJoin(F.broadcast(pi1)).select(
+        "item",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    F.round(
+                        (F.round(F.log(1 - F.col("pi")), 10) + F.col("s0"))
+                        - (F.round(F.log(F.col("pi")), 10) + F.col("s1")),
+                        10,
+                    )
+                )
+            ),
+            10,
+        ).alias("q"),
+    )
+    prev = q1.agg(F.round(F.avg("q"), 6).alias("prevalence"))
+    acc2 = (
+        votes.join(q1, "item")
+        .groupBy("annot")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                clamp(
+                    F.sum(
+                        F.when(F.col("v") == 1, F.col("q")).otherwise(
+                            1 - F.col("q")
+                        )
+                    )
+                    / F.count("*")
+                ),
+                10,
+            ).alias("acc"),
+        )
+    )
+    return acc2.crossJoin(F.broadcast(prev)).select(
+        F.col("annot").alias("annotator"),
+        "n_items",
+        F.round("acc", 6).alias("accuracy"),
+        "prevalence",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X656 — Krippendorff's alpha (nominal, coincidence-matrix identity)
+# ---------------------------------------------------------------------------
+
+_KRIPP_ORACLE = """
+    WITH votes AS (
+      SELECT user_id AS item, event_type AS annot,
+             CASE WHEN sum(CAST(round(value * 100) AS BIGINT))
+                       < 3000 * count(*) THEN 0
+                  WHEN sum(CAST(round(value * 100) AS BIGINT))
+                       < 6000 * count(*) THEN 1 ELSE 2 END AS c
+      FROM events GROUP BY user_id, event_type),
+    per_item AS (
+      SELECT item, count(*) AS m, sum(nc * nc) AS ss
+      FROM (SELECT item, c, count(*) AS nc FROM votes GROUP BY item, c)
+      GROUP BY item HAVING count(*) >= 0),
+    mu AS (
+      SELECT v.item, count(*) AS m_u
+      FROM votes v GROUP BY v.item HAVING count(*) >= 2),
+    du AS (
+      SELECT mu.item,
+             round((mu.m_u * mu.m_u - pi.ss) * 1.0 / (mu.m_u - 1), 10)
+               AS d_u
+      FROM mu JOIN (
+        SELECT item, sum(nc * nc) AS ss
+        FROM (SELECT item, c, count(*) AS nc FROM votes GROUP BY item, c)
+        GROUP BY item) pi ON pi.item = mu.item),
+    marg AS (
+      SELECT sum(n_c * n_c) AS ssc, sum(n_c) AS n
+      FROM (SELECT v.c, count(*) AS n_c
+            FROM votes v JOIN mu ON mu.item = v.item
+            GROUP BY v.c)),
+    agg AS (
+      SELECT (SELECT round(sum(d_u), 10) FROM du) AS d_o,
+             (SELECT round((n * n - ssc) * 1.0 / (n - 1), 10) FROM marg)
+               AS d_e,
+             (SELECT CAST(count(*) AS BIGINT) FROM mu) AS n_items,
+             (SELECT CAST(n AS BIGINT) FROM marg) AS n_votes)
+    SELECT n_items, n_votes,
+           round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+           round(1.0 - d_o / d_e, 6) AS alpha
+    FROM agg
+    """
+
+
+@query("q_krippendorff_alpha", oracle=_KRIPP_ORACLE)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X656 — Krippendorff's alpha (nominal data): the chance-corrected
+    inter-annotator agreement that, unlike Cohen's/Fleiss' kappa
+    (q_cohens_kappa, q_fleiss_kappa), natively handles MISSING votes
+    and any number of annotators — the measure annotation guidelines
+    actually standardize on (alpha ≥ 0.8 publishable, ≥ 0.667
+    tentative). Items = users, annotators = event types, 3 ordinal-ish
+    categories from exact integer-cent thresholds. Computed via the
+    coincidence identity: per-item disagreement (m_u² − Σ_c n_uc²)/
+    (m_u−1) — integers up to the one rounded division — against the
+    expected (n² − Σ_c n_c²)/(n−1) over items with ≥ 2 votes.
+
+    Scale: one (item, annotator) aggregate, one (item, category)
+    count, two scalar folds."""
+    e = load(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    votes = e.groupBy(
+        F.col("user_id").alias("item"), F.col("event_type").alias("annot")
+    ).agg(
+        F.when(cents < 3000 * F.count("*"), 0)
+        .when(cents < 6000 * F.count("*"), 1)
+        .otherwise(2)
+        .alias("c")
+    )
+    mu = votes.groupBy("item").agg(F.count("*").alias("m_u")).filter(
+        F.col("m_u") >= 2
+    )
+    per_cat = votes.groupBy("item", "c").agg(F.count("*").alias("nc"))
+    ss = per_cat.groupBy("item").agg(
+        F.sum(F.col("nc") * F.col("nc")).alias("ss")
+    )
+    du = mu.join(ss, "item").select(
+        F.round(
+            (F.col("m_u") * F.col("m_u") - F.col("ss"))
+            * 1.0
+            / (F.col("m_u") - 1),
+            10,
+        ).alias("d_u")
+    )
+    d_o = du.agg(F.round(F.sum("d_u"), 10).alias("d_o"))
+    marg = (
+        votes.join(mu.select("item"), "item")
+        .groupBy("c")
+        .agg(F.count("*").alias("n_c"))
+        .agg(
+            F.sum(F.col("n_c") * F.col("n_c")).alias("ssc"),
+            F.sum("n_c").alias("n"),
+        )
+    )
+    n_items = mu.agg(F.count("*").cast("long").alias("n_items"))
+    return (
+        d_o.crossJoin(marg)
+        .crossJoin(n_items)
+        .select(
+            "n_items",
+            F.col("n").cast("long").alias("n_votes"),
+            F.round("d_o", 6).alias("d_o"),
+            F.round(
+                (F.col("n") * F.col("n") - F.col("ssc"))
+                * 1.0
+                / (F.col("n") - 1),
+                10,
+            ).alias("d_e10"),
+        )
+        .select(
+            "n_items",
+            "n_votes",
+            "d_o",
+            F.round("d_e10", 6).alias("d_e"),
+            F.round(1.0 - F.col("d_o") / F.col("d_e10"), 6).alias("alpha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X657 — DoReMi/Group-DRO-style domain reweighting (unrolled MW rounds)
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 0.5
+_DRM_ALPHA = 1.0
+_DRM_T = 5
+
+
+def _doremi_oracle() -> str:
+    ctes = [
+        """base AS (
+      SELECT source,
+             round(ln(1.0 + sum(n_chars) / (100.0 * count(*))), 10)
+               AS loss
+      FROM documents GROUP BY source),
+    nd AS (SELECT count(*) AS d FROM base),
+    w0 AS (
+      SELECT b.source, b.loss, round(1.0 / nd.d, 10) AS w
+      FROM base b, nd)"""
+    ]
+    for t in range(1, _DRM_T + 1):
+        p, c = f"w{t - 1}", f"w{t}"
+        ctes.append(
+            f"""u{t} AS (
+      SELECT source, loss,
+             round(w * exp({_DRM_ETA} * (loss - {_DRM_ALPHA} * w)), 10)
+               AS uw
+      FROM {p}),
+    s{t} AS (SELECT round(sum(uw), 10) AS z FROM u{t}),
+    {c} AS (
+      SELECT u.source, u.loss, round(u.uw / s.z, 10) AS w
+      FROM u{t} u, s{t} s)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w.source, round(w.loss, 6) AS base_loss,
+           round(w.w, 6) AS weight,
+           round(w.w - 1.0 / nd.d, 6) AS delta_vs_uniform
+    FROM w{_DRM_T} w, nd
+    """
+    )
+
+
+@query("q_doremi_weights", oracle=_doremi_oracle())
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X657 — DoReMi-style domain reweighting (Xie et al. 2023 /
+    Group-DRO multiplicative weights): per-source excess-loss proxy
+    (log char volume per doc — the domains a proxy model finds hard),
+    then T=5 unrolled multiplicative-weight rounds
+    w ← normalize(w·exp(η(L − α·w))) with a diminishing-returns
+    response (−α·w models the proxy learning a domain as it gets
+    weight — without it the update degenerates to a one-shot softmax).
+    Output: the trained sampling weight per domain vs uniform — the
+    mixture a DoReMi run hands the main training job. Per-round
+    round(10) on update and normalizer keeps both engines'
+    trajectories bit-identical (unrolled-iteration discipline).
+
+    Scale: the data-sized work is ONE groupBy(source) for the loss
+    proxy; the MW rounds iterate over a domain-count-sized frame
+    (tiny) — driver-side loop count is the constant T, not data."""
+    d = load(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.round(
+            F.log(1.0 + F.sum("n_chars") / (100.0 * F.count("*"))), 10
+        ).alias("loss")
+    )
+    nd = base.agg(F.count("*").alias("d"))
+    w = base.crossJoin(F.broadcast(nd)).select(
+        "source",
+        "loss",
+        F.round(1.0 / F.col("d"), 10).alias("w"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_DRM_T):
+        u = w.select(
+            "source",
+            "loss",
+            F.round(
+                F.col("w")
+                * F.exp(_DRM_ETA * (F.col("loss") - _DRM_ALPHA * F.col("w"))),
+                10,
+            ).alias("uw"),
+        )
+        z = u.agg(F.round(F.sum("uw"), 10).alias("z"))
+        w = u.crossJoin(F.broadcast(z)).select(
+            "source",
+            "loss",
+            F.round(F.col("uw") / F.col("z"), 10).alias("w"),
+        ).localCheckpoint(eager=True)
+    return w.crossJoin(F.broadcast(nd)).select(
+        "source",
+        F.round("loss", 6).alias("base_loss"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") - 1.0 / F.col("d"), 6).alias("delta_vs_uniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X658 — greedy facility-location selection over the ANN-sparsified graph
+# ---------------------------------------------------------------------------
+
+_FL_K = 4  # facilities to select (greedy rounds)
+_FL_EDGE_K = 5  # ANN out-degree of the similarity graph
+
+
+def _facility_oracle() -> str:
+    ivf = _ann.ivf_search_sql(
+        "corpus", "qs", "cent", k=_FL_EDGE_K, nprobe=_MM_NPROBE,
+        prefix="fl_",
+    )
+    ctes = [
+        """corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb FROM embeddings),
+    qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings),
+    cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus
+      WHERE n_id % 50 = 0)""",
+        ivf,
+        """edges AS MATERIALIZED (
+      SELECT q_id AS v, n_id AS c, greatest(score, 0.0) AS s
+      FROM fl_topk),
+    cur0 AS MATERIALIZED (SELECT n_id AS v, 0.0 AS cur FROM corpus)""",
+    ]
+    # cur{t} is referenced three times downstream (g, cur, tot) — without
+    # MATERIALIZED DuckDB inlines the chain and re-evaluates it ~3^K times
+    for t in range(1, _FL_K + 1):
+        p = t - 1
+        ctes.append(
+            f"""g{t} AS (
+      SELECT e.c, round(sum(greatest(e.s - cur.cur, 0.0)), 10) AS gain
+      FROM edges e JOIN cur{p} cur ON cur.v = e.v
+      GROUP BY e.c),
+    w{t} AS MATERIALIZED (
+      SELECT c, gain FROM g{t} ORDER BY gain DESC, c LIMIT 1),
+    cur{t} AS MATERIALIZED (
+      SELECT cur.v, greatest(cur.cur, coalesce(win.s, 0.0)) AS cur
+      FROM cur{p} cur LEFT JOIN (
+        SELECT e.v, e.s FROM edges e, w{t} WHERE e.c = w{t}.c) win
+        ON win.v = cur.v),
+    tot{t} AS (SELECT round(sum(cur), 10) AS tot FROM cur{t})"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rnd, w{t}.c AS facility, "
+        f"round(w{t}.gain, 6) AS gain, round(tot{t}.tot, 6) AS total_cov "
+        f"FROM w{t}, tot{t}"
+        for t in range(1, _FL_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query("q_facility_location", oracle=_facility_oracle())
+def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X658 — greedy facility-location data selection (the canonical
+    submodular diverse-subset objective behind CRAIG/coreset curation:
+    maximize Σ_v max_{s∈S} sim(v, s)): pick K=4 exemplar vectors so
+    every corpus vector is close to some exemplar. The similarity
+    graph is SPARSIFIED through operators/ann.ivf_search (each vector
+    keeps its top-5 routed neighbors, clamped to ≥0) — uncovered edges
+    contribute 0, which preserves the greedy (1−1/e) guarantee on the
+    sparsified objective and is what makes the operator linear-ish
+    instead of the textbook O(n²·K). Each greedy round is one
+    edge-grain aggregate (marginal gains), a deterministic
+    (gain DESC, id) argmax kept IN-PLAN as a broadcast 1-row frame —
+    no driver collect — and a coverage-vector update via left join.
+    The DuckDB oracle replays the routing plus all K rounds unrolled.
+
+    Scale: rounds are K (a constant); each costs one shuffle over the
+    ANN edge list (n·k rows) — the coverage state is one double per
+    vector, partitioned by id."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    qs = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    edges = (
+        _ann.ivf_search(
+            corpus, qs, k=_FL_EDGE_K, nprobe=_MM_NPROBE,
+            every=_MM_EVERY, residue=0,
+        )
+        .select(
+            F.col("q_id").alias("v"),
+            F.col("n_id").alias("c"),
+            F.greatest(F.col("score"), F.lit(0.0)).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = corpus.select(F.col("n_id").alias("v"), F.lit(0.0).alias("cur"))
+    outs = []
+    for t in range(1, _FL_K + 1):
+        gains = (
+            edges.join(cur, "v")
+            .groupBy("c")
+            .agg(
+                F.round(
+                    F.sum(F.greatest(F.col("s") - F.col("cur"), F.lit(0.0))),
+                    10,
+                ).alias("gain")
+            )
+        )
+        win = (
+            gains.withColumn(
+                "rn", F.row_number().over(W.orderBy(F.desc("gain"), "c"))
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("c").alias("win_c"), F.col("gain"))
+        )
+        cov = (
+            edges.crossJoin(F.broadcast(win))
+            .filter(F.col("c") == F.col("win_c"))
+            .select("v", F.col("s").alias("win_s"))
+        )
+        cur = (
+            cur.join(cov, "v", "left")
+            .select(
+                "v",
+                F.greatest(
+                    F.col("cur"), F.coalesce(F.col("win_s"), F.lit(0.0))
+                ).alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = cur.agg(F.round(F.sum("cur"), 10).alias("tot"))
+        outs.append(
+            win.crossJoin(tot).select(
+                F.lit(t).cast("long").alias("rnd"),
+                F.col("win_c").alias("facility"),
+                F.round("gain", 6).alias("gain"),
+                F.round("tot", 6).alias("total_cov"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
