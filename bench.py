@@ -312,6 +312,10 @@ HEADLINE = [
     "q_krippendorff_alpha",
     "q_doremi_weights",
     "q_facility_location",
+    "q_inbatch_collision",
+    "q_chinchilla_plan",
+    "q_soft_dedup_weights",
+    "q_bbse_label_shift",
 ]
 
 

@@ -471,6 +471,15 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum((F.col("value") >= _PASS_THRESH).cast("int")).alias("c"),
     )
+    return pass_at_k_from_counts(nc)
+
+
+def pass_at_k_from_counts(nc: DataFrame) -> DataFrame:
+    """(user_id, n, c) → the q_pass_at_k output shape. Shared by the
+    batch query and the streaming counts store's read side
+    (streaming/pipeline.pass_at_k_from_store), so incremental == batch
+    is by construction — (n, c) are additive integers, the cleanest
+    possible merged-store state."""
     outs = []
     for k in _PASS_KS:
         prod = None
@@ -1400,3 +1409,338 @@ def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X660 — in-batch negative collision audit (contrastive training QA)
+# ---------------------------------------------------------------------------
+
+from ..functions import hashing as _hashing  # noqa: E402
+
+_IBC_NBATCH = 16
+
+_INBATCH_ORACLE = f"""
+    WITH assigned AS (
+      SELECT label,
+             {_hashing.token_hash_sql(
+                 "concat(CAST(vec_id AS VARCHAR), '|ibc')")}
+               % {_IBC_NBATCH} AS b
+      FROM embeddings),
+    per_bl AS (
+      SELECT b, label, count(*) AS n_bl FROM assigned GROUP BY b, label),
+    per_b AS (
+      SELECT b, sum(n_bl) AS m,
+             sum(n_bl * (n_bl - 1) / 2) AS coll
+      FROM per_bl GROUP BY b),
+    rates AS (
+      SELECT b, m, coll,
+             round(coll * 1.0 / (m * (m - 1) / 2), 10) AS rate
+      FROM per_b WHERE m >= 2),
+    marg AS (
+      SELECT round(sum(n_l * (n_l - 1.0))
+                   / (sum(n_l) * (sum(n_l) - 1.0)), 10) AS exp_rate
+      FROM (SELECT label, count(*) AS n_l FROM assigned GROUP BY label))
+    SELECT CAST(count(*) AS BIGINT) AS n_batches,
+           round(avg(m), 6) AS mean_batch_size,
+           round(sum(coll) * 1.0 / sum(m * (m - 1) / 2), 6)
+             AS collision_rate,
+           round(max(rate), 6) AS max_batch_rate,
+           round(max(marg.exp_rate), 6) AS expected_rate
+    FROM rates, marg
+    """
+
+
+@query("q_inbatch_collision", oracle=_INBATCH_ORACLE)
+def q_inbatch_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X660 — in-batch negative collision audit: contrastive training
+    (CLIP/DPR/SimCLR-style) treats every other in-batch sample as a
+    negative, so two same-label samples in one batch are FALSE
+    negatives that corrupt the loss. Assign vectors to batches by the
+    portable md5-prefix hash (the q_grouped_cv idiom), count same-label
+    pairs per batch (integer C(n,2) sums), and report the realized
+    collision rate against the label-marginal expectation Σ n_l(n_l−1)
+    / n(n−1) — a healthy random batcher matches it; a skewed shard
+    layout exceeds it, and that delta is the actionable number.
+
+    Scale: one (batch, label) count — word-count shaped; batches are a
+    hash mod, no shuffle beyond the count itself."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "label",
+        (
+            _hashing.token_hash(
+                F.concat(F.col("vec_id").cast("string"), F.lit("|ibc"))
+            )
+            % _IBC_NBATCH
+        ).alias("b"),
+    )
+    per_bl = assigned.groupBy("b", "label").agg(F.count("*").alias("n_bl"))
+    per_b = per_bl.groupBy("b").agg(
+        F.sum("n_bl").alias("m"),
+        F.sum(F.col("n_bl") * (F.col("n_bl") - 1) / 2).alias("coll"),
+    )
+    rates = per_b.filter(F.col("m") >= 2).withColumn(
+        "rate",
+        F.round(
+            F.col("coll") * 1.0 / (F.col("m") * (F.col("m") - 1) / 2), 10
+        ),
+    )
+    marg = (
+        assigned.groupBy("label")
+        .agg(F.count("*").alias("n_l"))
+        .agg(
+            F.round(
+                F.sum(F.col("n_l") * (F.col("n_l") - 1.0))
+                / (F.sum("n_l") * (F.sum("n_l") - 1.0)),
+                10,
+            ).alias("exp_rate")
+        )
+    )
+    return rates.crossJoin(F.broadcast(marg)).agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.round(F.avg("m"), 6).alias("mean_batch_size"),
+        F.round(
+            F.sum("coll") * 1.0 / F.sum(F.col("m") * (F.col("m") - 1) / 2),
+            6,
+        ).alias("collision_rate"),
+        F.round(F.max("rate"), 6).alias("max_batch_rate"),
+        F.round(F.max("exp_rate"), 6).alias("expected_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X661 — Chinchilla-optimal training plan vs token supply
+# ---------------------------------------------------------------------------
+
+_CHIN_BUDGETS = ("1e18", "1e19", "1e20", "1e21")  # FLOPs grid
+_CHIN_TPP = 20.0  # Chinchilla tokens-per-parameter rule of thumb
+_CHIN_MAX_EPOCHS = 4.0  # Muennighoff et al. 2023 repeat-value horizon
+
+_CHIN_ORACLE = f"""
+    WITH supply AS (
+      SELECT lang, CAST(sum(len({_text.tokens_sql('text')})) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY lang),
+    grid AS (SELECT unnest([{', '.join(_CHIN_BUDGETS)}]) AS c),
+    plan AS (
+      SELECT s.lang, g.c AS flops, s.tokens AS supply_tokens,
+             round(sqrt(g.c / (6.0 * {_CHIN_TPP})), 6) AS n_opt,
+             round({_CHIN_TPP} * sqrt(g.c / (6.0 * {_CHIN_TPP})), 6)
+               AS d_opt
+      FROM supply s CROSS JOIN grid g)
+    SELECT lang, flops, supply_tokens, n_opt, d_opt,
+           round(d_opt / supply_tokens, 6) AS epochs_needed,
+           d_opt / supply_tokens <= {_CHIN_MAX_EPOCHS} AS feasible
+    FROM plan
+    """
+
+
+@query("q_chinchilla_plan", oracle=_CHIN_ORACLE)
+def q_chinchilla_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X661 — compute-optimal training plan against the corpus' actual
+    token supply: for each FLOPs budget C on the grid, the Chinchilla
+    allocation (Hoffmann et al. 2022, C ≈ 6·N·D with D ≈ 20·N gives
+    N = sqrt(C/120), D = 20N) is checked per language against the
+    tokens this corpus can supply; epochs_needed = D_opt/supply, and
+    feasibility uses the Muennighoff et al. 2023 data-constrained
+    result that repeating data beyond ~4 epochs stops buying loss.
+    This is the planning table a pretraining data team actually
+    produces before a run: which budgets this corpus can feed, and
+    where data (not compute) binds. sqrt is IEEE-correctly-rounded on
+    both engines; everything else is one division.
+
+    Scale: the data-sized work is ONE tokenize+count per language;
+    the grid is a constant VALUES cross join."""
+    d = load(spark, sf_dir, "documents")
+    supply = d.groupBy("lang").agg(
+        F.sum(F.size(_text.tokens(F.col("text")))).cast("long").alias(
+            "tokens"
+        )
+    )
+    grid = spark.createDataFrame(
+        [(float(c),) for c in _CHIN_BUDGETS], "c double"
+    )
+    n_opt = F.round(F.sqrt(F.col("c") / (6.0 * _CHIN_TPP)), 6)
+    d_opt = F.round(_CHIN_TPP * F.sqrt(F.col("c") / (6.0 * _CHIN_TPP)), 6)
+    return (
+        supply.crossJoin(F.broadcast(grid))
+        .select(
+            "lang",
+            F.col("c").alias("flops"),
+            F.col("tokens").alias("supply_tokens"),
+            n_opt.alias("n_opt"),
+            d_opt.alias("d_opt"),
+        )
+        .withColumn(
+            "epochs_needed",
+            F.round(F.col("d_opt") / F.col("supply_tokens"), 6),
+        )
+        .withColumn(
+            "feasible",
+            F.col("d_opt") / F.col("supply_tokens") <= _CHIN_MAX_EPOCHS,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X662 — soft deduplication weights (downweight, don't drop)
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = """
+    WITH clustered AS (
+      SELECT source, n_chars,
+             count(*) OVER (PARTITION BY md5(text)) AS csize
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS raw_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+           round(sum(n_chars * round(1.0 / csize, 10)), 6)
+             AS effective_chars,
+           round(1.0 - sum(n_chars * round(1.0 / csize, 10))
+                 / sum(n_chars), 6) AS dedup_discount
+    FROM clustered GROUP BY source
+    """
+
+
+@query("q_soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X662 — soft deduplication (downweighting instead of dropping —
+    the SlimPajama-DC / soft-dedup recipe): each document carries
+    sampling weight 1/cluster_size over its exact-duplicate cluster
+    (md5(text)), so duplicated content contributes once in expectation
+    while unique phrasing inside near-identical docs is never
+    destroyed. Reported per source: raw vs effective char volume and
+    the dedup discount — the corpus-governance companion to the hard
+    E1 q_exact_dedup (which keeps one winner per cluster).
+
+    Scale: one window count over the md5 key (the same shuffle exact
+    dedup pays), then a source-grain aggregate."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    clustered = d.select(
+        "source",
+        "n_chars",
+        F.count("*").over(W.partitionBy(F.md5("text"))).alias("csize"),
+    )
+    w = F.round(1.0 / F.col("csize"), 10)
+    return clustered.groupBy("source").agg(
+        F.count("*").cast("long").alias("raw_docs"),
+        F.sum("n_chars").cast("long").alias("raw_chars"),
+        F.round(F.sum(F.col("n_chars") * w), 6).alias("effective_chars"),
+        F.round(
+            1.0 - F.sum(F.col("n_chars") * w) / F.sum("n_chars"), 6
+        ).alias("dedup_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X663 — BBSE label-shift estimation (black-box shift estimator)
+# ---------------------------------------------------------------------------
+
+_BBSE_Y, _BBSE_P = 50.0, 40.0  # true-label / predictor thresholds
+
+_BBSE_ORACLE = f"""
+    WITH src AS (
+      SELECT CASE WHEN value >= {_BBSE_Y} THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= {_BBSE_P} THEN 1 ELSE 0 END AS p
+      FROM events WHERE event_type = 'click'),
+    tgt AS (
+      SELECT CASE WHEN value >= {_BBSE_P} THEN 1 ELSE 0 END AS p
+      FROM events WHERE event_type = 'purchase'),
+    cm AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS n00,
+             sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS n11
+      FROM src),
+    q AS (
+      SELECT count(*) AS m,
+             sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS m1
+      FROM tgt),
+    solved AS (
+      SELECT cm.n, q.m,
+             round((cm.n11 * 1.0 / cm.n) * (q.m - q.m1) * 1.0 / q.m
+                   - (cm.n01 * 1.0 / cm.n) * (q.m1 * 1.0 / q.m), 10)
+               / round((cm.n00 * 1.0 / cm.n) * (cm.n11 * 1.0 / cm.n)
+                   - (cm.n01 * 1.0 / cm.n) * (cm.n10 * 1.0 / cm.n), 10)
+               AS w0,
+             round((cm.n00 * 1.0 / cm.n) * (q.m1 * 1.0 / q.m)
+                   - (cm.n10 * 1.0 / cm.n) * (q.m - q.m1) * 1.0 / q.m, 10)
+               / round((cm.n00 * 1.0 / cm.n) * (cm.n11 * 1.0 / cm.n)
+                   - (cm.n01 * 1.0 / cm.n) * (cm.n10 * 1.0 / cm.n), 10)
+               AS w1,
+             round((cm.n01 + cm.n11) * 1.0 / cm.n, 10) AS src_prior1
+      FROM cm, q)
+    SELECT CAST(n AS BIGINT) AS n_source, CAST(m AS BIGINT) AS n_target,
+           round(w0, 6) AS w0, round(w1, 6) AS w1,
+           round(src_prior1, 6) AS src_prior1,
+           round(w1 * src_prior1, 6) AS est_target_prior1
+    FROM solved
+    """
+
+
+@query("q_bbse_label_shift", oracle=_BBSE_ORACLE)
+def q_bbse_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X663 — black-box shift estimation (BBSE, Lipton et al. 2018):
+    estimate label-shift importance weights w(y) = q(y)/p(y) for an
+    UNLABELED target population from (a) the predictor's confusion
+    joint on labeled source data and (b) only the predictor's marginal
+    on the target — solving C·w = q, here the closed-form 2×2 inverse.
+    Source = click events (label: value ≥ 50, predictor: value ≥ 40 —
+    a correlated but imperfect proxy, as BBSE requires), target =
+    purchase events. The output weights are what importance-weighted
+    retraining / shift-corrected eval consumes; est_target_prior =
+    w·p(y) is the shift diagnosis itself. All inputs are integer
+    counts; the determinant and numerators round(10) before the one
+    division each.
+
+    Scale: two filtered count aggregates (4+1 cells) — map-side
+    combinable; the algebra is constant work."""
+    e = load(spark, sf_dir, "events")
+    src = e.filter(F.col("event_type") == "click").select(
+        (F.col("value") >= _BBSE_Y).cast("int").alias("y"),
+        (F.col("value") >= _BBSE_P).cast("int").alias("p"),
+    )
+    tgt = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("value") >= _BBSE_P).cast("int").alias("p")
+    )
+    cm = src.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 0)).cast("long")).alias(
+            "n00"
+        ),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 1)).cast("long")).alias(
+            "n01"
+        ),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 0)).cast("long")).alias(
+            "n10"
+        ),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 1)).cast("long")).alias(
+            "n11"
+        ),
+    )
+    q = tgt.agg(
+        F.count("*").alias("m"),
+        F.sum((F.col("p") == 1).cast("long")).alias("m1"),
+    )
+    j = cm.crossJoin(q)
+    c00 = F.col("n00") * 1.0 / F.col("n")
+    c01 = F.col("n01") * 1.0 / F.col("n")
+    c10 = F.col("n10") * 1.0 / F.col("n")
+    c11 = F.col("n11") * 1.0 / F.col("n")
+    q0 = (F.col("m") - F.col("m1")) * 1.0 / F.col("m")
+    q1 = F.col("m1") * 1.0 / F.col("m")
+    det = F.round(c00 * c11 - c01 * c10, 10)
+    w0 = F.round(c11 * q0 - c01 * q1, 10) / det
+    w1 = F.round(c00 * q1 - c10 * q0, 10) / det
+    src1 = F.round((F.col("n01") + F.col("n11")) * 1.0 / F.col("n"), 10)
+    return j.select(
+        F.col("n").cast("long").alias("n_source"),
+        F.col("m").cast("long").alias("n_target"),
+        F.round(w0, 6).alias("w0"),
+        F.round(w1, 6).alias("w1"),
+        F.round(src1, 6).alias("src_prior1"),
+        F.round(w1 * src1, 6).alias("est_target_prior1"),
+    )

@@ -2347,3 +2347,54 @@ def best_of_n_from_store(top2: DataFrame, bar: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def run_streaming_pass_counts(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X659 — incrementally-maintained pass@k state (X650's streaming
+    face): per-prompt (n, c) trial/pass counts folded into the
+    versioned merged store as completions stream in. The state is two
+    additive INTEGERS per prompt — the cleanest instance of the X182
+    sketch-store discipline (no cents, no semilattice: bare counts) —
+    so incremental == batch is exact by associativity. This is how a
+    live eval service runs: completions arrive continuously and the
+    pass@k dashboard must not rescan history per batch.
+
+    Per-batch partials aggregate inside foreachBatch from raw rows
+    (never an upstream update-mode streaming groupBy — that emits
+    CUMULATIVE state and an additive store would double-count)."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.round9 import _PASS_THRESH
+
+        part = batch.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") >= _PASS_THRESH).cast("long")).alias("c"),
+        )
+        merged_store_apply(
+            part, store_dir, batch_id, additive_combine(["user_id"], ["n", "c"])
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def pass_at_k_from_store(counts: DataFrame) -> DataFrame:
+    """Store (user_id, n, c) → the q_pass_at_k output shape, through
+    the batch query's own arithmetic (plans/round9.pass_at_k_from_counts)
+    — incremental == batch by construction."""
+    from ..plans.round9 import pass_at_k_from_counts
+
+    return pass_at_k_from_counts(counts)

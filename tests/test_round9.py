@@ -154,3 +154,104 @@ def test_facility_location_greedy_invariants(spark, sf_dir):
         assert math.isclose(
             covs[i] - covs[i - 1], gains[i], abs_tol=2e-6
         )
+
+
+def test_streaming_pass_counts_incremental_equals_batch(spark, tmp_path):
+    """X659: the additive (n, c) store, read through the shared pass@k
+    arithmetic, must equal the batch q_pass_at_k on events-so-far
+    after every wave."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        merged_store_read,
+        pass_at_k_from_store,
+        run_streaming_pass_counts,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_pass():
+        return {
+            tuple(r)
+            for r in pass_at_k_from_store(
+                merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_pass(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_pass_at_k(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_pass_counts(spark, inp, store, ckpt).awaitTermination(
+        180
+    )
+    assert store_pass() == batch_pass(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_pass_counts(spark, inp, store, ckpt).awaitTermination(
+        180
+    )
+    assert store_pass() == batch_pass(events, "all")
+
+
+def test_inbatch_collision_vs_expectation(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import q_inbatch_collision
+
+    r = q_inbatch_collision(spark, sf_dir).collect()[0]
+    assert r["n_batches"] >= 2
+    assert 0.0 <= r["collision_rate"] <= 1.0
+    assert r["max_batch_rate"] >= r["collision_rate"] - 1e-9
+    # a hash batcher should land near the label-marginal expectation
+    assert abs(r["collision_rate"] - r["expected_rate"]) < 0.1
+
+
+def test_chinchilla_plan_monotone(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import q_chinchilla_plan
+
+    rows = q_chinchilla_plan(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r["flops"])
+        # bigger budgets need more data; feasibility only degrades
+        for a, b in zip(rs, rs[1:]):
+            assert b["d_opt"] > a["d_opt"]
+            assert b["epochs_needed"] > a["epochs_needed"]
+            assert a["feasible"] or not b["feasible"]
+        for r in rs:
+            # Chinchilla D = 20 N by construction
+            assert abs(r["d_opt"] - 20.0 * r["n_opt"]) <= 1e-4 * r["d_opt"]
+
+
+def test_soft_dedup_bounds(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import q_soft_dedup_weights
+
+    for r in q_soft_dedup_weights(spark, sf_dir).collect():
+        assert 0 < r["effective_chars"] <= r["raw_chars"] + 1e-6
+        assert 0.0 <= r["dedup_discount"] < 1.0
+
+
+def test_bbse_recovers_shift(spark, sf_dir):
+    """BBSE's estimated target prior must land near the target's TRUE
+    label prior (observable here because the 'unlabeled' target has
+    the same value column the label derives from)."""
+    from kafka_stream_spark.plans.round9 import q_bbse_label_shift
+    from kafka_stream_spark.sources.tables import load
+
+    r = q_bbse_label_shift(spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "events")
+    true_prior = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.avg((F.col("value") >= 50.0).cast("double")))
+        .collect()[0][0]
+    )
+    assert abs(r["est_target_prior1"] - true_prior) < 0.1
+    assert r["w0"] > 0 and r["w1"] > 0
