@@ -316,6 +316,8 @@ HEADLINE = [
     "q_chinchilla_plan",
     "q_soft_dedup_weights",
     "q_bbse_label_shift",
+    "q_bfs_hops",
+    "q_neyman_alloc",
 ]
 
 

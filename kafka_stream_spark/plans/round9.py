@@ -1744,3 +1744,195 @@ def q_bbse_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(src1, 6).alias("src_prior1"),
         F.round(w1 * src1, 6).alias("est_target_prior1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X664 — multi-source BFS hop distances (unrolled supersteps)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 50  # suppliers with suppkey % 50 == 1 seed the frontier
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT concat('s', CAST(l_suppkey AS VARCHAR)) AS a,
+             concat('c', CAST(o_custkey AS VARCHAR)) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    sym AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+    d0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node LIKE 's%'
+                   AND CAST(substr(node, 2) AS BIGINT) % {mod} = 1
+                  THEN 0 ELSE NULL END AS d
+      FROM nodes)""".format(mod=_BFS_SEED_MOD)
+    ]
+    for t in range(1, _BFS_HOPS + 1):
+        p = t - 1
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+      SELECT n.node,
+             least(coalesce(n.d, {_BFS_HOPS + 1}),
+                   coalesce(f.via, {_BFS_HOPS + 1})) AS dm,
+             CASE WHEN least(coalesce(n.d, {_BFS_HOPS + 1}),
+                   coalesce(f.via, {_BFS_HOPS + 1})) <= {_BFS_HOPS}
+                  THEN least(coalesce(n.d, {_BFS_HOPS + 1}),
+                   coalesce(f.via, {_BFS_HOPS + 1})) END AS d
+      FROM d{p} n LEFT JOIN (
+        SELECT s.b AS node, min(x.d) + 1 AS via
+        FROM sym s JOIN d{p} x ON x.node = s.a AND x.d IS NOT NULL
+        GROUP BY s.b) f ON f.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT coalesce(CAST(d AS BIGINT), -1) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d{_BFS_HOPS} GROUP BY d
+    """
+    )
+
+
+@query("q_bfs_hops", oracle=_bfs_oracle())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X664 — multi-source BFS (4 unrolled Pregel-style supersteps)
+    over the supplier↔customer shipment graph (q_pagerank's edge set):
+    every 50th supplier seeds the frontier at distance 0, and each
+    superstep relaxes dist(v) = min(dist(v), min over in-neighbors
+    dist(u)+1) via one edge⋈frontier join + one min-aggregate — the
+    canonical iterative-graph shape on Spark (no GraphX needed; hop
+    counts are exact integers, nothing to round). Output: nodes per
+    hop distance, −1 = unreached within 4 hops — the reachability
+    profile used for influence radii and contamination-spread audits.
+
+    Scale: per superstep one node-keyed shuffle over the edge list;
+    supersteps are a constant; frontier state is one int per node.
+    The oracle unrolls all supersteps (MATERIALIZED — each d_t is
+    referenced twice)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "a"
+            ),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "b"
+            ),
+        )
+        .distinct()
+    )
+    sym = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(
+            F.col("node").startswith("s")
+            & (F.expr("CAST(substr(node, 2) AS BIGINT)") % _BFS_SEED_MOD == 1),
+            0,
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    inf = F.lit(_BFS_HOPS + 1)
+    for _ in range(_BFS_HOPS):
+        frontier = (
+            sym.join(
+                dist.filter(F.col("d").isNotNull()).withColumnRenamed(
+                    "node", "a"
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg((F.min("d") + 1).alias("via"))
+        )
+        dm = F.least(
+            F.coalesce(F.col("d"), inf), F.coalesce(F.col("via"), inf)
+        )
+        dist = (
+            dist.join(frontier, "node", "left")
+            .select(
+                "node", F.when(dm <= _BFS_HOPS, dm).alias("d")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.groupBy(
+        F.coalesce(F.col("d").cast("long"), F.lit(-1)).alias("hop")
+    ).agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# X665 — Neyman allocation (optimal stratified sampling budget)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+    WITH m AS (
+      SELECT event_type, count(*) AS n_h,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s1c,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s2c
+      FROM events GROUP BY event_type),
+    sd AS (
+      SELECT event_type, n_h,
+             round(sqrt(greatest(
+               s2c / (10000.0 * n_h)
+               - (s1c / (100.0 * n_h)) * (s1c / (100.0 * n_h)), 0)), 10)
+               AS s_h
+      FROM m),
+    tot AS (SELECT round(sum(n_h * s_h), 10) AS z FROM sd)
+    SELECT sd.event_type AS stratum,
+           CAST(sd.n_h AS BIGINT) AS n_h,
+           round(sd.s_h, 6) AS s_h,
+           round(sd.n_h * sd.s_h / tot.z, 6) AS share,
+           CAST(round({_NEYMAN_BUDGET} * sd.n_h * sd.s_h / tot.z)
+                AS BIGINT) AS n_alloc
+    FROM sd, tot
+    """
+
+
+@query("q_neyman_alloc", oracle=_NEYMAN_ORACLE)
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X665 — Neyman-optimal stratified allocation: split an annotation
+    /eval budget of 1000 across strata proportionally to
+    N_h·S_h (stratum size × within-stratum std) — the allocation that
+    minimizes the stratified mean's variance, and the reason you
+    oversample high-variance slices when buying human labels. Moments
+    from EXACT integer cents (associative — the jackknife/IV
+    contract); one rounded sqrt per stratum.
+
+    Scale: one map-side-combinable aggregate per stratum; the
+    allocation is arithmetic over a stratum-count frame."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sum(cents).alias("s1c"),
+        F.sum(cents * cents).alias("s2c"),
+    )
+    mean = F.col("s1c") / (100.0 * F.col("n_h"))
+    var = F.greatest(
+        F.col("s2c") / (10000.0 * F.col("n_h")) - mean * mean, F.lit(0.0)
+    )
+    sd = m.select(
+        "event_type",
+        "n_h",
+        F.round(F.sqrt(var), 10).alias("s_h"),
+    )
+    tot = sd.agg(F.round(F.sum(F.col("n_h") * F.col("s_h")), 10).alias("z"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        F.col("event_type").alias("stratum"),
+        F.col("n_h").cast("long").alias("n_h"),
+        F.round("s_h", 6).alias("s_h"),
+        F.round(F.col("n_h") * F.col("s_h") / F.col("z"), 6).alias("share"),
+        F.round(_NEYMAN_BUDGET * F.col("n_h") * F.col("s_h") / F.col("z"))
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -255,3 +255,32 @@ def test_bbse_recovers_shift(spark, sf_dir):
     )
     assert abs(r["est_target_prior1"] - true_prior) < 0.1
     assert r["w0"] > 0 and r["w1"] > 0
+
+
+def test_bfs_hops_structure(spark, sf_dir):
+    """Bipartite shipment graph: seeds are suppliers, so odd hops are
+    customers and even hops suppliers; counts must cover every node."""
+    from kafka_stream_spark.plans.round9 import q_bfs_hops
+
+    rows = {r["hop"]: r["n_nodes"] for r in q_bfs_hops(spark, sf_dir).collect()}
+    assert rows.get(0, 0) >= 1  # seeds exist
+    assert all(h in (-1, 0, 1, 2, 3, 4) for h in rows)
+    # frontier can only shrink to zero monotonically: if hop k is absent
+    # but k+1 present, something relaxed through a missing frontier
+    present = sorted(h for h in rows if h >= 0)
+    assert present == list(range(len(present)))
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import (
+        _NEYMAN_BUDGET,
+        q_neyman_alloc,
+    )
+
+    rows = q_neyman_alloc(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    # per-stratum rounding can drift the integer total by at most the
+    # stratum count
+    assert abs(sum(r["n_alloc"] for r in rows) - _NEYMAN_BUDGET) <= len(rows)
+    for r in rows:
+        assert r["s_h"] >= 0 and r["n_alloc"] >= 0
