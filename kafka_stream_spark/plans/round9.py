@@ -823,13 +823,22 @@ def q_data_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two grouped aggregates (user×day, then user) — the same
     shuffle a daily rollup already pays."""
     e = load(spark, sf_dir, "events")
-    pd_ = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        F.round(
-            F.sum((F.col("value") >= _DM_THRESH).cast("int"))
-            * 1.0
-            / F.count("*"),
-            10,
-        ).alias("p")
+    cells = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("value") >= _DM_THRESH).cast("long")).alias("n_pass"),
+        F.count("*").alias("n"),
+    )
+    return data_map_from_cells(cells)
+
+
+def data_map_from_cells(cells: DataFrame) -> DataFrame:
+    """(user_id, d, n_pass, n) epoch cells → the q_data_map output
+    shape. Shared by the batch query and the streaming cells store's
+    read side (streaming/pipeline.data_map_from_store): the cell
+    counts are additive integers, so the live map equals the batch map
+    by associativity."""
+    pd_ = cells.select(
+        "user_id",
+        F.round(F.col("n_pass") * 1.0 / F.col("n"), 10).alias("p"),
     )
     mo = pd_.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_epochs"),

@@ -2398,3 +2398,56 @@ def pass_at_k_from_store(counts: DataFrame) -> DataFrame:
     from ..plans.round9 import pass_at_k_from_counts
 
     return pass_at_k_from_counts(counts)
+
+
+def run_streaming_data_map(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X666 — live dataset-cartography state (X654's streaming face):
+    the per-(sample, epoch) pass/total counts the data map's moments
+    derive from, folded into the versioned merged store as events
+    stream in — additive integers keyed by (user_id, d), so the live
+    map equals the batch map exactly after every commit. This is the
+    training-dynamics monitor a curation service keeps warm: the
+    easy/ambiguous/hard quadrants update per micro-batch without
+    rescanning history."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.round9 import _DM_THRESH
+
+        part = batch.groupBy(
+            "user_id", F.to_date("ts").alias("d")
+        ).agg(
+            F.sum((F.col("value") >= _DM_THRESH).cast("long")).alias(
+                "n_pass"
+            ),
+            F.count("*").alias("n"),
+        )
+        merged_store_apply(
+            part,
+            store_dir,
+            batch_id,
+            additive_combine(["user_id", "d"], ["n_pass", "n"]),
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def data_map_from_store(cells: DataFrame) -> DataFrame:
+    """Store (user_id, d, n_pass, n) → the q_data_map output shape via
+    the batch query's own arithmetic."""
+    from ..plans.round9 import data_map_from_cells
+
+    return data_map_from_cells(cells)

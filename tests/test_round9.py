@@ -284,3 +284,45 @@ def test_neyman_allocation_sums_to_budget(spark, sf_dir):
     assert abs(sum(r["n_alloc"] for r in rows) - _NEYMAN_BUDGET) <= len(rows)
     for r in rows:
         assert r["s_h"] >= 0 and r["n_alloc"] >= 0
+
+
+def test_streaming_data_map_incremental_equals_batch(spark, tmp_path):
+    """X666: the additive (user, day) cell store, read through the
+    shared cartography arithmetic, must equal the batch q_data_map on
+    events-so-far after every wave."""
+    from kafka_stream_spark.plans.round9 import q_data_map
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        data_map_from_store,
+        merged_store_read,
+        run_streaming_data_map,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_map():
+        return {
+            tuple(r)
+            for r in data_map_from_store(
+                merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_map(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_data_map(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_data_map(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_map() == batch_map(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_data_map(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_map() == batch_map(events, "all")
