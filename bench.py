@@ -318,6 +318,8 @@ HEADLINE = [
     "q_bbse_label_shift",
     "q_bfs_hops",
     "q_neyman_alloc",
+    "q_mmr_rerank",
+    "q_cascade_plan",
 ]
 
 

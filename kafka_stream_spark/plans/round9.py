@@ -1945,3 +1945,270 @@ def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X667 — maximal marginal relevance re-ranking (unrolled greedy)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 3  # items to select per query
+_MMR_CAND = 8  # ANN candidate pool per query
+
+from ..functions import vectors as _vectors  # noqa: E402
+
+
+def _mmr_oracle() -> str:
+    ivf = _ann.ivf_search_sql(
+        "corpus", "anchors", "cent", k=_MMR_CAND, nprobe=_MM_NPROBE,
+        prefix="mmr_",
+    )
+    pair_cos = _vectors.cosine_sql("a.emb", "b.emb")
+    ctes = [
+        """corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 25 = 0),
+    cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus
+      WHERE n_id % 50 = 0)""",
+        ivf,
+        f"""cand AS MATERIALIZED (
+      SELECT t.q_id, t.n_id, t.score AS rel
+      FROM mmr_topk t),
+    sims AS MATERIALIZED (
+      SELECT ca.q_id, ca.n_id AS i, cb.n_id AS j,
+             round({pair_cos}, 6) AS s
+      FROM cand ca JOIN cand cb
+        ON ca.q_id = cb.q_id AND ca.n_id <> cb.n_id
+      JOIN corpus a ON a.n_id = ca.n_id
+      JOIN corpus b ON b.n_id = cb.n_id),
+    st0 AS MATERIALIZED (
+      SELECT q_id, n_id, rel, -1.0 AS maxsim FROM cand)""",
+    ]
+    for t in range(1, _MMR_K + 1):
+        p = t - 1
+        # round 1 scores on pure relevance (nothing selected yet)
+        score = (
+            "rel"
+            if t == 1
+            else f"round({_MMR_LAMBDA} * rel - {round(1 - _MMR_LAMBDA, 10)}"
+            " * greatest(maxsim, 0.0), 10)"
+        )
+        ctes.append(
+            f"""sc{t} AS (
+      SELECT q_id, n_id, rel, maxsim, {score} AS score FROM st{p}),
+    w{t} AS MATERIALIZED (
+      SELECT q_id, n_id AS win, score AS win_score, rel AS win_rel
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, n_id) AS rn FROM sc{t})
+      WHERE rn = 1),
+    st{t} AS MATERIALIZED (
+      SELECT s.q_id, s.n_id, s.rel,
+             greatest(s.maxsim, coalesce(x.s, -1.0)) AS maxsim
+      FROM st{p} s
+      LEFT JOIN w{t} w ON w.q_id = s.q_id
+      LEFT JOIN sims x ON x.q_id = s.q_id AND x.i = s.n_id
+                      AND x.j = w.win
+      WHERE s.n_id <> (SELECT win FROM w{t} ww WHERE ww.q_id = s.q_id))"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT q_id, CAST({t} AS BIGINT) AS rnk, win AS n_id, "
+        f"round(win_rel, 6) AS rel, round(win_score, 6) AS mmr_score "
+        f"FROM w{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X667 — maximal marginal relevance re-ranking (Carbonell &
+    Goldstein 1998): per query, greedily pick K=3 of the ANN's top-8
+    candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected — the diversity-aware second stage every RAG
+    retriever and dedup-aware search layer runs on top of raw
+    cosine top-k. Candidates and relevance come from ivf_search;
+    candidate-pair similarities are computed once per query pool
+    (K_cand² per query, a constant); each greedy round is a windowed
+    argmax + a maxsim update join — all state is (query, candidate)
+    grain, no driver iteration. Oracle replays routing + all rounds.
+
+    Scale: per-query constant-size pools make the whole rerank linear
+    in query count; the only data-sized stage is the ANN search it
+    post-processes."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        _ann.ivf_search(
+            corpus, anchors, k=_MMR_CAND, nprobe=_MM_NPROBE,
+            every=_MM_EVERY, residue=0,
+        )
+        .select("q_id", "n_id", F.col("score").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    ca = cand.select("q_id", F.col("n_id").alias("i"))
+    cb = cand.select(F.col("q_id").alias("q2"), F.col("n_id").alias("j"))
+    sims = (
+        ca.join(cb, (ca["q_id"] == cb["q2"]) & (ca["i"] != cb["j"]))
+        .join(corpus.select(F.col("n_id").alias("i"), F.col("emb").alias("ea")), "i")
+        .join(corpus.select(F.col("n_id").alias("j"), F.col("emb").alias("eb")), "j")
+        .select(
+            "q_id",
+            "i",
+            "j",
+            F.round(_vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    st = cand.withColumn("maxsim", F.lit(-1.0))
+    outs = []
+    for t in range(1, _MMR_K + 1):
+        score = (
+            F.col("rel")
+            if t == 1
+            else F.round(
+                _MMR_LAMBDA * F.col("rel")
+                - round(1 - _MMR_LAMBDA, 10)
+                * F.greatest(F.col("maxsim"), F.lit(0.0)),
+                10,
+            )
+        )
+        sc = st.withColumn("score", score)
+        w = W.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+        win = (
+            sc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id",
+                F.col("n_id").alias("win"),
+                F.col("score").alias("win_score"),
+                F.col("rel").alias("win_rel"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            win.select(
+                "q_id",
+                F.lit(t).cast("long").alias("rnk"),
+                F.col("win").alias("n_id"),
+                F.round("win_rel", 6).alias("rel"),
+                F.round("win_score", 6).alias("mmr_score"),
+            )
+        )
+        upd = sims.join(
+            win.select("q_id", F.col("win").alias("j")), ["q_id", "j"]
+        ).select("q_id", "i", F.col("s"))
+        st = (
+            st.join(win.select("q_id", "win"), "q_id")
+            .filter(F.col("n_id") != F.col("win"))
+            .drop("win")
+            .join(
+                upd.withColumnRenamed("i", "n_id"), ["q_id", "n_id"], "left"
+            )
+            .select(
+                "q_id",
+                "n_id",
+                "rel",
+                F.greatest(
+                    F.col("maxsim"), F.coalesce(F.col("s"), F.lit(-1.0))
+                ).alias("maxsim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X668 — model-cascade routing plan (threshold sweep)
+# ---------------------------------------------------------------------------
+
+_CASC_SMALL_CORRECT = 200.0  # small model solves items with value <= this
+_CASC_COST_SMALL, _CASC_COST_BIG = 1.0, 10.0
+_CASC_GRID = (50, 100, 150, 200, 250, 300)
+
+_CASCADE_ORACLE = f"""
+    WITH grid AS (SELECT unnest([{', '.join(str(t) for t in _CASC_GRID)}])
+                    AS t),
+    agg AS (
+      SELECT g.t,
+             count(*) AS n,
+             sum(CASE WHEN e.value > g.t THEN 1 ELSE 0 END) AS n_big,
+             sum(CASE WHEN e.value > g.t
+                        OR e.value <= {_CASC_SMALL_CORRECT}
+                      THEN 1 ELSE 0 END) AS n_correct
+      FROM events e CROSS JOIN grid g
+      GROUP BY g.t)
+    SELECT CAST(t AS BIGINT) AS threshold,
+           round(n_big * 1.0 / n, 6) AS frac_big,
+           round(n_correct * 1.0 / n, 6) AS quality,
+           round(({_CASC_COST_SMALL} * (n - n_big)
+                  + ({_CASC_COST_SMALL} + {_CASC_COST_BIG}) * n_big)
+                 / n, 6) AS mean_cost,
+           round(n_correct * 1.0
+                 / ({_CASC_COST_SMALL} * (n - n_big)
+                    + ({_CASC_COST_SMALL} + {_CASC_COST_BIG}) * n_big),
+                 6) AS quality_per_cost
+    FROM agg
+    """
+
+
+@query("q_cascade_plan", oracle=_CASCADE_ORACLE)
+def q_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X668 — model-cascade routing plan (FrugalGPT-style threshold
+    sweep): items route to the big model when their difficulty score
+    exceeds t, otherwise the small model answers — which is only
+    correct on easy items (score ≤ 200 here). For each threshold on
+    the grid: big-model traffic share, end-to-end quality, mean cost
+    per item (escalation pays BOTH models, the cascade's defining
+    cost shape), and quality-per-cost — the frontier a serving team
+    reads the operating point off. Integer counts everywhere; the
+    grid is a broadcast VALUES cross join, so one scan covers every
+    threshold.
+
+    Scale: a single map-side-combinable aggregate over events × a
+    constant grid."""
+    e = load(spark, sf_dir, "events")
+    grid = spark.createDataFrame(
+        [(float(t),) for t in _CASC_GRID], "t double"
+    )
+    agg = (
+        e.crossJoin(F.broadcast(grid))
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") > F.col("t")).cast("long")).alias(
+                "n_big"
+            ),
+            F.sum(
+                (
+                    (F.col("value") > F.col("t"))
+                    | (F.col("value") <= _CASC_SMALL_CORRECT)
+                ).cast("long")
+            ).alias("n_correct"),
+        )
+    )
+    cost = (
+        _CASC_COST_SMALL * (F.col("n") - F.col("n_big"))
+        + (_CASC_COST_SMALL + _CASC_COST_BIG) * F.col("n_big")
+    )
+    return agg.select(
+        F.col("t").cast("long").alias("threshold"),
+        F.round(F.col("n_big") * 1.0 / F.col("n"), 6).alias("frac_big"),
+        F.round(F.col("n_correct") * 1.0 / F.col("n"), 6).alias("quality"),
+        F.round(cost / F.col("n"), 6).alias("mean_cost"),
+        F.round(F.col("n_correct") * 1.0 / cost, 6).alias(
+            "quality_per_cost"
+        ),
+    )

@@ -326,3 +326,45 @@ def test_streaming_data_map_incremental_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_data_map(spark, inp, store, ckpt).awaitTermination(180)
     assert store_map() == batch_map(events, "all")
+
+
+def test_mmr_rerank_diversity_property(spark, sf_dir):
+    """MMR invariants: per query exactly K distinct picks; rank-1 is
+    the pure-relevance argmax of the candidate pool; mmr_score is
+    non-increasing in rank for rounds 2+ (both are lambda-discounted;
+    round 1 scores on raw relevance so it is excluded)."""
+    from kafka_stream_spark.plans.round9 import _MMR_K, q_mmr_rerank
+
+    rows = q_mmr_rerank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert len(rs) == _MMR_K
+        assert len({r["n_id"] for r in rs}) == _MMR_K
+        assert rs[0]["mmr_score"] == rs[0]["rel"]  # round 1 = relevance
+        for a, b in zip(rs[1:], rs[2:]):
+            assert a["mmr_score"] >= b["mmr_score"] - 1e-9
+
+
+def test_cascade_plan_monotone_in_threshold(spark, sf_dir):
+    """Raising the threshold routes less traffic to the big model, so
+    cost is non-increasing; quality is non-increasing too once the
+    threshold passes the small model's competence bound (items between
+    the bound and t are wrong)."""
+    from kafka_stream_spark.plans.round9 import (
+        _CASC_SMALL_CORRECT,
+        q_cascade_plan,
+    )
+
+    rows = sorted(
+        q_cascade_plan(spark, sf_dir).collect(), key=lambda r: r["threshold"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["frac_big"] <= a["frac_big"] + 1e-9
+        assert b["mean_cost"] <= a["mean_cost"] + 1e-9
+    for r in rows:
+        if r["threshold"] <= _CASC_SMALL_CORRECT:
+            assert r["quality"] == 1.0  # everything hard escalates
+        assert 0.0 <= r["quality"] <= 1.0
