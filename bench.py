@@ -320,6 +320,7 @@ HEADLINE = [
     "q_neyman_alloc",
     "q_mmr_rerank",
     "q_cascade_plan",
+    "q_curation_funnel",
 ]
 
 

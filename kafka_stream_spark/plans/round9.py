@@ -2212,3 +2212,100 @@ def q_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_per_cost"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X669 — curation funnel audit (first-failing-stage attribution)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MIN_TOK = 10
+_FUNNEL_LANGS = ("en", "zh", "de")
+_FUNNEL_BLOCK = ("error", "spam")
+_FUNNEL_MAX_DUP1 = 0.55  # max duplicate-unigram fraction
+
+_FUNNEL_LANG_SQL = ", ".join(f"'{lang}'" for lang in _FUNNEL_LANGS)
+_FUNNEL_BLOCK_SQL = " OR ".join(
+    f"contains(text, '{kw}')" for kw in _FUNNEL_BLOCK
+)
+
+_CURATION_FUNNEL_ORACLE = f"""
+    WITH staged AS (
+      SELECT doc_id, n_chars,
+             CASE
+               WHEN len({_text.tokens_sql('text')}) < {_FUNNEL_MIN_TOK}
+                 THEN 'S1_too_short'
+               WHEN lang NOT IN ({_FUNNEL_LANG_SQL}) THEN 'S2_lang'
+               WHEN {_FUNNEL_BLOCK_SQL} THEN 'S3_blocklist'
+               WHEN round(1.0
+                      - len(list_distinct({_text.tokens_sql('text')})) * 1.0
+                        / len({_text.tokens_sql('text')}), 10)
+                    > {_FUNNEL_MAX_DUP1} THEN 'S4_repetition'
+               ELSE 'S5_kept'
+             END AS stage
+      FROM documents),
+    tot AS (SELECT count(*) AS n, sum(n_chars) AS chars FROM staged)
+    SELECT s.stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / tot.n, 6) AS frac_docs,
+           CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+           round(sum(s.n_chars) * 1.0 / tot.chars, 6) AS frac_chars
+    FROM staged s, tot
+    GROUP BY s.stage, tot.n, tot.chars
+    """
+
+
+@query("q_curation_funnel", oracle=_CURATION_FUNNEL_ORACLE)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X669 — curation funnel with first-failing-stage attribution: the
+    per-stage kill table every dataset paper publishes (RefinedWeb
+    Fig. 2, FineWeb's ablation ladder). Each document is attributed to
+    the FIRST filter that rejects it — length, language allowlist,
+    blocklist, repetition (duplicate-unigram fraction) — or to the
+    surviving bucket, with doc and char volume shares per stage. The
+    individual filters exist as standalone operators (Gopher/
+    RefinedWeb battery, q_blocklist_filter, q_lang_id); what this adds
+    is the ATTRIBUTION: which stage actually costs the corpus, the
+    number that decides filter ordering and threshold debates.
+
+    Scale: one projection pass computing the CASE ladder (tokenize
+    once; pure Column expressions), one stage-grain aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = _text.tokens(F.col("text"))
+    dup1 = F.round(
+        1.0 - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 10
+    )
+    block = None
+    for kw in _FUNNEL_BLOCK:
+        c = F.col("text").contains(kw)
+        block = c if block is None else (block | c)
+    staged = d.select(
+        "n_chars",
+        F.when(F.size(toks) < _FUNNEL_MIN_TOK, "S1_too_short")
+        .when(~F.col("lang").isin(*_FUNNEL_LANGS), "S2_lang")
+        .when(block, "S3_blocklist")
+        .when(dup1 > _FUNNEL_MAX_DUP1, "S4_repetition")
+        .otherwise("S5_kept")
+        .alias("stage"),
+    )
+    tot = staged.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias(
+                "frac_docs"
+            ),
+            F.col("n_chars_s").cast("long").alias("n_chars"),
+            F.round(F.col("n_chars_s") * 1.0 / F.col("chars"), 6).alias(
+                "frac_chars"
+            ),
+        )
+    )

@@ -368,3 +368,18 @@ def test_cascade_plan_monotone_in_threshold(spark, sf_dir):
         if r["threshold"] <= _CASC_SMALL_CORRECT:
             assert r["quality"] == 1.0  # everything hard escalates
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_curation_funnel_partitions_corpus(spark, sf_dir):
+    """Stage attribution is a partition: doc and char shares sum to 1,
+    and every document lands in exactly one stage."""
+    from kafka_stream_spark.plans.round9 import q_curation_funnel
+    from kafka_stream_spark.sources.tables import load
+
+    rows = q_curation_funnel(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert abs(sum(r["frac_docs"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["frac_chars"] for r in rows) - 1.0) < 1e-4
+    stages = {r["stage"] for r in rows}
+    assert "S5_kept" in stages
