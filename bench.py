@@ -321,6 +321,7 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_cascade_plan",
     "q_curation_funnel",
+    "q_embedding_rank",
 ]
 
 

@@ -2309,3 +2309,142 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X670 — embedding-collapse diagnostic: participation ratio of the
+# covariance spectrum (RankMe-style effective rank)
+# ---------------------------------------------------------------------------
+
+_ER_DIM = 64
+
+_EMB_RANK_ORACLE = f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    mu AS MATERIALIZED (
+      SELECT i.i AS i,
+             round(sum(round(CAST(e.embedding[i.i + 1] AS DOUBLE), 10))
+                   / max(n.n), 10) AS mu
+      FROM embeddings e, range({_ER_DIM}) i(i), n
+      GROUP BY i.i),
+    m2 AS MATERIALIZED (
+      SELECT i.i AS i, j.j AS j,
+             round(sum(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                             * CAST(e.embedding[j.j + 1] AS DOUBLE), 10))
+                   / max(n.n), 10) AS m
+      FROM embeddings e, range({_ER_DIM}) i(i), range({_ER_DIM}) j(j), n
+      GROUP BY i.i, j.j),
+    cov AS MATERIALIZED (
+      SELECT m2.i, m2.j,
+             round(m2.m - ma.mu * mb.mu, 10) AS c
+      FROM m2 JOIN mu ma ON ma.i = m2.i JOIN mu mb ON mb.i = m2.j),
+    tr AS (
+      SELECT round(sum(CASE WHEN i = j THEN c END), 10) AS trace_c,
+             round(sum(round(c * c, 10)), 10) AS trace_c2
+      FROM cov),
+    top AS (
+      SELECT i AS top_var_dim, c AS top_var FROM cov
+      WHERE i = j ORDER BY c DESC, i LIMIT 1)
+    SELECT CAST(n.n AS BIGINT) AS n_vecs,
+           CAST({_ER_DIM} AS BIGINT) AS dim,
+           round(tr.trace_c, 6) AS total_var,
+           round(tr.trace_c * tr.trace_c / tr.trace_c2, 6)
+             AS participation_ratio,
+           CAST(top.top_var_dim AS BIGINT) AS top_var_dim,
+           round(top.top_var, 6) AS top_var
+    FROM n, tr, top
+    """
+
+
+@query("q_embedding_rank", oracle=_EMB_RANK_ORACLE)
+def q_embedding_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X670 — embedding dimensional-collapse diagnostic: the
+    participation ratio trace(C)²/trace(C²) of the embedding
+    covariance — an effective-rank measure (the RankMe family, Garrido
+    et al. 2023): D for isotropic embeddings, →1 when the space
+    collapses onto one direction. THE post-hoc check before trusting
+    cosine retrieval/dedup on a new encoder: collapse silently inflates
+    every similarity. Both traces come from the exact 64×64 moment
+    matrix (per-row products rounded(10), double-explode — no
+    eigensolve needed: trace(C²) = Σ C_ij² algebraically). The
+    mapInPandas matrix-partial twin (operators/embedstats) is the
+    production path for wide batches; pytest pins it to this query.
+
+    Scale: the gate form shuffles n·D² product terms (explode) — fine
+    for a diagnostic; the production twin computes per-batch XᵀX
+    partials in Arrow (one D×D matrix per batch, reduced on the
+    driver), one pass, no explode."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_df = emb.agg(F.count("*").alias("n"))
+    ex1 = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "xi"
+        ),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    ex2 = ex1.select(
+        "i", "xi", F.posexplode(F.col("e")).alias("j", "xj")
+    )
+    mu = (
+        ex2.filter(F.col("j") == 0)
+        .groupBy("i")
+        .agg(F.sum(F.round(F.col("xi"), 10)).alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select("i", F.round(F.col("s") / F.col("n"), 10).alias("mu"))
+    )
+    m2 = (
+        ex2.groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("xi") * F.col("xj"), 10)).alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i", "j", F.round(F.col("s") / F.col("n"), 10).alias("m")
+        )
+    )
+    mua = mu.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
+    mub = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        m2.join(F.broadcast(mua), "i")
+        .join(F.broadcast(mub), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("m") - F.col("mu_i") * F.col("mu_j"), 10
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr = cov.agg(
+        F.round(
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))), 10
+        ).alias("trace_c"),
+        F.round(F.sum(F.round(F.col("c") * F.col("c"), 10)), 10).alias(
+            "trace_c2"
+        ),
+    )
+    from pyspark.sql.window import Window as W
+
+    top = (
+        cov.filter(F.col("i") == F.col("j"))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("c"), "i"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("i").cast("long").alias("top_var_dim"),
+            F.col("c").alias("top_var"),
+        )
+    )
+    return (
+        n_df.crossJoin(tr)
+        .crossJoin(top)
+        .select(
+            F.col("n").cast("long").alias("n_vecs"),
+            F.lit(_ER_DIM).cast("long").alias("dim"),
+            F.round("trace_c", 6).alias("total_var"),
+            F.round(
+                F.col("trace_c") * F.col("trace_c") / F.col("trace_c2"), 6
+            ).alias("participation_ratio"),
+            "top_var_dim",
+            F.round("top_var", 6).alias("top_var"),
+        )
+    )

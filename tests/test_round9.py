@@ -383,3 +383,24 @@ def test_curation_funnel_partitions_corpus(spark, sf_dir):
     assert abs(sum(r["frac_chars"] for r in rows) - 1.0) < 1e-4
     stages = {r["stage"] for r in rows}
     assert "S5_kept" in stages
+
+
+def test_embedding_rank_production_twin_matches_gate(spark, sf_dir):
+    """X671: the mapInPandas matrix-partial path must agree with the
+    gate-pinned explode form to numerical tolerance (BLAS accumulation
+    order differs from the rounded scalar chain — approx, not hash)."""
+    from kafka_stream_spark.operators.embedstats import covariance_stats
+    from kafka_stream_spark.plans.round9 import q_embedding_rank
+    from kafka_stream_spark.sources.tables import load
+
+    gate = q_embedding_rank(spark, sf_dir).collect()[0]
+    prod = covariance_stats(load(spark, sf_dir, "embeddings"))
+    assert prod["n_vecs"] == gate["n_vecs"]
+    assert prod["dim"] == gate["dim"]
+    assert abs(prod["total_var"] - gate["total_var"]) < 1e-4
+    assert (
+        abs(prod["participation_ratio"] - gate["participation_ratio"]) < 1e-3
+    )
+    assert prod["top_var_dim"] == gate["top_var_dim"]
+    # sanity: PR is bounded by the ambient dimension
+    assert 1.0 <= prod["participation_ratio"] <= prod["dim"] + 1e-9
