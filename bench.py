@@ -322,6 +322,7 @@ HEADLINE = [
     "q_cascade_plan",
     "q_curation_funnel",
     "q_embedding_rank",
+    "q_double_ml",
 ]
 
 

@@ -2448,3 +2448,115 @@ def q_embedding_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("top_var", 6).alias("top_var"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X672 — Double ML (cross-fitted partialling-out, closed form)
+# ---------------------------------------------------------------------------
+
+_DML_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(length(props) AS BIGINT) AS y,
+             CAST(user_id % 2 AS BIGINT) AS t,
+             least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+             {_hashing.token_hash_sql(
+                 "concat(CAST(event_id AS VARCHAR), '|dml')")} % 2 AS f
+      FROM events),
+    cells AS (
+      SELECT f, b, count(*) AS n,
+             sum(y) AS sy, sum(t) AS st, sum(y * t) AS syt
+      FROM base GROUP BY f, b),
+    nuis AS (
+      SELECT f AS nf, b,
+             round(sy * 1.0 / n, 10) AS my,
+             round(st * 1.0 / n, 10) AS mt
+      FROM cells),
+    contrib AS (
+      SELECT c.f, c.b,
+             round(c.syt - nu.mt * c.sy - nu.my * c.st
+                   + c.n * round(nu.my * nu.mt, 10), 10) AS a_c,
+             round(c.st - 2 * nu.mt * c.st
+                   + c.n * round(nu.mt * nu.mt, 10), 10) AS b_c
+      FROM cells c JOIN nuis nu ON nu.b = c.b AND nu.nf = 1 - c.f),
+    agg AS (
+      SELECT round(sum(a_c), 10) AS a, round(sum(b_c), 10) AS bb,
+             (SELECT count(*) FROM base) AS n
+      FROM contrib)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(a, 6) AS num, round(bb, 6) AS den,
+           round(a / bb, 6) AS theta
+    FROM agg
+    """
+
+
+@query("q_double_ml", oracle=_DML_ORACLE)
+def q_double_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X672 — Double/debiased ML (Chernozhukov et al. 2018), the
+    partialling-out estimator with 2-fold CROSS-FITTING — the method's
+    defining ingredient: each fold's outcome/treatment nuisance means
+    m_y(x), m_t(x) are estimated on the OTHER fold (hash-assigned, the
+    q_grouped_cv idiom), so overfit nuisances cannot leak into
+    θ = Σ ỹt̃ / Σ t̃². Nuisances here are per-covariate-bucket means
+    (the closed-form stand-in for the paper's ML regressions). The
+    residual sums expand algebraically into per-(fold, bucket) INTEGER
+    sums (Σy, Σt, Σyt, n) — the only doubles live at cell grain (~20
+    rounded values), so both engines' arithmetic is identical with no
+    data-sized float accumulation at any scale factor.
+
+    Scale: one groupBy over (fold, bucket) — map-side combinable; the
+    cross-fit join is cell-grain."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        F.length("props").cast("long").alias("y"),
+        (F.col("user_id") % 2).cast("long").alias("t"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "b"
+        ),
+        (
+            _hashing.token_hash(
+                F.concat(F.col("event_id").cast("string"), F.lit("|dml"))
+            )
+            % 2
+        ).alias("f"),
+    )
+    cells = base.groupBy("f", "b").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("y") * F.col("t")).alias("syt"),
+    )
+    nuis = cells.select(
+        F.col("f").alias("nf"),
+        "b",
+        F.round(F.col("sy") * 1.0 / F.col("n"), 10).alias("my"),
+        F.round(F.col("st") * 1.0 / F.col("n"), 10).alias("mt"),
+    )
+    contrib = cells.join(
+        nuis,
+        (nuis["b"] == cells["b"]) & (nuis["nf"] == 1 - cells["f"]),
+    ).select(
+        F.round(
+            F.col("syt")
+            - F.col("mt") * F.col("sy")
+            - F.col("my") * F.col("st")
+            + F.col("n") * F.round(F.col("my") * F.col("mt"), 10),
+            10,
+        ).alias("a_c"),
+        F.round(
+            F.col("st")
+            - 2 * F.col("mt") * F.col("st")
+            + F.col("n") * F.round(F.col("mt") * F.col("mt"), 10),
+            10,
+        ).alias("b_c"),
+    )
+    n_df = base.agg(F.count("*").alias("n"))
+    agg = contrib.agg(
+        F.round(F.sum("a_c"), 10).alias("a"),
+        F.round(F.sum("b_c"), 10).alias("bb"),
+    )
+    return agg.crossJoin(n_df).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("a", 6).alias("num"),
+        F.round("bb", 6).alias("den"),
+        F.round(F.col("a") / F.col("bb"), 6).alias("theta"),
+    )

@@ -404,3 +404,23 @@ def test_embedding_rank_production_twin_matches_gate(spark, sf_dir):
     assert prod["top_var_dim"] == gate["top_var_dim"]
     # sanity: PR is bounded by the ambient dimension
     assert 1.0 <= prod["participation_ratio"] <= prod["dim"] + 1e-9
+
+
+def test_double_ml_matches_naive_when_no_confounding(spark, sf_dir):
+    """Treatment (user parity) is randomized w.r.t. the bucket
+    covariate, so the cross-fitted DML theta must land near the naive
+    difference-in-means — and den must be ~n/4 (binary t, p~1/2)."""
+    from kafka_stream_spark.plans.round9 import q_double_ml
+    from kafka_stream_spark.sources.tables import load
+
+    r = q_double_ml(spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "events")
+    means = (
+        e.groupBy((F.col("user_id") % 2).alias("t"))
+        .agg(F.avg(F.length("props").cast("double")).alias("m"))
+        .collect()
+    )
+    by_t = {row["t"]: row["m"] for row in means}
+    naive = by_t[1] - by_t[0]
+    assert abs(r["theta"] - naive) < 0.5
+    assert abs(r["den"] - r["n"] / 4) < r["n"] * 0.05
