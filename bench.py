@@ -323,6 +323,8 @@ HEADLINE = [
     "q_curation_funnel",
     "q_embedding_rank",
     "q_double_ml",
+    "q_successive_halving",
+    "q_doubly_robust",
 ]
 
 

@@ -2560,3 +2560,236 @@ def q_double_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bb", 6).alias("den"),
         F.round(F.col("a") / F.col("bb"), 6).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X673 — successive halving tournament (rung-based budget allocation)
+# ---------------------------------------------------------------------------
+
+_SH_RUNGS = ((0, 16, 3), (1, 32, 2), (2, 64, 1))  # (rung, budget, keep)
+
+
+def _sh_oracle() -> str:
+    ctes = [
+        """obs AS MATERIALIZED (
+      SELECT event_type AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS k
+      FROM events),
+    alive0 AS (SELECT DISTINCT arm FROM obs)"""
+    ]
+    selects = []
+    for rung, budget, keep in _SH_RUNGS:
+        ctes.append(
+            f"""m{rung} AS (
+      SELECT o.arm, round(sum(o.cents) / (100.0 * {budget}), 10) AS mean_r
+      FROM obs o JOIN alive{rung} a ON a.arm = o.arm
+      WHERE o.k <= {budget} GROUP BY o.arm),
+    r{rung} AS MATERIALIZED (
+      SELECT arm, mean_r,
+             row_number() OVER (ORDER BY mean_r DESC, arm) AS rnk
+      FROM m{rung}),
+    alive{rung + 1} AS (SELECT arm FROM r{rung} WHERE rnk <= {keep})"""
+        )
+        selects.append(
+            f"SELECT CAST({rung} AS BIGINT) AS rung, arm, "
+            f"CAST({budget} AS BIGINT) AS budget, "
+            f"round(mean_r, 6) AS mean_reward, "
+            f"rnk <= {keep} AS kept FROM r{rung}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("q_successive_halving", oracle=_sh_oracle())
+def q_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X673 — successive halving (Jamieson & Talwalkar 2016, the rung
+    engine inside Hyperband and every prompt/hparam tournament): arms
+    (event types) are evaluated on geometrically growing budgets —
+    their first 16/32/64 observations in deterministic (ts, event_id)
+    arrival order — and the bottom half is eliminated per rung, so
+    total spend concentrates on survivors. Means are exact integer
+    cents over a FIXED budget (one division per arm per rung);
+    elimination ranks on the rounded mean with arm-name tie-break.
+    Output: every rung's leaderboard with kept/cut flags — the
+    audit trail of the tournament, not just the winner.
+
+    Scale: one windowed arrival-rank pass, then per-rung arm-grain
+    aggregates over k ≤ budget rows — rungs are a constant."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    obs = e.select(
+        F.col("event_type").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("k"),
+    ).localCheckpoint(eager=True)
+    alive = obs.select("arm").distinct()
+    outs = []
+    for rung, budget, keep in _SH_RUNGS:
+        m = (
+            obs.join(alive, "arm")
+            .filter(F.col("k") <= budget)
+            .groupBy("arm")
+            .agg(
+                F.round(F.sum("cents") / (100.0 * budget), 10).alias(
+                    "mean_r"
+                )
+            )
+        )
+        r = m.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("mean_r"), "arm"))
+        ).localCheckpoint(eager=True)
+        outs.append(
+            r.select(
+                F.lit(rung).cast("long").alias("rung"),
+                "arm",
+                F.lit(budget).cast("long").alias("budget"),
+                F.round("mean_r", 6).alias("mean_reward"),
+                (F.col("rnk") <= keep).alias("kept"),
+            )
+        )
+        alive = r.filter(F.col("rnk") <= keep).select("arm")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# X674 — doubly-robust off-policy value estimate
+# ---------------------------------------------------------------------------
+
+_DR_ORACLE = """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    nb AS (
+      SELECT bucket,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc_b,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS np_b,
+             sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+               AS sc_b
+      FROM b GROUP BY bucket),
+    tot AS (SELECT sum(nc_b) AS nc, sum(np_b) AS np FROM nb),
+    cell AS (
+      SELECT nb.bucket, nb.nc_b, nb.np_b, nb.sc_b,
+             round(nb.sc_b / (100.0 * nb.nc_b), 10) AS qhat,
+             round((nb.np_b * 1.0 / tot.np)
+                   / (nb.nc_b * 1.0 / tot.nc), 10) AS w
+      FROM nb, tot WHERE nb.nc_b > 0),
+    parts AS (
+      SELECT round(sum(round(c.w * c.qhat, 10) * c.nc_b), 10) AS ips_num,
+             round(sum(round(c.qhat * c.np_b, 10)), 10) AS dm_num,
+             round(sum(round(c.w * (round(c.sc_b / 100.0, 10)
+                   - c.qhat * c.nc_b), 10)), 10) AS corr_num
+      FROM cell c),
+    tot2 AS (SELECT nc, np FROM tot)
+    SELECT CAST(tot2.nc AS BIGINT) AS n_logged,
+           CAST(tot2.np AS BIGINT) AS n_target,
+           round(parts.ips_num / tot2.nc, 6) AS v_ips,
+           round(parts.dm_num / tot2.np, 6) AS v_dm,
+           round(parts.dm_num / tot2.np
+                 + parts.corr_num / tot2.nc, 6) AS v_dr
+    FROM parts, tot2
+    """
+
+
+@query("q_doubly_robust", oracle=_DR_ORACLE)
+def q_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X674 — doubly-robust off-policy value (Dudík et al. 2011): what
+    reward per decision would the TARGET population (purchase traffic)
+    earn, estimated only from LOGGED proposal data (click traffic)?
+    Three estimators side by side: IPS (density-ratio reweighted
+    logged reward — unbiased, high variance), direct method (bucket
+    reward model q̂ evaluated under the target distribution — biased
+    if q̂ is wrong), and DR = DM + importance-weighted residual
+    correction, unbiased if EITHER the weights or q̂ are right. The
+    off-policy-eval triple every bandit/RLHF deployment reports.
+    X652's diagnostics (ESS) say when to trust these numbers; here
+    they are computed — all from per-bucket integer count/cent sums,
+    doubles at cell grain only.
+
+    Scale: one bucket-grain aggregate; everything else is a 10-row
+    scalar fold. Note the cell-grain algebra: Σ_i w_i r_i over logged
+    rows collapses to Σ_b w_b·q̂_b·nc_b because w and q̂ are
+    bucket-constant — the estimator never touches row-grain floats."""
+    e = load(spark, sf_dir, "events")
+    b = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    nb = b.groupBy("bucket").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("nc_b"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "np_b"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(
+                0
+            )
+        ).alias("sc_b"),
+    )
+    tot = nb.agg(F.sum("nc_b").alias("nc"), F.sum("np_b").alias("np"))
+    cell = (
+        nb.crossJoin(F.broadcast(tot))
+        .filter(F.col("nc_b") > 0)
+        .select(
+            "nc_b",
+            "np_b",
+            "sc_b",
+            F.round(F.col("sc_b") / (100.0 * F.col("nc_b")), 10).alias(
+                "qhat"
+            ),
+            F.round(
+                (F.col("np_b") * 1.0 / F.col("np"))
+                / (F.col("nc_b") * 1.0 / F.col("nc")),
+                10,
+            ).alias("w"),
+        )
+    )
+    parts = cell.agg(
+        F.round(
+            F.sum(F.round(F.col("w") * F.col("qhat"), 10) * F.col("nc_b")),
+            10,
+        ).alias("ips_num"),
+        F.round(F.sum(F.round(F.col("qhat") * F.col("np_b"), 10)), 10).alias(
+            "dm_num"
+        ),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("w")
+                    * (
+                        F.round(F.col("sc_b") / 100.0, 10)
+                        - F.col("qhat") * F.col("nc_b")
+                    ),
+                    10,
+                )
+            ),
+            10,
+        ).alias("corr_num"),
+    )
+    return parts.crossJoin(tot).select(
+        F.col("nc").cast("long").alias("n_logged"),
+        F.col("np").cast("long").alias("n_target"),
+        F.round(F.col("ips_num") / F.col("nc"), 6).alias("v_ips"),
+        F.round(F.col("dm_num") / F.col("np"), 6).alias("v_dm"),
+        F.round(
+            F.col("dm_num") / F.col("np") + F.col("corr_num") / F.col("nc"),
+            6,
+        ).alias("v_dr"),
+    )

@@ -424,3 +424,38 @@ def test_double_ml_matches_naive_when_no_confounding(spark, sf_dir):
     naive = by_t[1] - by_t[0]
     assert abs(r["theta"] - naive) < 0.5
     assert abs(r["den"] - r["n"] / 4) < r["n"] * 0.05
+
+
+def test_successive_halving_tournament_shape(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import (
+        _SH_RUNGS,
+        q_successive_halving,
+    )
+
+    rows = q_successive_halving(spark, sf_dir).collect()
+    by_rung: dict[int, list] = {}
+    for r in rows:
+        by_rung.setdefault(r["rung"], []).append(r)
+    keeps = {rung: keep for rung, _, keep in _SH_RUNGS}
+    prev_kept = None
+    for rung in sorted(by_rung):
+        rs = by_rung[rung]
+        kept = {r["arm"] for r in rs if r["kept"]}
+        assert len(kept) == keeps[rung]
+        if prev_kept is not None:
+            # only prior survivors compete at this rung
+            assert {r["arm"] for r in rs} == prev_kept
+        prev_kept = kept
+    assert len(prev_kept) == 1  # a single winner
+
+
+def test_doubly_robust_relationships(spark, sf_dir):
+    """DR = DM + correction; with bucket-constant q-hat the correction
+    is exactly zero (q-hat IS the per-bucket logged mean), so DR == DM
+    here — the estimator's defining identity under a saturated model."""
+    from kafka_stream_spark.plans.round9 import q_doubly_robust
+
+    r = q_doubly_robust(spark, sf_dir).collect()[0]
+    assert r["n_logged"] > 0 and r["n_target"] > 0
+    assert abs(r["v_dr"] - r["v_dm"]) < 1e-4
+    assert r["v_ips"] > 0 and r["v_dm"] > 0
