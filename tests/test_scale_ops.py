@@ -391,3 +391,27 @@ def test_hub_cap_bounds_wedge_rows(spark, sf_dir):
     assert tot.capped < tot.uncapped * 0.5, (
         f"cap removed too little: {tot.capped} vs {tot.uncapped}"
     )
+
+
+def test_dynamic_partition_pruning_in_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact against a
+    filtered dim must inject a runtime dynamicpruning subquery into the
+    fact scan's PartitionFilters — at 100 TB this is what keeps a
+    star-join from scanning every date/type partition when the dim
+    filter only selects a few."""
+    path = str(tmp_path / "events_part")
+    load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], "event_type string, grp int"
+    ).filter(F.col("grp") == 1)
+    j = fact.join(dim, "event_type").groupBy("grp").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = j.collect()
+    expected = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert rows[0]["count"] == expected
