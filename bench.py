@@ -325,6 +325,7 @@ HEADLINE = [
     "q_double_ml",
     "q_successive_halving",
     "q_doubly_robust",
+    "q_deletion_audit",
 ]
 
 

@@ -2793,3 +2793,156 @@ def q_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v_dr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X675 — deletion-impact audit (right-to-erasure planning)
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 97
+_DEL_RESIDUE = 5
+
+_DELETION_ORACLE = f"""
+    WITH c AS (
+      SELECT 'customer' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c_custkey % {_DEL_MOD} = {_DEL_RESIDUE}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             CAST(count(DISTINCT CASE WHEN c_custkey % {_DEL_MOD}
+                      = {_DEL_RESIDUE} THEN c_mktsegment END) AS BIGINT)
+               AS n_partitions
+      FROM customer),
+    o AS (
+      SELECT 'orders' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey % {_DEL_MOD} = {_DEL_RESIDUE}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             CAST(count(DISTINCT CASE WHEN o_custkey % {_DEL_MOD}
+                      = {_DEL_RESIDUE}
+                      THEN date_trunc('month', o_orderdate) END) AS BIGINT)
+               AS n_partitions
+      FROM orders),
+    l AS (
+      SELECT 'lineitem' AS tbl,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_affected,
+             CAST(count(DISTINCT date_trunc('month', li.l_shipdate))
+                  AS BIGINT) AS n_partitions
+      FROM lineitem li JOIN orders oo ON oo.o_orderkey = li.l_orderkey
+      WHERE oo.o_custkey % {_DEL_MOD} = {_DEL_RESIDUE}),
+    e AS (
+      SELECT 'events' AS tbl,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN user_id % {_DEL_MOD} = {_DEL_RESIDUE}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             CAST(count(DISTINCT CASE WHEN user_id % {_DEL_MOD}
+                      = {_DEL_RESIDUE} THEN CAST(ts AS DATE) END)
+                  AS BIGINT) AS n_partitions
+      FROM events),
+    u AS (
+      SELECT * FROM c UNION ALL SELECT * FROM o
+      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+    SELECT tbl, n_rows, n_affected,
+           round(n_affected * 1.0 / n_rows, 6) AS frac_affected,
+           n_partitions AS n_partitions_to_rewrite
+    FROM u
+    """
+
+
+@query("q_deletion_audit", oracle=_DELETION_ORACLE)
+def q_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X675 — deletion-impact audit (GDPR/CCPA right-to-erasure
+    planning): for a deletion cohort (subject key % 97 == 5), the
+    blast radius across every table that carries the subject —
+    directly keyed (customer, orders, events), or transitively via a
+    foreign key (lineitem through orders — erasure must follow the
+    join graph). Per table: affected rows, affected fraction, and the
+    number of PARTITIONS that must be rewritten (date/month/segment
+    grain) — at 100 TB the rewrite count, not the row count, is the
+    cost of forgetting, which is why erasure-heavy tables get
+    subject-id bucketing. Pure count aggregates + one keyed join.
+
+    Scale: one scan per table with map-side conditional counts; the
+    lineitem pass joins against the (filtered, broadcastable) order
+    keys of the cohort."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = load(spark, sf_dir, "events")
+
+    def hit(key):
+        return (F.col(key) % _DEL_MOD == _DEL_RESIDUE).cast("long")
+
+    c = cust.agg(
+        F.lit("customer").alias("tbl"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(hit("c_custkey")).cast("long").alias("n_affected"),
+        F.countDistinct(
+            F.when(
+                F.col("c_custkey") % _DEL_MOD == _DEL_RESIDUE,
+                F.col("c_mktsegment"),
+            )
+        )
+        .cast("long")
+        .alias("n_partitions"),
+    )
+    o = orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(hit("o_custkey")).cast("long").alias("n_affected"),
+        F.countDistinct(
+            F.when(
+                F.col("o_custkey") % _DEL_MOD == _DEL_RESIDUE,
+                F.date_trunc("month", F.col("o_orderdate")),
+            )
+        )
+        .cast("long")
+        .alias("n_partitions"),
+    )
+    li_n = li.agg(F.count("*").alias("nr"))
+    lhit = (
+        li.join(
+            orders.filter(
+                F.col("o_custkey") % _DEL_MOD == _DEL_RESIDUE
+            ).select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_affected"),
+            F.countDistinct(
+                F.date_trunc("month", F.col("l_shipdate"))
+            )
+            .cast("long")
+            .alias("n_partitions"),
+        )
+        .crossJoin(F.broadcast(li_n))
+        .select(
+            F.lit("lineitem").alias("tbl"),
+            F.col("nr").cast("long").alias("n_rows"),
+            "n_affected",
+            "n_partitions",
+        )
+    )
+    ev = e.agg(
+        F.lit("events").alias("tbl"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(hit("user_id")).cast("long").alias("n_affected"),
+        F.countDistinct(
+            F.when(
+                F.col("user_id") % _DEL_MOD == _DEL_RESIDUE,
+                F.to_date("ts"),
+            )
+        )
+        .cast("long")
+        .alias("n_partitions"),
+    )
+    u = c.unionByName(o).unionByName(lhit).unionByName(ev)
+    return u.select(
+        "tbl",
+        "n_rows",
+        "n_affected",
+        F.round(F.col("n_affected") * 1.0 / F.col("n_rows"), 6).alias(
+            "frac_affected"
+        ),
+        F.col("n_partitions").alias("n_partitions_to_rewrite"),
+    )
