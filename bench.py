@@ -326,6 +326,7 @@ HEADLINE = [
     "q_successive_halving",
     "q_doubly_robust",
     "q_deletion_audit",
+    "q_verbosity_bias",
 ]
 
 

@@ -2946,3 +2946,96 @@ def q_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_partitions").alias("n_partitions_to_rewrite"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X676 — verbosity-bias audit of preference pairs
+# ---------------------------------------------------------------------------
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+_VB_MARGIN_HI = 0.1
+
+_VERBOSITY_ORACLE = f"""
+    WITH pairs AS (
+      SELECT * FROM ({_ORACLES['q_preference_pairs']}) t),
+    sized AS (
+      SELECT p.margin,
+             dc.n_chars AS len_c, dr.n_chars AS len_r
+      FROM pairs p
+      JOIN documents dc ON dc.doc_id = p.chosen_id
+      JOIN documents dr ON dr.doc_id = p.rejected_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac_chosen_longer,
+           round(avg(len_c - len_r), 6) AS mean_len_gap,
+           round(sum(CASE WHEN margin >= {_VB_MARGIN_HI}
+                          AND len_c > len_r THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN margin >= {_VB_MARGIN_HI}
+                                THEN 1 ELSE 0 END), 1), 6)
+             AS frac_longer_high_margin,
+           round(sum(CASE WHEN margin < {_VB_MARGIN_HI}
+                          AND len_c > len_r THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN margin < {_VB_MARGIN_HI}
+                                THEN 1 ELSE 0 END), 1), 6)
+             AS frac_longer_low_margin
+    FROM sized
+    """
+
+
+@query("q_verbosity_bias", oracle=_VERBOSITY_ORACLE)
+def q_verbosity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X676 — verbosity-bias audit of the DPO/reward training pairs
+    (X611): if "chosen" is systematically LONGER than "rejected", a
+    model trained on these pairs learns verbosity instead of quality —
+    the best-documented reward-hacking channel in RLHF (length-
+    controlled win rates exist precisely because of it). Reported:
+    fraction of pairs where chosen is longer, the mean char gap, and
+    the longer-win split between high-/low-confidence pairs (a bias
+    that GROWS with margin is baked into the reward, not noise).
+    Integer char lengths; the pair set is X611's own output, so the
+    audit measures exactly what training would consume.
+
+    Scale: the pair table is O(k · groups); the audit is two
+    broadcast-able id joins + one aggregate."""
+    from .round7b import q_preference_pairs as _pp
+
+    pairs = _pp(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("chosen_id"),
+                F.col("n_chars").alias("len_c"),
+            ),
+            "chosen_id",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("rejected_id"),
+                F.col("n_chars").alias("len_r"),
+            ),
+            "rejected_id",
+        )
+        .select("margin", "len_c", "len_r")
+    )
+    longer = (F.col("len_c") > F.col("len_r")).cast("long")
+    hi = (F.col("margin") >= _VB_MARGIN_HI).cast("long")
+    return sized.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum(longer) * 1.0 / F.count("*"), 6).alias(
+            "frac_chosen_longer"
+        ),
+        F.round(F.avg(F.col("len_c") - F.col("len_r")), 6).alias(
+            "mean_len_gap"
+        ),
+        F.round(
+            F.sum(longer * hi) * 1.0 / F.greatest(F.sum(hi), F.lit(1)), 6
+        ).alias("frac_longer_high_margin"),
+        F.round(
+            F.sum(longer * (1 - hi))
+            * 1.0
+            / F.greatest(F.sum(1 - hi), F.lit(1)),
+            6,
+        ).alias("frac_longer_low_margin"),
+    )
