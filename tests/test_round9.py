@@ -459,3 +459,46 @@ def test_doubly_robust_relationships(spark, sf_dir):
     assert r["n_logged"] > 0 and r["n_target"] > 0
     assert abs(r["v_dr"] - r["v_dm"]) < 1e-4
     assert r["v_ips"] > 0 and r["v_dm"] > 0
+
+
+def test_deletion_audit_covers_join_graph(spark, sf_dir):
+    """Transitive erasure: lineitem's affected count must equal the
+    rows reachable through the orders join, and every table reports a
+    sane fraction and partition count."""
+    from kafka_stream_spark.plans.round9 import q_deletion_audit
+    from kafka_stream_spark.sources.tables import load
+
+    rows = {r["tbl"]: r for r in q_deletion_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert 0 <= r["n_affected"] <= r["n_rows"]
+        assert 0.0 <= r["frac_affected"] <= 1.0
+        if r["n_affected"] > 0:
+            assert r["n_partitions_to_rewrite"] >= 1
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    expected = li.join(
+        orders.filter(F.col("o_custkey") % 97 == 5).select(
+            F.col("o_orderkey").alias("l_orderkey")
+        ),
+        "l_orderkey",
+    ).count()
+    assert rows["lineitem"]["n_affected"] == expected
+
+
+def test_verbosity_bias_bounds(spark, sf_dir):
+    from kafka_stream_spark.plans.round9 import q_verbosity_bias
+
+    r = q_verbosity_bias(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 0
+    for c in (
+        "frac_chosen_longer",
+        "frac_longer_high_margin",
+        "frac_longer_low_margin",
+    ):
+        assert 0.0 <= r[c] <= 1.0, c
+    # the quality score rewards length directly (0.4 * min(n/100, 1)),
+    # so the audit MUST flag a longer-chosen majority on this corpus —
+    # i.e. the query detects the bias it exists to detect
+    assert r["frac_chosen_longer"] > 0.5
+    assert r["mean_len_gap"] > 0
