@@ -327,6 +327,7 @@ HEADLINE = [
     "q_doubly_robust",
     "q_deletion_audit",
     "q_verbosity_bias",
+    "q_greenlist_watermark",
 ]
 
 

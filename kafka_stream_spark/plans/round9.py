@@ -2270,6 +2270,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one projection pass computing the CASE ladder (tokenize
     once; pure Column expressions), one stage-grain aggregate."""
     d = load(spark, sf_dir, "documents")
+    cells = funnel_stage_counts(d)
+    return funnel_from_cells(cells)
+
+
+def funnel_stage_attribution(d: DataFrame) -> F.Column:
+    """The first-failing-stage CASE ladder over a documents frame."""
     toks = _text.tokens(F.col("text"))
     dup1 = F.round(
         1.0 - F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 10
@@ -2278,36 +2284,43 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for kw in _FUNNEL_BLOCK:
         c = F.col("text").contains(kw)
         block = c if block is None else (block | c)
-    staged = d.select(
-        "n_chars",
+    return (
         F.when(F.size(toks) < _FUNNEL_MIN_TOK, "S1_too_short")
         .when(~F.col("lang").isin(*_FUNNEL_LANGS), "S2_lang")
         .when(block, "S3_blocklist")
         .when(dup1 > _FUNNEL_MAX_DUP1, "S4_repetition")
         .otherwise("S5_kept")
-        .alias("stage"),
     )
-    tot = staged.agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
-    )
+
+
+def funnel_stage_counts(d: DataFrame) -> DataFrame:
+    """(stage, n_docs, n_chars_s) additive cells — the merged-store
+    state of the streaming funnel (streaming/pipeline.run_streaming_funnel)."""
     return (
-        staged.groupBy("stage")
+        d.select("n_chars", funnel_stage_attribution(d).alias("stage"))
+        .groupBy("stage")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars_s"),
         )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "stage",
-            "n_docs",
-            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias(
-                "frac_docs"
-            ),
-            F.col("n_chars_s").cast("long").alias("n_chars"),
-            F.round(F.col("n_chars_s") * 1.0 / F.col("chars"), 6).alias(
-                "frac_chars"
-            ),
-        )
+    )
+
+
+def funnel_from_cells(cells: DataFrame) -> DataFrame:
+    """Stage cells → the q_curation_funnel output shape; totals derive
+    from the cells themselves, so the streaming store needs no second
+    state table."""
+    tot = cells.agg(
+        F.sum("n_docs").alias("n"), F.sum("n_chars_s").alias("chars")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias("frac_docs"),
+        F.col("n_chars_s").cast("long").alias("n_chars"),
+        F.round(F.col("n_chars_s") * 1.0 / F.col("chars"), 6).alias(
+            "frac_chars"
+        ),
     )
 
 
@@ -3038,4 +3051,83 @@ def q_verbosity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum(1 - hi), F.lit(1)),
             6,
         ).alias("frac_longer_low_margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X677 — LLM watermark detection (green-list z-score, Kirchenbauer)
+# ---------------------------------------------------------------------------
+
+_WM_GAMMA = 0.25  # green-list fraction (power of two — float-exact)
+_WM_MOD = 4  # 1/gamma
+_WM_Z_FLAG = 2.0
+
+_GREENLIST_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_text.tokens_sql('text')} AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+             len(t) - 1 AS t_scored,
+             len(list_filter(range(len(t) - 1), i ->
+               {_hashing.token_hash_sql("concat(t[i + 1], '|', t[i + 2])")}
+                 % {_WM_MOD} = 0)) AS n_green
+      FROM toks WHERE len(t) >= 2)
+    SELECT doc_id, CAST(t_scored AS BIGINT) AS t_scored,
+           CAST(n_green AS BIGINT) AS n_green,
+           round((n_green - {_WM_GAMMA} * t_scored)
+                 / sqrt(t_scored * {_WM_GAMMA} * {1 - _WM_GAMMA}), 6) AS z,
+           (n_green - {_WM_GAMMA} * t_scored)
+             / sqrt(t_scored * {_WM_GAMMA} * {1 - _WM_GAMMA})
+             > {_WM_Z_FLAG} AS flagged
+    FROM scored
+    """
+
+
+@query("q_greenlist_watermark", oracle=_GREENLIST_ORACLE)
+def q_greenlist_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X677 — LLM watermark detection (Kirchenbauer et al. 2023): a
+    soft-watermarked generator biases each token toward a "green list"
+    seeded by the PREVIOUS token's hash; the detector needs no model —
+    recompute green membership (hash(prev|cur) mod 4 == 0, γ = 1/4)
+    over every adjacent pair and test the green count against the
+    binomial null: z = (g − γT)/√(Tγ(1−γ)), flag z > 2. THE
+    provenance filter a training-data pipeline runs to keep
+    watermarked synthetic text out of (or measured inside) a crawl.
+    Integer green counts, γ a power of two, √ of an integer product —
+    engine-identical arithmetic; one projection pass, no shuffle at
+    all until the caller aggregates.
+
+    Scale: per-doc map-side array fold over adjacent pairs — word-count
+    cost without the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = _text.tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    green = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: _hashing.token_hash(
+                F.concat(
+                    F.element_at(F.col("t"), i + 1),
+                    F.lit("|"),
+                    F.element_at(F.col("t"), i + 2),
+                )
+            )
+            % _WM_MOD
+            == 0,
+        )
+    )
+    scored = t.select(
+        "doc_id",
+        (F.size("t") - 1).cast("long").alias("t_scored"),
+        green.cast("long").alias("n_green"),
+    )
+    zexpr = (F.col("n_green") - _WM_GAMMA * F.col("t_scored")) / F.sqrt(
+        F.col("t_scored") * _WM_GAMMA * (1 - _WM_GAMMA)
+    )
+    return scored.select(
+        "doc_id",
+        "t_scored",
+        "n_green",
+        F.round(zexpr, 6).alias("z"),
+        (zexpr > _WM_Z_FLAG).alias("flagged"),
     )

@@ -2451,3 +2451,48 @@ def data_map_from_store(cells: DataFrame) -> DataFrame:
     from ..plans.round9 import data_map_from_cells
 
     return data_map_from_cells(cells)
+
+
+def run_streaming_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X678 — live curation-funnel state (X669's streaming face): the
+    per-stage (n_docs, n_chars) kill counts folded into the versioned
+    merged store as documents stream in — stage attribution is a
+    stateless per-doc CASE ladder and the counts are additive, so the
+    live funnel equals the batch funnel exactly after every commit.
+    This is the data-quality dashboard a crawl ingester keeps warm:
+    which filter is eating the feed, per micro-batch, without
+    rescanning history."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.round9 import funnel_stage_counts
+
+        part = funnel_stage_counts(batch)
+        merged_store_apply(
+            part,
+            store_dir,
+            batch_id,
+            additive_combine(["stage"], ["n_docs", "n_chars_s"]),
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def funnel_from_store(cells: DataFrame) -> DataFrame:
+    """Store (stage, n_docs, n_chars_s) → the q_curation_funnel output
+    shape via the batch query's own arithmetic."""
+    from ..plans.round9 import funnel_from_cells
+
+    return funnel_from_cells(cells)

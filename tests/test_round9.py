@@ -502,3 +502,45 @@ def test_verbosity_bias_bounds(spark, sf_dir):
     # i.e. the query detects the bias it exists to detect
     assert r["frac_chosen_longer"] > 0.5
     assert r["mean_len_gap"] > 0
+
+
+def test_streaming_funnel_incremental_equals_batch(spark, tmp_path):
+    """X678: the additive per-stage store, read through the shared
+    funnel arithmetic, must equal the batch q_curation_funnel on
+    documents-so-far after every wave."""
+    from kafka_stream_spark.plans.round9 import q_curation_funnel
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        funnel_from_store,
+        merged_store_read,
+        run_streaming_funnel,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "stages")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_funnel():
+        return {
+            tuple(r)
+            for r in funnel_from_store(
+                merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_funnel(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/documents.parquet")
+        return {tuple(r) for r in q_curation_funnel(spark, cum).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_funnel(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_funnel() == batch_funnel(wave1, "w1")
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_funnel(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_funnel() == batch_funnel(docs, "all")
