@@ -328,6 +328,7 @@ HEADLINE = [
     "q_deletion_audit",
     "q_verbosity_bias",
     "q_greenlist_watermark",
+    "q_knn_shapley",
 ]
 
 

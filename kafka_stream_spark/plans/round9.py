@@ -3131,3 +3131,143 @@ def q_greenlist_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zexpr, 6).alias("z"),
         (zexpr > _WM_Z_FLAG).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X679 — KNN-Shapley data valuation (exact closed form)
+# ---------------------------------------------------------------------------
+
+_KS_K = 5  # the KNN classifier's K
+
+_KNN_SHAPLEY_ORACLE = f"""
+    WITH anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS albl
+      FROM embeddings WHERE vec_id % 25 = 0),
+    train AS (
+      SELECT vec_id AS n_id, embedding AS emb, label AS tlbl
+      FROM embeddings WHERE vec_id % 25 <> 0),
+    ranked AS MATERIALIZED (
+      SELECT a.q_id, t.n_id, t.tlbl,
+             CASE WHEN t.tlbl = a.albl THEN 1.0 ELSE 0.0 END AS d,
+             row_number() OVER (PARTITION BY a.q_id
+               ORDER BY round({_vectors.cosine_sql('t.emb', 'a.q_emb')}, 6)
+                        DESC, t.n_id) AS rk,
+             count(*) OVER (PARTITION BY a.q_id) AS n
+      FROM anchors a CROSS JOIN train t),
+    terms AS (
+      SELECT q_id, n_id, tlbl, rk,
+             round(CASE WHEN rk = n THEN d / n
+                   ELSE (d - lead(d) OVER (PARTITION BY q_id ORDER BY rk))
+                        * least(rk, {_KS_K}) / (rk * 1.0 * {_KS_K}) END,
+                   10) AS term
+      FROM ranked),
+    svals AS (
+      SELECT q_id, n_id, tlbl,
+             round(sum(term) OVER (PARTITION BY q_id ORDER BY rk DESC),
+                   10) AS s
+      FROM terms),
+    vals AS (
+      SELECT n_id, any_value(tlbl) AS label, round(avg(s), 10) AS v
+      FROM svals GROUP BY n_id)
+    SELECT n_id AS vec_id, label, round(v, 6) AS shapley_value
+    FROM (SELECT *, row_number() OVER (ORDER BY v DESC, n_id) AS rn
+          FROM vals)
+    WHERE rn <= 20
+    """
+
+
+@query("q_knn_shapley", oracle=_KNN_SHAPLEY_ORACLE)
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X679 — exact KNN-Shapley data valuation (Jia et al. 2019): the
+    Shapley value of every training point for a K-NN classifier has a
+    CLOSED FORM — rank train points by similarity per test point, then
+    the suffix recursion s_k = s_(k+1) + (δ_k − δ_(k+1))·min(k,K)/(kK)
+    (δ = label match) telescopes into a windowed suffix sum. Averaged
+    over the anchor test set and reporting the top-20 most valuable
+    points — the principled "which examples are worth buying/keeping"
+    number, exact where TracIn/influence functions approximate.
+    Both engines run the identical rank order (rounded cosine,
+    id tie-break) and the identical suffix-sum sequence.
+
+    Scale: valuation-set × train ranking is the cost (q·n scored
+    pairs, two windows) — run on a sampled valuation set, or route
+    candidates through ann.ivf_search with truncated ranks (the
+    standard large-n approximation) when q·n bites."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    train = emb.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("tlbl"),
+    )
+    ranked = (
+        anchors.crossJoin(train)
+        .select(
+            "q_id",
+            "n_id",
+            "tlbl",
+            F.when(F.col("tlbl") == F.col("albl"), 1.0)
+            .otherwise(0.0)
+            .alias("d"),
+            F.round(
+                _vectors.cosine(F.col("emb"), F.col("q_emb")), 6
+            ).alias("c"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("c"), "n_id")
+            ),
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy("q_id")))
+        .localCheckpoint(eager=True)
+    )
+    w_rk = W.partitionBy("q_id").orderBy("rk")
+    terms = ranked.select(
+        "q_id",
+        "n_id",
+        "tlbl",
+        "rk",
+        F.round(
+            F.when(F.col("rk") == F.col("n"), F.col("d") / F.col("n")).otherwise(
+                (F.col("d") - F.lead("d").over(w_rk))
+                * F.least(F.col("rk"), F.lit(_KS_K))
+                / (F.col("rk") * 1.0 * _KS_K)
+            ),
+            10,
+        ).alias("term"),
+    )
+    svals = terms.select(
+        "q_id",
+        "n_id",
+        "tlbl",
+        F.round(
+            F.sum("term").over(
+                W.partitionBy("q_id")
+                .orderBy(F.desc("rk"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            10,
+        ).alias("s"),
+    )
+    vals = svals.groupBy("n_id").agg(
+        F.any_value("tlbl").alias("label"),
+        F.round(F.avg("s"), 10).alias("v"),
+    )
+    return (
+        vals.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("v"), "n_id"))
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("n_id").alias("vec_id"),
+            "label",
+            F.round("v", 6).alias("shapley_value"),
+        )
+    )

@@ -544,3 +544,28 @@ def test_streaming_funnel_incremental_equals_batch(spark, tmp_path):
     wave2.write.mode("append").parquet(inp)
     assert run_streaming_funnel(spark, inp, store, ckpt).awaitTermination(180)
     assert store_funnel() == batch_funnel(docs, "all")
+
+
+def test_knn_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley efficiency: per test point the values sum to the grand
+    coalition's utility — for KNN-Shapley, sum_i s_i = (1/K)·sum of
+    delta over the top-K ranked points = the KNN accuracy on that test
+    point. Check the corpus-level consequence: all top-20 values are
+    positive and labels of the most valuable points overwhelmingly
+    appear among anchor labels (value flows to label-matching
+    neighbors)."""
+    from kafka_stream_spark.plans.round9 import q_knn_shapley
+    from kafka_stream_spark.sources.tables import load
+
+    rows = q_knn_shapley(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["shapley_value"] > 0 for r in rows)
+    anchor_labels = {
+        r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select("label")
+        .collect()
+    }
+    top = [r for r in rows[:10]]
+    assert sum(1 for r in top if r["label"] in anchor_labels) >= 8
