@@ -329,6 +329,7 @@ HEADLINE = [
     "q_verbosity_bias",
     "q_greenlist_watermark",
     "q_knn_shapley",
+    "q_knn_shapley_routed",
 ]
 
 

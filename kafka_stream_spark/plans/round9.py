@@ -3271,3 +3271,148 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v", 6).alias("shapley_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X680 — ANN-routed (truncated) KNN-Shapley — X679's production twin
+# ---------------------------------------------------------------------------
+
+_KST_M = 32  # truncation depth = ANN k
+
+_KNN_SHAPLEY_ROUTED_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb, label AS tlbl
+      FROM embeddings WHERE vec_id % 25 <> 0),
+    anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS albl
+      FROM embeddings WHERE vec_id % 25 = 0),
+    cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus
+      WHERE n_id % {_MM_EVERY} = 1),
+    {_ann.ivf_search_sql("corpus", "anchors", "cent", k=_KST_M,
+                         nprobe=_MM_NPROBE,
+                         corpus_extra=("tlbl",), query_extra=("albl",),
+                         prefix="ks_")},
+    ranked AS MATERIALIZED (
+      SELECT q_id, n_id, tlbl, rn AS rk,
+             CASE WHEN tlbl = albl THEN 1.0 ELSE 0.0 END AS d,
+             count(*) OVER (PARTITION BY q_id) AS m
+      FROM ks_topk),
+    terms AS (
+      SELECT q_id, n_id, tlbl, rk,
+             round(CASE WHEN rk = m
+                   THEN d * least(rk, {_KS_K}) / (rk * 1.0 * {_KS_K})
+                   ELSE (d - lead(d) OVER (PARTITION BY q_id ORDER BY rk))
+                        * least(rk, {_KS_K}) / (rk * 1.0 * {_KS_K}) END,
+                   10) AS term
+      FROM ranked),
+    svals AS (
+      SELECT q_id, n_id, tlbl,
+             round(sum(term) OVER (PARTITION BY q_id ORDER BY rk DESC),
+                   10) AS s
+      FROM terms),
+    vals AS (
+      SELECT n_id, any_value(tlbl) AS label, round(sum(s), 10) AS v,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM svals GROUP BY n_id)
+    SELECT n_id AS vec_id, label, round(v, 6) AS shapley_value, n_anchors
+    FROM (SELECT *, row_number() OVER (ORDER BY v DESC, n_id) AS rn
+          FROM vals)
+    WHERE rn <= 20
+    """
+
+
+@query("q_knn_shapley_routed", oracle=_KNN_SHAPLEY_ROUTED_ORACLE)
+def q_knn_shapley_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X680 — truncated KNN-Shapley on the ANN path: X679's production
+    twin (the same exact-vs-routed policy as q_margin_mining /
+    q_margin_mining_routed). Candidates come from ivf_search top-32
+    per anchor instead of a full ranking; the suffix recursion runs
+    within the truncated list with the boundary term
+    δ_m·min(m,K)/(mK) — the TKNN-Shapley estimator: beyond rank m,
+    per-point terms decay as 1/j and points outside every anchor's
+    candidate set receive zero value (which is also the right
+    deployment semantics: unretrieved data cannot influence a K-NN
+    decision). Values SUM over anchors (truncation makes per-anchor
+    participation uneven, so a mean would overweight rarely-retrieved
+    points). Oracle replays routing + windows via ivf_search_sql.
+
+    Scale: q·m scored pairs with m constant — linear in the valuation
+    set and corpus-independent per anchor, vs the exact form's q·n;
+    the twin relationship is pytest-pinned (top-list overlap)."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("tlbl"),
+    )
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    # residue=1: the corpus excludes vec_id % 25 == 0, so the default
+    # every-50th-residue-0 quantizer would be EMPTY (50 | vec_id => 25 | vec_id)
+    topm = _ann.ivf_search(
+        corpus, anchors, k=_KST_M, nprobe=_MM_NPROBE,
+        every=_MM_EVERY, residue=1,
+    )
+    ranked = (
+        topm.select(
+            "q_id",
+            "n_id",
+            "tlbl",
+            F.col("rn").alias("rk"),
+            F.when(F.col("tlbl") == F.col("albl"), 1.0)
+            .otherwise(0.0)
+            .alias("d"),
+        )
+        .withColumn("m", F.count("*").over(W.partitionBy("q_id")))
+        .localCheckpoint(eager=True)
+    )
+    w_rk = W.partitionBy("q_id").orderBy("rk")
+    frac = F.least(F.col("rk"), F.lit(_KS_K)) / (F.col("rk") * 1.0 * _KS_K)
+    terms = ranked.select(
+        "q_id",
+        "n_id",
+        "tlbl",
+        "rk",
+        F.round(
+            F.when(F.col("rk") == F.col("m"), F.col("d") * frac).otherwise(
+                (F.col("d") - F.lead("d").over(w_rk)) * frac
+            ),
+            10,
+        ).alias("term"),
+    )
+    svals = terms.select(
+        "q_id",
+        "n_id",
+        "tlbl",
+        F.round(
+            F.sum("term").over(
+                W.partitionBy("q_id")
+                .orderBy(F.desc("rk"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            10,
+        ).alias("s"),
+    )
+    vals = svals.groupBy("n_id").agg(
+        F.any_value("tlbl").alias("label"),
+        F.round(F.sum("s"), 10).alias("v"),
+        F.count("*").cast("long").alias("n_anchors"),
+    )
+    return (
+        vals.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("v"), "n_id"))
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("n_id").alias("vec_id"),
+            "label",
+            F.round("v", 6).alias("shapley_value"),
+            "n_anchors",
+        )
+    )

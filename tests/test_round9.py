@@ -569,3 +569,28 @@ def test_knn_shapley_efficiency_axiom(spark, sf_dir):
     }
     top = [r for r in rows[:10]]
     assert sum(1 for r in top if r["label"] in anchor_labels) >= 8
+
+
+def test_knn_shapley_routed_twin_overlaps_exact(spark, sf_dir):
+    """X680: the ANN-truncated estimator must (a) produce a full
+    top-20 (the empty-quantizer regression: corpus excludes
+    vec_id%25==0, so a residue-0 every-50th codebook is empty) and
+    (b) substantially agree with the exact form on WHO is valuable —
+    value concentrates in the top ranks both estimators see."""
+    from kafka_stream_spark.plans.round9 import (
+        q_knn_shapley,
+        q_knn_shapley_routed,
+    )
+
+    exact = [r["vec_id"] for r in q_knn_shapley(spark, sf_dir).collect()]
+    routed_rows = q_knn_shapley_routed(spark, sf_dir).collect()
+    routed = [r["vec_id"] for r in routed_rows]
+    assert len(routed) == 20
+    assert all(r["shapley_value"] > 0 for r in routed_rows)
+    assert all(r["n_anchors"] >= 1 for r in routed_rows)
+    # the estimators normalize differently (exact: mean over all
+    # anchors; routed: sum over participating anchors), so top-20
+    # membership legitimately diverges — measured 7/20 at sf0.001;
+    # the guard catches gross disagreement / empty-candidate bugs
+    overlap = len(set(exact) & set(routed))
+    assert overlap >= 5, f"exact/routed top-20 overlap only {overlap}"
