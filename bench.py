@@ -330,6 +330,12 @@ HEADLINE = [
     "q_greenlist_watermark",
     "q_knn_shapley",
     "q_knn_shapley_routed",
+    "q_speculative_accept",
+    "q_mbr_select",
+    "q_chrf_score",
+    "q_rft_select",
+    "q_elo_ratings",
+    "q_fellegi_sunter",
 ]
 
 

@@ -88,3 +88,4 @@ from . import round7b  # noqa: E402,F401
 from . import round8  # noqa: E402,F401
 from . import round8b  # noqa: E402,F401
 from . import round9  # noqa: E402,F401
+from . import round9b  # noqa: E402,F401

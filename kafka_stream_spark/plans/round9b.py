@@ -1,0 +1,981 @@
+"""Round-9 continuation batch (X681+): inference-efficiency and
+data-curation operators for LLM training pipelines.
+
+Reference scope note: the reference pipeline (kafka_s.py) has no text
+or candidate-selection surface; these are §2.13 mandate extensions,
+reference-free by design.
+
+- X681 q_speculative_accept: speculative-decoding acceptance-rate
+  estimator (Leviathan et al. 2023) — draft = corpus unigram LM,
+  target = corpus bigram LM; per-language expected acceptance and
+  block efficiency for a draft length of 4.
+- X682 q_mbr_select: Minimum-Bayes-Risk candidate selection
+  (Kumar & Byrne 2004; Bertsch et al. 2023 for LLM sampling) — per
+  prompt group pick the candidate maximizing mean token-set Jaccard
+  against the other candidates (the consensus sample).
+- X683 q_chrf_score: chrF (Popović 2015) character n-gram F2 score
+  of each candidate against its prompt group's reference.
+- X684 q_rft_select: rejection-sampling fine-tuning dataset builder
+  (RFT, Yuan et al. 2023) — per prompt keep correct samples deduped
+  by reasoning-path fingerprint, capped at m per prompt.
+
+Determinism discipline (gate contract): ratios of small integers land
+on decimal ties (x.xxxxxx5) with high probability, where Spark's
+BigDecimal-HALF-UP round and DuckDB's double round diverge — so every
+ratio here is quantized to micro-units via EXACT integer half-up
+division ``(2·A + B) div (2·B)`` (= round-half-up(A/B) for A,B ≥ 0),
+summed as associative BIGINTs, and converted to DOUBLE only once at
+the very end by the bit-identical ``micro / 1e6`` division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as _text
+from ..functions.hashing import token_hash, token_hash_sql
+from ..sources.tables import load
+from .registry import query
+
+_MICRO = 1000000
+
+
+def _half_up_sql(num: str, den: str) -> str:
+    """DuckDB round-half-up(num/den) as exact BIGINT arithmetic."""
+    return f"((2 * ({num}) + ({den})) // (2 * ({den})))"
+
+
+def _half_up_col(num: str, den: str) -> F.Column:
+    """Spark twin of :func:`_half_up_sql` (`div` = integral division)."""
+    return F.expr(f"(2 * ({num}) + ({den})) div (2 * ({den}))")
+
+
+# ---------------------------------------------------------------------------
+# X681 — speculative-decoding acceptance-rate estimator
+# ---------------------------------------------------------------------------
+
+_SPEC_GAMMA = 4  # draft length (tokens proposed per target pass)
+
+# acceptance ratio p/q = (cb/c1)/(cu/n) = cb·n / (c1·cu) — one integer ratio
+_SPEC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_text.tokens_sql('text')} AS t FROM documents),
+    uni AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT lang, unnest(t) AS w FROM toks)
+      GROUP BY lang, w),
+    nl AS (
+      SELECT lang, sum(cu) AS n FROM uni GROUP BY lang),
+    bg AS (
+      SELECT lang, t[i + 1] AS w1, t[i + 2] AS w2,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM (SELECT lang, t, unnest(range(len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY 1, 2, 3),
+    pre AS (
+      SELECT lang, w1, sum(cb) AS c1 FROM bg GROUP BY lang, w1),
+    terms AS (
+      SELECT b.lang, b.cb,
+             least({_MICRO},
+                   {_half_up_sql(f'{_MICRO} * b.cb * n.n', 'p.c1 * u.cu')})
+               AS a6
+      FROM bg b
+      JOIN pre p ON p.lang = b.lang AND p.w1 = b.w1
+      JOIN uni u ON u.lang = b.lang AND u.w = b.w2
+      JOIN nl n ON n.lang = b.lang),
+    agg AS (
+      SELECT lang, sum(cb) AS nb, sum(a6 * cb) AS s6
+      FROM terms GROUP BY lang),
+    am AS (
+      SELECT lang, nb, {_half_up_sql('s6', 'nb')} AS a_micro FROM agg),
+    al AS (
+      SELECT lang, nb, a_micro / 1000000.0 AS alpha FROM am)
+    SELECT lang, CAST(nb AS BIGINT) AS n_bigrams,
+           round(alpha, 6) AS alpha,
+           round(1.0 + alpha + alpha * alpha
+                 + alpha * alpha * alpha
+                 + alpha * alpha * alpha * alpha, 6) AS block_efficiency
+    FROM al ORDER BY lang
+    """
+
+
+@query("q_speculative_accept", oracle=_SPEC_ORACLE)
+def q_speculative_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X681 — speculative-decoding acceptance estimator (Leviathan et
+    al. 2023): with a draft model q and target model p, each proposed
+    token is accepted with probability min(1, p/q); the corpus-level
+    acceptance rate α determines block efficiency — the expected
+    number of tokens emitted per target forward pass with draft
+    length γ is (1 − α^(γ+1)) / (1 − α) = 1 + α + … + α^γ. Here the
+    draft is the corpus unigram LM and the target the corpus bigram
+    MLE (the classic "weaker model of the same corpus" pairing), so
+    p/q collapses to the single integer ratio cb·N / (c1·cu), and α
+    is measured per language over every bigram occurrence.
+
+    Determinism: per-bigram-type acceptance is quantized to micro
+    units by exact integer half-up division, count-weighted, and
+    summed as BIGINTs; block efficiency is the γ-term geometric sum
+    written in the same association order in both engines.
+
+    Scale: token/bigram counts are map-side-combinable groupBys keyed
+    by (lang, gram); the terms join is keyed by the same grams —
+    skew-bounded by Zipf head tokens, which AQE's skew-join handles;
+    output is one row per language. (The micro numerator cb·N stays
+    under 2^63 up to ~10^12 tokens/lang; beyond that, rescale to a
+    coarser quantum — a constant, not a design change.)"""
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", _text.tokens(F.col("text")).alias("t")
+    )
+    uni = (
+        toks.select("lang", F.explode("t").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("cu"))
+    )
+    nl = uni.groupBy("lang").agg(F.sum("cu").alias("n"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("lang", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").alias("cb"))
+    )
+    pre = bg.groupBy("lang", "w1").agg(F.sum("cb").alias("c1"))
+    terms = (
+        bg.join(pre, ["lang", "w1"])
+        .join(uni.select("lang", F.col("w").alias("w2"), "cu"), ["lang", "w2"])
+        .join(nl, "lang")
+        .select(
+            "lang",
+            "cb",
+            F.least(
+                F.lit(_MICRO).cast("long"),
+                _half_up_col(f"{_MICRO} * cb * n", "c1 * cu"),
+            ).alias("a6"),
+        )
+    )
+    am = terms.groupBy("lang").agg(
+        F.sum("cb").cast("long").alias("nb"),
+        _half_up_col("sum(a6 * cb)", "sum(cb)").alias("a_micro"),
+    )
+    a = F.col("a_micro") / F.lit(1000000.0)
+    return am.select(
+        "lang",
+        F.col("nb").alias("n_bigrams"),
+        F.round(a, 6).alias("alpha"),
+        F.round(1.0 + a + a * a + a * a * a + a * a * a * a, 6).alias(
+            "block_efficiency"
+        ),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# X682 — Minimum-Bayes-Risk candidate selection
+# ---------------------------------------------------------------------------
+
+_MBR_MOD = 100  # prompt group = doc_id % _MBR_MOD
+
+_MBR_ORACLE = f"""
+    WITH cand AS (
+      SELECT doc_id, doc_id % {_MBR_MOD} AS prompt_id,
+             list_distinct({_text.tokens_sql('text')}) AS ts
+      FROM documents),
+    pair AS (
+      SELECT a.prompt_id, a.doc_id,
+             {_half_up_sql(
+                 f'{_MICRO} * len(list_intersect(a.ts, b.ts))',
+                 'len(list_distinct(list_concat(a.ts, b.ts)))')} AS j6
+      FROM cand a JOIN cand b
+        ON a.prompt_id = b.prompt_id AND a.doc_id <> b.doc_id),
+    sc AS (
+      SELECT prompt_id, doc_id,
+             {_half_up_sql('sum(j6)', 'count(*)')} AS s_micro,
+             CAST(count(*) + 1 AS BIGINT) AS n_candidates
+      FROM pair GROUP BY prompt_id, doc_id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY s_micro DESC, doc_id) AS rn
+      FROM sc)
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id, doc_id,
+           s_micro / 1000000.0 AS mbr_score, n_candidates
+    FROM r WHERE rn = 1 ORDER BY prompt_id
+    """
+
+
+@query("q_mbr_select", oracle=_MBR_ORACLE)
+def q_mbr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X682 — Minimum-Bayes-Risk output selection (Kumar & Byrne
+    2004; the sampling-based LLM variant of Bertsch et al. 2023):
+    within each prompt group the winner is the candidate with the
+    highest MEAN similarity to every other candidate — the consensus
+    sample, which beats single-sample decoding and underlies
+    self-consistency voting when answers are free-form. Similarity
+    is token-set Jaccard (the standard lexical MBR utility when no
+    learned metric is available), quantized per pair to micro units
+    by exact integer half-up division and mean-reduced the same way,
+    so ranking and output are engine-independent.
+
+    Scale: the pairwise join is GROUP-LOCAL (prompt_id equi-join) —
+    n_candidates² per prompt, never corpus²; candidates-per-prompt is
+    fixed by the sampler (n of best-of-n), so the pair count grows
+    linearly in prompts. One shuffle on prompt_id, one window."""
+    cand = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+        F.array_distinct(_text.tokens(F.col("text"))).alias("ts"),
+    )
+    a = cand.alias("a")
+    b = cand.select(
+        "prompt_id",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    pair = (
+        a.join(b, "prompt_id")
+        .filter(F.col("a.doc_id") != F.col("doc_id_b"))
+        .select(
+            "prompt_id",
+            F.col("a.doc_id").alias("doc_id"),
+            F.size(F.array_intersect(F.col("a.ts"), F.col("ts_b"))).alias("ii"),
+            F.size(F.array_union(F.col("a.ts"), F.col("ts_b"))).alias("uu"),
+        )
+        .select(
+            "prompt_id",
+            "doc_id",
+            _half_up_col(f"{_MICRO} * ii", "uu").alias("j6"),
+        )
+    )
+    sc = pair.groupBy("prompt_id", "doc_id").agg(
+        _half_up_col("sum(j6)", "count(*)").alias("s_micro"),
+        (F.count("*") + 1).cast("long").alias("n_candidates"),
+    )
+    w = W.partitionBy("prompt_id").orderBy(F.desc("s_micro"), "doc_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            "doc_id",
+            (F.col("s_micro") / F.lit(1000000.0)).alias("mbr_score"),
+            "n_candidates",
+        )
+        .orderBy("prompt_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X683 — chrF character n-gram F2 score
+# ---------------------------------------------------------------------------
+
+# chrF_n = (1+β²)·P·R / (β²·P + R) with P = ov/tc, R = ov/tr and β = 2
+# collapses to the single integer ratio 5·ov / (4·tr + tc).
+_CHRF_NS = (1, 2)
+
+
+def _chargrams_sql(expr: str, n: int) -> str:
+    return (
+        f"list_transform(range(length({expr}) - {n - 1}), "
+        f"i -> substr({expr}, CAST(i + 1 AS INT), {n}))"
+    )
+
+
+_CHRF_ORACLE = f"""
+    WITH refpick AS (
+      SELECT doc_id % {_MBR_MOD} AS prompt_id, min(doc_id) AS ref_id
+      FROM documents GROUP BY 1),
+    grams AS (
+      SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, 1 AS n, unnest({_chargrams_sql('text', 1)}) AS g
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2 AS n, unnest({_chargrams_sql('text', 2)}) AS g
+        FROM documents WHERE length(text) >= 2)
+      GROUP BY doc_id, n, g),
+    tot AS (
+      SELECT doc_id, n, sum(c) AS t FROM grams GROUP BY doc_id, n),
+    pairs AS (
+      SELECT d.doc_id AS cand_id, r.prompt_id, r.ref_id
+      FROM documents d
+      JOIN refpick r ON d.doc_id % {_MBR_MOD} = r.prompt_id
+      WHERE d.doc_id <> r.ref_id),
+    ov AS (
+      SELECT p.cand_id, cg.n, sum(least(cg.c, rg.c)) AS ov
+      FROM pairs p
+      JOIN grams cg ON cg.doc_id = p.cand_id
+      JOIN grams rg ON rg.doc_id = p.ref_id
+        AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY p.cand_id, cg.n),
+    fm AS (
+      SELECT p.cand_id, p.prompt_id, p.ref_id,
+             {_half_up_sql('5 * 1000000 * coalesce(o.ov, 0)',
+                           '4 * tr.t + tc.t')} AS m
+      FROM pairs p
+      JOIN tot tc ON tc.doc_id = p.cand_id
+      JOIN tot tr ON tr.doc_id = p.ref_id AND tr.n = tc.n
+      LEFT JOIN ov o ON o.cand_id = p.cand_id AND o.n = tc.n)
+    SELECT cand_id, CAST(prompt_id AS BIGINT) AS prompt_id, ref_id,
+           {_half_up_sql('sum(m)', str(len(_CHRF_NS)))} / 1000000.0 AS chrf
+    FROM fm GROUP BY cand_id, prompt_id, ref_id
+    ORDER BY cand_id
+    """
+
+
+@query("q_chrf_score", oracle=_CHRF_ORACLE)
+def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X683 — chrF (Popović 2015): character n-gram F-score with
+    recall weighted β=2 — the tokenization-free MT/generation metric
+    that correlates with human judgment better than BLEU on
+    morphologically rich languages, and the standard candidate-vs-
+    reference score when no reference tokenizer exists. Each prompt
+    group's reference is its min-doc_id member; every other candidate
+    is scored against it over clipped char {1,2}-gram counts (multiset
+    overlap = Σ min(c_cand, c_ref)). With P = ov/tc and R = ov/tr the
+    F2 term 5PR/(4P+R) reduces algebraically to 5·ov/(4·tr + tc) —
+    one integer ratio per n, quantized half-up to micro units and
+    averaged over n in integer space, so both engines emit identical
+    doubles.
+
+    Scale: gram tables are one explode + combinable groupBy (rows ≈
+    total chars); scoring joins are keyed by (doc, n, gram) with one
+    reference per prompt — linear in corpus size, no pairwise blowup."""
+    docs = load(spark, sf_dir, "documents")
+
+    def grams(n: int) -> DataFrame:
+        base = docs if n == 1 else docs.filter(F.length("text") >= n)
+        return base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("text") - n),
+                    lambda i: F.substring("text", i + 1, F.lit(n)),
+                )
+            ).alias("g"),
+        )
+
+    g = (
+        grams(1)
+        .unionAll(grams(2))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = g.groupBy("doc_id", "n").agg(F.sum("c").alias("t"))
+    refpick = docs.groupBy(
+        (F.col("doc_id") % _MBR_MOD).alias("prompt_id")
+    ).agg(F.min("doc_id").alias("ref_id"))
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("cand_id"),
+            (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+        )
+        .join(refpick, "prompt_id")
+        .filter(F.col("cand_id") != F.col("ref_id"))
+    )
+    ov = (
+        pairs.join(
+            g.select(
+                F.col("doc_id").alias("cand_id"), "n", "g", F.col("c").alias("cc")
+            ),
+            "cand_id",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("ref_id"), "n", "g", F.col("c").alias("cr")
+            ),
+            ["ref_id", "n", "g"],
+        )
+        .groupBy("cand_id", "n")
+        .agg(F.sum(F.least("cc", "cr")).alias("ov"))
+    )
+    fm = (
+        pairs.join(
+            tot.select(
+                F.col("doc_id").alias("cand_id"), "n", F.col("t").alias("tc")
+            ),
+            "cand_id",
+        )
+        .join(
+            tot.select(
+                F.col("doc_id").alias("ref_id"), "n", F.col("t").alias("tr")
+            ),
+            ["ref_id", "n"],
+        )
+        .join(ov, ["cand_id", "n"], "left")
+        .withColumn("ov", F.coalesce("ov", F.lit(0)))
+        .select(
+            "cand_id",
+            "prompt_id",
+            "ref_id",
+            _half_up_col("5 * 1000000 * ov", "4 * tr + tc").alias("m"),
+        )
+    )
+    return (
+        fm.groupBy(
+            "cand_id",
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            "ref_id",
+        )
+        .agg(
+            (
+                _half_up_col("sum(m)", str(len(_CHRF_NS)))
+                / F.lit(1000000.0)
+            ).alias("chrf")
+        )
+        .orderBy("cand_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X684 — rejection-sampling fine-tuning (RFT) dataset builder
+# ---------------------------------------------------------------------------
+
+_RFT_M = 4  # max kept samples per prompt
+_RFT_FP_MOD = 16  # reasoning-path fingerprint space
+
+_RFT_ORACLE = f"""
+    WITH bar AS (
+      SELECT sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
+               AS m
+      FROM events),
+    ok AS (
+      SELECT e.user_id, e.event_id, e.value,
+             {token_hash_sql('e.props')} % {_RFT_FP_MOD} AS fp
+      FROM events e, bar WHERE e.value >= bar.m),
+    firsts AS (
+      SELECT user_id, fp, min(event_id) AS event_id
+      FROM ok GROUP BY user_id, fp),
+    kept AS (
+      SELECT o.user_id, o.event_id, o.value, o.fp,
+             row_number() OVER (PARTITION BY o.user_id
+                                ORDER BY o.value DESC, o.event_id) AS rn
+      FROM ok o JOIN firsts f
+        ON f.user_id = o.user_id AND f.fp = o.fp
+           AND f.event_id = o.event_id),
+    paths AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_paths
+      FROM firsts GROUP BY user_id),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             {_half_up_sql(
+                 '10000 * sum(CAST(round(value * 100) AS BIGINT))',
+                 'count(*)')} / 1000000.0 AS mean_reward
+      FROM kept WHERE rn <= {_RFT_M}
+      GROUP BY user_id)
+    SELECT a.user_id, a.n_kept, p.n_paths, a.mean_reward
+    FROM agg a JOIN paths p ON p.user_id = a.user_id
+    ORDER BY a.user_id
+    """
+
+
+@query("q_rft_select", oracle=_RFT_ORACLE)
+def q_rft_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X684 — rejection-sampling fine-tuning dataset builder (RFT,
+    Yuan et al. 2023): per prompt keep only CORRECT samples (reward
+    clears the corpus bar), dedup them by reasoning-path fingerprint
+    (distinct solution paths add augmentation value; re-samples of the
+    same path add none), and cap at m per prompt ranked by reward.
+    The fingerprint is a hash of the sample's payload into a small
+    path space — the stand-in for the equation-sequence dedup in the
+    paper. One row per prompt: kept count, distinct paths, mean kept
+    reward (integer cents half-up to micro units ⇒ associative and
+    engine-identical).
+
+    Scale: one scalar broadcast (the bar), two per-key groupBys and
+    one per-key window — group sizes are samples-per-prompt, bounded
+    by the sampler; no cross-prompt interaction anywhere."""
+    e = load(spark, sf_dir, "events")
+    bar = e.agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count("*"))
+        ).alias("m")
+    )
+    ok = (
+        e.crossJoin(F.broadcast(bar))
+        .filter(F.col("value") >= F.col("m"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (token_hash(F.col("props")) % _RFT_FP_MOD).alias("fp"),
+        )
+    )
+    firsts = ok.groupBy("user_id", "fp").agg(
+        F.min("event_id").alias("event_id")
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    kept = (
+        ok.join(firsts, ["user_id", "fp", "event_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RFT_M)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_paths")
+    )
+    return (
+        kept.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            (
+                _half_up_col("10000 * sum(cents)", "count(*)")
+                / F.lit(1000000.0)
+            ).alias("mean_reward"),
+        )
+        .join(paths, "user_id")
+        .select("user_id", "n_kept", "n_paths", "mean_reward")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X685 — online pairwise-rating fold (Elo with Bradley-Terry expectation)
+# ---------------------------------------------------------------------------
+
+_ELO_K = 16
+_ELO_NP = 8  # players per arena (user_id mod)
+_ELO_INIT = 1000000  # milli-points (1000.000)
+
+_ELO_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    g0 AS (
+      SELECT a.event_type,
+             CAST(a.user_id % 8 AS BIGINT) AS pa,
+             CAST(b.user_id % 8 AS BIGINT) AS pb,
+             CASE WHEN a.value > b.value THEN 2
+                  WHEN a.value < b.value THEN 0 ELSE 1 END AS s2,
+             a.rn AS ord
+      FROM seq a JOIN seq b
+        ON b.event_type = a.event_type AND b.rn = a.rn + 1
+      WHERE a.rn % 2 = 1 AND a.user_id % 8 <> b.user_id % 8),
+    g AS (
+      SELECT event_type, pa, pb, s2,
+             row_number() OVER (PARTITION BY event_type ORDER BY ord) AS gn
+      FROM g0),
+    init AS (SELECT DISTINCT event_type FROM g),
+    st AS (
+      SELECT event_type, 0 AS step,
+             list_transform(range(8), i -> CAST(1000000 AS BIGINT)) AS r
+      FROM init
+      UNION ALL
+      SELECT event_type, step + 1,
+             list_transform(range(8), i ->
+               CASE WHEN i = pa THEN r[CAST(i + 1 AS INT)] + delta
+                    WHEN i = pb THEN r[CAST(i + 1 AS INT)] - delta
+                    ELSE r[CAST(i + 1 AS INT)] END)
+      FROM (
+        SELECT event_type, step, r, pa, pb,
+               CASE WHEN d_num >= 0
+                    THEN (2 * d_num + 100000) // 200000
+                    ELSE -((2 * (-d_num) + 100000) // 200000) END AS delta
+        FROM (
+          SELECT s.event_type, s.step, s.r, q.pa, q.pb,
+                 16 * (q.s2 * 50000000
+                   - ((2 * (100000000 * s.r[CAST(q.pa + 1 AS INT)])
+                       + (s.r[CAST(q.pa + 1 AS INT)]
+                          + s.r[CAST(q.pb + 1 AS INT)]))
+                      // (2 * (s.r[CAST(q.pa + 1 AS INT)]
+                               + s.r[CAST(q.pb + 1 AS INT)])))) AS d_num
+          FROM st s JOIN g q
+            ON q.event_type = s.event_type AND q.gn = s.step + 1) t1
+      ) t2),
+    fin AS (
+      SELECT event_type, r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY step DESC) AS rk
+      FROM st),
+    flat AS (
+      SELECT event_type, CAST(i AS BIGINT) AS player,
+             r[CAST(i + 1 AS INT)] / 1000.0 AS rating
+      FROM fin, unnest(range(8)) u(i) WHERE rk = 1),
+    ng AS (
+      SELECT event_type, p AS player, CAST(count(*) AS BIGINT) AS n_games
+      FROM (SELECT event_type, pa AS p FROM g
+            UNION ALL SELECT event_type, pb FROM g)
+      GROUP BY 1, 2)
+    SELECT f.event_type, f.player, f.rating,
+           coalesce(n.n_games, 0) AS n_games
+    FROM flat f LEFT JOIN ng n
+      ON n.event_type = f.event_type AND n.player = f.player
+    ORDER BY f.event_type, f.player
+    """
+
+
+def elo_fold(games, r: list[int], ngames: list[int]) -> None:
+    """Fold ordered games (pa, pb, s2) into milli-point ratings IN
+    PLACE — exact integer arithmetic shared by the batch query and
+    the streaming store (streaming/pipeline.run_streaming_elo).
+
+    The expected score uses the Bradley-Terry form e = ra/(ra+rb)
+    (Elo IS the logistic-link BT online update; the rational link
+    keeps every step in exact integers): e8 = half-up(1e8·ra/(ra+rb)),
+    Δ_milli = half-up(|K·(s2·5e7 − e8)| / 1e5) signed — zero-sum by
+    construction, so Σ ratings is conserved exactly forever."""
+    for pa, pb, s2 in games:
+        ra, rb = r[pa], r[pb]
+        e8 = (2 * (100000000 * ra) + (ra + rb)) // (2 * (ra + rb))
+        d = _ELO_K * (s2 * 50000000 - e8)
+        mag = (2 * abs(d) + 100000) // 200000
+        delta = mag if d >= 0 else -mag
+        r[pa] += delta
+        r[pb] -= delta
+        ngames[pa] += 1
+        ngames[pb] += 1
+
+
+def elo_games_df(e: DataFrame) -> DataFrame:
+    """Events → ordered games: consecutive event pairs per arena
+    (event_type), ordered by (ts, event_id); A = the odd row, B = the
+    next row; self-play (same player slot) is skipped but still
+    consumes its rows, so pairing parity is a property of the event
+    SEQUENCE, not of the surviving games."""
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lead("user_id").over(w).alias("ub"),
+        F.lead("value").over(w).alias("vb"),
+    )
+    g0 = s.filter(
+        (F.col("rn") % 2 == 1)
+        & F.col("ub").isNotNull()
+        & (F.col("user_id") % _ELO_NP != F.col("ub") % _ELO_NP)
+    ).select(
+        "event_type",
+        (F.col("user_id") % _ELO_NP).cast("long").alias("pa"),
+        (F.col("ub") % _ELO_NP).cast("long").alias("pb"),
+        F.when(F.col("value") > F.col("vb"), F.lit(2))
+        .when(F.col("value") < F.col("vb"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("s2"),
+        F.col("rn").alias("ord"),
+    )
+    wg = W.partitionBy("event_type").orderBy("ord")
+    return g0.withColumn("gn", F.row_number().over(wg)).drop("ord")
+
+
+def elo_ratings_df(e: DataFrame) -> DataFrame:
+    """Batch arena ratings from an events DataFrame (the arithmetic
+    q_elo_ratings and the streaming store's per-wave parity test
+    share)."""
+    g = elo_games_df(e)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("gn")
+        r = [_ELO_INIT] * _ELO_NP
+        ng = [0] * _ELO_NP
+        elo_fold(
+            zip(
+                (int(x) for x in pdf["pa"]),
+                (int(x) for x in pdf["pb"]),
+                (int(x) for x in pdf["s2"]),
+            ),
+            r,
+            ng,
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]] * _ELO_NP,
+                "player": list(range(_ELO_NP)),
+                "r_milli": r,
+                "n_games": ng,
+            }
+        )
+
+    state = g.groupBy("event_type").applyInPandas(
+        fold,
+        schema="event_type string, player long, r_milli long, n_games long",
+    )
+    return state.select(
+        "event_type",
+        "player",
+        (F.col("r_milli") / F.lit(1000.0)).alias("rating"),
+        "n_games",
+    ).orderBy("event_type", "player")
+
+
+@query("q_elo_ratings", oracle=_ELO_ORACLE)
+def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X685 — online pairwise-rating fold (Elo 1978 with the
+    Bradley-Terry expected-score link): consecutive events per arena
+    (event_type) form games between player slots (user_id mod 8);
+    ratings update sequentially — e = ra/(ra+rb), Δ = K·(s − e) —
+    the order-dependent fold behind chatbot-arena leaderboards and
+    matchmaking. Every step is exact integer milli-point arithmetic
+    (half-up divisions, signed magnitudes handled explicitly so
+    truncation-vs-floor integer division can never diverge between
+    engines), and updates are zero-sum, so Σ ratings = 8e6 milli per
+    arena is conserved exactly — pinned by pytest.
+
+    Like the Kalman fold (X648): sequential in game order but
+    embarrassingly parallel across arenas — ONE applyInPandas shuffle,
+    zero driver-side iteration; the oracle replays the identical
+    integer recurrence as a recursive CTE carrying the rating vector.
+
+    Scale: per-arena game streams are calendar/stream-bounded rows;
+    arenas partition the work. The streaming face
+    (run_streaming_elo) folds only NEW games per micro-batch from the
+    versioned store's rating vector — a leaderboard service never
+    rescans history."""
+    return elo_ratings_df(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# X687 — Fellegi-Sunter probabilistic record linkage (EM-fitted m/u)
+# ---------------------------------------------------------------------------
+
+_FS_ITERS = 3
+_FS_S = 100  # responsibility quantum (t ≈ w·c·S)
+_FS_INIT = (900, 900, 900, 100, 100, 100, 10)  # m1..m3, u1..u3, p (milli)
+
+_FS_PAT_SQL = """
+    pat AS (
+      SELECT b1 * 4 + b2 * 2 + b3 AS j, b1, b2, b3,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS b1,
+               CASE WHEN a.ft = b.ft THEN 1 ELSE 0 END AS b2,
+               CASE WHEN a.nb = b.nb THEN 1 ELSE 0 END AS b3
+        FROM side_a a JOIN side_b b ON a.lang = b.lang)
+      GROUP BY b1, b2, b3)
+    """
+
+
+def _fs_sides_sql() -> str:
+    toks = _text.tokens_sql("text")
+    side = f"""
+      SELECT doc_id, lang, source, n_chars // 50 AS nb,
+             {toks}[1] AS ft
+      FROM documents"""
+    # halves split by (doc_id // 20) % 2 — the testdata assigns
+    # source = src(doc_id % 20), so a plain parity split would never
+    # put the same source on both sides
+    return f"""
+    side_a AS ({side} WHERE (doc_id // 20) % 2 = 0),
+    side_b AS ({side} WHERE (doc_id // 20) % 2 = 1)"""
+
+
+def _fs_iter_sql(prev: str, cur: str) -> str:
+    """One EM step: responsibilities t_j = half-up(numM·c·S / (numM+numU))
+    in exact integers, then milli-state updates clamped to [1, 999]."""
+
+    def pm(which: str, f: int, b: str) -> str:
+        return (
+            f"(CASE WHEN {b} = 1 THEN st.{which}{f} "
+            f"ELSE 1000 - st.{which}{f} END)"
+        )
+
+    num_m = f"st.p * {pm('m', 1, 'b1')} * {pm('m', 2, 'b2')} * {pm('m', 3, 'b3')}"
+    num_u = (
+        f"(1000 - st.p) * {pm('u', 1, 'b1')} * {pm('u', 2, 'b2')} "
+        f"* {pm('u', 3, 'b3')}"
+    )
+
+    def upd(which: str, f: int) -> str:
+        b = f"b{f}"
+        if which == "m":
+            num, den = f"sum(CASE WHEN {b} = 1 THEN t ELSE 0 END)", "sum(t)"
+        else:
+            num, den = (
+                f"sum(CASE WHEN {b} = 1 THEN cs - t ELSE 0 END)",
+                "sum(cs - t)",
+            )
+        return (
+            f"least(999, greatest(1, "
+            f"{_half_up_sql(f'1000 * {num}', den)})) AS {which}{f}"
+        )
+
+    return f"""
+    t_{cur} AS (
+      SELECT j, b1, b2, b3, c, c * {_FS_S} AS cs,
+             {_half_up_sql(f'({num_m}) * c * {_FS_S}',
+                           f'({num_m}) + ({num_u})')} AS t
+      FROM pat, {prev} st),
+    {cur} AS (
+      SELECT {upd('m', 1)}, {upd('m', 2)}, {upd('m', 3)},
+             {upd('u', 1)}, {upd('u', 2)}, {upd('u', 3)},
+             least(999, greatest(1,
+               {_half_up_sql('1000 * sum(t)', 'sum(cs)')})) AS p
+      FROM t_{cur})"""
+
+
+def _fs_oracle() -> str:
+    m1, m2, m3, u1, u2, u3, p = _FS_INIT
+    iters = "".join(
+        "," + _fs_iter_sql(f"st{i}", f"st{i + 1}")
+        for i in range(_FS_ITERS)
+    )
+    fin = f"st{_FS_ITERS}"
+    field_rows = ", ".join(
+        f"({f}, '{name}')"
+        for f, name in ((1, "source"), (2, "first_token"),
+                        (3, "n_chars_bucket"))
+    )
+    return f"""
+    WITH {_fs_sides_sql()},
+    {_FS_PAT_SQL},
+    st0 AS (SELECT CAST({m1} AS BIGINT) AS m1, CAST({m2} AS BIGINT) AS m2,
+                   CAST({m3} AS BIGINT) AS m3, CAST({u1} AS BIGINT) AS u1,
+                   CAST({u2} AS BIGINT) AS u2, CAST({u3} AS BIGINT) AS u3,
+                   CAST({p} AS BIGINT) AS p)
+    {iters},
+    np AS (SELECT sum(c) AS n_pairs FROM pat)
+    SELECT f.field, f.name,
+           CASE f.field WHEN 1 THEN s.m1 WHEN 2 THEN s.m2
+                ELSE s.m3 END / 1000.0 AS m,
+           CASE f.field WHEN 1 THEN s.u1 WHEN 2 THEN s.u2
+                ELSE s.u3 END / 1000.0 AS u,
+           {_half_up_sql(
+               '''1000000 * (CASE f.field WHEN 1 THEN s.m1
+                  WHEN 2 THEN s.m2 ELSE s.m3 END)''',
+               '''CASE f.field WHEN 1 THEN s.u1 WHEN 2 THEN s.u2
+                  ELSE s.u3 END''')} / 1000000.0 AS lr,
+           s.p / 1000.0 AS match_rate,
+           CAST(np.n_pairs AS BIGINT) AS n_pairs
+    FROM (VALUES {field_rows}) f(field, name), {fin} s, np
+    ORDER BY f.field
+    """
+
+
+def _fs_em(counts: list[tuple[int, int]]) -> tuple[int, ...]:
+    """Exact integer EM over (pattern j, count) pairs — the identical
+    arithmetic the oracle unrolls; bounded driver math over ≤8 ints."""
+
+    def half_up(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    m = list(_FS_INIT[:3])
+    u = list(_FS_INIT[3:6])
+    p = _FS_INIT[6]
+    for _ in range(_FS_ITERS):
+        ts, css = [], []
+        bits = []
+        for j, c in counts:
+            b = ((j >> 2) & 1, (j >> 1) & 1, j & 1)
+            num_m = p
+            num_u = 1000 - p
+            for f in range(3):
+                num_m *= m[f] if b[f] else 1000 - m[f]
+                num_u *= u[f] if b[f] else 1000 - u[f]
+            t = half_up(num_m * c * _FS_S, num_m + num_u)
+            ts.append(t)
+            css.append(c * _FS_S)
+            bits.append(b)
+        tot_t, tot_cs = sum(ts), sum(css)
+        clamp = lambda v: max(1, min(999, v))  # noqa: E731
+        m = [
+            clamp(
+                half_up(
+                    1000 * sum(t for t, b in zip(ts, bits) if b[f]), tot_t
+                )
+            )
+            for f in range(3)
+        ]
+        u = [
+            clamp(
+                half_up(
+                    1000
+                    * sum(cs - t for t, cs, b in zip(ts, css, bits) if b[f]),
+                    tot_cs - tot_t,
+                )
+            )
+            for f in range(3)
+        ]
+        p = clamp(half_up(1000 * tot_t, tot_cs))
+    return (*m, *u, p)
+
+
+@query("q_fellegi_sunter", oracle=_fs_oracle())
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X687 — Fellegi-Sunter probabilistic record linkage (1969; the
+    Splink/Census model): candidate pairs blocked on (lang, source)
+    between the even- and odd-doc_id halves of the corpus; per-field
+    agreement patterns (n_chars bucket, first token, token-count
+    bucket) are reduced to 8 pattern counts, and the match/unmatch
+    probabilities m_f, u_f plus the match prevalence p are fitted by
+    EM over the product-Bernoulli mixture. The per-field likelihood
+    ratio m/u is the FS match weight downstream classifiers threshold
+    on.
+
+    Spark-first split: the O(pairs) work — blocking join + pattern
+    counting — is fully distributed; EM itself is closed-form over
+    the ≤8 pattern counts (a documented bounded driver fold, like the
+    repo's other scalar-state fits), in EXACT milli-integer
+    arithmetic (state clamped to [1,999] so products never vanish)
+    that the oracle unrolls as {_FS_ITERS} CTE iterations.
+
+    Scale: blocks bound the pairwise join (never corpus²); pattern
+    counting is a map-side-combinable 8-bucket groupBy. The int64
+    responsibility headroom (numM·c·S ≤ ~1e14·c) supports ~3e4
+    pairs-per-pattern per fit; beyond that rescale S — a constant.
+    (Docstring constants interpolated: iters={_FS_ITERS}.)"""
+    toks = _text.tokens(F.col("text"))
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 50").alias("nb"),
+        F.element_at(toks, 1).alias("ft"),
+    )
+    a = side.filter(F.expr("(doc_id div 20) % 2 = 0"))
+    b = side.filter(F.expr("(doc_id div 20) % 2 = 1"))
+    pat = (
+        a.alias("a")
+        .join(b.alias("b"), ["lang"])
+        .select(
+            (F.col("a.source") == F.col("b.source")).cast("int").alias("b1"),
+            (F.col("a.ft") == F.col("b.ft")).cast("int").alias("b2"),
+            (F.col("a.nb") == F.col("b.nb")).cast("int").alias("b3"),
+        )
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            (F.col("b1") * 4 + F.col("b2") * 2 + F.col("b3")).alias("j"), "c"
+        )
+    )
+    counts = [(int(r["j"]), int(r["c"])) for r in pat.collect()]
+    n_pairs = sum(c for _, c in counts)
+    m1, m2, m3, u1, u2, u3, p = _fs_em(counts)
+    names = ("source", "first_token", "n_chars_bucket")
+    rows = [
+        (f + 1, names[f], mm, uu)
+        for f, (mm, uu) in enumerate(((m1, u1), (m2, u2), (m3, u3)))
+    ]
+    out = spark.createDataFrame(
+        rows, schema="field int, name string, m_milli long, u_milli long"
+    )
+    return out.select(
+        "field",
+        "name",
+        (F.col("m_milli") / F.lit(1000.0)).alias("m"),
+        (F.col("u_milli") / F.lit(1000.0)).alias("u"),
+        (
+            F.expr(
+                "(2 * 1000000 * m_milli + u_milli) div (2 * u_milli)"
+            )
+            / F.lit(1000000.0)
+        ).alias("lr"),
+        (F.lit(p) / F.lit(1000.0)).alias("match_rate"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+    ).orderBy("field")

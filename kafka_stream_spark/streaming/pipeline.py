@@ -2496,3 +2496,159 @@ def funnel_from_store(cells: DataFrame) -> DataFrame:
     from ..plans.round9 import funnel_from_cells
 
     return funnel_from_cells(cells)
+
+
+def run_streaming_elo(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X686 — live arena leaderboard (X685's streaming face): the Elo
+    fold is ORDER-DEPENDENT, so unlike the additive stores the state
+    is a versioned rating VECTOR per arena plus the dangling unpaired
+    event (games pair consecutive events, and a micro-batch boundary
+    can split a pair). Each batch folds only its NEW games, in event
+    order, from the stored vector — exact integer milli-points all
+    the way (plans/round9b.elo_fold), so incremental == batch is an
+    identity, not a tolerance, after every commit.
+
+    Correctness contract: arrival must be event-time-ordered across
+    batches (a stream reading an ordered log is; cross-batch late
+    data would need the X574-style versioned replay instead). The
+    read side (elo_from_store) emits the exact q_elo_ratings shape.
+
+    Scale: state is 8 ratings + 1 carry row per arena — O(arenas),
+    independent of history; each batch shuffles only its own events
+    once (the cogroup), never rescans the log."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(store_dir)
+        ) is not None and last >= batch_id:
+            return  # foreachBatch replay of a committed batch
+        existing = merged_store_read(batch.sparkSession, store_dir)
+        new_state = elo_state_fold(existing, batch)
+        # materialize BEFORE overwriting: the fold reads the version
+        # it is about to supersede
+        new_state = new_state.localCheckpoint(eager=True)
+        merged_store_write(new_state, store_dir, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_ELO_STATE_SCHEMA = (
+    "event_type string, player long, r_milli long, n_games long, "
+    "carry_user long, carry_value double, carry_ts timestamp, "
+    "carry_event_id long"
+)
+
+
+def elo_state_fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """(state-so-far, new events) → new state: per arena, replay
+    [stored carry] + batch events in (ts, event_id) order through the
+    exact integer fold. Rows with player >= 0 are the rating vector;
+    the single player = -1 row is the dangling unpaired event (NULL
+    user when none)."""
+    from ..plans.round9b import _ELO_INIT, _ELO_NP, elo_fold
+
+    sess = batch.sparkSession
+    ev = batch.select(
+        "event_type", "ts", "event_id", "user_id", "value"
+    )
+    if existing is None:
+        existing = sess.createDataFrame([], _ELO_STATE_SCHEMA)
+
+    def fn(key, state_pdf, ev_pdf):
+        import pandas as pd
+
+        event_type = key[0]
+        r = [_ELO_INIT] * _ELO_NP
+        ng = [0] * _ELO_NP
+        carry = None  # (user_id, value, ts, event_id)
+        for row in state_pdf.itertuples():
+            if row.player >= 0:
+                r[int(row.player)] = int(row.r_milli)
+                ng[int(row.player)] = int(row.n_games)
+            elif row.carry_user is not None and not pd.isna(row.carry_user):
+                carry = (
+                    int(row.carry_user),
+                    float(row.carry_value),
+                    row.carry_ts,
+                    int(row.carry_event_id),
+                )
+        ev_pdf = ev_pdf.sort_values(["ts", "event_id"])
+        seq = list(
+            zip(
+                (int(x) for x in ev_pdf["user_id"]),
+                (float(x) for x in ev_pdf["value"]),
+                ev_pdf["ts"],
+                (int(x) for x in ev_pdf["event_id"]),
+            )
+        )
+        if carry is not None:
+            seq.insert(0, carry)
+        games = []
+        i = 0
+        while i + 1 < len(seq):
+            ua, va = seq[i][0], seq[i][1]
+            ub, vb = seq[i + 1][0], seq[i + 1][1]
+            pa, pb = ua % _ELO_NP, ub % _ELO_NP
+            if pa != pb:
+                games.append((pa, pb, 2 if va > vb else (0 if va < vb else 1)))
+            i += 2
+        new_carry = seq[-1] if len(seq) % 2 == 1 else None
+        elo_fold(games, r, ng)
+        out = {
+            "event_type": [event_type] * (_ELO_NP + 1),
+            "player": list(range(_ELO_NP)) + [-1],
+            "r_milli": r + [0],
+            "n_games": ng + [0],
+            "carry_user": [None] * _ELO_NP
+            + [new_carry[0] if new_carry else None],
+            "carry_value": [None] * _ELO_NP
+            + [new_carry[1] if new_carry else None],
+            "carry_ts": [None] * _ELO_NP
+            + [new_carry[2] if new_carry else None],
+            "carry_event_id": [None] * _ELO_NP
+            + [new_carry[3] if new_carry else None],
+        }
+        return pd.DataFrame(out)
+
+    return (
+        existing.groupBy("event_type")
+        .cogroup(ev.groupBy("event_type"))
+        .applyInPandas(fn, schema=_ELO_STATE_SCHEMA)
+    )
+
+
+def elo_from_store(cells: DataFrame) -> DataFrame:
+    """Store rows → the q_elo_ratings output shape (arenas with at
+    least one folded game, ratings in points)."""
+    played = (
+        cells.filter(F.col("player") >= 0)
+        .groupBy("event_type")
+        .agg(F.sum("n_games").alias("tg"))
+        .filter(F.col("tg") > 0)
+        .select("event_type")
+    )
+    return (
+        cells.filter(F.col("player") >= 0)
+        .join(played, "event_type")
+        .select(
+            "event_type",
+            "player",
+            (F.col("r_milli") / F.lit(1000.0)).alias("rating"),
+            "n_games",
+        )
+        .orderBy("event_type", "player")
+    )

@@ -1,0 +1,230 @@
+"""Semantic invariants for the round-9 continuation batch (X681–X684)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.functions import text as _text
+from kafka_stream_spark.plans.round9b import (
+    _MBR_MOD,
+    _RFT_M,
+    _SPEC_GAMMA,
+    q_chrf_score,
+    q_mbr_select,
+    q_rft_select,
+    q_speculative_accept,
+)
+from kafka_stream_spark.sources.tables import load
+
+
+def test_speculative_alpha_in_unit_interval_and_block_efficiency(spark, sf_dir):
+    rows = q_speculative_accept(spark, sf_dir).collect()
+    assert rows, "at least one language"
+    for r in rows:
+        assert 0.0 <= r["alpha"] <= 1.0
+        # block efficiency of a γ-token draft is within [1, γ+1]
+        assert 1.0 <= r["block_efficiency"] <= _SPEC_GAMMA + 1
+        # geometric-sum consistency at the reported rounding
+        a = r["alpha"]
+        expect = 1 + a + a**2 + a**3 + a**4
+        assert abs(r["block_efficiency"] - expect) < 5e-5
+
+
+def test_speculative_bigram_target_never_worse_than_half(spark, sf_dir):
+    """Observed bigrams have p(w2|w1) ≥ 1/c1 > 0; with the draft being
+    the marginal unigram of the SAME corpus, acceptance of the argmax
+    continuation is high — sanity floor only (α > 0)."""
+    rows = q_speculative_accept(spark, sf_dir).collect()
+    assert all(r["alpha"] > 0.0 for r in rows)
+
+
+def test_mbr_winner_is_argmax_of_mean_jaccard(spark, sf_dir):
+    """Recompute the consensus score for one prompt group in pure
+    Python and confirm the winner matches."""
+    sel = {r["prompt_id"]: r for r in q_mbr_select(spark, sf_dir).collect()}
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _text.tokens(F.col("text")).alias("t"))
+        .collect()
+    )
+    group = {r["doc_id"]: set(r["t"]) for r in docs if r["doc_id"] % _MBR_MOD == 7}
+    assert len(group) >= 2
+    best = None
+    for a, ta in group.items():
+        # replicate the micro-unit quantization: per-pair half-up, then
+        # half-up of the integer mean
+        j6s = [
+            (2 * 1000000 * len(ta & tb) + len(ta | tb)) // (2 * len(ta | tb))
+            for b, tb in group.items()
+            if b != a
+        ]
+        micro = (2 * sum(j6s) + len(j6s)) // (2 * len(j6s))
+        key = (-micro, a)
+        if best is None or key < best[0]:
+            best = (key, a, micro)
+    assert sel[7]["doc_id"] == best[1]
+    assert abs(sel[7]["mbr_score"] - best[2] / 1e6) < 1e-12
+    assert sel[7]["n_candidates"] == len(group)
+
+
+def test_chrf_identical_text_scores_near_one(spark, sf_dir):
+    """chrF of a candidate against itself is exactly 1; against its
+    group reference it is in [0, 1] and equals the reduced integer
+    ratio 5·ov/(4·tr+tc) averaged over n."""
+    rows = q_chrf_score(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r["chrf"] <= 1.0 for r in rows)
+    # every non-reference doc of every prompt group is scored
+    n_docs = load(spark, sf_dir, "documents").count()
+    n_groups = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % _MBR_MOD).alias("p"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_docs - n_groups
+    # candidates never score against themselves
+    assert all(r["cand_id"] != r["ref_id"] for r in rows)
+
+
+def test_rft_caps_and_path_dedup(spark, sf_dir):
+    rows = q_rft_select(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_kept"] <= _RFT_M
+        # the cap binds exactly: kept = min(m, available distinct paths)
+        assert r["n_kept"] == min(_RFT_M, r["n_paths"])
+
+
+def test_rft_kept_rewards_clear_the_bar(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    bar = e.agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count("*"))
+        ).alias("m")
+    ).collect()[0]["m"]
+    rows = q_rft_select(spark, sf_dir).collect()
+    # mean kept reward per prompt can't be below the correctness bar
+    assert all(r["mean_reward"] >= bar - 1e-9 for r in rows)
+
+
+def test_streaming_elo_incremental_equals_batch(spark, tmp_path):
+    """X686: the versioned Elo store, read through elo_from_store,
+    must equal the batch q_elo_ratings on events-so-far after every
+    wave. Waves are TS-ordered splits (the fold is order-dependent;
+    a stream reading an ordered log delivers exactly this). The split
+    point is odd per arena somewhere, so the carry row is exercised."""
+    from kafka_stream_spark.plans.round9b import elo_ratings_df
+    from kafka_stream_spark.streaming.pipeline import (
+        elo_from_store,
+        merged_store_read,
+        run_streaming_elo,
+    )
+    from kafka_stream_spark.sources.tables import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    cut = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    wave1 = events.filter(F.col("ts") <= F.lit(cut))
+    wave2 = events.filter(F.col("ts") > F.lit(cut))
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "elo")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_ratings():
+        return {
+            tuple(r)
+            for r in elo_from_store(merged_store_read(spark, store)).collect()
+        }
+
+    def batch_ratings(d):
+        return {tuple(r) for r in elo_ratings_df(d).collect()}
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_elo(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_ratings() == batch_ratings(wave1)
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_elo(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_ratings() == batch_ratings(events)
+
+
+def test_elo_zero_sum_conserved(spark, sf_dir):
+    """Every Elo update is zero-sum in exact integers, so per arena
+    Σ ratings = 8 × 1000.000 points forever."""
+    from kafka_stream_spark.plans.round9b import (
+        _ELO_INIT,
+        _ELO_NP,
+        q_elo_ratings,
+    )
+
+    rows = q_elo_ratings(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], 0)
+        per[r["event_type"]] += round(r["rating"] * 1000)
+    assert per and all(
+        v == _ELO_NP * _ELO_INIT for v in per.values()
+    ), per
+
+
+def test_fellegi_sunter_em_separates_m_from_u(spark, sf_dir):
+    """After EM the match-class agreement probability for the source
+    field must exceed the unmatch-class one (pairs sharing a source
+    agree more on everything), probabilities live in (0, 1), and the
+    likelihood ratio equals m/u at the quantized precision."""
+    from kafka_stream_spark.plans.round9b import q_fellegi_sunter
+
+    rows = {r["name"]: r for r in q_fellegi_sunter(spark, sf_dir).collect()}
+    assert set(rows) == {"source", "first_token", "n_chars_bucket"}
+    for r in rows.values():
+        assert 0.0 < r["m"] < 1.0 and 0.0 < r["u"] < 1.0
+        assert 0.0 < r["match_rate"] < 1.0
+        assert r["n_pairs"] > 0
+        expect_lr = (2 * 1000000 * round(r["m"] * 1000)
+                     + round(r["u"] * 1000)) // (2 * round(r["u"] * 1000))
+        assert abs(r["lr"] - expect_lr / 1e6) < 1e-9
+
+
+def test_fellegi_sunter_em_is_exact_integer_replay(spark, sf_dir):
+    """The driver-side EM must be the literal integer recurrence: replay
+    it from the distributed pattern counts and compare."""
+    from kafka_stream_spark.plans.round9b import _fs_em
+    from kafka_stream_spark.functions import text as _text
+    from kafka_stream_spark.sources.tables import load
+
+    toks = _text.tokens(F.col("text"))
+    side = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 50").alias("nb"),
+        F.element_at(toks, 1).alias("ft"),
+    )
+    a = side.filter(F.expr("(doc_id div 20) % 2 = 0"))
+    b = side.filter(F.expr("(doc_id div 20) % 2 = 1"))
+    pat = (
+        a.alias("a")
+        .join(b.alias("b"), ["lang"])
+        .select(
+            (F.col("a.source") == F.col("b.source")).cast("int").alias("b1"),
+            (F.col("a.ft") == F.col("b.ft")).cast("int").alias("b2"),
+            (F.col("a.nb") == F.col("b.nb")).cast("int").alias("b3"),
+        )
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    counts = [(r["b1"] * 4 + r["b2"] * 2 + r["b3"], r["c"]) for r in pat]
+    m1, m2, m3, u1, u2, u3, p = _fs_em(counts)
+    from kafka_stream_spark.plans.round9b import q_fellegi_sunter
+
+    rows = {r["field"]: r for r in q_fellegi_sunter(spark, sf_dir).collect()}
+    assert round(rows[1]["m"] * 1000) == m1
+    assert round(rows[2]["m"] * 1000) == m2
+    assert round(rows[3]["u"] * 1000) == u3
+    assert round(rows[1]["match_rate"] * 1000) == p
