@@ -336,6 +336,9 @@ HEADLINE = [
     "q_rft_select",
     "q_elo_ratings",
     "q_fellegi_sunter",
+    "q_grad_noise_scale",
+    "q_mojibake_audit",
+    "q_token_crossentropy",
 ]
 
 

@@ -979,3 +979,277 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(p) / F.lit(1000.0)).alias("match_rate"),
         F.lit(n_pairs).cast("long").alias("n_pairs"),
     ).orderBy("field")
+
+
+# ---------------------------------------------------------------------------
+# X688 — gradient noise scale (critical batch size estimator)
+# ---------------------------------------------------------------------------
+
+# B_simple = tr(Σ)/|μ|² on the 1e-4-quantized per-example vectors:
+# with integer moments S1_d, S2_d over n rows,
+#   tr(Σ)·n² = Σ_d (n·S2_d − S1_d²)   and   |μ|²·n² = Σ_d S1_d²
+# — ONE integer ratio, no float sums anywhere.
+_GNS_Q = 10000  # component quantum (1e-4)
+_GNS_DIMS = 64
+
+_GNS_ORACLE = f"""
+    WITH x AS (
+      SELECT label, d.dim,
+             CAST(round(CAST(embedding[d.dim] AS DOUBLE) * {_GNS_Q})
+                  AS BIGINT) AS v
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {_GNS_DIMS})) AS dim) d),
+    mom AS (
+      SELECT label, dim, count(*) AS n,
+             sum(v) AS s1, sum(v * v) AS s2
+      FROM x GROUP BY label, dim),
+    agg AS (
+      SELECT label, any_value(n) AS n,
+             sum(n * s2 - s1 * s1) AS tr_num,
+             sum(s1 * s1) AS mu_num
+      FROM mom GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+           round((tr_num * 1.0) / (n * n) / {_GNS_Q * _GNS_Q}.0, 6)
+             AS trace_sigma,
+           round((mu_num * 1.0) / (n * n) / {_GNS_Q * _GNS_Q}.0, 6)
+             AS mu_norm_sq,
+           {_half_up_sql('1000000 * tr_num', 'mu_num')} / 1000000.0
+             AS gns
+    FROM agg ORDER BY label
+    """
+
+
+@query("q_grad_noise_scale", oracle=_GNS_ORACLE)
+def q_grad_noise_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X688 — gradient noise scale / critical batch size (McCandlish
+    et al. 2018): B_simple = tr(Σ)/|g|² over per-example gradient
+    vectors (the embedding column stands in — the estimator is
+    identical for any per-example vector statistic). Below B_simple,
+    batching is near-linearly efficient; above it, returns diminish —
+    THE quantity that sizes data-parallel training. Computed per label
+    group so heterogeneous example populations are visible.
+
+    Determinism: components are quantized to 1e-4 ONCE, after which
+    both tr(Σ)·n² = Σ_d(n·S2_d − S1_d²) and |μ|²·n² = Σ_d S1_d² are
+    exact associative integer sums, and B_simple is a single integer
+    ratio — no cross-engine float accumulation at all. (int64
+    headroom: n·S2 ≤ n²·d·1e8 caps a fit at ~10^5 rows/group at this
+    quantum; rescale the quantum for more — a constant.)
+
+    Scale: one map-side-combinable groupBy over (label, dim) then a
+    64-row reduce per label; vectors never shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, _GNS_DIMS)).alias("pos", "ev"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("ev").cast("double") * _GNS_Q).cast("long").alias("v"),
+    )
+    mom = x.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    agg = mom.groupBy("label").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "tr_num"
+        ),
+        F.sum(F.col("s1") * F.col("s1")).alias("mu_num"),
+    )
+    qq = float(_GNS_Q * _GNS_Q)
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("tr_num") * 1.0) / (F.col("n") * F.col("n")) / qq, 6
+        ).alias("trace_sigma"),
+        F.round(
+            (F.col("mu_num") * 1.0) / (F.col("n") * F.col("n")) / qq, 6
+        ).alias("mu_norm_sq"),
+        (
+            _half_up_col("1000000 * tr_num", "mu_num") / F.lit(1000000.0)
+        ).alias("gns"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# X689 — encoding-corruption (mojibake) audit
+# ---------------------------------------------------------------------------
+
+_MOJI_RE = "Ã.|â€.|ï¿½|�"  # double-encode artifacts + raw replacement char
+_NONASCII_RE = "[^\\x00-\\x7f]"  # python-escaped: emitted as [^\x00-\x7f]
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+_MOJI_ORACLE = f"""
+    WITH per AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_NONASCII_RE}')) AS na,
+             len(regexp_extract_all(text, '{_MOJI_RE}')) AS mj,
+             len(regexp_extract_all(text, '{_CTRL_RE}')) AS ct,
+             length(text) AS lc
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonascii_docs,
+           {_half_up_sql('1000000 * sum(na)', 'sum(lc)')} / 1000000.0
+             AS nonascii_char_ratio,
+           CAST(sum(mj) AS BIGINT) AS n_mojibake_hits,
+           CAST(sum(ct) AS BIGINT) AS n_control_chars
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
+@query("q_mojibake_audit", oracle=_MOJI_ORACLE)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X689 — encoding-corruption audit: per source, the three classic
+    wire-corruption signals a crawl-ingest pipeline checks before
+    training — UTF-8 double-encode artifacts (Ã./â€./U+FFFD — the
+    'mojibake' a latin-1 ↔ utf-8 mixup leaves), raw C0 control bytes,
+    and the non-ASCII character ratio (a jump against a source's
+    baseline means its upstream changed encoding). All counts are
+    integers from per-row regexp scans (Java regex and RE2 agree on
+    codepoint classes — pinned by the differential gate itself); the
+    ratio is one integer half-up division.
+
+    Scale: embarrassingly parallel row scan + one combinable groupBy;
+    predicate-pushdown-friendly (only text/source read)."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_NONASCII_RE), 0)).alias(
+            "na"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_MOJI_RE), 0)).alias("mj"),
+        F.size(F.regexp_extract_all("text", F.lit(_CTRL_RE), 0)).alias("ct"),
+        F.length("text").alias("lc"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("na") > 0).cast("long"))
+            .cast("long")
+            .alias("n_nonascii_docs"),
+            (
+                _half_up_col("1000000 * sum(na)", "sum(lc)")
+                / F.lit(1000000.0)
+            ).alias("nonascii_char_ratio"),
+            F.sum("mj").cast("long").alias("n_mojibake_hits"),
+            F.sum("ct").cast("long").alias("n_control_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X690 — per-source token cross-entropy vs the corpus unigram LM
+# ---------------------------------------------------------------------------
+
+_XENT_NANO = 1000000000
+
+
+def _xent_term_sql(p: str, q: str) -> str:
+    """round(1e9 · p·log2(p/q)) as BIGINT — per-term quantization so
+    the cross-vocab sum is associative."""
+    return (
+        f"CAST(round({_XENT_NANO} * (({p}) * log2(({p}) / ({q}))))"
+        f" AS BIGINT)"
+    )
+
+
+_XENT_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest({_text.tokens_sql('text')}) AS w
+      FROM documents),
+    sc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+      FROM tok GROUP BY source, w),
+    ns AS (SELECT source, sum(cs) AS nt FROM sc GROUP BY source),
+    cw AS (SELECT w, sum(cs) AS cwn FROM sc GROUP BY w),
+    tot AS (SELECT sum(cwn) AS nn, count(*) AS v FROM cw),
+    terms AS (
+      SELECT s.source,
+             {_xent_term_sql(
+                 's.cs * 1.0 / n.nt',
+                 '(c.cwn + 1.0) / (t.nn + t.v)')} AS kl9,
+             CAST(round({_XENT_NANO} * (-(s.cs * 1.0 / n.nt)
+                  * log2(s.cs * 1.0 / n.nt))) AS BIGINT) AS h9
+      FROM sc s
+      JOIN ns n ON n.source = s.source
+      JOIN cw c ON c.w = s.w
+      CROSS JOIN tot t),
+    agg AS (
+      SELECT source, greatest(sum(kl9), 0) AS kl9, sum(h9) AS h9
+      FROM terms GROUP BY source)
+    SELECT a.source, CAST(n.nt AS BIGINT) AS n_tokens,
+           {_half_up_sql('a.h9', '1000')} / 1000000.0 AS entropy_bits,
+           {_half_up_sql('a.kl9', '1000')} / 1000000.0 AS kl_bits,
+           {_half_up_sql('a.h9 + a.kl9', '1000')} / 1000000.0
+             AS cross_entropy_bits
+    FROM agg a JOIN ns n ON n.source = a.source
+    ORDER BY a.source
+    """
+
+
+@query("q_token_crossentropy", oracle=_XENT_ORACLE)
+def q_token_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X690 — per-source token-level cross-entropy against the corpus
+    unigram LM (add-one smoothed): CE = H(source) + KL(source‖corpus)
+    in bits/token — the vocabulary-level domain-shift gauge (X431's
+    JS works on the 5-language mix; this works on the full token
+    distribution, where a source drifting vocabulary shows up long
+    before its language mix moves). Each term p·log2(p/q) is computed
+    as one fixed-shape IEEE expression and quantized to 1e-9 BEFORE
+    the cross-vocab sum, so the sum is an associative integer
+    reduction in both engines; nano→micro conversion is integer
+    half-up.
+
+    Scale: token counts are combinable groupBys keyed by (source, w)
+    and w; the terms join is keyed by token — Zipf-head skew bounded,
+    AQE-splittable. Output is one row per source."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(_text.tokens(F.col("text"))).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count("*").alias("cs"))
+    ns = sc.groupBy("source").agg(F.sum("cs").alias("nt"))
+    cw = sc.groupBy("w").agg(F.sum("cs").alias("cwn"))
+    tot = cw.agg(F.sum("cwn").alias("nn"), F.count("*").alias("v"))
+    p = F.col("cs") * 1.0 / F.col("nt")
+    q = (F.col("cwn") + 1.0) / (F.col("nn") + F.col("v"))
+    terms = (
+        sc.join(ns, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(_XENT_NANO * (p * F.log2(p / q)))
+            .cast("long")
+            .alias("kl9"),
+            F.round(_XENT_NANO * (-p * F.log2(p))).cast("long").alias("h9"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.greatest(F.sum("kl9"), F.lit(0)).alias("kl9"),
+        F.sum("h9").alias("h9"),
+    )
+    return (
+        agg.join(ns, "source")
+        .select(
+            "source",
+            F.col("nt").cast("long").alias("n_tokens"),
+            (_half_up_col("h9", "1000") / F.lit(1000000.0)).alias(
+                "entropy_bits"
+            ),
+            (_half_up_col("kl9", "1000") / F.lit(1000000.0)).alias(
+                "kl_bits"
+            ),
+            (_half_up_col("h9 + kl9", "1000") / F.lit(1000000.0)).alias(
+                "cross_entropy_bits"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -228,3 +228,101 @@ def test_fellegi_sunter_em_is_exact_integer_replay(spark, sf_dir):
     assert round(rows[2]["m"] * 1000) == m2
     assert round(rows[3]["u"] * 1000) == u3
     assert round(rows[1]["match_rate"] * 1000) == p
+
+
+def test_gns_matches_numpy_estimator(spark, sf_dir):
+    """B_simple from the integer-moment path must match the numpy
+    tr(cov)/|mean|² on the same 1e-4-quantized vectors (population
+    covariance), to quantization tolerance."""
+    import numpy as np
+
+    from kafka_stream_spark.plans.round9b import (
+        _GNS_DIMS,
+        _GNS_Q,
+        q_grad_noise_scale,
+    )
+    from kafka_stream_spark.sources.tables import load
+
+    rows = {r["label"]: r for r in q_grad_noise_scale(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        v = np.round(np.array(r["embedding"][:_GNS_DIMS], dtype=np.float64)
+                     * _GNS_Q)
+        by_label.setdefault(r["label"], []).append(v)
+    for lbl, vecs in by_label.items():
+        x = np.stack(vecs)
+        tr = x.var(axis=0).sum()          # population variance
+        mu2 = (x.mean(axis=0) ** 2).sum()
+        got = rows[lbl]
+        assert got["n"] == len(vecs)
+        assert abs(got["gns"] - tr / mu2) < 1e-4
+        assert abs(got["trace_sigma"] - tr / _GNS_Q**2) < 1e-5
+        assert abs(got["mu_norm_sq"] - mu2 / _GNS_Q**2) < 1e-5
+
+
+def test_mojibake_audit_certifies_clean_corpus(spark, sf_dir):
+    """The synthetic corpus is pure ASCII: every counter must be zero
+    — the audit's clean-bill-of-health path."""
+    from kafka_stream_spark.plans.round9b import q_mojibake_audit
+
+    rows = q_mojibake_audit(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_mojibake_hits"] == 0 for r in rows)
+    assert all(r["n_control_chars"] == 0 for r in rows)
+    assert all(r["nonascii_char_ratio"] == 0.0 for r in rows)
+    assert all(r["n_nonascii_docs"] == 0 for r in rows)
+
+
+def test_mojibake_patterns_catch_canonical_corruption(spark):
+    """Positive control: the exact patterns the audit scans with must
+    fire on canonical corruption — latin-1-decoded UTF-8 ('Ã©', 'â€™'),
+    the replacement char, and a stray control byte."""
+    from kafka_stream_spark.plans.round9b import (
+        _CTRL_RE,
+        _MOJI_RE,
+        _NONASCII_RE,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("cafÃ© naÃ¯ve",),      # é / ï double-encoded
+            ("donâ€™t stop",),      # ’ double-encoded
+            ("lost � here",),      # raw replacement char
+            ("enc ï¿½ twice",),     # double-encoded replacement char
+            ("ctrl\x07byte",),      # BEL control char
+            ("plain ascii",),
+        ],
+        "t string",
+    )
+    got = df.select(
+        F.sum(F.size(F.regexp_extract_all("t", F.lit(_MOJI_RE), 0))).alias(
+            "mj"
+        ),
+        F.sum(F.size(F.regexp_extract_all("t", F.lit(_CTRL_RE), 0))).alias(
+            "ct"
+        ),
+        F.sum(
+            F.size(F.regexp_extract_all("t", F.lit(_NONASCII_RE), 0))
+        ).alias("na"),
+    ).collect()[0]
+    assert got["mj"] == 5  # Ã©, Ã¯, â€™, �, ï¿½
+    assert got["ct"] == 1
+    assert got["na"] >= 7
+
+
+def test_crossentropy_decomposition_and_gibbs(spark, sf_dir):
+    """CE = H + KL at the quantized precision, KL ≥ 0 (Gibbs), and
+    every source's CE is at least its entropy."""
+    from kafka_stream_spark.plans.round9b import q_token_crossentropy
+
+    rows = q_token_crossentropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_bits"] >= 0.0
+        assert (
+            abs(r["cross_entropy_bits"] - (r["entropy_bits"] + r["kl_bits"]))
+            < 2e-6
+        )
+        assert r["entropy_bits"] > 0.0
+        assert r["n_tokens"] > 0
