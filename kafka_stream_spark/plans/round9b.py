@@ -1013,7 +1013,8 @@ _GNS_ORACLE = f"""
              AS trace_sigma,
            round((mu_num * 1.0) / (n * n) / {_GNS_Q * _GNS_Q}.0, 6)
              AS mu_norm_sq,
-           {_half_up_sql('1000000 * tr_num', 'mu_num')} / 1000000.0
+           {_half_up_sql('1000 * (tr_num // 1024)',
+                         'greatest(mu_num // 1024, 1)')} / 1000.0
              AS gns
     FROM agg ORDER BY label
     """
@@ -1032,9 +1033,11 @@ def q_grad_noise_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: components are quantized to 1e-4 ONCE, after which
     both tr(Σ)·n² = Σ_d(n·S2_d − S1_d²) and |μ|²·n² = Σ_d S1_d² are
     exact associative integer sums, and B_simple is a single integer
-    ratio — no cross-engine float accumulation at all. (int64
-    headroom: n·S2 ≤ n²·d·1e8 caps a fit at ~10^5 rows/group at this
-    quantum; rescale the quantum for more — a constant.)
+    ratio — no cross-engine float accumulation at all. The ratio is
+    quantized at milli precision after a common 2^10 shift of both
+    integer operands (identical in both engines), which keeps the
+    half-up numerator inside int64 up to ~10^7 rows/group; rescale
+    the component quantum beyond that — a constant.
 
     Scale: one map-side-combinable groupBy over (label, dim) then a
     64-row reduce per label; vectors never shuffle."""
@@ -1070,7 +1073,10 @@ def q_grad_noise_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mu_num") * 1.0) / (F.col("n") * F.col("n")) / qq, 6
         ).alias("mu_norm_sq"),
         (
-            _half_up_col("1000000 * tr_num", "mu_num") / F.lit(1000000.0)
+            _half_up_col(
+                "1000 * (tr_num div 1024)", "greatest(mu_num div 1024, 1)"
+            )
+            / F.lit(1000.0)
         ).alias("gns"),
     ).orderBy("label")
 
@@ -1253,3 +1259,353 @@ def q_token_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X691 — TracIn training-data influence along a GD trajectory
+# ---------------------------------------------------------------------------
+
+_TI_LR_NUM, _TI_LR_DEN = 1, 2  # η = 0.5
+_TI_STEPS = 3
+_TI_NANO = 1000000000
+_TI_TOPK = 20
+
+# trajectory with QUANTIZED gradients: per-row residual terms are
+# rounded to 1e-9 BEFORE averaging, so the weight vector after every
+# step is an exact integer (nano-units) in both engines — the
+# trajectory cannot drift by a ULP and neither can the influences.
+
+_TI_FEATS = (
+    "SELECT vec_id, CAST(label < 5 AS INT) AS y, "
+    "CAST(embedding[1] AS DOUBLE) AS x1, "
+    "CAST(embedding[2] AS DOUBLE) AS x2 FROM embeddings"
+)
+
+
+def _ti_sig(prev: str) -> str:
+    w = f"({prev}.w0 / 1e9 + ({prev}.w1 / 1e9) * x.x1 + ({prev}.w2 / 1e9) * x.x2)"
+    return f"(1.0 / (1.0 + exp(-{w})))"
+
+
+def _ti_traj_ctes() -> tuple[str, list[str]]:
+    """CTE chain producing integer nano-unit checkpoints w1..w3."""
+    ctes = [
+        f"x AS ({_TI_FEATS})",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2)",
+    ]
+    names = []
+    prev = "w0"
+    for i in range(1, _TI_STEPS + 1):
+        sig = _ti_sig(prev)
+        ctes.append(
+            f"""g{i} AS (
+      SELECT count(*) AS n,
+             sum(CAST(round({_TI_NANO} * ({sig} - x.y)) AS BIGINT)) AS t0,
+             sum(CAST(round({_TI_NANO} * (({sig} - x.y) * x.x1))
+                 AS BIGINT)) AS t1,
+             sum(CAST(round({_TI_NANO} * (({sig} - x.y) * x.x2))
+                 AS BIGINT)) AS t2
+      FROM x CROSS JOIN {prev})"""
+        )
+
+        def upd(k: int) -> str:
+            t = f"g{i}.t{k}"
+            den = f"({_TI_LR_DEN} * g{i}.n)"
+            mag = f"((2 * abs({t}) + {den}) // (2 * {den}))"
+            return (
+                f"{prev}.w{k} - (CASE WHEN {t} >= 0 THEN {mag} "
+                f"ELSE -{mag} END) AS w{k}"
+            )
+
+        ctes.append(
+            f"w{i} AS (SELECT {upd(0)}, {upd(1)}, {upd(2)} "
+            f"FROM {prev} CROSS JOIN g{i})"
+        )
+        names.append(f"w{i}")
+        prev = f"w{i}"
+    return ",\n    ".join(ctes), names
+
+
+def _ti_oracle() -> str:
+    chain, names = _ti_traj_ctes()
+    # residual tables per checkpoint, then pairwise influence terms
+    res = []
+    for i, w in enumerate(names, 1):
+        sig = _ti_sig(w)
+        res.append(
+            f"r{i} AS (SELECT x.vec_id, ({sig} - x.y) AS r, x.x1, x.x2 "
+            f"FROM x CROSS JOIN {w})"
+        )
+    res_union = " UNION ALL ".join(
+        f"SELECT {i} AS ck, vec_id, r, x1, x2 FROM r{i}"
+        for i in range(1, _TI_STEPS + 1)
+    )
+    return f"""
+    WITH {chain},
+    {','.join(res)},
+    res AS ({res_union}),
+    test AS (SELECT * FROM res WHERE vec_id % 25 = 0),
+    train AS (SELECT * FROM res WHERE vec_id % 25 <> 0),
+    terms AS (
+      SELECT a.vec_id,
+             CAST(round({_TI_NANO} * ({_TI_LR_NUM}.0 / {_TI_LR_DEN})
+                  * a.r * b.r
+                  * (1.0 + a.x1 * b.x1 + a.x2 * b.x2)) AS BIGINT) AS q9
+      FROM train a JOIN test b ON b.ck = a.ck),
+    tot AS (
+      SELECT vec_id, sum(q9) AS s9 FROM terms GROUP BY vec_id),
+    rk AS (
+      SELECT vec_id, s9,
+             row_number() OVER (ORDER BY s9 DESC, vec_id) AS rnk
+      FROM tot)
+    SELECT vec_id, CAST(rnk AS BIGINT) AS rnk,
+           (CASE WHEN s9 >= 0 THEN (2 * s9 + 1000) // 2000
+                 ELSE -((2 * (-s9) + 1000) // 2000) END) / 1000000.0
+             AS influence
+    FROM rk WHERE rnk <= {_TI_TOPK} ORDER BY rnk
+    """
+
+
+@query("q_tracin_influence", oracle=_ti_oracle())
+def q_tracin_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X691 — TracIn training-data influence (Pruthi et al. 2020):
+    influence of train point z on test point z' ≈ Σ_checkpoints
+    η·∇l(w_c, z)·∇l(w_c, z') — for logistic loss the gradient is
+    (σ(w·x) − y)·[1, x], so the dot product collapses to
+    r_a·r_b·(1 + x_a·x_b). The trajectory is 3 GD steps (η = 1/2)
+    whose per-step gradients are built from per-row residual terms
+    quantized to 1e-9 and summed as integers — the checkpoints are
+    exact integer nano-unit vectors in both engines, so influence
+    cannot inherit a ULP drift from training. Top-20 proponents
+    (summed over the held-out anchor set) are reported — the
+    "which examples should I buy more of" ranking that KNN-Shapley
+    (X679) answers geometrically and TracIn answers through the
+    model's own optimization path.
+
+    Scale: trajectory = 3 bounded scalar aggregates (driver holds 3
+    ints per step); influence is a pair join train × anchors ×
+    checkpoints — anchors are a FIXED eval suite, so cost is linear
+    in the corpus. 100 TB: identical shape to X680's routed scoring.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") < 5).cast("int").alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+    )
+    emb = emb.localCheckpoint(eager=True)
+
+    def half_up_signed(a: int, b: int) -> int:
+        mag = (2 * abs(a) + b) // (2 * b)
+        return mag if a >= 0 else -mag
+
+    # trajectory: exact integer nano-unit weights
+    w = [0, 0, 0]
+    ckpts: list[tuple[int, int, int]] = []
+    for _ in range(_TI_STEPS):
+        lin = (
+            F.lit(w[0] / 1e9)
+            + F.lit(w[1] / 1e9) * F.col("x1")
+            + F.lit(w[2] / 1e9) * F.col("x2")
+        )
+        r = 1.0 / (1.0 + F.exp(-lin)) - F.col("y")
+        g = emb.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(_TI_NANO * r).cast("long")).alias("t0"),
+            F.sum(F.round(_TI_NANO * (r * F.col("x1"))).cast("long")).alias(
+                "t1"
+            ),
+            F.sum(F.round(_TI_NANO * (r * F.col("x2"))).cast("long")).alias(
+                "t2"
+            ),
+        ).collect()[0]
+        den = _TI_LR_DEN * g["n"]
+        w = [
+            w[k] - half_up_signed(g[f"t{k}"], den)
+            for k in range(3)
+        ]
+        ckpts.append(tuple(w))
+
+    # residuals per checkpoint (weights inlined as exact literals)
+    res = None
+    for i, (w0, w1, w2) in enumerate(ckpts, 1):
+        lin = (
+            F.lit(w0 / 1e9)
+            + F.lit(w1 / 1e9) * F.col("x1")
+            + F.lit(w2 / 1e9) * F.col("x2")
+        )
+        part = emb.select(
+            F.lit(i).alias("ck"),
+            "vec_id",
+            (1.0 / (1.0 + F.exp(-lin)) - F.col("y")).alias("r"),
+            "x1",
+            "x2",
+        )
+        res = part if res is None else res.unionAll(part)
+    test = res.filter(F.col("vec_id") % 25 == 0).select(
+        "ck",
+        F.col("r").alias("rb"),
+        F.col("x1").alias("xb1"),
+        F.col("x2").alias("xb2"),
+    )
+    train = res.filter(F.col("vec_id") % 25 != 0)
+    eta = float(_TI_LR_NUM) / _TI_LR_DEN
+    q9 = F.round(
+        _TI_NANO
+        * eta
+        * F.col("r")
+        * F.col("rb")
+        * (
+            1.0
+            + F.col("x1") * F.col("xb1")
+            + F.col("x2") * F.col("xb2")
+        )
+    ).cast("long")
+    tot = (
+        train.join(F.broadcast(test), "ck")
+        .select("vec_id", q9.alias("q9"))
+        .groupBy("vec_id")
+        .agg(F.sum("q9").alias("s9"))
+    )
+    wdw = W.orderBy(F.desc("s9"), "vec_id")
+    return (
+        tot.withColumn("rnk", F.row_number().over(wdw).cast("long"))
+        .filter(F.col("rnk") <= _TI_TOPK)
+        .select(
+            "vec_id",
+            "rnk",
+            (
+                F.expr(
+                    "CASE WHEN s9 >= 0 THEN (2 * s9 + 1000) div 2000 "
+                    "ELSE -((2 * (-s9) + 1000) div 2000) END"
+                )
+                / F.lit(1000000.0)
+            ).alias("influence"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X692 — Generalized Advantage Estimation (GAE) backward fold
+# ---------------------------------------------------------------------------
+
+# γ = 99/100, λ = 95/100 ⇒ γλ = 9405/10000; state in 1e-4-cent units
+_GAE_GL_NUM, _GAE_GL_DEN = 9405, 10000
+_GAE_G_NUM, _GAE_G_DEN = 99, 100
+_GAE_Q = 10000  # 1e-4 cents
+
+_GAE_ORACLE = f"""
+    WITH RECURSIVE steps AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t,
+             count(*) OVER (PARTITION BY user_id) AS tt
+      FROM events),
+    vbar AS (
+      SELECT user_id,
+             {_half_up_sql(f'{_GAE_Q} * sum(cents)', 'count(*)')} AS v4
+      FROM steps GROUP BY user_id),
+    delta AS (
+      SELECT s.user_id, s.event_id, s.cents, s.t, s.tt,
+             s.tt - s.t + 1 AS k,
+             s.cents * {_GAE_Q}
+               + CASE WHEN s.t < s.tt
+                      THEN {_half_up_sql(f'{_GAE_G_NUM} * v.v4',
+                                         str(_GAE_G_DEN))} - v.v4
+                      ELSE -v.v4 END AS d4
+      FROM steps s JOIN vbar v ON v.user_id = s.user_id),
+    fold AS (
+      SELECT user_id, event_id, cents, t, k, d4 AS a4
+      FROM delta WHERE k = 1
+      UNION ALL
+      SELECT d.user_id, d.event_id, d.cents, d.t, d.k,
+             d.d4 + CASE WHEN f.a4 >= 0
+                    THEN (2 * {_GAE_GL_NUM} * f.a4 + {_GAE_GL_DEN})
+                         // (2 * {_GAE_GL_DEN})
+                    ELSE -((2 * {_GAE_GL_NUM} * (-f.a4) + {_GAE_GL_DEN})
+                           // (2 * {_GAE_GL_DEN})) END AS a4
+      FROM delta d JOIN fold f
+        ON f.user_id = d.user_id AND d.k = f.k + 1)
+    SELECT user_id, event_id, CAST(t AS BIGINT) AS t,
+           round(cents / 100.0, 2) AS reward,
+           a4 / {_GAE_Q * 100}.0 AS advantage
+    FROM fold ORDER BY user_id, t
+    """
+
+
+@query("q_gae_advantage", oracle=_GAE_ORACLE)
+def q_gae_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X692 — Generalized Advantage Estimation (Schulman et al. 2016),
+    the PPO advantage transform: per episode (user_id), TD residuals
+    δ_t = r_t + γV − V against the episode-mean baseline (no bootstrap
+    past the terminal step), folded BACKWARD through A_t = δ_t +
+    γλ·A_{t+1}. Order-dependent like Kalman (X648) and Elo (X685),
+    and handled the same way: exact integer 1e-4-cent state with
+    explicit signed half-up for the γλ product (γλ = 9405/10000), ONE
+    applyInPandas over episodes, zero driver iteration; the oracle
+    replays the identical recurrence as a backward recursive CTE over
+    the per-episode reverse step index.
+
+    Scale: episodes are independent (the shuffle key); per-episode
+    length is trajectory-bounded. |A| ≤ max|δ|/(1 − γλ) keeps the
+    signed half-up numerator ~1e13 — int64-safe at any corpus size
+    since the bound is per-episode, not per-corpus."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("t", F.row_number().over(w))
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        cents = [int(c) for c in pdf["cents"]]
+        n = len(cents)
+
+        def half_up(a: int, b: int) -> int:
+            return (2 * a + b) // (2 * b)
+
+        def half_up_signed(a: int, b: int) -> int:
+            m = (2 * abs(a) + b) // (2 * b)
+            return m if a >= 0 else -m
+
+        v4 = half_up(_GAE_Q * sum(cents), n)
+        gv = half_up(_GAE_G_NUM * v4, _GAE_G_DEN)
+        d4 = [
+            cents[i] * _GAE_Q + ((gv - v4) if i < n - 1 else -v4)
+            for i in range(n)
+        ]
+        a4 = [0] * n
+        a4[n - 1] = d4[n - 1]
+        for i in range(n - 2, -1, -1):
+            a4[i] = d4[i] + half_up_signed(
+                _GAE_GL_NUM * a4[i + 1], _GAE_GL_DEN
+            )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "event_id": pdf["event_id"].values,
+                "t": pdf["t"].values,
+                "cents": cents,
+                "a4": a4,
+            }
+        )
+
+    out = steps.groupBy("user_id").applyInPandas(
+        fold,
+        schema="user_id long, event_id long, t long, cents long, a4 long",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("t").cast("long").alias("t"),
+        F.round(F.col("cents") / 100.0, 2).alias("reward"),
+        (F.col("a4") / F.lit(float(_GAE_Q * 100))).alias("advantage"),
+    ).orderBy("user_id", "t")

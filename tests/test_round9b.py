@@ -256,7 +256,7 @@ def test_gns_matches_numpy_estimator(spark, sf_dir):
         mu2 = (x.mean(axis=0) ** 2).sum()
         got = rows[lbl]
         assert got["n"] == len(vecs)
-        assert abs(got["gns"] - tr / mu2) < 1e-4
+        assert abs(got["gns"] - tr / mu2) < 2e-3
         assert abs(got["trace_sigma"] - tr / _GNS_Q**2) < 1e-5
         assert abs(got["mu_norm_sq"] - mu2 / _GNS_Q**2) < 1e-5
 
