@@ -339,6 +339,8 @@ HEADLINE = [
     "q_grad_noise_scale",
     "q_mojibake_audit",
     "q_token_crossentropy",
+    "q_tracin_influence",
+    "q_gae_advantage",
 ]
 
 
