@@ -341,6 +341,9 @@ HEADLINE = [
     "q_token_crossentropy",
     "q_tracin_influence",
     "q_gae_advantage",
+    "q_ivm_join_view",
+    "q_infonce_audit",
+    "q_dp_accounting",
 ]
 
 

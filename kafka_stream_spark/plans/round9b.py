@@ -1609,3 +1609,254 @@ def q_gae_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("reward"),
         (F.col("a4") / F.lit(float(_GAE_Q * 100))).alias("advantage"),
     ).orderBy("user_id", "t")
+
+
+# ---------------------------------------------------------------------------
+# X693 — incremental view maintenance: batch face of the delta-join view
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+    SELECT o.o_orderpriority AS priority, l.l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("q_ivm_join_view", oracle=_IVM_ORACLE)
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X693 (batch face) — the join view the streaming IVM store
+    maintains: joined-row counts per (order priority, return flag).
+    Batch-side it is one shuffle join + combinable groupBy; the point
+    of the component is the STREAMING side
+    (streaming/pipeline.run_streaming_ivm), which maintains this view
+    under inserts to BOTH base tables without ever re-running the
+    join: per micro-batch ΔV = Δa⋈B + A⋈Δb + Δa⋈Δb (the classic
+    delta-join rule of DBToaster/Materialize/DBSP), with the base
+    relations' key-grouped counts as the only state. Incremental ≡
+    batch is pytest-pinned per wave, including cross-wave join pairs.
+
+    Scale: IVM state is O(distinct join keys) — the honest lower
+    bound for two-sided maintenance; each batch shuffles only its own
+    delta against the key-partitioned state."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return (
+        o.join(l, "k")
+        .groupBy("priority", "flag")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("priority", "flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X694 — InfoNCE in-batch contrastive audit
+# ---------------------------------------------------------------------------
+
+from ..functions import vectors as _vec  # noqa: E402
+
+_NCE_B = 50  # contrastive batch size (vec_id div B)
+_NCE_TAU = 0.25
+_NCE_NANO = 1000000000
+
+_NCE_ORACLE = f"""
+    WITH m AS (
+      SELECT vec_id, label, embedding AS e, vec_id // {_NCE_B} AS bid
+      FROM embeddings),
+    pr AS (
+      SELECT a.bid, a.vec_id AS i, b.vec_id AS j, b.label = a.label AS same,
+             CAST(round({_NCE_NANO} * exp({_vec.cosine_sql('a.e', 'b.e')}
+                  / {_NCE_TAU})) AS BIGINT) AS q9,
+             CAST(round({_NCE_NANO} * {_vec.cosine_sql('a.e', 'b.e')})
+                  AS BIGINT) AS s9
+      FROM m a JOIN m b ON b.bid = a.bid AND b.vec_id <> a.vec_id),
+    den AS (
+      SELECT bid, i, sum(q9) AS d9 FROM pr GROUP BY bid, i),
+    pos AS (
+      SELECT bid, i, q9 AS p9, s9,
+             row_number() OVER (PARTITION BY bid, i ORDER BY j) AS rn
+      FROM pr WHERE same),
+    anch AS (
+      SELECT p.bid, p.i,
+             CAST(round({_NCE_NANO} * (-ln(p.p9 * 1.0 / d.d9)))
+                  AS BIGINT) AS l9,
+             p.s9
+      FROM pos p JOIN den d ON d.bid = p.bid AND d.i = p.i
+      WHERE p.rn = 1)
+    SELECT CAST(bid AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           {_half_up_sql('sum(l9)', 'count(*) * 1000')} / 1000000.0
+             AS mean_infonce,
+           CAST(CASE WHEN sum(s9) >= 0
+             THEN {_half_up_sql('sum(s9)', 'count(*) * 1000')}
+             ELSE -{_half_up_sql('-sum(s9)', 'count(*) * 1000')} END
+             AS BIGINT) / 1000000.0 AS mean_pos_sim
+    FROM anch GROUP BY bid ORDER BY bid
+    """
+
+
+@query("q_infonce_audit", oracle=_NCE_ORACLE)
+def q_infonce_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X694 — in-batch InfoNCE audit (Oord et al. 2018; the training
+    loss of CLIP/SimCLR-style embedding models): batches are vec_id
+    blocks of {_NCE_B}; each anchor's positive is its first same-label
+    batchmate and every other batchmate is a negative; the loss
+    −log(exp(s⁺/τ)/Σ exp(s/τ)) is reported per batch together with
+    the mean positive similarity — the two numbers that say whether a
+    batch composition is actually teaching the encoder anything
+    (collapsed batches → loss ≈ log B; easy batches → loss ≈ 0).
+    X566's inbatch_collision counts duplicate collisions; this scores
+    the full contrastive objective.
+
+    Determinism: cosine uses the shared left-fold (functions/vectors);
+    exp terms and per-anchor losses are quantized to 1e-9 before any
+    cross-row sum; positive similarity can be negative, so its
+    half-up mean handles the sign explicitly in exact integers.
+
+    Scale: the pair join is batch-local (B² per batch, linear in
+    batches); one window + two combinable groupBys."""
+    m = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        F.expr(f"vec_id div {_NCE_B}").alias("bid"),
+    )
+    a = m.select("bid", F.col("vec_id").alias("i"), F.col("label").alias("la"), F.col("e").alias("ea"))
+    b = m.select("bid", F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("e").alias("eb"))
+    cos = _vec.cosine(F.col("ea"), F.col("eb"))
+    pr = (
+        a.join(b, "bid")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "bid",
+            "i",
+            "j",
+            (F.col("la") == F.col("lb")).alias("same"),
+            F.round(_NCE_NANO * F.exp(cos / _NCE_TAU)).cast("long").alias("q9"),
+            F.round(_NCE_NANO * cos).cast("long").alias("s9"),
+        )
+    )
+    den = pr.groupBy("bid", "i").agg(F.sum("q9").alias("d9"))
+    wp = W.partitionBy("bid", "i").orderBy("j")
+    pos = (
+        pr.filter(F.col("same"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("bid", "i", F.col("q9").alias("p9"), "s9")
+    )
+    anch = pos.join(den, ["bid", "i"]).select(
+        "bid",
+        F.round(_NCE_NANO * (-F.log(F.col("p9") * 1.0 / F.col("d9"))))
+        .cast("long")
+        .alias("l9"),
+        "s9",
+    )
+    return (
+        anch.groupBy(F.col("bid").cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            (
+                _half_up_col("sum(l9)", "count(*) * 1000") / F.lit(1000000.0)
+            ).alias("mean_infonce"),
+            (
+                F.expr(
+                    "CASE WHEN sum(s9) >= 0 THEN "
+                    "(2 * sum(s9) + count(*) * 1000) div (2 * count(*) * 1000)"
+                    " ELSE -((2 * (-sum(s9)) + count(*) * 1000)"
+                    " div (2 * count(*) * 1000)) END"
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_pos_sim"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X695 — Rényi-DP accountant (Gaussian mechanism composition)
+# ---------------------------------------------------------------------------
+
+_DP_SIGMA = 2.0
+_DP_DELTA = 1e-6
+_DP_ALPHAS = tuple(range(2, 65))  # α grid for the RDP→(ε,δ) conversion
+
+_DP_ORACLE = f"""
+    WITH rel AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS t FROM documents
+      GROUP BY source),
+    grid AS (
+      SELECT r.source, r.t, a.alpha,
+             CAST(round(1000000000 * (
+               r.t * a.alpha / (2.0 * {_DP_SIGMA} * {_DP_SIGMA})
+               + ln(1.0 / {_DP_DELTA}) / (a.alpha - 1.0)))
+               AS BIGINT) AS e9
+      FROM rel r CROSS JOIN (
+        SELECT unnest(generate_series({_DP_ALPHAS[0]},
+                                      {_DP_ALPHAS[-1]})) AS alpha) a),
+    best AS (
+      SELECT source, t, alpha, e9,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY e9, alpha) AS rn
+      FROM grid)
+    SELECT source, t AS n_releases,
+           {_half_up_sql('e9', '1000')} / 1000000.0 AS eps,
+           CAST(alpha AS BIGINT) AS alpha_star
+    FROM best WHERE rn = 1 ORDER BY source
+    """
+
+
+@query("q_dp_accounting", oracle=_DP_ORACLE)
+def q_dp_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X695 — Rényi differential-privacy accountant (Mironov 2017,
+    the accounting behind DP-SGD): a Gaussian mechanism with noise
+    multiplier σ has RDP ε_α = α/(2σ²) per release; T adaptive
+    releases compose ADDITIVELY in RDP, and the (ε, δ) guarantee is
+    the minimum over the α grid of T·α/(2σ²) + ln(1/δ)/(α−1). Each
+    source is treated as its own privacy ledger with one release per
+    document (σ = {_DP_SIGMA}, δ = {_DP_DELTA}); reported ε and the
+    minimizing α — the number a data-governance gate thresholds
+    before a source can ship. X329's dp_noise adds the noise; this
+    accounts for it.
+
+    Determinism: per-(source, α) candidates are quantized to 1e-9 and
+    the argmin is taken on the INTEGER with α as tie-break, so the
+    winning α cannot differ between engines.
+
+    Scale: one count per source + a 63-row constant grid crossJoin —
+    fixed work per ledger regardless of corpus size."""
+    rel = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    import math
+
+    alphas = spark.createDataFrame(
+        [(a,) for a in _DP_ALPHAS], "alpha int"
+    )
+    e9 = F.round(
+        1000000000
+        * (
+            F.col("t") * F.col("alpha") / (2.0 * _DP_SIGMA * _DP_SIGMA)
+            + math.log(1.0 / _DP_DELTA) / (F.col("alpha") - 1.0)
+        )
+    ).cast("long")
+    grid = rel.crossJoin(F.broadcast(alphas)).select(
+        "source", "t", "alpha", e9.alias("e9")
+    )
+    w = W.partitionBy("source").orderBy("e9", "alpha")
+    return (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("t").alias("n_releases"),
+            (_half_up_col("e9", "1000") / F.lit(1000000.0)).alias("eps"),
+            F.col("alpha").cast("long").alias("alpha_star"),
+        )
+        .orderBy("source")
+    )

@@ -2652,3 +2652,104 @@ def elo_from_store(cells: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "player")
     )
+
+
+def run_streaming_ivm(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X693 — incremental view maintenance of a two-sided join view
+    (the DBToaster/Materialize/DBSP delta-join rule) over a
+    MULTIPLEXED CDC stream (one feed carrying inserts for both base
+    tables — the reference's own wire shape, kafka_s.py multiplexes
+    table payloads the same way): per micro-batch
+
+        ΔV = Δa ⋈ B  +  A ⋈ Δb  +  Δa ⋈ Δb
+
+    where A/B are the key-grouped counts of the rows seen so far.
+    The view is never recomputed from history; state is O(distinct
+    join keys) — the honest lower bound for two-sided maintenance.
+
+    Exactly-once: three sub-stores (view, a_state, b_state) each
+    guarded by merged_store_apply under the SAME batch_id, committed
+    view-first. ΔV is computed from the pre-batch states, and because
+    all three guards share the batch_id, a replay recomputes an
+    identical ΔV (view commits first, so when the view's guard has
+    not yet committed neither state sub-store has) — a crash between
+    commits completes the missing sub-stores with the same deltas.
+
+    Input schema: side ('a'|'b'), k (join key), attr (the grouped
+    dimension: orders priority for side a, lineitem returnflag for
+    side b)."""
+    feed = spark.readStream.schema("side string, k long, attr string").parquet(
+        input_dir
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        da = (
+            batch.filter(F.col("side") == "a")
+            .groupBy("k", F.col("attr").alias("priority"))
+            .agg(F.count("*").alias("na"))
+        ).localCheckpoint(eager=True)
+        db = (
+            batch.filter(F.col("side") == "b")
+            .groupBy("k", F.col("attr").alias("flag"))
+            .agg(F.count("*").alias("nb"))
+        ).localCheckpoint(eager=True)
+        a_dir = os.path.join(store_dir, "a_state")
+        b_dir = os.path.join(store_dir, "b_state")
+        v_dir = os.path.join(store_dir, "view")
+        a_state = merged_store_read(sess, a_dir)
+        b_state = merged_store_read(sess, b_dir)
+        if a_state is None:
+            a_state = sess.createDataFrame([], "k long, priority string, na long")
+        if b_state is None:
+            b_state = sess.createDataFrame([], "k long, flag string, nb long")
+        parts = []
+        # Δa ⋈ B (pre-batch), A (pre-batch) ⋈ Δb, Δa ⋈ Δb
+        for left, right in ((da, b_state), (a_state, db), (da, db)):
+            parts.append(
+                left.join(right, "k").select(
+                    "priority",
+                    "flag",
+                    (F.col("na") * F.col("nb")).alias("n_rows"),
+                )
+            )
+        dview = (
+            parts[0]
+            .unionByName(parts[1])
+            .unionByName(parts[2])
+            .groupBy("priority", "flag")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        ).localCheckpoint(eager=True)
+        merged_store_apply(
+            dview, v_dir, batch_id,
+            additive_combine(["priority", "flag"], ["n_rows"]),
+        )
+        merged_store_apply(
+            da, a_dir, batch_id, additive_combine(["k", "priority"], ["na"])
+        )
+        merged_store_apply(
+            db, b_dir, batch_id, additive_combine(["k", "flag"], ["nb"])
+        )
+
+    return (
+        feed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivm_view_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Store view cells → the q_ivm_join_view output shape (zero-count
+    cells pruned: a delta can legitimately contribute 0 rows)."""
+    cells = merged_store_read(spark, os.path.join(store_dir, "view"))
+    return (
+        cells.filter(F.col("n_rows") > 0)
+        .select("priority", "flag", "n_rows")
+        .orderBy("priority", "flag")
+    )

@@ -369,3 +369,105 @@ def test_gae_telescopes_to_discounted_return_when_lambda_one(spark, sf_dir):
         v4 = (2 * _GAE_Q * sum(cents) + len(cents)) // (2 * len(cents))
         want_last = (cents[-1] * _GAE_Q - v4) / (_GAE_Q * 100)
         assert abs(rs[-1]["advantage"] - want_last) < 1e-9
+
+
+def test_streaming_ivm_incremental_equals_batch(spark, tmp_path):
+    """X693: the delta-join IVM store must equal the batch join view
+    on rows-so-far after every wave — with join pairs deliberately
+    split ACROSS waves (orders in wave 1 whose lineitems arrive in
+    wave 2, and vice versa) so all three delta terms are exercised."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        ivm_view_from_store,
+        run_streaming_ivm,
+    )
+
+    o = load(spark, "/root/testdata/sf0.001", "orders").select(
+        F.lit("a").alias("side"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    l = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.lit("b").alias("side"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_returnflag").alias("attr"),
+    )
+    # cross-wave pairing: orders split by key % 2, lineitems by key % 3
+    w1 = o.filter(F.col("k") % 2 == 0).unionByName(l.filter(F.col("k") % 3 == 0))
+    w2 = o.filter(F.col("k") % 2 == 1).unionByName(l.filter(F.col("k") % 3 != 0))
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "ivm")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_view(feed):
+        a = feed.filter(F.col("side") == "a").select(
+            "k", F.col("attr").alias("priority")
+        )
+        b = feed.filter(F.col("side") == "b").select(
+            "k", F.col("attr").alias("flag")
+        )
+        return {
+            tuple(r)
+            for r in a.join(b, "k")
+            .groupBy("priority", "flag")
+            .agg(F.count("*").cast("long").alias("n_rows"))
+            .collect()
+        }
+
+    def store_view():
+        return {
+            tuple(r) for r in ivm_view_from_store(spark, store).collect()
+        }
+
+    w1.write.mode("append").parquet(inp)
+    assert run_streaming_ivm(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_view() == batch_view(w1)
+
+    w2.write.mode("append").parquet(inp)
+    assert run_streaming_ivm(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_view() == batch_view(w1.unionByName(w2))
+
+
+def test_infonce_bounds_and_collapse_reference(spark, sf_dir):
+    """InfoNCE per anchor is bounded by log(B−1) (uniform similarities
+    give exactly log(#negatives+1) ≈ log B); means must land in
+    (0, log B) and every batch with ≥2 same-label members reports."""
+    import math
+
+    from kafka_stream_spark.plans.round9b import _NCE_B, q_infonce_audit
+
+    rows = q_infonce_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["mean_infonce"] < math.log(_NCE_B) + 0.5
+        assert -1.0 <= r["mean_pos_sim"] <= 1.0
+        assert 1 <= r["n_anchors"] <= _NCE_B
+
+
+def test_dp_accounting_monotone_in_releases(spark, sf_dir):
+    """More releases ⇒ more privacy spent: ε must be strictly
+    increasing in T across sources, and the optimal α decreases or
+    holds as T grows (heavier composition favors smaller α)."""
+    from kafka_stream_spark.plans.round9b import q_dp_accounting
+
+    rows = sorted(
+        q_dp_accounting(spark, sf_dir).collect(),
+        key=lambda r: r["n_releases"],
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        if b["n_releases"] > a["n_releases"]:
+            assert b["eps"] > a["eps"]
+            assert b["alpha_star"] <= a["alpha_star"]
+    # ε matches the closed form at the reported α
+    import math
+
+    from kafka_stream_spark.plans.round9b import _DP_DELTA, _DP_SIGMA
+
+    for r in rows[:5]:
+        a = r["alpha_star"]
+        want = r["n_releases"] * a / (2 * _DP_SIGMA**2) + math.log(
+            1 / _DP_DELTA
+        ) / (a - 1)
+        assert abs(r["eps"] - want) < 1e-5
