@@ -344,6 +344,8 @@ HEADLINE = [
     "q_ivm_join_view",
     "q_infonce_audit",
     "q_dp_accounting",
+    "q_sinkhorn_ot",
+    "q_topic_coherence",
 ]
 
 

@@ -1833,8 +1833,18 @@ def q_dp_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = load(spark, sf_dir, "documents").groupBy("source").agg(
         F.count("*").cast("long").alias("t")
     )
+    return dp_accountant_df(rel)
+
+
+def dp_accountant_df(rel: DataFrame) -> DataFrame:
+    """(source, t) release counts → the q_dp_accounting output shape —
+    shared by the batch query and the streaming ledger store
+    (streaming/pipeline.run_streaming_dp_ledger): release counts are
+    purely additive, so the live ledger is additive_combine state read
+    through this exact arithmetic."""
     import math
 
+    spark = rel.sparkSession
     alphas = spark.createDataFrame(
         [(a,) for a in _DP_ALPHAS], "alpha int"
     )
@@ -1859,4 +1869,403 @@ def q_dp_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("alpha").cast("long").alias("alpha_star"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X697 — entropic optimal transport (Sinkhorn) between source and corpus
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_OT_LANGS = ("de", "en", "es", "fr", "zh")
+_OT_NB = 5  # n_chars buckets (div 120, capped at 4)
+_OT_EPS = 0.5
+_OT_ITERS = 3
+_OT_NANO = 1000000000
+
+
+def _ot_cost(i: int, j: int) -> float:
+    """Cost between bins i, j of the (lang, len-bucket) grid: language
+    mismatch + quarter-scaled bucket distance — a genuinely 2-D ground
+    metric (X262's emd_1d covers only ordinal 1-D costs)."""
+    li, bi = divmod(i, _OT_NB)
+    lj, bj = divmod(j, _OT_NB)
+    return (1.0 if li != lj else 0.0) + abs(bi - bj) / 4.0
+
+
+_OT_K9 = tuple(
+    tuple(
+        int(round(_OT_NANO * _math.exp(-_ot_cost(i, j) / _OT_EPS)))
+        for j in range(len(_OT_LANGS) * _OT_NB)
+    )
+    for i in range(len(_OT_LANGS) * _OT_NB)
+)
+
+_OT_LANG_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN {i}" for i, l in enumerate(_OT_LANGS))
+    + " END"
+)
+
+
+def _ot_sinkhorn_int(a6: list[int], b6: list[int]) -> tuple[int, int]:
+    """Exact integer Sinkhorn: micro-unit scalings u, v (init 1e6),
+    Kv reduced to 1e12 scale before each half-up division; transport
+    cost per cell quantized to 1e-9 from the identical double
+    expression both engines evaluate. Returns (dist_nano, n_bins)."""
+    nb = len(a6)
+
+    def half_up(x: int, y: int) -> int:
+        return (2 * x + y) // (2 * y)
+
+    u = [1000000] * nb
+    v = [1000000] * nb
+    for _ in range(_OT_ITERS):
+        for i in range(nb):
+            kv = sum(_OT_K9[i][j] * v[j] for j in range(nb))
+            u[i] = half_up(a6[i] * 1000000000000, max(kv // 1000, 1))
+        for j in range(nb):
+            ku = sum(_OT_K9[i][j] * u[i] for i in range(nb))
+            v[j] = half_up(b6[j] * 1000000000000, max(ku // 1000, 1))
+    dist9 = 0
+    for i in range(nb):
+        for j in range(nb):
+            c = _ot_cost(i, j)
+            if c == 0.0:
+                continue
+            t = (
+                (u[i] / 1e6)
+                * (_OT_K9[i][j] / 1e9)
+                * (v[j] / 1e6)
+                * c
+            )
+            # half-up of the identical double the oracle rounds
+            # (floor(x + 0.5) ≡ round-half-away for positive x off ties)
+            dist9 += int(_math.floor(t * _OT_NANO + 0.5))
+    return dist9, nb
+
+
+@query("q_sinkhorn_ot", oracle=None)  # oracle registered below
+def q_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X697 — entropic optimal transport distance (Cuturi 2013,
+    Sinkhorn-Knopp scaling) between each source's (language ×
+    length-bucket) distribution and the corpus distribution, under a
+    genuinely 2-D ground cost (language mismatch + scaled length
+    distance) — the dataset-drift measure when bins have STRUCTURE:
+    KL/JS (X431) treat bins as exchangeable and 1-D EMD (X262) needs
+    an ordinal line; OT prices how far probability mass must MOVE.
+
+    Determinism: marginals are micro-unit integers; the kernel
+    K = exp(−C/ε) is a precomputed 1e-9 integer table (module
+    constant — both engines consume the same integers); the scaling
+    recurrences are exact integer half-up divisions; transport-cost
+    cells are evaluated as one fixed-shape double expression from
+    exact integers and quantized to 1e-9 before the integer sum. The
+    oracle unrolls the identical recurrence as {_OT_ITERS} CTE
+    iterations over the 25-bin grid.
+
+    Spark-first split (the X687 pattern): the O(corpus) work — bin
+    counting — is one combinable groupBy; Sinkhorn itself is
+    fixed-size per-ledger math (25 bins, 3 iterations) folded inside
+    one applyInPandas over sources, so ledgers scale out and no
+    driver loop exists.
+
+    Scale: one groupBy over (source, lang, bucket); state per source
+    is 50 integers. 100 TB: identical plan."""
+    d = load(spark, sf_dir, "documents")
+    nb = len(_OT_LANGS) * _OT_NB
+    bin_idx = (
+        F.expr(_OT_LANG_CASE) * _OT_NB
+        + F.least(F.expr("n_chars div 120"), F.lit(_OT_NB - 1))
+    ).alias("bin")
+    cnt = d.select("source", bin_idx).groupBy("source", "bin").agg(
+        F.count("*").alias("c")
+    )
+    tot = d.groupBy(
+        F.expr(_OT_LANG_CASE).alias("li"),
+        F.least(F.expr("n_chars div 120"), F.lit(_OT_NB - 1)).alias("bk"),
+    ).agg(F.count("*").alias("c"))
+    corpus_rows = tot.collect()
+    n_corpus = sum(r["c"] for r in corpus_rows)
+    a_cnt = [0] * nb
+    for r in corpus_rows:
+        a_cnt[r["li"] * _OT_NB + r["bk"]] = r["c"]
+    a6 = [
+        (2 * 1000000 * c + n_corpus) // (2 * n_corpus) for c in a_cnt
+    ]
+
+    def fold(pdf):
+        import pandas as pd
+
+        src = pdf["source"].iloc[0]
+        n_src = int(pdf["c"].sum())
+        b_cnt = [0] * nb
+        for _, row in pdf.iterrows():
+            b_cnt[int(row["bin"])] = int(row["c"])
+        b6 = [
+            (2 * 1000000 * c + n_src) // (2 * n_src) for c in b_cnt
+        ]
+        dist9, _ = _ot_sinkhorn_int(a6, b6)
+        return pd.DataFrame(
+            {"source": [src], "n_docs": [n_src], "dist9": [dist9]}
+        )
+
+    out = cnt.groupBy("source").applyInPandas(
+        fold, schema="source string, n_docs long, dist9 long"
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        (
+            F.expr("(2 * dist9 + 1000) div 2000") / F.lit(1000000.0)
+        ).alias("ot_dist"),
+    ).orderBy("source")
+
+
+def _ot_oracle() -> str:
+    nb = len(_OT_LANGS) * _OT_NB
+    kvals = ", ".join(
+        f"({i}, {j}, {_OT_K9[i][j]}, {_ot_cost(i, j)})"
+        for i in range(nb)
+        for j in range(nb)
+    )
+    ctes = [
+        f"bins AS (SELECT unnest(range({nb})) AS bin)",
+        f"k AS (SELECT * FROM (VALUES {kvals}) t(i, j, k9, c))",
+        f"""doc AS (
+      SELECT source,
+             ({_OT_LANG_CASE}) * {_OT_NB}
+               + least(n_chars // 120, {_OT_NB - 1}) AS bin
+      FROM documents)""",
+        "corpus AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM doc GROUP BY bin)",
+        "nc AS (SELECT sum(c) AS n FROM corpus)",
+        f"""a AS (
+      SELECT b.bin,
+             {_half_up_sql('1000000 * coalesce(c.c, 0)', 'nc.n')} AS a6
+      FROM bins b LEFT JOIN corpus c ON c.bin = b.bin CROSS JOIN nc)""",
+        "srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM doc GROUP BY source)",
+        f"""bc AS (
+      SELECT s.source, b.bin,
+             {_half_up_sql('1000000 * coalesce(x.c, 0)', 's.ns')} AS b6
+      FROM srcs s CROSS JOIN bins b
+      LEFT JOIN (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+                 FROM doc GROUP BY source, bin) x
+        ON x.source = s.source AND x.bin = b.bin)""",
+        "v0 AS (SELECT source, bin AS j, CAST(1000000 AS BIGINT) AS v "
+        "FROM srcs CROSS JOIN bins)",
+    ]
+    prev_v = "v0"
+    for it in range(1, _OT_ITERS + 1):
+        ctes.append(
+            f"""u{it} AS (
+      SELECT t.source, t.i,
+             {_half_up_sql('a.a6 * 1000000000000', 't.den')} AS u
+      FROM (SELECT v.source, k.i,
+                   greatest(sum(k.k9 * v.v) // 1000, 1) AS den
+            FROM {prev_v} v JOIN k ON k.j = v.j
+            GROUP BY v.source, k.i) t
+      JOIN a ON a.bin = t.i)"""
+        )
+        ctes.append(
+            f"""v{it} AS (
+      SELECT t.source, t.j,
+             {_half_up_sql('b.b6 * 1000000000000', 't.den')} AS v
+      FROM (SELECT u.source, k.j,
+                   greatest(sum(k.k9 * u.u) // 1000, 1) AS den
+            FROM u{it} u JOIN k ON k.i = u.i
+            GROUP BY u.source, k.j) t
+      JOIN bc b ON b.source = t.source AND b.bin = t.j)"""
+        )
+        prev_v = f"v{it}"
+    last = _OT_ITERS
+    ctes.append(
+        f"""terms AS (
+      SELECT u.source,
+             CAST(round(1000000000 * ((u.u / 1000000.0)
+                  * (k.k9 / 1000000000.0) * (v.v / 1000000.0) * k.c))
+                  AS BIGINT) AS t9
+      FROM u{last} u
+      JOIN k ON k.i = u.i
+      JOIN v{last} v ON v.source = u.source AND v.j = k.j)"""
+    )
+    ctes.append(
+        "agg AS (SELECT source, sum(t9) AS dist9 FROM terms GROUP BY source)"
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT g.source, s.ns AS n_docs,
+           ((2 * g.dist9 + 1000) // 2000) / 1000000.0 AS ot_dist
+    FROM agg g JOIN srcs s ON s.source = g.source
+    ORDER BY g.source
+    """
+
+
+from .registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+_REG_ORACLES["q_sinkhorn_ot"] = _ot_oracle()
+
+
+# ---------------------------------------------------------------------------
+# X698 — NPMI topic coherence of the NMF topics
+# ---------------------------------------------------------------------------
+
+_TC_TOPW = 10
+
+_TC_ORACLE = f"""
+    WITH topics AS (
+      SELECT doc_id, topic FROM ({_REG_ORACLES['q_nmf_topics']}) t),
+    pres AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest({_text.tokens_sql('text')}) AS w
+        FROM documents)),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tw AS (
+      SELECT t.topic, p.w, CAST(count(*) AS BIGINT) AS cnt
+      FROM topics t JOIN pres p ON p.doc_id = t.doc_id
+      GROUP BY t.topic, p.w),
+    top AS (
+      SELECT topic, w,
+             row_number() OVER (PARTITION BY topic
+                                ORDER BY cnt DESC, w) AS rn
+      FROM tw),
+    topw AS (SELECT topic, w FROM top WHERE rn <= {_TC_TOPW}),
+    pairs AS (
+      SELECT a.topic, a.w AS wa, b.w AS wb
+      FROM topw a JOIN topw b ON b.topic = a.topic AND a.w < b.w),
+    dfw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS na FROM pres GROUP BY w),
+    cand AS (SELECT DISTINCT w FROM topw),
+    presc AS (
+      SELECT p.doc_id, p.w FROM pres p JOIN cand c ON c.w = p.w),
+    co AS (
+      SELECT p.topic, p.wa, p.wb, CAST(count(x.doc_id) AS BIGINT) AS nab
+      FROM pairs p
+      LEFT JOIN (SELECT a.doc_id, a.w AS wa, b.w AS wb
+                 FROM presc a JOIN presc b
+                   ON b.doc_id = a.doc_id AND a.w < b.w) x
+        ON x.wa = p.wa AND x.wb = p.wb
+      GROUP BY p.topic, p.wa, p.wb),
+    npmi AS (
+      SELECT c.topic,
+             CASE WHEN c.nab = 0 THEN CAST(-1000000000 AS BIGINT)
+                  ELSE CAST(round(1000000000 *
+                    (ln((c.nab * 1.0 * nd.n) / (da.na * 1.0 * db.na))
+                     / (-ln(c.nab * 1.0 / nd.n)))) AS BIGINT)
+             END AS p9
+      FROM co c
+      JOIN dfw da ON da.w = c.wa
+      JOIN dfw db ON db.w = c.wb
+      CROSS JOIN nd)
+    SELECT CAST(topic AS BIGINT) AS topic,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN sum(p9) >= 0
+             THEN {_half_up_sql('sum(p9)', 'count(*) * 1000')}
+             ELSE -{_half_up_sql('-sum(p9)', 'count(*) * 1000')} END
+             AS BIGINT) / 1000000.0 AS coherence
+    FROM npmi GROUP BY topic ORDER BY topic
+    """
+
+
+@query("q_topic_coherence", oracle=_TC_ORACLE)
+def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X698 — NPMI topic coherence (Bouma 2009; the standard topic-
+    model eval, Röder et al.'s C_NPMI): for each NMF topic (X634's
+    q_nmf_topics assignments), take the 10 most document-frequent
+    words among its member docs and average the normalized PMI
+    ln(p(a,b)/(p(a)p(b))) / −ln p(a,b) over the 45 word pairs, with
+    document-level co-occurrence probabilities; never-co-occurring
+    pairs score the conventional −1. Coherence near 0 ⇒ the "topic"
+    is a word-frequency artifact; substantially positive ⇒ its words
+    actually travel together — the acceptance gate before topic
+    labels are trusted downstream.
+
+    Determinism: all probabilities are ratios of document counts;
+    each pair's NPMI is one fixed-shape double expression quantized
+    to 1e-9 before the per-topic integer mean (signed half-up).
+
+    Scale: presence lists are a distinct-explode; candidate pairs are
+    45 per topic (constant); presence is semi-join-pruned to the ≤40
+    candidate words BEFORE the per-doc pair join, so co-occurrence
+    counting is linear in docs with a constant per-doc pair bound —
+    the topic assignment itself is X634's V-keyed NMF."""
+    from .round8b import q_nmf_topics as _nmf
+
+    topics = _nmf(spark, sf_dir).select("doc_id", "topic")
+    docs = load(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", F.explode(F.array_distinct(_text.tokens(F.col("text")))).alias("w")
+    )
+    nd = docs.count()
+    tw = (
+        topics.join(pres, "doc_id")
+        .groupBy("topic", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wtop = W.partitionBy("topic").orderBy(F.desc("cnt"), "w")
+    topw = (
+        tw.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _TC_TOPW)
+        .select("topic", "w")
+    )
+    pairs = (
+        topw.alias("a")
+        .join(topw.alias("b"), "topic")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .select("topic", F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+    )
+    dfw = pres.groupBy("w").agg(F.count("*").alias("na"))
+    cand = topw.select("w").distinct()
+    presc = pres.join(F.broadcast(cand), "w", "semi")
+    copairs = (
+        presc.alias("x")
+        .join(
+            presc.select(F.col("doc_id"), F.col("w").alias("wb")).alias("y"),
+            "doc_id",
+        )
+        .filter(F.col("x.w") < F.col("wb"))
+        .select(F.col("x.w").alias("wa"), "wb", "doc_id")
+    )
+    co = (
+        pairs.join(copairs, ["wa", "wb"], "left")
+        .groupBy("topic", "wa", "wb")
+        .agg(F.count("doc_id").alias("nab"))
+    )
+    npmi = (
+        co.join(dfw.select(F.col("w").alias("wa"), F.col("na").alias("naa")), "wa")
+        .join(dfw.select(F.col("w").alias("wb"), F.col("na").alias("nab_df")), "wb")
+        .select(
+            "topic",
+            F.when(F.col("nab") == 0, F.lit(-1000000000).cast("long"))
+            .otherwise(
+                F.round(
+                    1000000000
+                    * (
+                        F.log(
+                            (F.col("nab") * 1.0 * nd)
+                            / (F.col("naa") * 1.0 * F.col("nab_df"))
+                        )
+                        / (-F.log(F.col("nab") * 1.0 / nd))
+                    )
+                ).cast("long")
+            )
+            .alias("p9"),
+        )
+    )
+    return (
+        npmi.groupBy(F.col("topic").cast("long").alias("topic"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (
+                F.expr(
+                    "CASE WHEN sum(p9) >= 0 THEN "
+                    "(2 * sum(p9) + count(*) * 1000) div (2 * count(*) * 1000)"
+                    " ELSE -((2 * (-sum(p9)) + count(*) * 1000)"
+                    " div (2 * count(*) * 1000)) END"
+                )
+                / F.lit(1000000.0)
+            ).alias("coherence"),
+        )
+        .orderBy("topic")
     )

@@ -2753,3 +2753,42 @@ def ivm_view_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("priority", "flag", "n_rows")
         .orderBy("priority", "flag")
     )
+
+
+def run_streaming_dp_ledger(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X696 — live differential-privacy ledger (X695's streaming
+    face): per-source release counts are purely additive, so the
+    versioned merged store folds each micro-batch's counts with
+    ``additive_combine`` and the accountant (plans/round9b.
+    dp_accountant_df) reads ε(δ) straight off the state — a privacy
+    budget dashboard that never rescans history, with the store's
+    exactly-once commit protocol guarding against double-spending a
+    replayed batch (the failure mode a privacy ledger cannot have)."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        part = batch.groupBy("source").agg(F.count("*").alias("t"))
+        merged_store_apply(
+            part, store_dir, batch_id, additive_combine(["source"], ["t"])
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dp_ledger_from_store(cells: DataFrame) -> DataFrame:
+    """Store (source, t) → the q_dp_accounting output shape."""
+    from ..plans.round9b import dp_accountant_df
+
+    return dp_accountant_df(cells.select("source", F.col("t").cast("long")))

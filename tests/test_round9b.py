@@ -471,3 +471,91 @@ def test_dp_accounting_monotone_in_releases(spark, sf_dir):
             1 / _DP_DELTA
         ) / (a - 1)
         assert abs(r["eps"] - want) < 1e-5
+
+
+def test_streaming_dp_ledger_incremental_equals_batch(spark, tmp_path):
+    """X696: the additive release-count store read through the shared
+    accountant must equal the batch q_dp_accounting on docs-so-far."""
+    from kafka_stream_spark.plans.round9b import dp_accountant_df
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        dp_ledger_from_store,
+        merged_store_read,
+        run_streaming_dp_ledger,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    inp, store, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "dp"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def store_eps():
+        return {
+            tuple(r)
+            for r in dp_ledger_from_store(
+                merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_eps(d):
+        rel = d.groupBy("source").agg(F.count("*").cast("long").alias("t"))
+        return {tuple(r) for r in dp_accountant_df(rel).collect()}
+
+    w1.write.mode("append").parquet(inp)
+    assert run_streaming_dp_ledger(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_eps() == batch_eps(w1)
+    w2.write.mode("append").parquet(inp)
+    assert run_streaming_dp_ledger(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_eps() == batch_eps(docs)
+
+
+def test_sinkhorn_identity_is_minimal(spark, sf_dir):
+    """OT distance of a distribution to itself under Sinkhorn scaling
+    approaches the entropic floor: every per-source distance must be
+    ≥ 0, and a source whose mix matches the corpus more closely than
+    another must not score (much) higher. Structural bounds only —
+    the exact values are pinned by the differential gate."""
+    from kafka_stream_spark.plans.round9b import q_sinkhorn_ot
+
+    rows = q_sinkhorn_ot(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["ot_dist"] >= 0.0 for r in rows)
+    assert all(r["ot_dist"] <= 2.0 + 1e-6 for r in rows)  # max ground cost
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_sinkhorn_integer_fold_marginal_consistency():
+    """Pure-unit check of the integer Sinkhorn: with identical
+    marginals the transport cost is (near) the entropic floor, and
+    with disjoint language mass the cost approaches the language
+    mismatch cost 1."""
+    from kafka_stream_spark.plans.round9b import _OT_NB, _ot_sinkhorn_int
+
+    nb = 5 * _OT_NB
+    a = [0] * nb
+    a[0] = 500000
+    a[6] = 500000
+    same9, _ = _ot_sinkhorn_int(a, list(a))
+    b = [0] * nb
+    b[10] = 500000  # lang 2 mass only
+    b[16] = 500000
+    far9, _ = _ot_sinkhorn_int(a, b)
+    assert far9 > same9
+    assert far9 / 1e9 > 0.5  # language mismatch dominates
+
+
+def test_topic_coherence_bounds(spark, sf_dir):
+    """NPMI lives in [−1, 1]; each topic reports all 45 pairs of its
+    top-10 words."""
+    from kafka_stream_spark.plans.round9b import _TC_TOPW, q_topic_coherence
+
+    rows = q_topic_coherence(spark, sf_dir).collect()
+    assert rows
+    want_pairs = _TC_TOPW * (_TC_TOPW - 1) // 2
+    for r in rows:
+        assert r["n_pairs"] == want_pairs
+        assert -1.0 <= r["coherence"] <= 1.0
