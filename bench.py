@@ -346,6 +346,8 @@ HEADLINE = [
     "q_dp_accounting",
     "q_sinkhorn_ot",
     "q_topic_coherence",
+    "q_self_bleu",
+    "q_spectral_cut",
 ]
 
 

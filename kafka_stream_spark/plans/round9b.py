@@ -2269,3 +2269,395 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+# ---------------------------------------------------------------------------
+# X699 — Self-BLEU diversity audit over candidate groups
+# ---------------------------------------------------------------------------
+
+_SB_NANO = 1000000000
+
+
+def _wgrams_sql(toks: str, n: int) -> str:
+    if n == 1:
+        return toks
+    parts = " || ' ' || ".join(f"{toks}[i + {k + 1}]" for k in range(n))
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(len({toks}) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END)"
+    )
+
+
+_SB_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_MBR_MOD} AS prompt_id,
+             {_text.tokens_sql('text')} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, 2 AS n, unnest({_wgrams_sql('t', 2)}) AS g
+        FROM toks)
+      GROUP BY doc_id, n, g),
+    tot AS (SELECT doc_id, n, sum(c) AS tc FROM grams GROUP BY doc_id, n),
+    lens AS (SELECT doc_id, len(t) AS lw FROM toks),
+    pairs AS (
+      SELECT a.prompt_id, a.doc_id AS ci, b.doc_id AS ri
+      FROM toks a JOIN toks b
+        ON b.prompt_id = a.prompt_id AND b.doc_id <> a.doc_id),
+    ov AS (
+      SELECT p.ci, p.ri, cg.n, sum(least(cg.c, rg.c)) AS ov
+      FROM pairs p
+      JOIN grams cg ON cg.doc_id = p.ci
+      JOIN grams rg ON rg.doc_id = p.ri AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY p.ci, p.ri, cg.n),
+    pn AS (
+      SELECT p.prompt_id, p.ci, p.ri,
+             coalesce(max(CASE WHEN t.n = 1 THEN o.ov END), 0) AS ov1,
+             coalesce(max(CASE WHEN t.n = 2 THEN o.ov END), 0) AS ov2,
+             max(CASE WHEN t.n = 1 THEN t.tc END) AS tc1,
+             max(CASE WHEN t.n = 2 THEN t.tc END) AS tc2
+      FROM pairs p
+      JOIN tot t ON t.doc_id = p.ci
+      LEFT JOIN ov o ON o.ci = p.ci AND o.ri = p.ri AND o.n = t.n
+      GROUP BY p.prompt_id, p.ci, p.ri),
+    sc AS (
+      SELECT prompt_id, ci,
+             CASE WHEN ov1 = 0 OR ov2 = 0 OR coalesce(tc2, 0) = 0 THEN 0
+                  ELSE CAST(round({_SB_NANO} *
+                    ((CASE WHEN lc.lw < lr.lw
+                           THEN exp(1.0 - lr.lw * 1.0 / lc.lw)
+                           ELSE 1.0 END)
+                     * sqrt((ov1 * 1.0 / tc1) * (ov2 * 1.0 / tc2))))
+                    AS BIGINT)
+             END AS q9
+      FROM pn
+      JOIN lens lc ON lc.doc_id = pn.ci
+      JOIN lens lr ON lr.doc_id = pn.ri)
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {_half_up_sql('sum(q9)', 'count(*) * 1000')} / 1000000.0
+             AS self_bleu
+    FROM sc GROUP BY prompt_id ORDER BY prompt_id
+    """
+
+
+@query("q_self_bleu", oracle=_SB_ORACLE)
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X699 — Self-BLEU diversity audit (Zhu et al. 2018, Texygen):
+    within each prompt group, mean pairwise BLEU-2 of every candidate
+    against every other — HIGH self-BLEU means the sampler is
+    collapsing onto one phrasing (mode collapse), the failure mode
+    X682's MBR consensus would then happily select for; the two
+    numbers are read together. BLEU-2 = BP·√(p1·p2) with clipped
+    modified precisions and the standard brevity penalty; pairs with
+    a zero precision score exactly 0.
+
+    Determinism: overlaps/totals are integer gram counts; each pair's
+    score is one fixed-shape IEEE expression (sqrt form — no log sum)
+    quantized to 1e-9 before the per-prompt integer mean.
+
+    Scale: gram tables are combinable groupBys; the pair join is
+    group-local (sampler's n² per prompt, linear in prompts) and the
+    overlap join is keyed by (doc, n, gram)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+        _text.tokens(F.col("text")).alias("t"),
+    )
+    uni = toks.select("doc_id", F.lit(1).alias("n"), F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    grams = (
+        uni.unionAll(bi)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = grams.groupBy("doc_id", "n").agg(F.sum("c").alias("tc"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("lw"))
+    pairs = (
+        toks.select("prompt_id", F.col("doc_id").alias("ci"))
+        .join(
+            toks.select("prompt_id", F.col("doc_id").alias("ri")),
+            "prompt_id",
+        )
+        .filter(F.col("ci") != F.col("ri"))
+    )
+    ov = (
+        pairs.join(
+            grams.select(F.col("doc_id").alias("ci"), "n", "g", F.col("c").alias("cc")),
+            "ci",
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("ri"), "n", "g", F.col("c").alias("cr")),
+            ["ri", "n", "g"],
+        )
+        .groupBy("ci", "ri", "n")
+        .agg(F.sum(F.least("cc", "cr")).alias("ov"))
+    )
+    pn = (
+        pairs.join(tot.select(F.col("doc_id").alias("ci"), "n", "tc"), "ci")
+        .join(ov, ["ci", "ri", "n"], "left")
+        .groupBy("prompt_id", "ci", "ri")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 1, F.col("ov"))), F.lit(0)
+            ).alias("ov1"),
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("ov"))), F.lit(0)
+            ).alias("ov2"),
+            F.max(F.when(F.col("n") == 1, F.col("tc"))).alias("tc1"),
+            F.max(F.when(F.col("n") == 2, F.col("tc"))).alias("tc2"),
+        )
+    )
+    bp = F.when(
+        F.col("lc") < F.col("lr"),
+        F.exp(1.0 - F.col("lr") * 1.0 / F.col("lc")),
+    ).otherwise(F.lit(1.0))
+    score = bp * F.sqrt(
+        (F.col("ov1") * 1.0 / F.col("tc1"))
+        * (F.col("ov2") * 1.0 / F.col("tc2"))
+    )
+    sc = (
+        pn.join(
+            lens.select(F.col("doc_id").alias("ci"), F.col("lw").alias("lc")),
+            "ci",
+        )
+        .join(
+            lens.select(F.col("doc_id").alias("ri"), F.col("lw").alias("lr")),
+            "ri",
+        )
+        .select(
+            "prompt_id",
+            F.when(
+                (F.col("ov1") == 0)
+                | (F.col("ov2") == 0)
+                | (F.coalesce(F.col("tc2"), F.lit(0)) == 0),
+                F.lit(0).cast("long"),
+            )
+            .otherwise(F.round(_SB_NANO * score).cast("long"))
+            .alias("q9"),
+        )
+    )
+    return (
+        sc.groupBy(F.col("prompt_id").cast("long").alias("prompt_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (
+                _half_up_col("sum(q9)", "count(*) * 1000") / F.lit(1000000.0)
+            ).alias("self_bleu"),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X700 — spectral bipartition (power iteration on the lazy walk)
+# ---------------------------------------------------------------------------
+
+_SP_ITERS = 5
+_SP_MICRO = 1000000
+
+
+def _sp_iter_sql(prev: str, cur: str) -> str:
+    """One deflated lazy-walk power iteration in exact micro integers:
+    y = (x + A·x/deg)/2, project off the degree-weighted constant
+    vector, renormalize to max |y| = 1e6."""
+    return f"""
+    n{cur} AS MATERIALIZED (
+      SELECT d.a,
+             {prev}.x AS x,
+             CASE WHEN s.s >= 0
+                  THEN (2 * s.s + d.deg) // (2 * d.deg)
+                  ELSE -((2 * (-s.s) + d.deg) // (2 * d.deg)) END AS ax
+      FROM deg d
+      JOIN {prev} ON {prev}.a = d.a
+      JOIN (SELECT sym.a, sum(p.x) AS s
+            FROM sym JOIN {prev} p ON p.a = sym.b
+            GROUP BY sym.a) s ON s.a = d.a),
+    y{cur} AS MATERIALIZED (
+      SELECT a, CASE WHEN x + ax >= 0 THEN (x + ax) // 2
+                     ELSE -(((-(x + ax)) + 1) // 2) END AS y
+      FROM n{cur}),
+    m{cur} AS (
+      SELECT CASE WHEN sum(d.deg * y.y) >= 0
+                  THEN (2 * sum(d.deg * y.y) + sum(d.deg))
+                       // (2 * sum(d.deg))
+                  ELSE -((2 * (-sum(d.deg * y.y)) + sum(d.deg))
+                         // (2 * sum(d.deg))) END AS m
+      FROM y{cur} y JOIN deg d ON d.a = y.a),
+    z{cur} AS MATERIALIZED (
+      SELECT y.a, y.y - m.m AS z FROM y{cur} y CROSS JOIN m{cur} m),
+    mx{cur} AS (
+      SELECT greatest(max(abs(z)), 1) AS mx FROM z{cur}),
+    {cur} AS MATERIALIZED (
+      SELECT z.a,
+             CASE WHEN z.z >= 0
+                  THEN (2 * {_SP_MICRO} * z.z + mx.mx) // (2 * mx.mx)
+                  ELSE -((2 * {_SP_MICRO} * (-z.z) + mx.mx)
+                         // (2 * mx.mx)) END AS x
+      FROM z{cur} z CROSS JOIN mx{cur} mx)"""
+
+
+def _sp_oracle() -> str:
+    from .graph_ext import _EDGES_SQL
+
+    iters = "".join(
+        "," + _sp_iter_sql(f"x{i}", f"x{i + 1}") for i in range(_SP_ITERS)
+    )
+    last = f"x{_SP_ITERS}"
+    return f"""
+    WITH {_EDGES_SQL.replace("sym AS (", "sym AS MATERIALIZED (")},
+    deg AS MATERIALIZED (
+      SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+    x0 AS MATERIALIZED (
+      SELECT a, CAST(CASE WHEN (a // 2) % 2 = 0 THEN {_SP_MICRO}
+                          ELSE -{_SP_MICRO} END AS BIGINT) AS x
+      FROM deg)
+    {iters},
+    side AS (SELECT a, x >= 0 AS s FROM {last}),
+    vols AS (
+      SELECT CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN s THEN d.deg ELSE 0 END) AS vol_a,
+             sum(CASE WHEN s THEN 0 ELSE d.deg END) AS vol_b
+      FROM side JOIN deg d ON d.a = side.a),
+    cut AS (
+      SELECT CAST(count(*) AS BIGINT) AS cut_edges
+      FROM sym
+      JOIN side sa ON sa.a = sym.a
+      JOIN side sb ON sb.a = sym.b
+      WHERE sa.s <> sb.s)
+    SELECT v.n_a, v.n_b, CAST(v.vol_a AS BIGINT) AS vol_a,
+           CAST(v.vol_b AS BIGINT) AS vol_b,
+           c.cut_edges // 2 AS cut_edges,
+           ((2 * {_SP_MICRO} * (c.cut_edges // 2)
+             + least(v.vol_a, v.vol_b))
+            // (2 * least(v.vol_a, v.vol_b))) / 1000000.0 AS conductance
+    FROM vols v CROSS JOIN cut c
+    """
+
+
+@query("q_spectral_cut", oracle=_sp_oracle())
+def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X700 — spectral bipartition of the supplier-customer graph
+    (the X174/X294/X500 graph): {_SP_ITERS} deflated power iterations
+    of the lazy random walk y = (x + Ax/d)/2 — projecting off the
+    degree-weighted constant vector leaves the walk's second
+    eigenvector, whose sign pattern is the classic spectral 2-way cut
+    (Shi-Malik flavor) — then the cut's conductance, scored by the
+    same φ = cut/min(vol) that X500 applies to LPA communities.
+    Label propagation finds dense communities; the spectral sign cut
+    finds the global BALANCED separator — complementary structure.
+
+    Determinism: the iteration state is exact micro-integer
+    throughout (signed half-up for Ax/d, mean deflation and max-norm
+    renormalization), so the sign pattern cannot differ between
+    engines; init is the deterministic ±1 parity vector.
+
+    Scale: each iteration is one vertex-keyed join + one edge-keyed
+    aggregate — the PageRank shape; 5 iterations, no driver state."""
+    from .graph_ext import _edges
+
+    sym = _edges(spark, sf_dir).persist()
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    x = deg.select(
+        "a",
+        F.when(F.expr("(a div 2) % 2 = 0"), F.lit(_SP_MICRO))
+        .otherwise(F.lit(-_SP_MICRO))
+        .cast("long")
+        .alias("x"),
+    )
+
+    def hu_signed(num: str, den: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN {num} >= 0 THEN (2 * ({num}) + ({den})) "
+            f"div (2 * ({den})) ELSE -((2 * (-({num})) + ({den})) "
+            f"div (2 * ({den}))) END"
+        )
+
+    for _ in range(_SP_ITERS):
+        s = (
+            sym.join(x.select(F.col("a").alias("b"), "x"), "b")
+            .groupBy("a")
+            .agg(F.sum("x").alias("s"))
+        )
+        n = (
+            deg.join(x, "a")
+            .join(s, "a")
+            .select("a", "deg", "x", hu_signed("s", "deg").alias("ax"))
+        )
+        y = n.select(
+            "a",
+            "deg",
+            F.expr(
+                "CASE WHEN x + ax >= 0 THEN (x + ax) div 2 "
+                "ELSE -(((-(x + ax)) + 1) div 2) END"
+            ).alias("y"),
+        )
+        m = y.agg(
+            hu_signed("sum(deg * y)", "sum(deg)").alias("m")
+        )
+        z = y.crossJoin(F.broadcast(m)).select(
+            "a", (F.col("y") - F.col("m")).alias("z")
+        )
+        mx = z.agg(
+            F.greatest(F.max(F.abs(F.col("z"))), F.lit(1)).alias("mx")
+        )
+        x = (
+            z.crossJoin(F.broadcast(mx))
+            .select(
+                "a",
+                hu_signed(f"{_SP_MICRO} * z", "mx").alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    side = x.select("a", (F.col("x") >= 0).alias("s"))
+    vols = (
+        side.join(deg, "a")
+        .agg(
+            F.sum(F.col("s").cast("long")).cast("long").alias("n_a"),
+            F.sum((~F.col("s")).cast("long")).cast("long").alias("n_b"),
+            F.sum(F.when(F.col("s"), F.col("deg")).otherwise(0)).alias(
+                "vol_a"
+            ),
+            F.sum(F.when(~F.col("s"), F.col("deg")).otherwise(0)).alias(
+                "vol_b"
+            ),
+        )
+    )
+    cut = (
+        sym.join(side.select(F.col("a"), F.col("s").alias("sa")), "a")
+        .join(
+            side.select(F.col("a").alias("b"), F.col("s").alias("sb")), "b"
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").cast("long").alias("ce2"))
+    )
+    return vols.crossJoin(F.broadcast(cut)).select(
+        "n_a",
+        "n_b",
+        F.col("vol_a").cast("long").alias("vol_a"),
+        F.col("vol_b").cast("long").alias("vol_b"),
+        F.expr("ce2 div 2").alias("cut_edges"),
+        (
+            F.expr(
+                f"(2 * {_SP_MICRO} * (ce2 div 2) + least(vol_a, vol_b)) "
+                "div (2 * least(vol_a, vol_b))"
+            )
+            / F.lit(1000000.0)
+        ).alias("conductance"),
+    )

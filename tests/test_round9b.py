@@ -559,3 +559,29 @@ def test_topic_coherence_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_pairs"] == want_pairs
         assert -1.0 <= r["coherence"] <= 1.0
+
+
+def test_self_bleu_bounds_and_self_identity(spark, sf_dir):
+    """Pairwise BLEU lives in [0, 1]; a group's self-BLEU cannot
+    exceed 1 and every prompt group reports all ordered pairs."""
+    from kafka_stream_spark.plans.round9b import q_self_bleu
+
+    rows = q_self_bleu(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["self_bleu"] <= 1.0
+        n = (1 + (1 + 4 * r["n_pairs"]) ** 0.5) / 2  # n(n-1) = pairs
+        assert abs(n - round(n)) < 1e-9  # ordered-pair count is n(n-1)
+
+
+def test_spectral_cut_partitions_and_conductance(spark, sf_dir):
+    """The sign cut must produce two non-empty sides whose volumes sum
+    to the total edge volume, cut conductance in (0, 1], and the cut
+    count bounded by the cut volume."""
+    from kafka_stream_spark.plans.round9b import q_spectral_cut
+
+    r = q_spectral_cut(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["cut_edges"] > 0
+    assert 0.0 < r["conductance"] <= 1.0
+    assert r["cut_edges"] <= min(r["vol_a"], r["vol_b"])
