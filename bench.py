@@ -348,6 +348,8 @@ HEADLINE = [
     "q_topic_coherence",
     "q_self_bleu",
     "q_spectral_cut",
+    "q_group_dro",
+    "q_infinigram",
 ]
 
 

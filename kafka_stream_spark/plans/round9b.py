@@ -2661,3 +2661,255 @@ def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("conductance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X701 — Group DRO reweighting
+# ---------------------------------------------------------------------------
+
+_DRO_ETA = 0.01  # multiplicative-weights step on mean group loss
+
+_DRO_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {_half_up_sql(
+                 '10000 * sum(CAST(round(value * 100) AS BIGINT))',
+                 'count(*)')} AS l_micro
+      FROM events GROUP BY event_type),
+    mx AS (SELECT max(l_micro) AS m FROM g),
+    e AS (
+      SELECT g.event_type, g.n, g.l_micro,
+             CAST(round(1000000000 * exp({_DRO_ETA}
+                  * ((g.l_micro - mx.m) / 10000.0))) AS BIGINT) AS e9
+      FROM g CROSS JOIN mx),
+    s AS (SELECT sum(e9) AS se FROM e)
+    SELECT e.event_type, e.n,
+           e.l_micro / 10000.0 AS mean_loss,
+           {_half_up_sql('1000000 * e.e9', 's.se')} / 1000000.0 AS dro_weight
+    FROM e CROSS JOIN s ORDER BY e.event_type
+    """
+
+
+@query("q_group_dro", oracle=_DRO_ORACLE)
+def q_group_dro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X701 — Group DRO reweighting (Sagawa et al. 2020): the
+    worst-group-robust training weights w_g ∝ exp(η·L_g) over group
+    mean losses — the standard fix when average-loss training lets a
+    minority group (language, source, demographic slice) be sacrificed;
+    with static per-group losses the multiplicative-weights ascent
+    collapses to one max-stabilized softmax. Groups are event_type;
+    losses are exact integer-cents means lifted to micro units.
+
+    Determinism: losses are integers; exp is evaluated once per group
+    on the max-centered value (identical doubles), quantized to 1e-9;
+    normalization is integer half-up.
+
+    Scale: one combinable groupBy + a |groups|-row softmax."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        _half_up_col(
+            "10000 * sum(CAST(round(value * 100) AS BIGINT))", "count(*)"
+        ).alias("l_micro"),
+    )
+    mx = g.agg(F.max("l_micro").alias("m"))
+    ex = g.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n",
+        "l_micro",
+        F.round(
+            1000000000
+            * F.exp(_DRO_ETA * ((F.col("l_micro") - F.col("m")) / 10000.0))
+        )
+        .cast("long")
+        .alias("e9"),
+    )
+    s = ex.agg(F.sum("e9").alias("se"))
+    return (
+        ex.crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            "n",
+            (F.col("l_micro") / F.lit(10000.0)).alias("mean_loss"),
+            (
+                _half_up_col("1000000 * e9", "se") / F.lit(1000000.0)
+            ).alias("dro_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X702 — ∞-gram longest-suffix continuation (infini-gram)
+# ---------------------------------------------------------------------------
+
+_IG_PROBE_MOD = 50  # probe docs: doc_id % 50 == 0
+
+
+def _ig_gram_sql(n: int) -> str:
+    """(prefix of n−1 space-joined tokens, next token, count)."""
+    p = " || ' ' || ".join(f"t[i + {k + 1}]" for k in range(n - 1))
+    return f"""
+      SELECT {p} AS p, t[i + {n}] AS w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT t, unnest(range(len(t) - {n - 1})) AS i FROM toks)
+      GROUP BY p, w"""
+
+
+_IG_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_text.tokens_sql('text')} AS t FROM documents
+      WHERE len({_text.tokens_sql('text')}) >= 4),
+    g2 AS ({_ig_gram_sql(2)}),
+    g3 AS ({_ig_gram_sql(3)}),
+    g4 AS ({_ig_gram_sql(4)}),
+    t2 AS (SELECT p, w, c, row_number() OVER (PARTITION BY p
+             ORDER BY c DESC, w) AS rn, sum(c) OVER (PARTITION BY p) AS tc
+           FROM g2),
+    t3 AS (SELECT p, w, c, row_number() OVER (PARTITION BY p
+             ORDER BY c DESC, w) AS rn, sum(c) OVER (PARTITION BY p) AS tc
+           FROM g3),
+    t4 AS (SELECT p, w, c, row_number() OVER (PARTITION BY p
+             ORDER BY c DESC, w) AS rn, sum(c) OVER (PARTITION BY p) AS tc
+           FROM g4),
+    probes AS (
+      SELECT doc_id, t[1] || ' ' || t[2] || ' ' || t[3] AS s3,
+             t[2] || ' ' || t[3] AS s2, t[3] AS s1
+      FROM toks WHERE doc_id % {_IG_PROBE_MOD} = 0)
+    SELECT pr.doc_id,
+           CAST(CASE WHEN a.p IS NOT NULL THEN 3
+                WHEN b.p IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+             AS suffix_len,
+           coalesce(a.w, b.w, c.w) AS next_token,
+           coalesce(a.c, b.c, c.c) AS cnt,
+           {_half_up_sql('1000000 * coalesce(a.c, b.c, c.c)',
+                         'coalesce(a.tc, b.tc, c.tc)')} / 1000000.0
+             AS prob
+    FROM probes pr
+    LEFT JOIN t4 a ON a.p = pr.s3 AND a.rn = 1
+    LEFT JOIN t3 b ON b.p = pr.s2 AND b.rn = 1
+    LEFT JOIN t2 c ON c.p = pr.s1 AND c.rn = 1
+    ORDER BY pr.doc_id
+    """
+
+
+@query("q_infinigram", oracle=_IG_ORACLE)
+def q_infinigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X702 — ∞-gram / longest-suffix continuation (Liu et al. 2024,
+    infini-gram): instead of a fixed n, back off from the LONGEST
+    context suffix with nonzero corpus count and read the next-token
+    distribution there — the n-gram LM revived at trillion-token
+    scale for membership/novelty analysis and speculative drafting.
+    Probe contexts are the first 3 tokens of every 50th document;
+    the engine reports the matched suffix length, the argmax
+    continuation, and its probability within the matched context.
+
+    Determinism: counts and totals are integers; the probability is
+    one integer half-up division; argmax ties break on token order.
+
+    Scale: suffix tables are combinable (prefix, next) groupBys —
+    exactly the X613 BPE / X623 LM-count shape; probes join by
+    prefix hash. The real system's suffix array collapses all n into
+    one structure; the leveled tables here are the bounded-n slice
+    of it (n ≤ 4), each linear in corpus tokens."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _text.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 4)
+    )
+
+    def grams(n: int) -> DataFrame:
+        return (
+            toks.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - n),
+                        lambda i: F.struct(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at("t", i + k + 1)
+                                    for k in range(n - 1)
+                                ],
+                            ).alias("p"),
+                            F.element_at("t", i + n).alias("w"),
+                        ),
+                    )
+                ).alias("g")
+            )
+            .groupBy(F.col("g.p").alias("p"), F.col("g.w").alias("w"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    def top(gdf: DataFrame) -> DataFrame:
+        wp = W.partitionBy("p").orderBy(F.desc("c"), "w")
+        wt = W.partitionBy("p")
+        return (
+            gdf.withColumn("rn", F.row_number().over(wp))
+            .withColumn("tc", F.sum("c").over(wt))
+            .filter(F.col("rn") == 1)
+            .select("p", "w", "c", "tc")
+        )
+
+    t4, t3, t2 = top(grams(4)), top(grams(3)), top(grams(2))
+    probes = toks.filter(F.col("doc_id") % _IG_PROBE_MOD == 0).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("t", 1),
+            F.element_at("t", 2),
+            F.element_at("t", 3),
+        ).alias("s3"),
+        F.concat_ws(" ", F.element_at("t", 2), F.element_at("t", 3)).alias(
+            "s2"
+        ),
+        F.element_at("t", 3).alias("s1"),
+    )
+    j = (
+        probes.join(
+            t4.select(
+                F.col("p").alias("s3"),
+                F.col("w").alias("w4"),
+                F.col("c").alias("c4"),
+                F.col("tc").alias("tc4"),
+            ),
+            "s3",
+            "left",
+        )
+        .join(
+            t3.select(
+                F.col("p").alias("s2"),
+                F.col("w").alias("w3"),
+                F.col("c").alias("c3"),
+                F.col("tc").alias("tc3"),
+            ),
+            "s2",
+            "left",
+        )
+        .join(
+            t2.select(
+                F.col("p").alias("s1"),
+                F.col("w").alias("w2"),
+                F.col("c").alias("c2"),
+                F.col("tc").alias("tc2"),
+            ),
+            "s1",
+            "left",
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.when(F.col("w4").isNotNull(), F.lit(3))
+        .when(F.col("w3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("suffix_len"),
+        F.coalesce("w4", "w3", "w2").alias("next_token"),
+        F.coalesce("c4", "c3", "c2").alias("cnt"),
+        (
+            _half_up_col(
+                "1000000 * coalesce(c4, c3, c2)", "coalesce(tc4, tc3, tc2)"
+            )
+            / F.lit(1000000.0)
+        ).alias("prob"),
+    ).orderBy("doc_id")

@@ -585,3 +585,103 @@ def test_spectral_cut_partitions_and_conductance(spark, sf_dir):
     assert r["cut_edges"] > 0
     assert 0.0 < r["conductance"] <= 1.0
     assert r["cut_edges"] <= min(r["vol_a"], r["vol_b"])
+
+
+def test_exchange_reuse_for_self_joined_aggregate(spark, sf_dir):
+    """A self-join of one aggregated subquery must reuse the shuffle
+    exchange (ReusedExchange in the physical plan), not recompute the
+    aggregation twice — the plan property that makes diff-vs-total
+    patterns (share-of-total, mix-shift) affordable at 100 TB."""
+    from kafka_stream_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    joined = agg.alias("a").join(agg.alias("b"), "event_type").selectExpr(
+        "event_type", "a.n + b.n AS nn"
+    )
+    joined.collect()  # AQE finalizes reuse only at execution
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Under AQE with low skew thresholds, a sort-merge join against a
+    deliberately skewed key distribution must get the skew-join split
+    (SortMergeJoin(skew=true) / 'skewed' shuffle reads in the final
+    plan) — the runtime answer to hot keys at scale. Conf note:
+    sources.tables.load() re-pins RUNTIME_CONFS, so the overrides are
+    applied AFTER any load() call and restored in finally."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "10KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+        )
+        right = spark.range(0, 1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("rid")
+        )
+        j = left.join(right.hint("merge"), "k").select(
+            F.count("*").alias("n")
+        )
+        assert j.collect()[0]["n"] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "skewed" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_group_dro_weights_normalize_and_order(spark, sf_dir):
+    """DRO weights must sum to 1 (quantized) and be monotone in group
+    mean loss — the defining property of the exponential reweighting."""
+    from kafka_stream_spark.plans.round9b import q_group_dro
+
+    rows = q_group_dro(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["dro_weight"] for r in rows) - 1.0) < 1e-4
+    by_loss = sorted(rows, key=lambda r: r["mean_loss"])
+    ws = [r["dro_weight"] for r in by_loss]
+    assert ws == sorted(ws)
+
+
+def test_infinigram_backoff_and_probability(spark, sf_dir):
+    """Every probe resolves at some suffix length with a valid
+    continuation; probabilities are in (0, 1]; and any probe whose
+    3-token context occurs in the corpus (they all do — probes are
+    drawn FROM the corpus) must match at the full suffix length 3."""
+    from kafka_stream_spark.plans.round9b import q_infinigram
+
+    rows = q_infinigram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["suffix_len"] in (1, 2, 3)
+        assert r["next_token"]
+        assert 0.0 < r["prob"] <= 1.0
+        assert r["cnt"] >= 1
+    # probe contexts are substrings of corpus docs ⇒ the 3-token
+    # suffix always exists in the 4-gram table
+    assert all(r["suffix_len"] == 3 for r in rows)
