@@ -350,6 +350,10 @@ HEADLINE = [
     "q_spectral_cut",
     "q_group_dro",
     "q_infinigram",
+    "q_position_bias",
+    "q_embedding_drift",
+    "q_lc_winrate",
+    "q_bon_unbiased",
 ]
 
 
@@ -443,11 +447,17 @@ def main() -> None:
             if p is None or p < 0.3 or t < 0.3:
                 continue
             ratio = (t / calibration) / (p / prior_cal)
-            if ratio > 1.5:
+            # raw-ratio guard: calibration is a single constant-work
+            # sample per run and can swing ±30% when one run's
+            # calibration (but not its query loop) landed under
+            # background load — a "regression" whose RAW time is flat
+            # is calibration noise by definition, not a plan change
+            if ratio > 1.5 and t / p > 1.25:
                 regressions[name] = {
                     "prior_sec": p,
                     "now_sec": t,
                     "normalized_ratio": round(ratio, 2),
+                    "raw_ratio": round(t / p, 2),
                 }
         for name, r in regressions.items():
             print(f"# REGRESSION {name}: {r}", file=sys.stderr)

@@ -64,6 +64,11 @@ REFERENCE_SURFACE_KEYS: list[str] = [
     "q_stream_window",     # T4
     "q_session_window",    # T4
     "q_stateful_stats",    # T5
+    # order-dependent sequential folds (applyInPandas family) — the
+    # other plan shape where fresh-session binding bugs could hide
+    "q_kalman_1d_grouped",  # X648
+    "q_elo_ratings",        # X685
+    "q_gae_advantage",      # X692
 ]
 
 
