@@ -18,6 +18,22 @@ reference-free by design.
 - X684 q_rft_select: rejection-sampling fine-tuning dataset builder
   (RFT, Yuan et al. 2023) — per prompt keep correct samples deduped
   by reasoning-path fingerprint, capped at m per prompt.
+- X685 q_elo_ratings / X686 run_streaming_elo: order-dependent
+  integer Elo fold (Bradley-Terry link) + its versioned store.
+- X687 q_fellegi_sunter: EM-fitted probabilistic record linkage.
+- X688 q_grad_noise_scale: critical-batch-size estimator as one
+  integer ratio on quantized vectors.
+- X689 q_mojibake_audit / X690 q_token_crossentropy: encoding
+  corruption triage and vocabulary-level domain shift.
+- X691 q_tracin_influence: checkpoint-gradient influence along an
+  exact-integer GD trajectory.
+- X692 q_gae_advantage: backward GAE fold (PPO advantages).
+- X693 q_ivm_join_view (+ run_streaming_ivm): delta-join incremental
+  view maintenance.
+- X694 q_infonce_audit, X695 q_dp_accounting (+X696 streaming
+  ledger), X697 q_sinkhorn_ot, X698 q_topic_coherence,
+  X699 q_self_bleu, X700 q_spectral_cut, X701 q_group_dro,
+  X702 q_infinigram.
 
 Determinism discipline (gate contract): ratios of small integers land
 on decimal ties (x.xxxxxx5) with high probability, where Spark's

@@ -2792,3 +2792,48 @@ def dp_ledger_from_store(cells: DataFrame) -> DataFrame:
     from ..plans.round9b import dp_accountant_df
 
     return dp_accountant_df(cells.select("source", F.col("t").cast("long")))
+
+
+def run_streaming_embedding_drift(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X707 — live embedding-drift monitor (X704's streaming face):
+    per micro-batch the incoming vectors' projected-and-binned cell
+    counts (proj × bin × half) fold additively into the versioned
+    merged store; the PSI read side is the batch query's own tail
+    (plans/round9c.embedding_drift_from_counts). This is the monitor
+    an embedding service keeps warm: encoder-version drift shows up
+    as a PSI step without rescanning the vector log."""
+    vecs = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from ..plans.round9c import embedding_bin_counts
+
+        part = embedding_bin_counts(batch).localCheckpoint(eager=True)
+        merged_store_apply(
+            part,
+            store_dir,
+            batch_id,
+            additive_combine(["proj", "bin", "half"], ["c"]),
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def embedding_drift_from_store(cells: DataFrame) -> DataFrame:
+    """Store cells → the q_embedding_drift output shape."""
+    from ..plans.round9c import embedding_drift_from_counts
+
+    return embedding_drift_from_counts(
+        cells.select("proj", "bin", "half", F.col("c").cast("long"))
+    )
