@@ -354,6 +354,9 @@ HEADLINE = [
     "q_embedding_drift",
     "q_lc_winrate",
     "q_bon_unbiased",
+    "q_rasch_irt",
+    "q_mbr_select_sampled",
+    "q_self_bleu_sampled",
 ]
 
 

@@ -783,3 +783,309 @@ def q_rasch_irt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_emp"),
         F.col("n").cast("long").alias("n_trials"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X709 — sampled-reference MBR (the production twin of X682)
+# ---------------------------------------------------------------------------
+
+from ..functions import text as _text  # noqa: E402
+from .round9b import _MBR_MOD, _MICRO  # noqa: E402
+
+_MBRS_K = 8  # reference-panel size per prompt
+
+_MBRS_PANEL_SQL = f"""
+    cand AS (
+      SELECT doc_id, doc_id % {_MBR_MOD} AS prompt_id,
+             list_distinct({_text.tokens_sql('text')}) AS ts,
+             {token_hash_sql("CAST(doc_id AS VARCHAR)")} AS hid
+      FROM documents),
+    panel AS (
+      SELECT prompt_id, doc_id AS ref_id, ts AS ref_ts
+      FROM (SELECT prompt_id, doc_id, ts,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY hid, doc_id) AS rn
+            FROM cand)
+      WHERE rn <= {_MBRS_K})"""
+
+_MBRS_ORACLE = f"""
+    WITH {_MBRS_PANEL_SQL},
+    pair AS (
+      SELECT a.prompt_id, a.doc_id,
+             {_half_up_sql(
+                 f'{_MICRO} * len(list_intersect(a.ts, p.ref_ts))',
+                 'len(list_distinct(list_concat(a.ts, p.ref_ts)))')} AS j6
+      FROM cand a JOIN panel p
+        ON p.prompt_id = a.prompt_id AND p.ref_id <> a.doc_id),
+    sc AS (
+      SELECT prompt_id, doc_id,
+             {_half_up_sql('sum(j6)', 'count(*)')} AS s_micro
+      FROM pair GROUP BY prompt_id, doc_id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY prompt_id
+                 ORDER BY s_micro DESC, doc_id) AS rn
+      FROM sc)
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id, doc_id,
+           s_micro / 1000000.0 AS mbr_score
+    FROM r WHERE rn = 1 ORDER BY prompt_id
+    """
+
+
+def _mbr_panel(spark: SparkSession, sf_dir: str):
+    cand = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+        F.array_distinct(_text.tokens(F.col("text"))).alias("ts"),
+        token_hash(F.col("doc_id").cast("string")).alias("hid"),
+    )
+    wp = W.partitionBy("prompt_id").orderBy("hid", "doc_id")
+    panel = (
+        cand.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _MBRS_K)
+        .select(
+            "prompt_id",
+            F.col("doc_id").alias("ref_id"),
+            F.col("ts").alias("ref_ts"),
+        )
+    )
+    return cand, panel
+
+
+@query("q_mbr_select_sampled", oracle=_MBRS_ORACLE)
+def q_mbr_select_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X709 — sampled-reference MBR (the Bertsch et al. / Cheng &
+    Sennrich approximation; X682's production twin, the X647/X680
+    twin policy): the consensus utility is estimated against a FIXED
+    hash-chosen panel of {_MBRS_K} references per prompt instead of
+    all n candidates, dropping the per-prompt cost from n² to n·k —
+    the standard fix when the sampler's n must grow (the probe axis
+    that puts exact MBR at exp 0.90). Panel choice is deterministic
+    (md5 order on doc_id), so both engines and any replay pick the
+    same panel.
+
+    Scale: pairs per prompt = n·k with constant k — corpus-linear;
+    same integer micro-unit discipline as X682."""
+    cand, panel = _mbr_panel(spark, sf_dir)
+    pair = (
+        cand.join(panel, "prompt_id")
+        .filter(F.col("ref_id") != F.col("doc_id"))
+        .select(
+            "prompt_id",
+            "doc_id",
+            F.size(F.array_intersect(F.col("ts"), F.col("ref_ts"))).alias(
+                "ii"
+            ),
+            F.size(F.array_union(F.col("ts"), F.col("ref_ts"))).alias("uu"),
+        )
+        .select(
+            "prompt_id",
+            "doc_id",
+            _half_up_col(f"{_MICRO} * ii", "uu").alias("j6"),
+        )
+    )
+    sc = pair.groupBy("prompt_id", "doc_id").agg(
+        _half_up_col("sum(j6)", "count(*)").alias("s_micro")
+    )
+    wr = W.partitionBy("prompt_id").orderBy(F.desc("s_micro"), "doc_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("prompt_id").cast("long").alias("prompt_id"),
+            "doc_id",
+            (F.col("s_micro") / F.lit(1000000.0)).alias("mbr_score"),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X710 — sampled-reference self-BLEU (the production twin of X699)
+# ---------------------------------------------------------------------------
+
+from .round9b import _SB_NANO, _wgrams_sql  # noqa: E402
+
+_SBS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_MBR_MOD} AS prompt_id,
+             {_text.tokens_sql('text')} AS t,
+             {token_hash_sql("CAST(doc_id AS VARCHAR)")} AS hid
+      FROM documents),
+    panel AS (
+      SELECT prompt_id, doc_id AS ri
+      FROM (SELECT prompt_id, doc_id,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY hid, doc_id) AS rn
+            FROM toks)
+      WHERE rn <= {_MBRS_K}),
+    grams AS (
+      SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, 2 AS n, unnest({_wgrams_sql('t', 2)}) AS g
+        FROM toks)
+      GROUP BY doc_id, n, g),
+    tot AS (SELECT doc_id, n, sum(c) AS tc FROM grams GROUP BY doc_id, n),
+    lens AS (SELECT doc_id, len(t) AS lw FROM toks),
+    pairs AS (
+      SELECT a.prompt_id, a.doc_id AS ci, p.ri
+      FROM toks a JOIN panel p
+        ON p.prompt_id = a.prompt_id AND p.ri <> a.doc_id),
+    ov AS (
+      SELECT p.ci, p.ri, cg.n, sum(least(cg.c, rg.c)) AS ov
+      FROM pairs p
+      JOIN grams cg ON cg.doc_id = p.ci
+      JOIN grams rg ON rg.doc_id = p.ri AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY p.ci, p.ri, cg.n),
+    pn AS (
+      SELECT p.prompt_id, p.ci, p.ri,
+             coalesce(max(CASE WHEN t.n = 1 THEN o.ov END), 0) AS ov1,
+             coalesce(max(CASE WHEN t.n = 2 THEN o.ov END), 0) AS ov2,
+             max(CASE WHEN t.n = 1 THEN t.tc END) AS tc1,
+             max(CASE WHEN t.n = 2 THEN t.tc END) AS tc2
+      FROM pairs p
+      JOIN tot t ON t.doc_id = p.ci
+      LEFT JOIN ov o ON o.ci = p.ci AND o.ri = p.ri AND o.n = t.n
+      GROUP BY p.prompt_id, p.ci, p.ri),
+    sc AS (
+      SELECT prompt_id, ci,
+             CASE WHEN ov1 = 0 OR ov2 = 0 OR coalesce(tc2, 0) = 0 THEN 0
+                  ELSE CAST(round({_SB_NANO} *
+                    ((CASE WHEN lc.lw < lr.lw
+                           THEN exp(1.0 - lr.lw * 1.0 / lc.lw)
+                           ELSE 1.0 END)
+                     * sqrt((ov1 * 1.0 / tc1) * (ov2 * 1.0 / tc2))))
+                    AS BIGINT)
+             END AS q9
+      FROM pn
+      JOIN lens lc ON lc.doc_id = pn.ci
+      JOIN lens lr ON lr.doc_id = pn.ri)
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {_half_up_sql('sum(q9)', 'count(*) * 1000')} / 1000000.0
+             AS self_bleu
+    FROM sc GROUP BY prompt_id ORDER BY prompt_id
+    """
+
+
+@query("q_self_bleu_sampled", oracle=_SBS_ORACLE)
+def q_self_bleu_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X710 — sampled-reference self-BLEU (X699's production twin,
+    same panel as X709): each candidate's diversity is scored against
+    the fixed {_MBRS_K}-reference hash panel instead of every other
+    candidate — n·k pairs per prompt instead of n², closing the
+    probe's exp-1.35 row the way X647/X680 closed theirs. Identical
+    BLEU-2 arithmetic (clipped precisions, brevity penalty, √(p1·p2)
+    form) and integer quantization as the exact form, which stays
+    registered as the correctness instance.
+
+    Scale: corpus-linear pair count; gram joins keyed by
+    (doc, n, gram)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+        _text.tokens(F.col("text")).alias("t"),
+        token_hash(F.col("doc_id").cast("string")).alias("hid"),
+    )
+    wp = W.partitionBy("prompt_id").orderBy("hid", "doc_id")
+    panel = (
+        toks.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _MBRS_K)
+        .select("prompt_id", F.col("doc_id").alias("ri"))
+    )
+    uni = toks.select("doc_id", F.lit(1).alias("n"), F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+                ),
+            )
+        ).alias("g"),
+    )
+    grams = (
+        uni.unionAll(bi)
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = grams.groupBy("doc_id", "n").agg(F.sum("c").alias("tc"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("lw"))
+    pairs = (
+        toks.select("prompt_id", F.col("doc_id").alias("ci"))
+        .join(panel, "prompt_id")
+        .filter(F.col("ci") != F.col("ri"))
+    )
+    ov = (
+        pairs.join(
+            grams.select(
+                F.col("doc_id").alias("ci"), "n", "g", F.col("c").alias("cc")
+            ),
+            "ci",
+        )
+        .join(
+            grams.select(
+                F.col("doc_id").alias("ri"), "n", "g", F.col("c").alias("cr")
+            ),
+            ["ri", "n", "g"],
+        )
+        .groupBy("ci", "ri", "n")
+        .agg(F.sum(F.least("cc", "cr")).alias("ov"))
+    )
+    pn = (
+        pairs.join(tot.select(F.col("doc_id").alias("ci"), "n", "tc"), "ci")
+        .join(ov, ["ci", "ri", "n"], "left")
+        .groupBy("prompt_id", "ci", "ri")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 1, F.col("ov"))), F.lit(0)
+            ).alias("ov1"),
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("ov"))), F.lit(0)
+            ).alias("ov2"),
+            F.max(F.when(F.col("n") == 1, F.col("tc"))).alias("tc1"),
+            F.max(F.when(F.col("n") == 2, F.col("tc"))).alias("tc2"),
+        )
+    )
+    bp = F.when(
+        F.col("lc") < F.col("lr"),
+        F.exp(1.0 - F.col("lr") * 1.0 / F.col("lc")),
+    ).otherwise(F.lit(1.0))
+    score = bp * F.sqrt(
+        (F.col("ov1") * 1.0 / F.col("tc1"))
+        * (F.col("ov2") * 1.0 / F.col("tc2"))
+    )
+    sc = (
+        pn.join(
+            lens.select(F.col("doc_id").alias("ci"), F.col("lw").alias("lc")),
+            "ci",
+        )
+        .join(
+            lens.select(F.col("doc_id").alias("ri"), F.col("lw").alias("lr")),
+            "ri",
+        )
+        .select(
+            "prompt_id",
+            F.when(
+                (F.col("ov1") == 0)
+                | (F.col("ov2") == 0)
+                | (F.coalesce(F.col("tc2"), F.lit(0)) == 0),
+                F.lit(0).cast("long"),
+            )
+            .otherwise(F.round(_SB_NANO * score).cast("long"))
+            .alias("q9"),
+        )
+    )
+    return (
+        sc.groupBy(F.col("prompt_id").cast("long").alias("prompt_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (
+                _half_up_col("sum(q9)", "count(*) * 1000") / F.lit(1000000.0)
+            ).alias("self_bleu"),
+        )
+        .orderBy("prompt_id")
+    )

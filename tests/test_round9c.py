@@ -140,3 +140,37 @@ def test_rasch_difficulty_anticorrelates_with_success(spark, sf_dir):
     for a, b in zip(ds, ds[1:]):
         assert a <= b + 1e-6
     assert all(r["n_trials"] > 0 for r in rows)
+
+
+def test_sampled_mbr_agrees_with_exact_on_small_groups(spark, sf_dir):
+    """When the panel covers the whole group (n ≤ k), the sampled
+    winner must equal the exact winner — the twin's consistency
+    anchor. At sf0.01 groups have 5 candidates ≤ panel size 8, so the
+    winners must agree everywhere."""
+    from kafka_stream_spark.plans.round9b import q_mbr_select
+    from kafka_stream_spark.plans.round9c import q_mbr_select_sampled
+
+    exact = {r["prompt_id"]: r["doc_id"] for r in q_mbr_select(spark, sf_dir).collect()}
+    samp = {
+        r["prompt_id"]: r["doc_id"]
+        for r in q_mbr_select_sampled(spark, sf_dir).collect()
+    }
+    assert exact == samp
+
+
+def test_sampled_self_bleu_tracks_exact(spark, sf_dir):
+    """With full-coverage panels (n ≤ k) the sampled self-BLEU equals
+    the exact one per prompt."""
+    from kafka_stream_spark.plans.round9b import q_self_bleu
+    from kafka_stream_spark.plans.round9c import q_self_bleu_sampled
+
+    exact = {
+        r["prompt_id"]: r["self_bleu"] for r in q_self_bleu(spark, sf_dir).collect()
+    }
+    samp = {
+        r["prompt_id"]: r["self_bleu"]
+        for r in q_self_bleu_sampled(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(samp)
+    for p in exact:
+        assert abs(exact[p] - samp[p]) < 1e-9, p
