@@ -33,6 +33,9 @@ SHOWCASE = {
     "q_gap_fill": "calendar densify: broadcast bounds, one key-partitioned window",
     "q_fk_orphans": "FK audit: six broadcast anti-joins, fact side never shuffles",
     "q_profile_table": "column profile: ONE scan, stats unpivoted from one agg row",
+    "q_elo_ratings": "order-dependent fold: ONE FlatMapGroupsInPandas shuffle, zero driver loops",
+    "q_sinkhorn_ot": "OT: bin-count groupBy + fixed-size per-ledger fold in applyInPandas",
+    "q_infinigram": "suffix backoff: combinable (prefix,next) groupBys + left-join ladder",
     "q_interpolate": "linear gap-fill: IGNORE NULLS anchors share one exchange",
     "q_bitmap_distinct": "mergeable exact distinct: two cascaded partial aggs, no raw keys upward",
     "q_cumulative_distinct": "running distinct rewrite: two windows share one series shuffle",
