@@ -444,24 +444,30 @@ def main() -> None:
         prior_q = prior.get("queries") or {}
     except (OSError, ValueError):
         prior_cal, prior_q = 0.0, {}
-    if prior_cal > 0:
-        for name, t in timings.items():
-            p = prior_q.get(name)
-            if p is None or p < 0.3 or t < 0.3:
-                continue
-            ratio = (t / calibration) / (p / prior_cal)
-            # raw-ratio guard: calibration is a single constant-work
-            # sample per run and can swing ±30% when one run's
-            # calibration (but not its query loop) landed under
-            # background load — a "regression" whose RAW time is flat
-            # is calibration noise by definition, not a plan change
-            if ratio > 1.5 and t / p > 1.25:
-                regressions[name] = {
-                    "prior_sec": p,
-                    "now_sec": t,
-                    "normalized_ratio": round(ratio, 2),
-                    "raw_ratio": round(t / p, 2),
-                }
+    if prior_q:
+        # Self-normalized drift detection: the suite is its own
+        # calibration. Machine drift moves EVERY query's raw ratio
+        # together, so the median raw ratio is the drift factor and a
+        # real plan regression is an outlier against it. (The
+        # constant-work calibration probe proved uncorrelated with
+        # query-loop throughput across runs — 0.19s..0.48s swings
+        # while the median raw ratio sat at 1.0x — so it is recorded
+        # for cross-round context but no longer decides regressions.)
+        raw = {
+            name: t / prior_q[name]
+            for name, t in timings.items()
+            if prior_q.get(name) and prior_q[name] >= 0.3 and t >= 0.3
+        }
+        if raw:
+            med = sorted(raw.values())[len(raw) // 2]
+            for name, rr in raw.items():
+                if rr / med > 1.5 and rr > 1.25:
+                    regressions[name] = {
+                        "prior_sec": prior_q[name],
+                        "now_sec": timings[name],
+                        "raw_ratio": round(rr, 2),
+                        "vs_median_ratio": round(rr / med, 2),
+                    }
         for name, r in regressions.items():
             print(f"# REGRESSION {name}: {r}", file=sys.stderr)
 
