@@ -342,7 +342,7 @@ _CHRF_ORACLE = f"""
       JOIN tot tr ON tr.doc_id = p.ref_id AND tr.n = tc.n
       LEFT JOIN ov o ON o.cand_id = p.cand_id AND o.n = tc.n)
     SELECT cand_id, CAST(prompt_id AS BIGINT) AS prompt_id, ref_id,
-           {_half_up_sql('sum(m)', str(len(_CHRF_NS)))} / 1000000.0 AS chrf
+           {_half_up_sql('sum(m)', 'count(m)')} / 1000000.0 AS chrf
     FROM fm GROUP BY cand_id, prompt_id, ref_id
     ORDER BY cand_id
     """
@@ -360,8 +360,10 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = Σ min(c_cand, c_ref)). With P = ov/tc and R = ov/tr the
     F2 term 5PR/(4P+R) reduces algebraically to 5·ov/(4·tr + tc) —
     one integer ratio per n, quantized half-up to micro units and
-    averaged over n in integer space, so both engines emit identical
-    doubles.
+    averaged over the AVAILABLE n in integer space (divide by count(m),
+    not a constant — a pair whose ref or candidate is shorter than 2
+    chars gets the mean over n=1 alone, per the metric's definition;
+    ADVICE r9 #4), so both engines emit identical doubles.
 
     Scale: gram tables are one explode + combinable groupBy (rows ≈
     total chars); scoring joins are keyed by (doc, n, gram) with one
@@ -369,7 +371,11 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
 
     def grams(n: int) -> DataFrame:
-        base = docs if n == 1 else docs.filter(F.length("text") >= n)
+        # length >= n for EVERY n (including 1): sequence(0, length-n)
+        # auto-steps DOWN for an empty text (sequence(0,-1) -> [0,-1]),
+        # which would fabricate two empty-string 1-grams where DuckDB's
+        # range(length) yields none (ADVICE r9 #1).
+        base = docs.filter(F.length("text") >= n)
         return base.select(
             "doc_id",
             F.lit(n).alias("n"),
@@ -445,7 +451,7 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                _half_up_col("sum(m)", str(len(_CHRF_NS)))
+                _half_up_col("sum(m)", "count(m)")
                 / F.lit(1000000.0)
             ).alias("chrf")
         )
@@ -1013,7 +1019,7 @@ _GNS_ORACLE = f"""
       SELECT label, d.dim,
              CAST(round(CAST(embedding[d.dim] AS DOUBLE) * {_GNS_Q})
                   AS BIGINT) AS v
-      FROM embeddings e
+      FROM (SELECT * FROM embeddings WHERE len(embedding) >= {_GNS_DIMS}) e
       CROSS JOIN (SELECT unnest(generate_series(1, {_GNS_DIMS})) AS dim) d),
     mom AS (
       SELECT label, dim, count(*) AS n,
@@ -1057,7 +1063,12 @@ def q_grad_noise_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable groupBy over (label, dim) then a
     64-row reduce per label; vectors never shuffle."""
-    emb = load(spark, sf_dir, "embeddings")
+    # size >= DIMS in BOTH engines: posexplode emits no row for a
+    # missing dimension while the oracle's generate_series cross join
+    # would count it with NULL v, skewing n (ADVICE r9 #3).
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") >= _GNS_DIMS
+    )
     x = emb.select(
         "label",
         F.posexplode(F.slice("embedding", 1, _GNS_DIMS)).alias("pos", "ev"),

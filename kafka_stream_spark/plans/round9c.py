@@ -579,10 +579,10 @@ def _irt_step_sql(k: int) -> str:
     part = f"""
     gth{k} AS (
       SELECT c.u,
-             CAST(round(1000000 * (sum(c.s) - sum(c.n * {sg})))
-                  AS BIGINT) AS num6,
-             greatest(CAST(round(1000000 * sum(c.n * {sg} * (1.0 - {sg})))
-                  AS BIGINT), 1) AS den6
+             1000000 * sum(c.s)
+               - sum(CAST(round(1000000 * c.n * {sg}) AS BIGINT)) AS num6,
+             greatest(sum(CAST(round(1000000 * c.n * {sg} * (1.0 - {sg}))
+                  AS BIGINT)), 1) AS den6
       FROM cnt c JOIN th{k} th ON th.u = c.u JOIN bb{k} bb ON bb.i = c.i
       GROUP BY c.u),
     th{k + 1} AS (
@@ -598,10 +598,10 @@ def _irt_step_sql(k: int) -> str:
     part += f""",
     gb{k} AS (
       SELECT c.i,
-             CAST(round(1000000 * (sum(c.s) - sum(c.n * {sg2})))
-                  AS BIGINT) AS num6,
-             greatest(CAST(round(1000000 * sum(c.n * {sg2} * (1.0 - {sg2})))
-                  AS BIGINT), 1) AS den6
+             1000000 * sum(c.s)
+               - sum(CAST(round(1000000 * c.n * {sg2}) AS BIGINT)) AS num6,
+             greatest(sum(CAST(round(1000000 * c.n * {sg2} * (1.0 - {sg2}))
+                  AS BIGINT)), 1) AS den6
       FROM cnt c JOIN th{k + 1} th ON th.u = c.u JOIN bb{k} bb ON bb.i = c.i
       GROUP BY c.i),
     bu{k} AS (
@@ -719,41 +719,42 @@ def q_rasch_irt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     th = [0] * _IRT_NU
     b = [0] * len(etypes)
+    def q6(x: float) -> int:
+        """round(1e6·x) half-away for non-negative x — the per-cell
+        quantum, matching DuckDB round() on the same product."""
+        return int(math.floor(1000000.0 * x + 0.5))
+
     for _ in range(_IRT_ITERS):
-        # θ update
-        num = [0.0] * _IRT_NU
-        den = [0.0] * _IRT_NU
+        # θ update — per-cell terms quantized to micro-integers BEFORE
+        # summing (ADVICE r9 #2): num = 1e6·Σs − Σ round(1e6·n·sg) and
+        # den = Σ round(1e6·n·sg·(1−sg)) are exact associative integer
+        # sums, so driver fold order vs DuckDB aggregation order can't
+        # diverge on rounding ties.
+        num = [0] * _IRT_NU
+        den = [0] * _IRT_NU
         for u, i, n, s in cells:
             sg = sig(th[u], b[i])
-            num[u] += s - n * sg
-            den[u] += n * sg * (1.0 - sg)
+            num[u] += 1000000 * s - q6(n * sg)
+            den[u] += q6(n * sg * (1.0 - sg))
         for u in range(_IRT_NU):
-            n6 = int(math.floor(1000000 * num[u] + 0.5)) if num[u] >= 0 else -int(
-                math.floor(-1000000 * num[u] + 0.5)
-            )
-            d6 = max(
-                int(math.floor(1000000 * den[u] + 0.5)), 1
-            )
+            d6 = max(den[u], 1)
             th[u] = clamp(
                 th[u]
-                + clamp(half_up_signed(n6 * 1000000, d6), _IRT_CLAMP),
+                + clamp(half_up_signed(num[u] * 1000000, d6), _IRT_CLAMP),
                 _IRT_RANGE,
             )
-        # b update
-        numb = [0.0] * len(etypes)
-        denb = [0.0] * len(etypes)
+        # b update — same per-cell integer quantization
+        numb = [0] * len(etypes)
+        denb = [0] * len(etypes)
         for u, i, n, s in cells:
             sg = sig(th[u], b[i])
-            numb[i] += s - n * sg
-            denb[i] += n * sg * (1.0 - sg)
+            numb[i] += 1000000 * s - q6(n * sg)
+            denb[i] += q6(n * sg * (1.0 - sg))
         for i in range(len(etypes)):
-            n6 = int(math.floor(1000000 * numb[i] + 0.5)) if numb[i] >= 0 else -int(
-                math.floor(-1000000 * numb[i] + 0.5)
-            )
-            d6 = max(int(math.floor(1000000 * denb[i] + 0.5)), 1)
+            d6 = max(denb[i], 1)
             b[i] = clamp(
                 b[i]
-                - clamp(half_up_signed(n6 * 1000000, d6), _IRT_CLAMP),
+                - clamp(half_up_signed(numb[i] * 1000000, d6), _IRT_CLAMP),
                 _IRT_RANGE,
             )
         m = half_up_signed(sum(b), len(b))

@@ -88,6 +88,29 @@ def lint_oracle_output(columns, types, rows) -> list[str]:
     return problems
 
 
+def bench_line_from_detail(bd: dict) -> str:
+    """The README's bench STATUS line, derived from a BENCH_DETAIL dict.
+
+    Shared by write_summary (which writes it) and close_round.py (which
+    asserts the committed README still carries the line derived from the
+    exact BENCH_DETAIL.json in the same commit — the r9 close shipped a
+    phantom '36 regressions' from a discarded earlier run).
+    Only CONFIRMED regression flags count (bench.py re-times every flag
+    once and records confirmed: true/false; pre-r10 details lack the
+    field and count as confirmed)."""
+    total = sum(bd["queries"].values())
+    n_conf = sum(
+        1 for r in bd["regressions"].values() if r.get("confirmed", True)
+    )
+    return (
+        f"- **Bench**: {bd['n_queries']} headline queries at sf{bd['sf']}, "
+        f"{total:.1f} s total ({bd['agg']}-of-{bd['reps']}, "
+        f"calibration {bd['calibration_sec']:.3f} s), "
+        f"{n_conf} confirmed regressions vs the prior committed "
+        "record — BENCH_DETAIL.json.\n"
+    )
+
+
 def write_summary(round_tag: str) -> int:
     """Regenerate the README status counts from the registry itself
     (``--summary <round>``): registered / oracled / rows-only come from
@@ -143,14 +166,7 @@ def write_summary(round_tag: str) -> int:
     import json
 
     bd = json.load(open("/root/repo/BENCH_DETAIL.json"))
-    total = sum(bd["queries"].values())
-    bench_line = (
-        f"- **Bench**: {bd['n_queries']} headline queries at sf{bd['sf']}, "
-        f"{total:.1f} s total ({bd['agg']}-of-{bd['reps']}, "
-        f"calibration {bd['calibration_sec']:.3f} s), "
-        f"{len(bd['regressions'])} regressions vs the prior committed "
-        "record — BENCH_DETAIL.json.\n"
-    )
+    bench_line = bench_line_from_detail(bd)
 
     check_file = f"CHECK_{round_tag}.txt"
     check_note = (

@@ -72,6 +72,29 @@ REFERENCE_SURFACE_KEYS: list[str] = [
 ]
 
 
+def rotated_cold_keys(tag: str, per_round: int = 10) -> list[str]:
+    """VERDICT r9 #4: rotate X-tier keys through the cold gate.
+
+    The fixed cold tier covers the reference-surface/stateful keys, but
+    the round-8 cold-bug class (first-query exprId collision) could hide
+    in ANY key that has never run first-in-process. Deterministic
+    rotation: sort the registered keys not already in the fixed tier,
+    then take the ``per_round`` names starting at offset
+    ``(round_no * per_round) % len`` — each round advances the window,
+    so every key cycles through cold over successive rounds."""
+    import re as _re
+
+    m = _re.match(r"r(\d+)$", tag)
+    round_no = int(m.group(1)) if m else 0
+    fixed = set(REFERENCE_SURFACE_KEYS)
+    pool = [k for k in _registered_keys() if k not in fixed]
+    if not pool:
+        return []
+    start = (round_no * per_round) % len(pool)
+    picked = [pool[(start + j) % len(pool)] for j in range(min(per_round, len(pool)))]
+    return picked
+
+
 def run_cold_tier(sf_dir: str, keys: list[str]) -> tuple[list[str], int]:
     """Run each key as the FIRST query of its own fresh process.
 
@@ -163,9 +186,15 @@ def main() -> int:
     # Cold-isolation tier (VERDICT r8 #2): every reference-surface key as
     # the first query of its own fresh process — the only protocol that
     # can see first-query bugs like the q_rule_match exprId collision.
-    print(f"cold tier: {len(REFERENCE_SURFACE_KEYS)} reference-surface keys",
-          flush=True)
-    cold_lines, cold_fail = run_cold_tier(sf_dir, REFERENCE_SURFACE_KEYS)
+    rotation = rotated_cold_keys(tag)
+    cold_keys = REFERENCE_SURFACE_KEYS + rotation
+    print(
+        f"cold tier: {len(REFERENCE_SURFACE_KEYS)} reference-surface keys "
+        f"+ {len(rotation)} rotated X-tier keys "
+        f"(round-indexed window: {', '.join(rotation)})",
+        flush=True,
+    )
+    cold_lines, cold_fail = run_cold_tier(sf_dir, cold_keys)
     for ln in cold_lines:
         if ln.startswith("FAIL"):
             print(f"cold {ln}", flush=True)
@@ -186,8 +215,11 @@ def main() -> int:
         f"{shards} interleaved shards (sorted names[i::{shards}])",
         f"# TOTAL: {n_ok} ok (value-hash match vs DuckDB), "
         f"{n_ro} rows-only by design ({', '.join(ro_names)}), 0 FAILED.",
-        f"# COLD: {len(cold_lines)} reference-surface keys re-run "
-        f"cold-isolated (one fresh process each, key is the first query): "
+        f"# COLD: {len(cold_lines)} keys re-run cold-isolated (one fresh "
+        f"process each, key is the first query): "
+        f"{len(REFERENCE_SURFACE_KEYS)} fixed reference-surface/stateful "
+        f"+ {len(rotation)} rotated X-tier (window = sorted non-fixed keys "
+        f"[round_no*10 % len ..], advances each round): "
         f"{len(cold_lines) - cold_fail} ok, {cold_fail} FAILED.",
     ]
     path = f"/root/repo/CHECK_{tag}.txt"
@@ -224,6 +256,27 @@ def main() -> int:
     ).returncode
     if rc:
         return rc
+
+    # Self-consistency assert (VERDICT r9 #1): the README bench line the
+    # commit will carry must be derivable from the exact BENCH_DETAIL.json
+    # being committed alongside it. A later manual bench run that rewrites
+    # BENCH_DETAIL without re-running --summary made the r9 close ship a
+    # phantom "36 regressions" line; this abort makes that impossible.
+    import json
+
+    from check import bench_line_from_detail
+
+    bd = json.load(open("/root/repo/BENCH_DETAIL.json"))
+    expected = bench_line_from_detail(bd)
+    readme = open("/root/repo/README.md").read()
+    if expected not in readme:
+        print(
+            "README bench line does not match BENCH_DETAIL.json — "
+            "aborting before staging.\nexpected line:\n" + expected,
+            file=sys.stderr,
+        )
+        return 1
+    print("README bench line ≡ BENCH_DETAIL.json: verified")
 
     # Stage everything the closing commit needs — including the driver's
     # own round artifacts (BENCH_r*/CORRECTNESS_r*/LEAKCHECK/COPYCHECK),
