@@ -2526,6 +2526,20 @@ def run_streaming_elo(
         "event_type string, value double, props string"
     ).parquet(input_dir)
 
+    return (
+        events.writeStream.foreachBatch(elo_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def elo_batch_fn(store_dir: str):
+    """The Elo store's foreachBatch body, exported for direct replay /
+    crash-window testing (the lm_counts_batch_fn pattern): fold the
+    batch's new games from the latest committed state version, guarded
+    against committed-batch replay by merged_store_last_applied."""
+
     def fold(batch: DataFrame, batch_id: int) -> None:
         if (
             last := merged_store_last_applied(store_dir)
@@ -2538,12 +2552,7 @@ def run_streaming_elo(
         new_state = new_state.localCheckpoint(eager=True)
         merged_store_write(new_state, store_dir, batch_id)
 
-    return (
-        events.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return fold
 
 
 _ELO_STATE_SCHEMA = (

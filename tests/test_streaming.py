@@ -1335,3 +1335,80 @@ def test_streaming_best_of_n_incremental_equals_batch(spark, tmp_path):
         spark, inp, top2, bar, ckpt
     ).awaitTermination(180)
     assert store_sel() == batch_sel(events, "all")
+
+
+def test_elo_store_crash_resume(spark, tmp_path):
+    """X686 (round-9 verdict #6): the Elo leaderboard is the one
+    ORDER-DEPENDENT merged store — a rating vector plus a dangling
+    unpaired-event carry — so exactly-once cannot lean on associativity
+    the way the additive stores do. Simulate both crash windows
+    directly on the exported batch fn:
+
+    (1) crash MID-WRITE of batch 1 (full v=1 data, ``_SUCCESS``
+        removed): the version must be invisible, the reader must fall
+        back to v=0, and the resumed re-fold — starting from the v=0
+        carry row — must land byte-identical to the uncrashed fold;
+    (2) post-commit replay of batch 1 (the at-least-once window): the
+        replay guard must make it a no-op.
+
+    Finally the store must equal the unbounded batch fold over all
+    events (the incremental ≡ batch identity)."""
+    import os
+
+    from kafka_stream_spark.plans.round9b import elo_ratings_df
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        elo_batch_fn,
+        elo_from_store,
+        merged_store_read,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    cut = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    wave1 = events.filter(F.col("ts") <= F.lit(cut))
+    wave2 = events.filter(F.col("ts") > F.lit(cut))
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    store = str(tmp_path / "elo")
+    fold = elo_batch_fn(store)
+
+    def snap():
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in merged_store_read(spark, store).collect()
+        )
+
+    fold(wave1, 0)
+    s1 = snap()
+    # the order-sensitive part must actually be in play: at least one
+    # arena holds a dangling unpaired event at the wave boundary, so
+    # the resumed re-fold depends on the stored carry row
+    carries = merged_store_read(spark, store).filter(
+        (F.col("player") == -1) & F.col("carry_user").isNotNull()
+    )
+    assert carries.count() > 0
+
+    # uncrashed fold of batch 1, then un-commit it (crash mid-write)
+    fold(wave2, 1)
+    s2_good = snap()
+    assert s2_good != s1
+    os.remove(os.path.join(store, f"v={1:012d}", "_SUCCESS"))
+    assert snap() == s1  # reader fell back to the committed v=0
+
+    # resume: guard must NOT skip (batch 1 never committed); the
+    # re-fold replays [v=0 carry] + wave2 in order → identical state
+    fold(wave2, 1)
+    assert snap() == s2_good
+
+    # replay of the now-committed batch 1: guarded no-op
+    fold(wave2, 1)
+    assert snap() == s2_good
+
+    got = {
+        tuple(r)
+        for r in elo_from_store(merged_store_read(spark, store)).collect()
+    }
+    want = {tuple(r) for r in elo_ratings_df(events).collect()}
+    assert got == want
