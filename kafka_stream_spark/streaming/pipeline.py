@@ -2846,3 +2846,132 @@ def embedding_drift_from_store(cells: DataFrame) -> DataFrame:
     return embedding_drift_from_counts(
         cells.select("proj", "bin", "half", F.col("c").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X726 — streaming SPRT monitor (X721's streaming face)
+# ---------------------------------------------------------------------------
+
+_SPRT_STATE_SCHEMA = (
+    "event_type string, t long, a long, decided int, "
+    "step_cross long, a_cross long"
+)
+
+
+def sprt_state_fold(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """(state-so-far, new events) → new state: per arena, continue
+    Wald's LLR walk over the batch's events in (ts, event_id) order.
+    State is O(1) per arena: total events t, running successes a, and
+    — once a boundary is crossed — the frozen (step_cross, a_cross).
+    The walk is exact micro-integer (plans/round10b constants), so
+    incremental ≡ batch is an identity. Unlike the additive stores,
+    the DECISION is order-dependent (which step first crosses), the
+    X686 family; t/a themselves are associative."""
+    from ..plans.round10b import _SPRT_A, _SPRT_L0, _SPRT_L1, _SPRT_THRESH
+
+    sess = batch.sparkSession
+    ev = batch.select("event_type", "ts", "event_id", "value")
+    if existing is None:
+        existing = sess.createDataFrame([], _SPRT_STATE_SCHEMA)
+
+    def fn(key, state_pdf, ev_pdf):
+        import pandas as pd
+
+        event_type = key[0]
+        t, a, decided, step_cross, a_cross = 0, 0, 0, 0, 0
+        for row in state_pdf.itertuples():
+            t, a = int(row.t), int(row.a)
+            decided = int(row.decided)
+            step_cross, a_cross = int(row.step_cross), int(row.a_cross)
+        ev_pdf = ev_pdf.sort_values(["ts", "event_id"])
+        for v in ev_pdf["value"]:
+            t += 1
+            if decided:
+                continue
+            a += int(float(v) >= _SPRT_THRESH)
+            llr6 = a * _SPRT_L1 + (t - a) * _SPRT_L0
+            if llr6 >= _SPRT_A or llr6 <= -_SPRT_A:
+                decided, step_cross, a_cross = 1, t, a
+        return pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "t": [t],
+                "a": [a],
+                "decided": [decided],
+                "step_cross": [step_cross],
+                "a_cross": [a_cross],
+            }
+        )
+
+    return (
+        existing.groupBy("event_type")
+        .cogroup(ev.groupBy("event_type"))
+        .applyInPandas(fn, schema=_SPRT_STATE_SCHEMA)
+    )
+
+
+def sprt_batch_fn(store_dir: str):
+    """The SPRT store's foreachBatch body (exported for replay /
+    crash-window tests, the elo_batch_fn pattern)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(store_dir)
+        ) is not None and last >= batch_id:
+            return  # replay of a committed batch
+        existing = merged_store_read(batch.sparkSession, store_dir)
+        new_state = sprt_state_fold(existing, batch)
+        new_state = new_state.localCheckpoint(eager=True)
+        merged_store_write(new_state, store_dir, batch_id)
+
+    return fold
+
+
+def run_streaming_sprt(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X726 — always-on sequential test monitor: the SPRT LLR walk
+    (q_sprt_decision) maintained per arena under micro-batch arrival.
+    Exactly-once via the versioned merged store; arrival must be
+    event-time-ordered across batches (ordered-log contract, as X686).
+
+    Scale: state is 5 integers per arena — independent of history;
+    each batch shuffles only its own events once (the cogroup)."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    return (
+        events.writeStream.foreachBatch(sprt_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sprt_from_store(cells: DataFrame) -> DataFrame:
+    """Store rows → the q_sprt_decision output shape."""
+    from ..plans.round10b import _SPRT_A, _SPRT_L0, _SPRT_L1
+
+    n_steps = F.when(F.col("decided") == 1, F.col("step_cross")).otherwise(
+        F.col("t")
+    )
+    succ = F.when(F.col("decided") == 1, F.col("a_cross")).otherwise(
+        F.col("a")
+    )
+    llr6 = succ * F.lit(_SPRT_L1) + (n_steps - succ) * F.lit(_SPRT_L0)
+    return cells.select(
+        "event_type",
+        F.col("t").cast("long").alias("n"),
+        n_steps.cast("long").alias("n_steps"),
+        succ.cast("long").alias("successes"),
+        (llr6 / 1000000.0).alias("llr"),
+        F.when(llr6 >= _SPRT_A, "accept_h1")
+        .when(llr6 <= -_SPRT_A, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("event_type")

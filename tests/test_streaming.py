@@ -1412,3 +1412,70 @@ def test_elo_store_crash_resume(spark, tmp_path):
     }
     want = {tuple(r) for r in elo_ratings_df(events).collect()}
     assert got == want
+
+
+def test_streaming_sprt_incremental_equals_batch_and_crash(spark, tmp_path):
+    """X726: the SPRT store must (1) equal the batch q_sprt_decision
+    on events-so-far after every TS-ordered wave — including FREEZING
+    the decision at the crossing step even as later waves arrive; and
+    (2) survive the two crash windows (mid-write un-commit + re-fold,
+    post-commit replay no-op), the X686 contract for order-dependent
+    state."""
+    import os
+
+    from kafka_stream_spark.plans.round10b import q_sprt_decision
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        merged_store_read,
+        sprt_batch_fn,
+        sprt_from_store,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    cut = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    wave1 = events.filter(F.col("ts") <= F.lit(cut))
+    wave2 = events.filter(F.col("ts") > F.lit(cut))
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    store = str(tmp_path / "sprt")
+    fold = sprt_batch_fn(store)
+
+    def store_out():
+        return {
+            tuple(r)
+            for r in sprt_from_store(
+                merged_store_read(spark, store)
+            ).collect()
+        }
+
+    def batch_out(d, tag):
+        cum = str(tmp_path / f"cum_{tag}")
+        d.write.mode("overwrite").parquet(f"{cum}/events.parquet")
+        return {tuple(r) for r in q_sprt_decision(spark, cum).collect()}
+
+    fold(wave1, 0)
+    assert store_out() == batch_out(wave1, "w1")
+
+    def snap():
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in merged_store_read(spark, store).collect()
+        )
+
+    s1 = snap()
+    fold(wave2, 1)
+    s2_good = snap()
+    assert store_out() == batch_out(events, "all")
+
+    # crash mid-write of batch 1: un-commit, verify fallback, re-fold
+    os.remove(os.path.join(store, f"v={1:012d}", "_SUCCESS"))
+    assert snap() == s1
+    fold(wave2, 1)
+    assert snap() == s2_good
+
+    # post-commit replay: guarded no-op
+    fold(wave2, 1)
+    assert snap() == s2_good
+    assert store_out() == batch_out(events, "all2")
