@@ -2975,3 +2975,77 @@ def sprt_from_store(cells: DataFrame) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X735 — streaming count-min sketch store (X723's streaming face)
+# ---------------------------------------------------------------------------
+
+
+def cms_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's count-min cell increments: tokens hashed into
+    the d×w grid with the portable md5 token_hash — the same cell law
+    as plans/round10b.q_cms_sketch."""
+    from ..functions import text as _text
+    from ..functions.hashing import token_hash
+    from ..plans.round10b import _CMS_D, _CMS_W
+
+    cnt = (
+        batch.select(F.explode(_text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    jdf = batch.sparkSession.range(_CMS_D).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(jdf))
+        .select(
+            "j",
+            (
+                token_hash(
+                    F.concat(
+                        F.col("j").cast("string"), F.lit("|"), F.col("tok")
+                    )
+                )
+                % _CMS_W
+            ).alias("cell"),
+            "c",
+        )
+        .groupBy("j", "cell")
+        .agg(F.sum("c").alias("cc"))
+    )
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X735 — the count-min sketch maintained under micro-batch
+    arrival: CMS cells are PURELY ADDITIVE (the sketch's defining
+    mergeability), so the store is merged_store_apply with the
+    additive combine — exactly-once from associativity, no carry
+    state. The read side is the raw (j, cell, cc) grid; any key's
+    estimate is min_j cells[j][h_j(key)], exactly as the batch face.
+
+    Scale: state is d·w cells regardless of history; each batch
+    shuffles only its own token counts."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).parquet(input_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        part = cms_partial(batch)
+        merged_store_apply(
+            part, store_dir, batch_id, additive_combine(["j", "cell"], ["cc"])
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1479,3 +1479,56 @@ def test_streaming_sprt_incremental_equals_batch_and_crash(spark, tmp_path):
     fold(wave2, 1)
     assert snap() == s2_good
     assert store_out() == batch_out(events, "all2")
+
+
+def test_streaming_cms_incremental_equals_batch(spark, tmp_path):
+    """X735: the streamed count-min cells must equal the batch-built
+    sketch over the union of waves after every wave (additive store —
+    exactly-once from associativity), and a replayed committed batch
+    must be a no-op."""
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        cms_partial,
+        merged_store_read,
+        run_streaming_cms,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+
+    def store_cells():
+        return {
+            (r["j"], r["cell"]): r["cc"]
+            for r in merged_store_read(spark, store).collect()
+        }
+
+    def batch_cells(d):
+        return {
+            (r["j"], r["cell"]): r["cc"] for r in cms_partial(d).collect()
+        }
+
+    wave1.write.mode("append").parquet(inp)
+    assert run_streaming_cms(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_cells() == batch_cells(wave1)
+
+    wave2.write.mode("append").parquet(inp)
+    assert run_streaming_cms(spark, inp, store, ckpt).awaitTermination(180)
+    assert store_cells() == batch_cells(docs)
+
+    # replay of a committed batch id: guarded no-op
+    from kafka_stream_spark.streaming.pipeline import (
+        additive_combine,
+        merged_store_apply,
+    )
+
+    before = store_cells()
+    ran = merged_store_apply(
+        cms_partial(wave2), store, 0, additive_combine(["j", "cell"], ["cc"])
+    )
+    assert not ran
+    assert store_cells() == before
