@@ -357,6 +357,33 @@ HEADLINE = [
     "q_rasch_irt",
     "q_mbr_select_sampled",
     "q_self_bleu_sampled",
+    # round 10
+    "q_vtrace",
+    "q_dpo_margin",
+    "q_kl_shaping",
+    "q_nucleus_mass",
+    "q_wasserstein_1d",
+    "q_mmd_rff",
+    "q_cka_alignment",
+    "q_stolcke_prune",
+    "q_scaling_law_fit",
+    "q_cvar_loss",
+    "q_sprt_decision",
+    "q_mauve_quantized",
+    "q_cms_sketch",
+    "q_bloom_fpr",
+    "q_ucb_allocation",
+    "q_platt_scaling",
+    "q_grad_conflict",
+    "q_confident_learning",
+    "q_gini_stump",
+    "q_snips_ope",
+    "q_cem_match",
+    "q_cox_ph",
+    "q_rfm_segments",
+    "q_hdr_quantiles",
+    "q_jelinek_mercer",
+    "q_chao1",
 ]
 
 
