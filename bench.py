@@ -384,6 +384,12 @@ HEADLINE = [
     "q_hdr_quantiles",
     "q_jelinek_mercer",
     "q_chao1",
+    "q_permutation_entropy",
+    "q_cluster_se",
+    "q_f1_threshold",
+    "q_boilerplate_prefix",
+    "q_image_edges",
+    "q_dft_bands",
 ]
 
 

@@ -95,3 +95,4 @@ from . import round10b  # noqa: E402,F401
 from . import round10c  # noqa: E402,F401
 from . import round10d  # noqa: E402,F401
 from . import round10e  # noqa: E402,F401
+from . import round10f  # noqa: E402,F401

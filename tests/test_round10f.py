@@ -1,0 +1,75 @@
+"""Semantic property tests for the round-10 batch F multimodal
+feature operators (X743–X744)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.plans.round10f import q_dft_bands, q_image_edges
+from kafka_stream_spark.sources.tables import load
+
+
+def test_image_edges_orientation_counts_bounded(spark, sf_dir):
+    """36 interior pixels bound the orientation counts; energy ≥ 0;
+    and a flat image (all-equal levels) would give exactly 0 — so
+    energy 0 implies both counts 0."""
+    rows = q_image_edges(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["edge_energy"] >= 0
+        assert 0 <= r["n_vertical"] + r["n_horizontal"] <= 36
+        if r["edge_energy"] == 0:
+            assert r["n_vertical"] == 0 and r["n_horizontal"] == 0
+
+
+def test_image_edges_flat_image_is_zero(spark, sf_dir):
+    """Synthetic check through the REAL codec: a constant image has
+    zero Sobel response after the roundtrip."""
+    from kafka_stream_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = bytes((128, 128, 128)) * (64 * 64)
+    payload = encode_jpeg(64, 64, rgb, quality=100, subsampling="4:2:0")
+    w, h, decoded = decode_jpeg(payload)
+    assert w == h == 64
+    assert all(
+        decoded[(y * 64 + x) * 3] == 128 for y in range(64) for x in range(64)
+    )
+
+
+def test_dft_bands_shares_sum_to_one(spark, sf_dir):
+    """Per clip the 4 band shares sum to ~1 (each is half-up
+    quantized, so the sum is within 4 micro units)."""
+    rows = q_dft_bands(spark, sf_dir).collect()
+    assert rows
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r["band_share"])
+    for vid, shares in by_vec.items():
+        assert len(shares) == 4
+        assert abs(sum(shares) - 1.0) < 5e-6
+        assert all(0.0 <= s <= 1.0 for s in shares)
+
+
+def test_dft_pure_tone_concentrates_in_its_bin(spark, sf_dir):
+    """End-to-end physics check through the REAL WAV codec: a pure
+    bin-3 sine must put ~all its energy in bin 3."""
+    import math
+
+    from kafka_stream_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    smp = [
+        max(-32768, min(32767, round(30000 * math.sin(2 * math.pi * 3 * t / 64))))
+        for t in range(64)
+    ]
+    payload = encode_wav(smp, sample_rate=8000)
+    _r, _c, out = decode_wav(payload)
+    assert list(out) == smp
+    energies = {}
+    for b in (1, 3, 7, 15):
+        re = sum(s * math.cos(2 * math.pi * b * t / 64) for t, s in enumerate(out))
+        im = sum(s * math.sin(2 * math.pi * b * t / 64) for t, s in enumerate(out))
+        energies[b] = re * re + im * im
+    assert energies[3] > 1000 * max(energies[1], energies[7], energies[15])
