@@ -202,8 +202,6 @@ def _jm_tables_sql() -> str:
             FROM toks, unnest(range(len(t) - 1)) AS r(i)
             WHERE doc_id % {_JM_HOLD} = 0)
       GROUP BY h, w),
-    -- held-out bigram tokens with BOTH component probabilities
-    -- resolvable in train (p_uni > 0); p_bi may be 0 (backoff case)
     ev AS (
       SELECT hd.cnt,
              coalesce(tb.c, 0) * 1.0 / th.ch AS pbi,

@@ -69,6 +69,8 @@ REFERENCE_SURFACE_KEYS: list[str] = [
     "q_kalman_1d_grouped",  # X648
     "q_elo_ratings",        # X685
     "q_gae_advantage",      # X692
+    "q_vtrace",             # X711
+    "q_sprt_decision",      # X721
 ]
 
 
