@@ -390,6 +390,7 @@ HEADLINE = [
     "q_boilerplate_prefix",
     "q_image_edges",
     "q_dft_bands",
+    "q_moe_balance",
 ]
 
 

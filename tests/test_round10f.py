@@ -73,3 +73,22 @@ def test_dft_pure_tone_concentrates_in_its_bin(spark, sf_dir):
         im = sum(s * math.sin(2 * math.pi * b * t / 64) for t, s in enumerate(out))
         energies[b] = re * re + im * im
     assert energies[3] > 1000 * max(energies[1], energies[7], energies[15])
+
+
+def test_moe_balance_invariants(spark, sf_dir):
+    """Shares sum to 1, gates are probabilities averaging ~1/E per
+    expert overall, and the aux loss is >= 1 − ε (Cauchy-Schwarz:
+    E·Σ f·P ≥ (Σ sqrt(f·P))²... equality at perfect balance; for a
+    hash router it sits near 1)."""
+    from kafka_stream_spark.plans.round10g import _MOE_E, q_moe_balance
+
+    rows = sorted(
+        q_moe_balance(spark, sf_dir).collect(), key=lambda r: r["expert"]
+    )
+    assert len(rows) == _MOE_E
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["mean_gate"] <= 1.0
+        assert r["aux_loss"] == rows[0]["aux_loss"]
+    # hash router ≈ balanced: aux within 10% of the perfect-balance 1.0
+    assert 0.9 < rows[0]["aux_loss"] < 1.2

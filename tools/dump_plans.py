@@ -86,6 +86,14 @@ SHOWCASE = {
     "q_bleu": "BLEU: per-order (pair, gram) partial-agg counts, key-local clip join, 4 scalar rows up",
     "q_nmf_topics": "NMF: V-keyed products are the only data shuffles, k-sized factor joins broadcast",
     "q_qini_curve": "Qini: per-user rollup, decile ntile, 10-row cumulative window",
+    "q_vtrace": "V-trace: ONE FlatMapGroupsInPandas per episode, clipped integer fold",
+    "q_wasserstein_1d": "exact EMD: quantization-bounded support grid, integer CDF cross-terms",
+    "q_mmd_rff": "kernel MMD: broadcast spectral weights, (label x feature) cell state",
+    "q_sprt_decision": "SPRT: one window cumsum LLR walk, integer boundary crossings",
+    "q_cms_sketch": "count-min: map-side-mergeable cell aggregate, tracked-key audit join",
+    "q_cox_ph": "Cox PH: duration-desc suffix-sum risk sets, ONE scalar per Newton round",
+    "q_image_edges": "Sobel via real JPEG: two Arrow-batched hops, zero shuffle",
+    "q_cluster_se": "cluster-robust SE: per-cluster rollup, decimal(38,0) quadratics",
 }
 
 

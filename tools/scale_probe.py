@@ -362,17 +362,26 @@ def _ivf_index_cached(spark, sf_dir, corpus, residue: int):
     """Build-once IVF index (centroids + assignment) persisted under
     /tmp keyed by (sf_dir, residue) — the ann.py 100-TB contract where
     the inverted index is corpus state and assignment drops out of the
-    steady-state cost. The warm pass pays the build; the timed pass
-    reads two parquet tables."""
+    steady-state cost — with the PRODUCTION codebook density
+    (centroids ~ sqrt(n), i.e. every ~ sqrt(n) spacing): the gate's
+    pinned every=50 makes the codebook grow LINEARLY, so corpus-sized
+    query sets pay n x (n/50) in routing — the quadratic wall the 64x
+    build-each-time probes hit. A sqrt(n) codebook balances routing
+    (n·sqrt(n)) against cell width (sqrt(n)), the standard IVF rule.
+    The warm pass pays the build; the timed pass reads two parquet
+    tables."""
     import hashlib
+    import math
     import os
 
     from kafka_stream_spark.operators import ann
 
-    tag = hashlib.md5(f"{sf_dir}|{residue}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}|{residue}|sqrtn".encode()).hexdigest()[:10]
     base = f"/tmp/ivfidx_probe_{tag}"
     if not os.path.exists(f"{base}/assigned/_SUCCESS"):
-        cent = ann.deterministic_centroids(corpus, 50, residue)
+        n = corpus.count()
+        every = max(2, int(round(math.sqrt(n))))
+        cent = ann.deterministic_centroids(corpus, every, residue)
         cent.write.mode("overwrite").parquet(f"{base}/centroids")
         ann.ivf_assign(
             corpus, spark.read.parquet(f"{base}/centroids")
