@@ -391,6 +391,7 @@ HEADLINE = [
     "q_image_edges",
     "q_dft_bands",
     "q_moe_balance",
+    "q_instruction_mining",
 ]
 
 

@@ -559,15 +559,16 @@ _W1_ORACLE = f"""
     tot AS (SELECT CAST(count(*) AS BIGINT) AS na FROM pts),
     terms AS (
       SELECT g.event_type,
-             abs(g.cumg * tot.na - g.cuma * z.ng) * (g.nxt - g.cents)
-               AS num
+             {_half_up_sql(
+                 '(' + _half_up_sql(
+                     '1000000 * abs(g.cumg * tot.na - g.cuma * z.ng)',
+                     'z.ng * tot.na')
+                 + ') * (g.nxt - g.cents)', '100')} AS t6
       FROM grid g JOIN sized z ON z.event_type = g.event_type
       CROSS JOIN tot
       WHERE g.nxt IS NOT NULL)
     SELECT t.event_type, z.ng AS n,
-           {_half_up_sql('1000000 * sum(t.num)',
-                         'z.ng * (SELECT na FROM tot) * 100')} / 1000000.0
-             AS w1
+           sum(t.t6) / 1000000.0 AS w1
     FROM terms t JOIN sized z ON z.event_type = t.event_type
     GROUP BY t.event_type, z.ng ORDER BY t.event_type
     """
@@ -629,26 +630,27 @@ def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("ng")
     )
     na = pts.count()
+    # per-point quantization BEFORE the support sum: the micro |F
+    # diff| (≤ 1e6) times the gap stays int64-safe at ANY corpus size,
+    # where 1e6·Σ(diff·gap) overflowed at 8× growth (probe-caught)
     terms = (
         grid.filter(F.col("nxt").isNotNull())
         .join(F.broadcast(sized), "event_type")
         .select(
             "event_type",
             "ng",
-            (
-                F.abs(F.col("cumg") * F.lit(na) - F.col("cuma") * F.col("ng"))
-                * (F.col("nxt") - F.col("cents"))
-            ).alias("num"),
+            F.expr(
+                "(2 * (("
+                f"(2 * (1000000 * abs(cumg * cast({na} as bigint) "
+                f"- cuma * ng)) + (ng * cast({na} as bigint))) "
+                f"div (2 * (ng * cast({na} as bigint)))"
+                ") * (nxt - cents)) + 100) div 200"
+            ).alias("t6"),
         )
     )
     return (
         terms.groupBy("event_type", "ng")
-        .agg(
-            (
-                _half_up_col("1000000 * sum(num)", f"ng * {na} * 100")
-                / 1000000.0
-            ).alias("w1")
-        )
+        .agg((F.sum("t6") / 1000000.0).alias("w1"))
         .select("event_type", F.col("ng").alias("n"), "w1")
         .orderBy("event_type")
     )

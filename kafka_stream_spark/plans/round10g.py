@@ -160,3 +160,142 @@ def q_moe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("aux_loss"),
     ).orderBy("expert")
+
+
+# ---------------------------------------------------------------------------
+# X746 — instruction-likeness mining (SFT data discovery)
+# ---------------------------------------------------------------------------
+
+_IM_VERBS = (
+    "write", "explain", "describe", "list", "create", "make",
+    "find", "give", "show", "tell", "summarize", "compare",
+    # imperative data-verbs (tech-prose imperatives: "join the rows",
+    # "filter the table", ...)
+    "scan", "filter", "join", "merge", "sort", "group", "select",
+    "count",
+)
+_IM_MIN_SCORE = 3
+
+
+def _im_verbs_sql() -> str:
+    return ", ".join(f"'{v}'" for v in _IM_VERBS)
+
+
+_IM_ORACLE = f"""
+    WITH feats AS (
+      SELECT source,
+             CASE WHEN lower(t[1]) IN ({_im_verbs_sql()})
+                  THEN 1 ELSE 0 END AS starts_imp,
+             CASE WHEN length(text) - length(replace(text, '?', '')) > 0
+                  THEN 1 ELSE 0 END AS has_q,
+             CASE WHEN len(regexp_extract_all(text, '[0-9]+\\.')) >= 2
+                  THEN 1 ELSE 0 END AS numbered,
+             len(list_filter(t, x -> lower(x) IN ({_im_verbs_sql()})))
+               AS n_imp,
+             len(t) AS n_tok
+      FROM (SELECT source, text, {{toks}} AS t FROM documents)
+      WHERE len(t) > 0),
+    scored AS (
+      SELECT source,
+             3 * starts_imp + 2 * has_q + 2 * numbered
+             + CAST({{dens}} AS BIGINT) AS score
+      FROM feats)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= {_IM_MIN_SCORE} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_instruction_like,
+           {{share}} / 1000000.0 AS share,
+           {{mean}} / 1000000.0 AS mean_score
+    FROM scored GROUP BY source ORDER BY source
+    """
+
+
+def _im_oracle() -> str:
+    from ..functions import text as _t
+
+    return _IM_ORACLE.format(
+        toks=_t.tokens_sql("text"),
+        dens=_half_up_sql("10 * 1000000 * n_imp", "1000000 * n_tok"),
+        share=_half_up_sql(
+            "1000000 * sum(CASE WHEN score >= " + str(_IM_MIN_SCORE)
+            + " THEN 1 ELSE 0 END)",
+            "count(*)",
+        ),
+        mean=_half_up_sql("1000000 * sum(score)", "count(*)"),
+    )
+
+
+@query("q_instruction_mining", oracle=_im_oracle())
+def q_instruction_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X746 — instruction-likeness mining: the cheap heuristic pass
+    that discovers SFT-able documents inside a web corpus (the
+    longform-QA / instruction-mining recipe: imperative opener,
+    question marks, numbered-list structure, imperative-verb density)
+    — the step BEFORE an expensive classifier, sizing each source's
+    instruction-data yield. Score = 3·starts_imperative + 2·has_? +
+    2·numbered_list + round(10·imperative_density); a doc is
+    instruction-like at score ≥ {_IM_MIN_SCORE}.
+
+    Determinism: all features are integer counts/regex matches; the
+    density contribution is one half-up integer ratio; shares and
+    means are half-up micro.
+
+    Scale: one projection with a token slice + regexp counts (no
+    pairwise anything) + a combinable per-source rollup."""
+    docs = load(spark, sf_dir, "documents")
+    t = _text.tokens(F.col("text"))
+    verbs = list(_IM_VERBS)
+    feats = docs.select(
+        "source",
+        F.lower(F.element_at(t, 1)).isin(verbs).cast("int").alias(
+            "starts_imp"
+        ),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\?", ""))
+            > 0
+        )
+        .cast("int")
+        .alias("has_q"),
+        (
+            F.size(F.expr(r"regexp_extract_all(text, '[0-9]+\\.', 0)")) >= 2
+        )
+        .cast("int")
+        .alias("numbered"),
+        F.size(
+            F.filter(t, lambda x: F.lower(x).isin(verbs))
+        ).alias("n_imp"),
+        F.size(t).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    scored = feats.select(
+        "source",
+        (
+            3 * F.col("starts_imp")
+            + 2 * F.col("has_q")
+            + 2 * F.col("numbered")
+            + _half_up_col("10 * 1000000 * n_imp", "1000000 * n_tok")
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("score") >= _IM_MIN_SCORE, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_instruction_like"),
+            (
+                _half_up_col(
+                    "1000000 * sum(CASE WHEN score >= "
+                    + str(_IM_MIN_SCORE)
+                    + " THEN 1 ELSE 0 END)",
+                    "count(*)",
+                )
+                / 1000000.0
+            ).alias("share"),
+            (
+                _half_up_col("1000000 * sum(score)", "count(*)") / 1000000.0
+            ).alias("mean_score"),
+        )
+        .orderBy("source")
+    )

@@ -141,13 +141,15 @@ def test_wasserstein_matches_scipy_style_recount(spark, sf_dir):
     na, ng = len(cents_all), len(cents_g)
     import bisect
 
-    w1num = 0
+    want = 0
     for i in range(len(support) - 1):
         x, nxt = support[i], support[i + 1]
         fa = bisect.bisect_right(cents_all, x)
         fg = bisect.bisect_right(cents_g, x)
-        w1num += abs(fg * na - fa * ng) * (nxt - x)
-    want = (2 * (1000000 * w1num) + ng * na * 100) // (2 * ng * na * 100)
+        q6 = (2 * (1000000 * abs(fg * na - fa * ng)) + ng * na) // (
+            2 * ng * na
+        )
+        want += (2 * (q6 * (nxt - x)) + 100) // 200
     got = {
         r["event_type"]: r["w1"]
         for r in q_wasserstein_1d(spark, sf_dir).collect()

@@ -92,3 +92,39 @@ def test_moe_balance_invariants(spark, sf_dir):
         assert r["aux_loss"] == rows[0]["aux_loss"]
     # hash router ≈ balanced: aux within 10% of the perfect-balance 1.0
     assert 0.9 < rows[0]["aux_loss"] < 1.2
+
+
+def test_instruction_mining_structural_features(spark, sf_dir):
+    """The ?-mark and numbered-list features never fire on the
+    jargon corpus, so exercise them on a synthetic frame THROUGH the
+    registered plan (write a tiny documents table and run the query
+    against it), plus live-corpus sanity."""
+    import os
+
+    from kafka_stream_spark.plans.round10g import (
+        _IM_MIN_SCORE,
+        q_instruction_mining,
+    )
+
+    rows = q_instruction_mining(spark, sf_dir).collect()
+    assert rows and any(r["n_instruction_like"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_instruction_like"] <= r["n_docs"]
+        assert 0.0 <= r["share"] <= 1.0
+
+    tmp = "/tmp/im_synth"
+    docs = spark.createDataFrame(
+        [
+            (1, "explain the join plan? 1. scan 2. filter", "en", "s", 8),
+            (2, "the quick brown fox", "en", "s", 4),
+            (3, "write a summary", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r["source"]: r for r in q_instruction_mining(spark, tmp).collect()}
+    r = got["s"]
+    # doc1: starts_imp(3) + has_q(2) + numbered(2) + density -> >= 7
+    # doc2: 0; doc3: starts_imp(3) + density
+    assert r["n_docs"] == 3
+    assert r["n_instruction_like"] == 2
