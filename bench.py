@@ -392,6 +392,7 @@ HEADLINE = [
     "q_dft_bands",
     "q_moe_balance",
     "q_instruction_mining",
+    "q_heldout_novelty",
 ]
 
 

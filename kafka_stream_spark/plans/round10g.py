@@ -299,3 +299,166 @@ def q_instruction_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X747 — held-out n-gram novelty / OOV rate
+# ---------------------------------------------------------------------------
+
+_NV_HOLD = 5  # doc_id % 5 == 0 → held out (the X737 split)
+
+_NV_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {{toks}} AS t FROM documents),
+    tr_uni AS (
+      SELECT lang, u.tok FROM toks, unnest(t) AS u(tok)
+      WHERE doc_id % {_NV_HOLD} <> 0 GROUP BY lang, u.tok),
+    tr_bi AS (
+      SELECT lang, h, w
+      FROM (SELECT lang, t[CAST(i + 1 AS INT)] AS h,
+                   t[CAST(i + 2 AS INT)] AS w
+            FROM toks, unnest(range(len(t) - 1)) AS r(i)
+            WHERE doc_id % {_NV_HOLD} <> 0)
+      GROUP BY lang, h, w),
+    te_uni AS (
+      SELECT lang, u.tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(t) AS u(tok)
+      WHERE doc_id % {_NV_HOLD} = 0 GROUP BY lang, u.tok),
+    te_bi AS (
+      SELECT lang, h, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT lang, t[CAST(i + 1 AS INT)] AS h,
+                   t[CAST(i + 2 AS INT)] AS w
+            FROM toks, unnest(range(len(t) - 1)) AS r(i)
+            WHERE doc_id % {_NV_HOLD} = 0)
+      GROUP BY lang, h, w),
+    uni AS (
+      SELECT te.lang,
+             CAST(sum(te.c) AS BIGINT) AS n_uni,
+             CAST(sum(CASE WHEN tr.tok IS NULL THEN te.c ELSE 0 END)
+                  AS BIGINT) AS oov
+      FROM te_uni te LEFT JOIN tr_uni tr
+        ON tr.lang = te.lang AND tr.tok = te.tok
+      GROUP BY te.lang),
+    bi AS (
+      SELECT te.lang,
+             CAST(sum(te.c) AS BIGINT) AS n_bi,
+             CAST(sum(CASE WHEN tr.h IS NULL THEN te.c ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM te_bi te LEFT JOIN tr_bi tr
+        ON tr.lang = te.lang AND tr.h = te.h AND tr.w = te.w
+      GROUP BY te.lang)
+    SELECT u.lang, u.n_uni AS n_test_tokens,
+           {{oov}} / 1000000.0 AS oov_rate,
+           b.n_bi AS n_test_bigrams,
+           {{nov}} / 1000000.0 AS novel_bigram_rate
+    FROM uni u JOIN bi b ON b.lang = u.lang
+    ORDER BY u.lang
+    """
+
+
+def _nv_oracle() -> str:
+    from ..functions import text as _t
+
+    return _NV_ORACLE.format(
+        toks=_t.tokens_sql("text"),
+        oov=_half_up_sql("1000000 * u.oov", "u.n_uni"),
+        nov=_half_up_sql("1000000 * b.novel", "b.n_bi"),
+    )
+
+
+@query("q_heldout_novelty", oracle=_nv_oracle())
+def q_heldout_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X747 — held-out n-gram novelty (distinct from X421's batch-temporal novelty curve): on the deterministic X737
+    train/held-out split, the held-out OOV token rate and novel
+    (train-unseen) bigram rate per language — the memorization-vs-
+    generalization meter for LM training data (a near-zero novel
+    rate means the held-out set is effectively memorized train data —
+    leakage; a very high rate means the corpus is too fragmented for
+    an n-gram prior to transfer). Complements X-decontaminate (cross-
+    corpus overlap) with the WITHIN-corpus split view, and X738's
+    Chao1 (how much vocabulary is unseen ANYWHERE) with how much the
+    train half already covers.
+
+    Determinism: membership via anti-join semantics (LEFT JOIN + NULL
+    test on grouped keys), counts exact integers, two half-up ratios.
+
+    Scale: vocabulary/bigram-table-keyed joins — corpus-linear
+    explode-counts, no pairwise stage."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", _text.tokens(F.col("text")).alias("t")
+    )
+    train = toks.filter(F.col("doc_id") % _NV_HOLD != 0)
+    test = toks.filter(F.col("doc_id") % _NV_HOLD == 0)
+
+    def unis(df, counted):
+        u = df.select("lang", F.explode("t").alias("tok"))
+        if counted:
+            return u.groupBy("lang", "tok").agg(
+                F.count("*").cast("long").alias("c")
+            )
+        return u.groupBy("lang", "tok").agg(F.lit(1).alias("one")).drop(
+            "one"
+        )
+
+    def bis(df, counted):
+        b = (
+            df.filter(F.size("t") >= 2)
+            .select(
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2), "
+                        "i -> struct(t[i] AS h, t[i + 1] AS w))"
+                    )
+                ).alias("hw"),
+            )
+            .select("lang", F.col("hw.h").alias("h"), F.col("hw.w").alias("w"))
+        )
+        if counted:
+            return b.groupBy("lang", "h", "w").agg(
+                F.count("*").cast("long").alias("c")
+            )
+        return b.groupBy("lang", "h", "w").agg(F.lit(1).alias("one")).drop(
+            "one"
+        )
+
+    tr_uni = unis(train, False).withColumn("seen", F.lit(1))
+    te_uni = unis(test, True)
+    uni = (
+        te_uni.join(tr_uni, ["lang", "tok"], "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_uni"),
+            F.sum(F.when(F.col("seen").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+        )
+    )
+    tr_bi = bis(train, False).withColumn("seen", F.lit(1))
+    te_bi = bis(test, True)
+    bi = (
+        te_bi.join(tr_bi, ["lang", "h", "w"], "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bi"),
+            F.sum(F.when(F.col("seen").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    return (
+        uni.join(bi, "lang")
+        .select(
+            "lang",
+            F.col("n_uni").alias("n_test_tokens"),
+            (_half_up_col("1000000 * oov", "n_uni") / 1000000.0).alias(
+                "oov_rate"
+            ),
+            F.col("n_bi").alias("n_test_bigrams"),
+            (_half_up_col("1000000 * novel", "n_bi") / 1000000.0).alias(
+                "novel_bigram_rate"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -128,3 +128,45 @@ def test_instruction_mining_structural_features(spark, sf_dir):
     # doc2: 0; doc3: starts_imp(3) + density
     assert r["n_docs"] == 3
     assert r["n_instruction_like"] == 2
+
+
+def test_heldout_novelty_rates_bounded_and_recounted(spark, sf_dir):
+    """Rates in [0,1]; independent Python recount for one language."""
+    from kafka_stream_spark.plans.round10g import q_heldout_novelty
+
+    rows = q_heldout_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert 0.0 <= r["novel_bigram_rate"] <= 1.0
+
+    from kafka_stream_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    lang = sorted({d["lang"] for d in docs})[0]
+    tr_u, tr_b = set(), set()
+    te_u, te_b = {}, {}
+    for d in docs:
+        if d["lang"] != lang:
+            continue
+        t = [x for x in d["text"].split(" ") if x]
+        if d["doc_id"] % 5 != 0:
+            tr_u.update(t)
+            tr_b.update(zip(t, t[1:]))
+        else:
+            for x in t:
+                te_u[x] = te_u.get(x, 0) + 1
+            for p in zip(t, t[1:]):
+                te_b[p] = te_b.get(p, 0) + 1
+    n_uni = sum(te_u.values())
+    oov = sum(c for k, c in te_u.items() if k not in tr_u)
+    n_bi = sum(te_b.values())
+    nov = sum(c for k, c in te_b.items() if k not in tr_b)
+    got = {r["lang"]: r for r in rows}[lang]
+    assert got["n_test_tokens"] == n_uni
+    assert got["n_test_bigrams"] == n_bi
+    hu = lambda a, b: (2 * a + b) // (2 * b)  # noqa: E731
+    assert abs(got["oov_rate"] - hu(1000000 * oov, n_uni) / 1e6) < 1e-9
+    assert (
+        abs(got["novel_bigram_rate"] - hu(1000000 * nov, n_bi) / 1e6) < 1e-9
+    )
