@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round9b import _half_up_sql, _half_up_col
@@ -88,8 +89,12 @@ def q_image_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop, per-row independent, no shuffle; integers out."""
     from ..operators.jpeg import decode_jpeg, encode_jpeg
 
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") >= 64
+    # spread the single-split testdata scan across cores before the
+    # Python-decode hop (the X483 rule — no-ops on a multi-file corpus)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") >= 64)
+        .repartition(default_parallelism())
     )
     px = F.transform(
         F.col("embedding"),
@@ -235,8 +240,10 @@ def q_dft_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_wav, encode_wav
 
-    emb = load(spark, sf_dir, "embeddings").filter(
-        F.size("embedding") >= 64
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") >= 64)
+        .repartition(default_parallelism())
     )
     q = F.transform(
         F.col("embedding"),
