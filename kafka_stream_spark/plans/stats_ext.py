@@ -219,11 +219,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH span AS (
       SELECT user_id,
-             date_diff('day', min(ts), max(ts)) AS t,
+             CAST((epoch(date_trunc('hour', max(ts)))
+                   - epoch(date_trunc('hour', min(ts)))) / 3600 AS BIGINT)
+               AS t,
              max(ts) AS last_ts
       FROM events GROUP BY user_id
     ), horizon AS (
-      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+      SELECT max(ts) - INTERVAL 1 DAY AS cutoff FROM events
     ), subj AS (
       SELECT t, CASE WHEN last_ts <= cutoff THEN 1 ELSE 0 END AS observed
       FROM span, horizon
@@ -248,23 +250,37 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve over user activity lifetimes
-    (days between a user's first and last event), right-censoring users
-    whose last event falls inside the final 7-day horizon (they may
-    still be alive). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), evaluated as
-    exp(Σ ln(1 − d/n)) so the running product is a cumulative-sum
-    window.
+    (hours between a user's first and last event, hour-truncated),
+    right-censoring users whose last event falls inside the final
+    1-day horizon (they may still be alive). S(t) = Π_{tᵢ≤t}
+    (1 − dᵢ/nᵢ), evaluated as exp(Σ ln(1 − d/n)) so the running
+    product is a cumulative-sum window.
+
+    Grain/horizon retuned in round 11: the old 7-day horizon censored
+    EVERY user on the testdata (all last-events inside the final week)
+    so the gate compared empty results (round-10 verdict "What's wrong
+    #2"); the 1-day horizon observes a real death fraction and the
+    hour grain yields a multi-step curve.
 
     The event log collapses to one row per user (one combinable
     groupBy), then to one row per DISTINCT lifetime — the only global
-    window runs over that day-grained table (≤ a few thousand rows at
-    any corpus size)."""
+    window runs over that hour-grained table (≤ tens of thousands of
+    rows at any corpus size)."""
     e = load(spark, sf_dir, "events")
     span = e.groupBy("user_id").agg(
-        F.datediff(F.max("ts"), F.min("ts")).alias("t"),
+        (
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.max("ts")))
+                - F.unix_timestamp(F.date_trunc("hour", F.min("ts")))
+            )
+            / 3600
+        )
+        .cast("long")
+        .alias("t"),
         F.max("ts").alias("last_ts"),
     )
     horizon = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+        (F.max("ts") - F.expr("INTERVAL 1 DAYS")).alias("cutoff")
     )
     subj = span.crossJoin(F.broadcast(horizon)).select(
         "t",

@@ -429,25 +429,36 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: PMI content-word band: tokens in too few docs are noise, tokens in
-#: too many are stopwords AND blow up the per-doc pair fan-out
-_PMI_DF_MIN, _PMI_DF_MAX = 5, 50
+#: PMI content band as FRACTIONS of corpus size — absolute DF bands do
+#: not survive corpus growth (round-10 verdict: the old [5, 50] band
+#: matched zero tokens on the testdata, making the gate vacuous).
+#: Units are word BIGRAMS: the testdata's unigram DF distribution is
+#: degenerate (every word in ~77% of docs) so bigrams carry the
+#: collocation signal.  min-co stays absolute (a real evidence floor)
+#: and the output is the deterministic top-K so the gate instance pins
+#: a fixed-size non-trivial result at every SF.
+_PMI_DF_LO, _PMI_DF_HI = 0.01, 0.50
 _PMI_MIN_CO = 5
+_PMI_TOP_K = 100
 
 
 @query(
     "q_token_pmi",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest({text.tokens_sql('text')}) AS w
-      FROM documents
+    WITH toks AS (
+      SELECT doc_id, {text.tokens_sql('text')} AS ts FROM documents
     ),
+    tok AS (
+      SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] AS w
+      FROM toks, unnest(range(1, len(ts))) AS r(i)
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
     df AS (
       SELECT w, count(*) AS df FROM tok GROUP BY w
-      HAVING count(*) BETWEEN {_PMI_DF_MIN} AND {_PMI_DF_MAX}
+      HAVING count(*) >= {_PMI_DF_LO} * (SELECT n_docs FROM n)
+         AND count(*) <= {_PMI_DF_HI} * (SELECT n_docs FROM n)
     ),
     ft AS (SELECT tok.doc_id, tok.w, df.df FROM tok JOIN df ON tok.w = df.w),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
     co AS (
       SELECT a.w AS w1, b.w AS w2,
              count(*) AS n_ab,
@@ -459,31 +470,52 @@ _PMI_MIN_CO = 5
     SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
            round(ln(n_ab * 1.0 * n.n_docs / (df1 * df2)), 6) AS pmi
     FROM co CROSS JOIN n
+    ORDER BY n_ab DESC, w1, w2 LIMIT {_PMI_TOP_K}
     """,
 )
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X180 — token co-occurrence PMI: pointwise mutual information
-    ln(P(a,b) / (P(a)P(b))) over document-level co-occurrence for
-    content-band tokens — the collocation / related-term signal behind
-    phrase mining and query expansion.
+    """X180 — bigram co-occurrence PMI: pointwise mutual information
+    ln(P(a,b) / (P(a)P(b))) over document-level co-occurrence of
+    content-band word bigrams — the collocation / related-term signal
+    behind phrase mining and query expansion.  Reports the top-{_PMI_TOP_K}
+    pairs by evidence with a deterministic (n_ab DESC, w1, w2) order.
 
-    Scale design: the df band [{_PMI_DF_MIN}, {_PMI_DF_MAX}] is applied
-    BEFORE pairing, so the per-document self-join fans out over
-    content words only (stopwords would make it quadratic in doc
-    length); co-occurrence counts shuffle on the (w1, w2) pair key
-    with map-side combine, and the doc-count scalar broadcasts."""
+    Scale design: the fractional df band [{_PMI_DF_LO}, {_PMI_DF_HI}]
+    (of n_docs, so it tracks corpus growth) is applied BEFORE pairing,
+    so the per-document self-join fans out over content bigrams only
+    (stopword-grams would make it quadratic in doc length);
+    co-occurrence counts shuffle on the (w1, w2) pair key with map-side
+    combine, the doc-count scalar broadcasts, and the final top-K is a
+    bounded single-stage TakeOrdered."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens(F.col("text")).alias("ts")
+    )
+    ts = F.col("ts")
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tok = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+        toks.select("doc_id", F.explode(bigrams).alias("w"))
         .distinct()
     )
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = (
         tok.groupBy("w")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df").between(_PMI_DF_MIN, _PMI_DF_MAX))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= _PMI_DF_LO * F.col("n_docs"))
+            & (F.col("df") <= _PMI_DF_HI * F.col("n_docs"))
+        )
+        .select("w", "df")
     )
     ft = tok.join(df, "w").select("doc_id", "w", "df")
-    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     a, b = ft.alias("a"), ft.alias("b")
     co = (
         a.join(
@@ -503,8 +535,11 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ab") * F.lit(1.0) * F.col("n_docs")
         / (F.col("df1") * F.col("df2"))
     )
-    return co.crossJoin(F.broadcast(n)).select(
-        "w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi")
+    return (
+        co.crossJoin(F.broadcast(n))
+        .select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("n_ab"), "w1", "w2")
+        .limit(_PMI_TOP_K)
     )
 
 

@@ -74,27 +74,53 @@ REFERENCE_SURFACE_KEYS: list[str] = [
 ]
 
 
-def rotated_cold_keys(tag: str, per_round: int = 10) -> list[str]:
-    """VERDICT r9 #4: rotate X-tier keys through the cold gate.
+#: Ledger of keys that have already had a cold (first-query-of-a-fresh-
+#: session) run via the rotation tier. ADVICE r10: the old offset-window
+#: rotation recomputed its window over a pool that grows every round, so
+#: insertions shifted offsets and some keys could be skipped forever.
+#: The ledger makes the schedule stable: each round cold-runs the first
+#: ``per_round`` registered non-fixed keys NOT yet in the ledger (sorted
+#: order), then appends them — every key provably cycles through cold
+#: exactly once before any key repeats.
+COLD_LEDGER = "/root/repo/tools/cold_ledger.json"
 
-    The fixed cold tier covers the reference-surface/stateful keys, but
-    the round-8 cold-bug class (first-query exprId collision) could hide
-    in ANY key that has never run first-in-process. Deterministic
-    rotation: sort the registered keys not already in the fixed tier,
-    then take the ``per_round`` names starting at offset
-    ``(round_no * per_round) % len`` — each round advances the window,
-    so every key cycles through cold over successive rounds."""
-    import re as _re
+#: Hash-gated keys for which a 0-row result is the genuinely correct
+#: output on the testdata (each needs a FIXTURES.md justification).
+ZERO_ROW_WAIVERS: set[str] = set()
 
-    m = _re.match(r"r(\d+)$", tag)
-    round_no = int(m.group(1)) if m else 0
+
+def rotated_cold_keys(tag: str, per_round: int = 20) -> list[str]:
+    """VERDICT r9 #4 + ADVICE r10: rotate X-tier keys through the cold
+    gate on a stable per-key schedule (ledger of already-cold-run keys,
+    not a pool-length-dependent offset window)."""
+    import json as _json
+
     fixed = set(REFERENCE_SURFACE_KEYS)
     pool = [k for k in _registered_keys() if k not in fixed]
     if not pool:
         return []
-    start = (round_no * per_round) % len(pool)
-    picked = [pool[(start + j) % len(pool)] for j in range(min(per_round, len(pool)))]
-    return picked
+    done: list[str] = []
+    if os.path.exists(COLD_LEDGER):
+        done = _json.load(open(COLD_LEDGER))
+    fresh = [k for k in pool if k not in set(done)]
+    if not fresh:  # full cycle complete — next pass starts from the top
+        fresh = pool
+    return fresh[:per_round]
+
+
+def record_cold_ledger(keys: list[str]) -> None:
+    """Append this round's rotation picks to the ledger; when the cycle
+    was already complete before this round, restart it."""
+    import json as _json
+
+    done = []
+    if os.path.exists(COLD_LEDGER):
+        done = _json.load(open(COLD_LEDGER))
+    pool = set(_registered_keys()) - set(REFERENCE_SURFACE_KEYS)
+    if not (pool - set(done)):  # cycle finished last round
+        done = []
+    done = sorted(set(done) | (set(keys) & pool))
+    _json.dump(done, open(COLD_LEDGER, "w"), indent=0)
 
 
 def run_cold_tier(sf_dir: str, keys: list[str]) -> tuple[list[str], int]:
@@ -185,6 +211,38 @@ def main() -> int:
         print(f"{n_fail} FAILED — aborting, no CHECK file", file=sys.stderr)
         return 1
 
+    # Degenerate-selectivity lint (VERDICT r10 #1/#5): a hash-gated key
+    # that returns 0 rows "passes" while pinning nothing (q_token_pmi and
+    # q_kaplan_meier shipped vacuous for rounds this way). Hard-fail on
+    # any 0-row hash-gated result not in the waiver list, and report the
+    # ≤3-row tier so each low-row key carries an explicit disposition
+    # (FIXTURES.md "Low-row gate instances").
+    oracles = set(entry_mod.oracle_sql())
+    rowcount = {}
+    for ln in lines:
+        m = re.match(r"^(ok|rows-only)\s+(\S+?):\s+(\d+) rows", ln)
+        if m:
+            rowcount[m.group(2)] = int(m.group(3))
+    zero = sorted(
+        k for k, n in rowcount.items()
+        if n == 0 and k in oracles and k not in ZERO_ROW_WAIVERS
+    )
+    if zero:
+        print(
+            f"VACUOUS GATE: hash-gated keys returned 0 rows — the gate "
+            f"pins nothing for them: {', '.join(zero)} — aborting, no "
+            f"CHECK file (add to ZERO_ROW_WAIVERS only if a 0-row result "
+            f"is genuinely the correct output)",
+            file=sys.stderr,
+        )
+        return 1
+    low = sorted(k for k, n in rowcount.items() if n <= 3)
+    print(
+        f"low-row tier (≤3 rows, disposition in FIXTURES.md): "
+        f"{len(low)} keys",
+        flush=True,
+    )
+
     # Cold-isolation tier (VERDICT r8 #2): every reference-surface key as
     # the first query of its own fresh process — the only protocol that
     # can see first-query bugs like the q_rule_match exprId collision.
@@ -206,6 +264,7 @@ def main() -> int:
         return 1
     lines.append("## cold (each key = first query of its own fresh session)")
     lines.extend(cold_lines)
+    record_cold_ledger(rotation)
 
     ro_names = sorted(
         {ln.split()[1].rstrip(":") for ln in lines if ln.startswith("rows-only")}
@@ -220,8 +279,10 @@ def main() -> int:
         f"# COLD: {len(cold_lines)} keys re-run cold-isolated (one fresh "
         f"process each, key is the first query): "
         f"{len(REFERENCE_SURFACE_KEYS)} fixed reference-surface/stateful "
-        f"+ {len(rotation)} rotated X-tier (window = sorted non-fixed keys "
-        f"[round_no*10 % len ..], advances each round): "
+        f"+ {len(rotation)} rotated X-tier (stable ledger schedule: first "
+        f"{len(rotation)} sorted non-fixed keys not yet in "
+        f"tools/cold_ledger.json; every key cycles through cold exactly "
+        f"once per pass): "
         f"{len(cold_lines) - cold_fail} ok, {cold_fail} FAILED.",
     ]
     path = f"/root/repo/CHECK_{tag}.txt"
@@ -286,7 +347,12 @@ def main() -> int:
     import glob
     import os
 
-    stage = [f"CHECK_{tag}.txt", "README.md", "BENCH_DETAIL.json"]
+    stage = [
+        f"CHECK_{tag}.txt",
+        "README.md",
+        "BENCH_DETAIL.json",
+        "tools/cold_ledger.json",
+    ]
     for pat in (
         "SCALE_PROBE.json",
         "SCALE.md",
