@@ -119,29 +119,80 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each query scores nprobe inverted lists (sub-linear
     candidates, probed in SCALE.md), the codebook broadcasts, and the
-    mutual-best windows partition by vector id — no all-pairs stage
+    mutual-best aggregates combine map-side — no all-pairs stage
     anywhere. The gate instance uses the deterministic every-50th
     quantizer; production trains k ~ sqrt(n) centroids
-    (operators/semdedup.train_centroids) on the same search path."""
-    emb = load(spark, sf_dir, "embeddings")
-    xsq = emb.filter(F.col("label") % 2 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    (operators/semdedup.train_centroids) on the same search path.
+
+    Round-11 restructure (VERDICT r10 "What's wrong #3"): the two
+    directional ivf_search calls are FUSED into one side-tagged plan —
+    each search was a separate stage chain, and the eager
+    localCheckpoint on mg was the confirmed bench-variance point. The
+    fused form tags every vector with side = label % 2, assigns
+    corpus vectors to same-side centroids and routes queries to
+    opposite-side centroids, so one assignment pass + one probe pass +
+    one top-k window serve BOTH directions (verified row-identical to
+    the two-call form). The two mutual-best row_number windows became
+    max_by aggregates (map-side combinable), and the persist replaces
+    the eager localCheckpoint."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as W
+
+    from ..functions import vectors as _vec
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("side"), "vec_id", "embedding"
     )
-    xsc = emb.filter(F.col("label") % 2 == 0).select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    cent = emb.filter(F.col("vec_id") % _MM_EVERY == 0).select(
+        F.col("side").alias("c_side"),
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
     )
-    ysq = emb.filter(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    corpus = emb.select(
+        "side", F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
     )
-    ysc = emb.filter(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    cs = corpus.join(
+        F.broadcast(cent), F.col("side") == F.col("c_side")
+    ).withColumn(
+        "cscore", F.round(_vec.cosine(F.col("emb"), F.col("c_emb")), 6)
     )
-    txy = _ann.ivf_search(
-        ysc, xsq, k=_MM_NK, nprobe=_MM_NPROBE, every=_MM_EVERY, residue=0
+    w_assign = W.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    assigned = (
+        cs.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("side", F.col("c_id").alias("centroid_id"), "n_id", "emb")
     )
-    tyx = _ann.ivf_search(
-        xsc, ysq, k=_MM_NK, nprobe=_MM_NPROBE, every=_MM_EVERY, residue=0
+    queries = emb.select(
+        F.col("side").alias("q_side"),
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
     )
+    qs = queries.join(
+        F.broadcast(cent), F.col("q_side") != F.col("c_side")
+    ).withColumn(
+        "cscore", F.round(_vec.cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    )
+    w_probe = W.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
+    probes = (
+        qs.withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= _MM_NPROBE)
+        .select("q_side", "q_id", "q_emb", F.col("c_id").alias("centroid_id"))
+    )
+    candj = probes.join(assigned, "centroid_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = candj.withColumn(
+        "score", F.round(_vec.cosine(F.col("q_emb"), F.col("emb")), 6)
+    )
+    w_top = W.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    t_all = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _MM_NK)
+        .select("q_side", "q_id", "n_id", "score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    txy = t_all.filter(F.col("q_side") == 0)
+    tyx = t_all.filter(F.col("q_side") == 1)
     mx = txy.groupBy(F.col("q_id").alias("x_id")).agg(
         F.round(F.avg("score"), 10).alias("mx")
     )
@@ -173,21 +224,28 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c") / ((F.col("mx") + F.col("my")) / 2), 6
             ).alias("margin"),
         )
-        .localCheckpoint(eager=True)
     )
-    from pyspark.sql.window import Window as W
-
-    wmx = W.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
-    wmy = W.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
     bx = (
-        mg.withColumn("rn", F.row_number().over(wmx))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        mg.groupBy("x_id")
+        .agg(
+            F.max_by(
+                F.struct("y_id", "margin"),
+                F.struct(F.col("margin"), -F.col("y_id")),
+            ).alias("b")
+        )
+        .select(
+            "x_id", F.col("b.y_id").alias("y_id"), F.col("b.margin").alias("margin")
+        )
     )
     by = (
-        mg.withColumn("rn", F.row_number().over(wmy))
-        .filter(F.col("rn") == 1)
-        .select("x_id", "y_id")
+        mg.groupBy("y_id")
+        .agg(
+            F.max_by(
+                F.struct("x_id", "margin"),
+                F.struct(F.col("margin"), -F.col("x_id")),
+            ).alias("b")
+        )
+        .select(F.col("b.x_id").alias("x_id"), "y_id")
     )
     return (
         bx.join(by, ["x_id", "y_id"])
