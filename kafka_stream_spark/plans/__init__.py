@@ -97,3 +97,4 @@ from . import round10d  # noqa: E402,F401
 from . import round10e  # noqa: E402,F401
 from . import round10f  # noqa: E402,F401
 from . import round10g  # noqa: E402,F401
+from . import round11  # noqa: E402,F401

@@ -1354,7 +1354,8 @@ def _facility_oracle() -> str:
       SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings),
     cent AS (
       SELECT n_id AS c_id, emb AS c_emb FROM corpus
-      WHERE n_id % 50 = 0)""",
+      WHERE n_id % greatest(2, CAST(floor(sqrt(CAST(
+        (SELECT count(*) FROM corpus) AS DOUBLE))) AS BIGINT)) = 0)""",
         ivf,
         """edges AS MATERIALIZED (
       SELECT q_id AS v, n_id AS c, greatest(score, 0.0) AS s
@@ -1394,20 +1395,28 @@ def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     submodular diverse-subset objective behind CRAIG/coreset curation:
     maximize Σ_v max_{s∈S} sim(v, s)): pick K=4 exemplar vectors so
     every corpus vector is close to some exemplar. The similarity
-    graph is SPARSIFIED through operators/ann.ivf_search (each vector
-    keeps its top-5 routed neighbors, clamped to ≥0) — uncovered edges
-    contribute 0, which preserves the greedy (1−1/e) guarantee on the
-    sparsified objective and is what makes the operator linear-ish
-    instead of the textbook O(n²·K). Each greedy round is one
-    edge-grain aggregate (marginal gains), a deterministic
-    (gain DESC, id) argmax kept IN-PLAN as a broadcast 1-row frame —
-    no driver collect — and a coverage-vector update via left join.
-    The DuckDB oracle replays the routing plus all K rounds unrolled.
+    graph is SPARSIFIED through the PERSISTED IVF index (round-11
+    conversion, VERDICT r10 "Next #3": the round-10 64× probes showed
+    the build-each-run every=50 codebook going quadratic, exponent
+    1.02, while the persisted √n-codebook twin measured 0.69 — this
+    key now routes through operators/ann.ivf_search_indexed via
+    round11.ensure_embedding_index, each vector keeping its top-5
+    routed neighbors clamped to ≥0) — uncovered edges contribute 0,
+    which preserves the greedy (1−1/e) guarantee on the sparsified
+    objective and is what makes the operator linear-ish instead of
+    the textbook O(n²·K). Each greedy round is one edge-grain
+    aggregate (marginal gains), a deterministic (gain DESC, id)
+    argmax kept IN-PLAN as a broadcast 1-row frame — no driver
+    collect — and a coverage-vector update via left join. The DuckDB
+    oracle replays the √n-codebook routing plus all K rounds unrolled.
 
-    Scale: rounds are K (a constant); each costs one shuffle over the
-    ANN edge list (n·k rows) — the coverage state is one double per
-    vector, partitioned by id."""
+    Scale: index build amortizes to one corpus scan per corpus; rounds
+    are K (a constant); each costs one shuffle over the ANN edge list
+    (n·k rows) — the coverage state is one double per vector,
+    partitioned by id."""
     from pyspark.sql.window import Window as W
+
+    from .round11 import ensure_embedding_index
 
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -1416,10 +1425,10 @@ def q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    idx = ensure_embedding_index(spark, sf_dir)
     edges = (
-        _ann.ivf_search(
-            corpus, qs, k=_FL_EDGE_K, nprobe=_MM_NPROBE,
-            every=_MM_EVERY, residue=0,
+        _ann.ivf_search_indexed(
+            spark, idx, qs, k=_FL_EDGE_K, nprobe=_MM_NPROBE,
         )
         .select(
             F.col("q_id").alias("v"),

@@ -245,3 +245,56 @@ def test_persisted_index_serves_searches_without_rebuild(
             best_graph.get(r["q_id"], -2.0), r["score"]
         )
     assert all(best_graph[q] >= best_seed[q] for q in best_seed)
+
+
+def test_ivf_index_build_once_and_serve(spark, sf_dir, tmp_path):
+    """X748 contract (round-11): build_ivf_index persists the √n-rule
+    codebook + inverted lists once; ivf_search_indexed serves from the
+    layout with zero rebuild (mtimes pinned), reads the persisted
+    location in its plan, equals the inline ivf_search handed the same
+    codebook, and a second build call on an existing index is a no-op."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
+    )
+    n = corpus.count()
+    every = ann.sqrt_every(n)
+    idx = str(tmp_path / "ivfidx")
+    ann.build_ivf_index(corpus, idx, every=every)
+
+    def mtimes():
+        return {
+            os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+            for d, _dirs, files in os.walk(idx)
+            for f in files
+        }
+
+    before = mtimes()
+    assert before, "index build wrote nothing"
+    # no-op rebuild on an existing index
+    ann.build_ivf_index(corpus, idx, every=every)
+    assert mtimes() == before
+
+    qs = emb.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    served = ann.ivf_search_indexed(spark, idx, qs, k=4, nprobe=2)
+    got = sorted(map(tuple, served.select("q_id", "n_id", "score", "rn").collect()))
+    assert got
+    assert mtimes() == before, "a search rebuilt or rewrote the index"
+
+    # plan reads the persisted location
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    assert idx in buf.getvalue()
+
+    # equals the inline (build-each-run) search with the same codebook
+    inline = ann.ivf_search(corpus, qs, k=4, nprobe=2, every=every, residue=0)
+    want = sorted(map(tuple, inline.select("q_id", "n_id", "score", "rn").collect()))
+    assert got == want
