@@ -522,6 +522,39 @@ def main() -> None:
             # same-code runs, all transient machine load. Both
             # measurements are recorded; only confirmed flags reach the
             # stdout regression list.
+            #
+            # ADVICE r10: the retime is judged against a FRESH drift
+            # factor, not the first pass's — if transient load inflated
+            # the whole first pass, `med` is a stale normalizer. Three
+            # stable anchors (non-flagged queries whose raw ratio sat
+            # nearest the median) re-time alongside the flags and their
+            # median retime ratio re-estimates the drift.
+            med2 = med
+            if regressions:
+                anchors = sorted(
+                    (n for n in raw if n not in regressions),
+                    key=lambda n: abs(raw[n] - med),
+                )[:3]
+                anchor_rr = []
+                for name in anchors:
+                    fn = QUERIES[name]
+                    best_a = float("inf")
+                    for _ in range(reps):
+                        t0 = time.time()
+                        fn(spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        best_a = min(best_a, time.time() - t0)
+                        spark.catalog.clearCache()
+                    anchor_rr.append(best_a / prior_q[name])
+                if anchor_rr:
+                    med2 = sorted(anchor_rr)[len(anchor_rr) // 2]
+                    print(
+                        f"# confirmation drift factor (median of "
+                        f"{len(anchor_rr)} anchor retimes): "
+                        f"{round(med2, 3)} (first pass: {round(med, 3)})",
+                        file=sys.stderr,
+                    )
             for name, r in regressions.items():
                 fn = QUERIES[name]
                 best2 = float("inf")
@@ -535,8 +568,9 @@ def main() -> None:
                 rr2 = best2 / prior_q[name]
                 r["retime_sec"] = round(best2, 3)
                 r["retime_ratio"] = round(rr2, 2)
+                r["retime_drift_factor"] = round(med2, 3)
                 r["confirmed"] = bool(
-                    (rr2 / med > 1.5 and rr2 > 1.25) or rr2 > 2.0
+                    (rr2 / med2 > 1.5 and rr2 > 1.25) or rr2 > 2.0
                 )
         for name, r in regressions.items():
             tag = "REGRESSION" if r.get("confirmed") else "flag-not-confirmed"

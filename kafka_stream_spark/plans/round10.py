@@ -915,19 +915,28 @@ def q_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_CKA_D):
         aggs.append(F.sum(F.col(f"v{i}")).alias(f"sx{i}"))
         aggs.append(F.sum(F.col(f"v{i + _CKA_D}")).alias(f"sy{i}"))
+    # per-cell moment sums accumulate in decimal(38,0) (int128-class),
+    # matching the oracle's HUGEINT — F.sum over int64 products would
+    # silently wrap at very large row counts (ADVICE r10; same class as
+    # the W1 overflow fixed in 206e495)
+    dec = "decimal(38,0)"
     for i in range(_CKA_D):
         for j in range(_CKA_D):
             aggs.append(
-                F.sum(F.col(f"v{i}") * F.col(f"v{j + _CKA_D}")).alias(
-                    f"sxy{i}_{j}"
-                )
-            )
-            aggs.append(
-                F.sum(F.col(f"v{i}") * F.col(f"v{j}")).alias(f"sxx{i}_{j}")
+                F.sum(
+                    (F.col(f"v{i}") * F.col(f"v{j + _CKA_D}")).cast(dec)
+                ).alias(f"sxy{i}_{j}")
             )
             aggs.append(
                 F.sum(
-                    F.col(f"v{i + _CKA_D}") * F.col(f"v{j + _CKA_D}")
+                    (F.col(f"v{i}") * F.col(f"v{j}")).cast(dec)
+                ).alias(f"sxx{i}_{j}")
+            )
+            aggs.append(
+                F.sum(
+                    (F.col(f"v{i + _CKA_D}") * F.col(f"v{j + _CKA_D}")).cast(
+                        dec
+                    )
                 ).alias(f"syy{i}_{j}")
             )
     rows = v.groupBy("label").agg(*aggs).collect()

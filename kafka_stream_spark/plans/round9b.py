@@ -645,7 +645,8 @@ _ELO_ORACLE = f"""
             UNION ALL SELECT event_type, pb FROM g)
       GROUP BY 1, 2)
     SELECT f.event_type, f.player, f.rating,
-           coalesce(n.n_games, 0) AS n_games
+           coalesce(n.n_games, 0) AS n_games,
+           CAST({_ELO_GATE_GAMES} AS BIGINT) AS gate_games_cap
     FROM flat f LEFT JOIN ng n
       ON n.event_type = f.event_type AND n.player = f.player
     ORDER BY f.event_type, f.player
@@ -775,9 +776,17 @@ def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     arenas partition the work. The streaming face
     (run_streaming_elo) folds only NEW games per micro-batch from the
     versioned store's rating vector — a leaderboard service never
-    rescans history."""
+    rescans history.
+
+    The gate instance folds only the first {_ELO_GATE_GAMES} games per
+    arena (differential-oracle cost cap) — and says so IN the output:
+    the ``gate_games_cap`` column makes prefix ratings impossible to
+    mistake for full-history ratings (ADVICE r10). The unbounded fold
+    stays covered by the streaming parity tests."""
     return elo_ratings_df(
         load(spark, sf_dir, "events"), max_games=_ELO_GATE_GAMES
+    ).withColumn(
+        "gate_games_cap", F.lit(_ELO_GATE_GAMES).cast("long")
     )
 
 
