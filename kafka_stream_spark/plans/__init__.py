@@ -98,3 +98,5 @@ from . import round10e  # noqa: E402,F401
 from . import round10f  # noqa: E402,F401
 from . import round10g  # noqa: E402,F401
 from . import round11  # noqa: E402,F401
+from . import round11b  # noqa: E402,F401
+from . import round11c  # noqa: E402,F401
