@@ -788,10 +788,20 @@ def q_wearoff(spark: SparkSession, sf_dir: str) -> DataFrame:
              (sum(q * q) - count(*) * avg(q) * avg(q)) / (count(*) - 1)
                AS v
       FROM daily GROUP BY band
-    ), fit AS (
-      SELECT count(*) AS k, sum(ln(m)) AS sx, sum(ln(v)) AS sy,
-             sum(ln(m) * ln(v)) AS sxy, sum(ln(m) * ln(m)) AS sxx
+    ), lq AS (
+      -- logs quantize to 1e-9 integers so the 50-band fit sums are
+      -- EXACT (int128) and order-independent: raw double sums diverged
+      -- between engines in the last ulp and flipped round(6) at sf0.1
+      SELECT CAST(round(ln(m) * 1000000000) AS HUGEINT) AS lx,
+             CAST(round(ln(v) * 1000000000) AS HUGEINT) AS ly
       FROM s WHERE v > 0
+    ), fit AS (
+      SELECT count(*) AS k,
+             CAST(sum(lx) AS DOUBLE) / 1e9 AS sx,
+             CAST(sum(ly) AS DOUBLE) / 1e9 AS sy,
+             CAST(sum(lx * ly) AS DOUBLE) / 1e18 AS sxy,
+             CAST(sum(lx * lx) AS DOUBLE) / 1e18 AS sxx
+      FROM lq
     )
     SELECT CAST(k AS BIGINT) AS n_bands,
            round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
@@ -828,13 +838,17 @@ def q_taylor_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") - 1)
         ).alias("v"),
     )
-    lx, ly = F.log("m"), F.log("v")
-    fit = s.filter(F.col("v") > 0).agg(
+    dec = "decimal(38,0)"
+    lq = s.filter(F.col("v") > 0).select(
+        F.round(F.log("m") * 1e9).cast(dec).alias("lx"),
+        F.round(F.log("v") * 1e9).cast(dec).alias("ly"),
+    )
+    fit = lq.agg(
         F.count("*").alias("k"),
-        F.sum(lx).alias("sx"),
-        F.sum(ly).alias("sy"),
-        F.sum(lx * ly).alias("sxy"),
-        F.sum(lx * lx).alias("sxx"),
+        (F.sum("lx").cast("double") / 1e9).alias("sx"),
+        (F.sum("ly").cast("double") / 1e9).alias("sy"),
+        (F.sum(F.col("lx") * F.col("ly")).cast("double") / 1e18).alias("sxy"),
+        (F.sum(F.col("lx") * F.col("lx")).cast("double") / 1e18).alias("sxx"),
     )
     b = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
