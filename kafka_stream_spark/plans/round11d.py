@@ -1,13 +1,13 @@
-"""Round-11 batch D (X755–X756): frequency-moment sketches.
+"""Round-11 batch D (X754–X755): frequency-moment sketches.
 
 Reference scope note: §2.13 mandate extensions, reference-free — the
 bounded-memory stream summaries (AMS, space-saving) that complement
 the existing CMS / HLL / Bloom / quantile-sketch family.
 
-- X755 q_ams_f2: Alon-Matias-Szegedy second-frequency-moment sketch —
+- X754 q_ams_f2: Alon-Matias-Szegedy second-frequency-moment sketch —
   K ±1-hash sign estimators, median-of-means, compared against the
   exact F2 so the gate pins both the sketch fold AND its accuracy.
-- X756 q_space_saving: the Space-Saving heavy-hitters algorithm
+- X755 q_space_saving: the Space-Saving heavy-hitters algorithm
   (Metwally et al. 2005) — k counters, evict-the-minimum, with the
   per-item overcount bound carried in the state and VERIFIED against
   exact prefix counts in the output (within_bound column).
@@ -30,7 +30,7 @@ from ..sources.tables import load
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# X755 — AMS F2 sketch (median-of-means of squared sign sums)
+# X754 — AMS F2 sketch (median-of-means of squared sign sums)
 # ---------------------------------------------------------------------------
 
 _AMS_K = 32  # estimators
@@ -72,7 +72,7 @@ _AMS_ORACLE = f"""
 
 @query("q_ams_f2", oracle=_AMS_ORACLE)
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X755 — AMS second-frequency-moment sketch: F2 = Σ f_item² from
+    """X754 — AMS second-frequency-moment sketch: F2 = Σ f_item² from
     {_AMS_K} ±1-hash sign estimators — each keeps ONE integer
     Z_k = Σ_rows s_k(item); E[Z_k²] = F2 — combined median-of-means
     ({_AMS_G} groups of {_AMS_K // _AMS_G}).  The join-size / skew
@@ -151,7 +151,7 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X756 — Space-Saving heavy hitters (k counters, evict-the-minimum)
+# X755 — Space-Saving heavy hitters (k counters, evict-the-minimum)
 # ---------------------------------------------------------------------------
 
 _SS_K = 8  # counters per stream
@@ -262,7 +262,7 @@ def _ss_oracle() -> str:
 
 @query("q_space_saving", oracle=_ss_oracle())
 def q_space_saving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X756 — Space-Saving heavy hitters: {_SS_K} counters per stream
+    """X755 — Space-Saving heavy hitters: {_SS_K} counters per stream
     (event_type), evict-the-minimum on overflow, per-slot overcount
     bound carried in state — the bounded-memory top-k frequency
     summary (Metwally et al. 2005) streaming aggregators keep when

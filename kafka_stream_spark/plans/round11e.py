@@ -1,18 +1,18 @@
-"""Round-11 batch E (X757–X760): multimodal quality, template mining,
+"""Round-11 batch E (X756–X759): multimodal quality, template mining,
 index-routed sampling, and pipeline reconciliation.
 
 Reference scope note: §2.13 mandate extensions, reference-free.
 
-- X757 q_image_contrast: luminance/contrast/clipping statistics
+- X756 q_image_contrast: luminance/contrast/clipping statistics
   through the REAL JPEG encode→decode path (the exposure-quality
   filter a multimodal curation pipeline runs right after decode).
-- X758 q_template_positions: positional token entropy per source —
+- X757 q_template_positions: positional token entropy per source —
   the boilerplate-template detector (a low-entropy position means
   every document from that source carries the same token there).
-- X759 q_cluster_quota_sample: cluster-balanced (quota) sampling
+- X758 q_cluster_quota_sample: cluster-balanced (quota) sampling
   routed through the PERSISTED IVF index (X748) — the
   diversity-preserving downsample used to cap dominant modes.
-- X760 q_xor_reconcile: incremental-vs-full pipeline reconciliation
+- X759 q_xor_reconcile: incremental-vs-full pipeline reconciliation
   via per-bucket XOR digests of row hashes — the cheap
   order-independent audit that an incremental ingestion path
   produced exactly the rows a full recompute would.
@@ -36,7 +36,7 @@ from .registry import query
 from .round9b import _half_up_sql
 
 # ---------------------------------------------------------------------------
-# X757 — luminance / contrast / clipping stats through the real JPEG path
+# X756 — luminance / contrast / clipping stats through the real JPEG path
 # ---------------------------------------------------------------------------
 
 _IC_LO, _IC_HI = 5, 250  # clipping thresholds on the 0..255 luma scale
@@ -70,7 +70,7 @@ _IC_ORACLE = f"""
 
 @query("q_image_contrast", oracle=_IC_ORACLE)
 def q_image_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X757 — exposure-quality statistics through the REAL image path:
+    """X756 — exposure-quality statistics through the REAL image path:
     each embedding becomes a 64×64 constant-block JPEG (the X483
     construction), round-trips the bit-exact quality-100 baseline
     codec, average-pools back to the 8×8 level grid, and reports the
@@ -176,7 +176,7 @@ def q_image_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X758 — positional token entropy (boilerplate template detection)
+# X757 — positional token entropy (boilerplate template detection)
 # ---------------------------------------------------------------------------
 
 _TP_POS = 8  # positions audited
@@ -206,7 +206,7 @@ _TP_ORACLE = f"""
 
 @query("q_template_positions", oracle=_TP_ORACLE)
 def q_template_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X758 — boilerplate-template detection via positional token
+    """X757 — boilerplate-template detection via positional token
     entropy: for each source and token position p < {_TP_POS}, the
     Shannon entropy of the token distribution AT that position —
     H = ln(n) − (Σ c·ln c)/n.  A near-zero-entropy position means
@@ -257,7 +257,7 @@ def q_template_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X759 — cluster-balanced quota sampling via the persisted IVF index
+# X758 — cluster-balanced quota sampling via the persisted IVF index
 # ---------------------------------------------------------------------------
 
 _QS_QUOTA = 5
@@ -309,7 +309,7 @@ def _qs_oracle() -> str:
 
 @query("q_cluster_quota_sample", oracle=_qs_oracle())
 def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X759 — cluster-balanced quota sampling: route every vector to
+    """X758 — cluster-balanced quota sampling: route every vector to
     its IVF cell THROUGH THE PERSISTED INDEX (X748's
     ensure_embedding_index — the assignment is read, not recomputed),
     then keep a deterministic hash-ranked quota of {_QS_QUOTA} per
@@ -358,7 +358,7 @@ def q_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X760 — incremental-vs-full XOR-digest reconciliation
+# X759 — incremental-vs-full XOR-digest reconciliation
 # ---------------------------------------------------------------------------
 
 _XR_BUCKETS = 32
@@ -402,7 +402,7 @@ _XR_ORACLE = f"""
 
 @query("q_xor_reconcile", oracle=_XR_ORACLE)
 def q_xor_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X760 — incremental-vs-full reconciliation via XOR digests: hash
+    """X759 — incremental-vs-full reconciliation via XOR digests: hash
     every row to a 60-bit integer, XOR within {_XR_BUCKETS} buckets,
     and compare the digests a FULL recompute produces against an
     INCREMENTAL path that unions per-slice digests (XOR is

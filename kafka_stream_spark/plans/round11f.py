@@ -1,4 +1,4 @@
-"""Round-11 batch F (X761): KPSS stationarity test.
+"""Round-11 batch F (X760): KPSS stationarity test.
 
 Reference scope note: §2.13 mandate extensions, reference-free — the
 trend-stationarity complement to the existing unit-root/temporal
@@ -73,7 +73,7 @@ _KPSS_ORACLE = f"""
 
 @query("q_kpss", oracle=_KPSS_ORACLE)
 def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X761 — KPSS level-stationarity test (Kwiatkowski et al. 1992)
+    """X760 — KPSS level-stationarity test (Kwiatkowski et al. 1992)
     per event_type over the daily-value series: η = (T⁻²Σ S_t²) / σ̂²_lr
     with S_t the cumulative demeaned partial sums and σ̂²_lr the
     Bartlett long-run variance at lag {_KPSS_L}.  The null is

@@ -1,4 +1,4 @@
-"""Round-11 batch G (X762): Bayesian online changepoint detection.
+"""Round-11 batch G (X761): Bayesian online changepoint detection.
 
 Reference scope note: §2.13 mandate extensions, reference-free — the
 probabilistic changepoint monitor (Adams & MacKay 2007) that
@@ -40,14 +40,20 @@ def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H):
     """Truncated-run-length BOCPD over a 0/1 iterable: returns
     (mass, ns, ones, cp_count) — posterior mass per slot in 1e-9
     units, per-slot run observation counts / one counts, and the
-    number of steps where the changepoint slot held majority mass.
-    Slot merging at the cap keeps the capped slot's own sufficient
-    stats (the continuing-run hypothesis); mass from the slot below
-    merges in.  Shared by the batch query and its pytest recount."""
+    number of MAP-reset steps: the changepoint-slot posterior is
+    always exactly the hazard (the predictive cancels in the
+    normalizer), so detection reads the MAP run length — a step where
+    the argmax slot DROPS by more than 1 means the short-run
+    hypotheses seeded at a recent changepoint have overtaken the long
+    run: a detected regime change.  Slot merging at the cap keeps the
+    capped slot's own sufficient stats (the continuing-run
+    hypothesis); mass from the slot below merges in.  Shared by the
+    batch query and its pytest recount."""
     mass = [10**9] + [0] * (r - 1)
     ns = [0] * r
     ones = [0] * r
     cp = 0
+    prev_map = 0
     for x in xs:
         gq = [0] * r
         cq = [0] * r
@@ -68,8 +74,10 @@ def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H):
             + [ones[j - 1] + x for j in range(1, r - 1)]
             + [ones[r - 1] + x]
         )
-        if mass[0] > 5 * 10**8:
+        map_slot = mass.index(max(mass))
+        if map_slot < prev_map - 1:
             cp += 1
+        prev_map = map_slot
     return mass, ns, ones, cp
 
 
@@ -89,12 +97,11 @@ def _bocpd_oracle() -> str:
                AS mass,
              list_transform(range({r}), i -> CAST(0 AS BIGINT)) AS ns,
              list_transform(range({r}), i -> CAST(0 AS BIGINT)) AS ones,
-             CAST(0 AS BIGINT) AS cp
+             CAST(0 AS BIGINT) AS cp,
+             CAST(1 AS BIGINT) AS pm
       FROM (SELECT DISTINCT event_type FROM s)
       UNION ALL
-      SELECT event_type, step + 1,
-             list_transform(nm, m ->
-               CAST((2 * m * 1000000000 + tot) // (2 * tot) AS BIGINT)),
+      SELECT event_type, step + 1, nmz,
              list_transform(range(1, {r} + 1), j ->
                CASE WHEN j = 1 THEN CAST(0 AS BIGINT)
                     WHEN j < {r} THEN ns[j - 1] + 1
@@ -103,10 +110,15 @@ def _bocpd_oracle() -> str:
                CASE WHEN j = 1 THEN CAST(0 AS BIGINT)
                     WHEN j < {r} THEN ones[j - 1] + x
                     ELSE ones[{r}] + x END),
-             cp + CASE WHEN
-               (2 * nm[1] * 1000000000 + tot) // (2 * tot) > 500000000
-               THEN 1 ELSE 0 END
+             cp + CASE WHEN list_position(nmz, list_max(nmz)) < pm - 1
+               THEN 1 ELSE 0 END,
+             CAST(list_position(nmz, list_max(nmz)) AS BIGINT)
       FROM (
+        SELECT t25.*,
+               list_transform(t25.nm, m ->
+                 CAST((2 * m * 1000000000 + t25.tot)
+                      // (2 * t25.tot) AS BIGINT)) AS nmz
+        FROM (
         SELECT t2.*, list_sum(t2.nm) AS tot
         FROM (
           SELECT t.*,
@@ -115,7 +127,8 @@ def _bocpd_oracle() -> str:
                         WHEN j < {r} THEN t.gq[j - 1]
                         ELSE t.gq[{r - 1}] + t.gq[{r}] END) AS nm
           FROM (
-            SELECT st.event_type, st.step, st.ns, st.ones, st.cp, q.x,
+            SELECT st.event_type, st.step, st.ns, st.ones, st.cp, st.pm,
+                   q.x,
                    list_transform(range(1, {r} + 1), i ->
                      CAST((2 * st.mass[i]
                        * (CASE WHEN q.x = 1 THEN 1 + st.ones[i]
@@ -135,6 +148,7 @@ def _bocpd_oracle() -> str:
             WHERE st.step < {_BOCPD_GATE_STEPS}
           ) t
         ) t2
+        ) t25
       ) t3
       ),
     fin AS (
@@ -155,7 +169,7 @@ def _bocpd_oracle() -> str:
 
 @query("q_bocpd", oracle=_bocpd_oracle())
 def q_bocpd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X762 — truncated Bayesian online changepoint detection (Adams &
+    """X761 — truncated Bayesian online changepoint detection (Adams &
     MacKay 2007) per event_type: a run-length posterior over
     {_BOCPD_R} slots (last = "≥{_BOCPD_R - 1}"), Bernoulli-Beta(1,1)
     predictive on the thresholded value stream, constant hazard

@@ -1,0 +1,163 @@
+"""Round-11 operator invariants: persisted-index serving, RLHF
+telemetry, frequency sketches, stateful folds, reconciliation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.plans.round11 import q_ann_ivf_indexed
+from kafka_stream_spark.plans.round11b import (
+    q_reward_length_bias,
+    q_rloo_baseline,
+)
+from kafka_stream_spark.plans.round11c import q_participation_ratio
+from kafka_stream_spark.plans.round11d import (
+    q_ams_f2,
+    q_space_saving,
+    space_saving_fold,
+)
+from kafka_stream_spark.plans.round11e import q_xor_reconcile
+from kafka_stream_spark.plans.round11g import bocpd_fold, q_bocpd
+
+
+def test_rloo_advantages_zero_sum_per_group(spark, sf_dir):
+    """Σ_i (r_i − mean(r_{j≠i})) = Σ r_i − Σ_i (tot−r_i)/(n−1) = 0:
+    LOO advantages are exactly zero-sum within every prompt group."""
+    rows = q_rloo_baseline(spark, sf_dir).collect()
+    by_prompt = {}
+    for r in rows:
+        by_prompt.setdefault(r["prompt_id"], []).append(r["advantage"])
+    assert by_prompt
+    for pid, advs in by_prompt.items():
+        assert abs(sum(advs)) < 1e-6 * max(1.0, max(abs(a) for a in advs))
+
+
+def test_reward_length_bias_detects_planted_coupling(spark, sf_dir):
+    """The synthetic rewards carry +0.2·ln(1+len): the audit must
+    report a clearly positive length correlation."""
+    rows = q_reward_length_bias(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert rows[0]["len_reward_corr"] > 0.1
+
+
+def test_participation_ratio_bounds(spark, sf_dir):
+    """1 ≤ PR ≤ d by Cauchy-Schwarz on the eigenvalue vector."""
+    rows = q_participation_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r["participation_ratio"] <= 16.0
+        assert abs(r["pr_fraction"] - r["participation_ratio"] / 16) < 1e-6
+
+
+def test_ams_f2_estimator_near_exact(spark, sf_dir):
+    """Median-of-means over 32 sign estimators lands within a loose
+    multiplicative band of the exact F2 (Chebyshev-grade, not tight)."""
+    rows = q_ams_f2(spark, sf_dir).collect()
+    assert len(rows) == 8
+    ratio = rows[0]["est_over_exact"]
+    assert 0.2 < ratio < 5.0
+
+
+def test_space_saving_bound_holds_everywhere(spark, sf_dir):
+    """Metwally Thm 3.1: true count ∈ [est − overcount, est] for every
+    reported item — the query's within_bound column must be all-1."""
+    rows = q_space_saving(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_bound"] == 1 for r in rows)
+
+
+def test_space_saving_fold_recount():
+    """The fold against a brute-force recount on a known stream: the
+    total of counters equals the stream length (Space-Saving invariant)
+    and every surviving exact-majority item is reported."""
+    stream = [1, 2, 1, 3, 1, 4, 5, 1, 2, 6, 1, 7, 1, 2] * 10
+    items, counts, errs = space_saving_fold(iter(stream), k=4)
+    assert sum(counts) == len(stream)
+    exact = Counter(stream)
+    # the heaviest item always survives with count >= its true frequency
+    heavy, f = exact.most_common(1)[0]
+    assert heavy in items
+    i = items.index(heavy)
+    assert counts[i] >= f
+    assert counts[i] - errs[i] <= f
+
+
+def test_bocpd_fold_posterior_properties():
+    """Posterior stays normalized (Σ ≈ 1e9 after half-up rounding) and
+    a hard regime flip moves majority mass to short run lengths."""
+    # 60 zeros then 60 ones: after the flip the run-length posterior
+    # should concentrate low, having detected the change
+    xs = [0] * 60 + [1] * 60
+    mass, ns, ones, cp = bocpd_fold(iter(xs), r=8, h=20)
+    assert abs(sum(mass) - 10**9) <= 8  # half-up rounding slack
+    assert cp >= 1  # the flip produced at least one majority-cp step
+    # fold a pure stream: mass should sit in the capped slot
+    mass2, _, _, cp2 = bocpd_fold(iter([1] * 100), r=8, h=20)
+    assert mass2[-1] == max(mass2)
+
+
+def test_bocpd_query_matches_fold(spark, sf_dir):
+    """The registered query's per-group state equals a driver-side
+    replay of the same fold on the same ordered stream."""
+    from kafka_stream_spark.plans.round11g import (
+        _BOCPD_GATE_STEPS,
+        _BOCPD_THRESH,
+    )
+    from kafka_stream_spark.sources.tables import load
+
+    rows = q_bocpd(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["event_type"], {})[r["run_slot"]] = (
+            r["posterior"],
+            r["cp_steps"],
+        )
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value", "ts", "event_id")
+        .collect()
+    )
+    by_type = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        by_type.setdefault(r["event_type"], []).append(
+            1 if r["value"] > _BOCPD_THRESH else 0
+        )
+    for et, xs in by_type.items():
+        mass, ns, ones, cp = bocpd_fold(iter(xs[:_BOCPD_GATE_STEPS]))
+        for slot, m in enumerate(mass):
+            post, cps = got[et][slot]
+            assert abs(post - round(m / 1e9, 6)) < 1e-9
+            assert cps == cp
+
+
+def test_xor_reconcile_all_consistent(spark, sf_dir):
+    """Full-scan and slice-composed digests agree on every bucket."""
+    rows = q_xor_reconcile(spark, sf_dir).collect()
+    assert rows
+    assert all(r["consistent"] == 1 for r in rows)
+
+
+def test_ann_ivf_indexed_serves_from_disk(spark, sf_dir):
+    """Two runs return identical results and the second run does not
+    rewrite the persisted index (mtime check on the shared dir)."""
+    import os
+
+    from kafka_stream_spark.plans.round11 import ensure_embedding_index
+
+    r1 = sorted(map(tuple, q_ann_ivf_indexed(spark, sf_dir).collect()))
+    idx = ensure_embedding_index(spark, sf_dir)
+    mt = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+        for d, _dirs, files in os.walk(idx)
+        for f in files
+    }
+    r2 = sorted(map(tuple, q_ann_ivf_indexed(spark, sf_dir).collect()))
+    assert r1 == r2 and r1
+    mt2 = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+        for d, _dirs, files in os.walk(idx)
+        for f in files
+    }
+    assert mt2 == mt
