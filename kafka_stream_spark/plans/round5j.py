@@ -197,9 +197,13 @@ _GB_ETA = 0.5
       FROM feat f CROSS JOIN nn
     ), s1 AS (
       SELECT c.cut,
-             round(sum(CASE WHEN r1.x <= c.cut THEN r1.r END), 4) AS sl,
+             round(sum(CASE WHEN r1.x <= c.cut THEN
+                 CAST(round(r1.r * 1000000) AS HUGEINT) END)
+               / 1000000.0, 4) AS sl,
              count(CASE WHEN r1.x <= c.cut THEN 1 END) AS nl,
-             round(sum(CASE WHEN r1.x > c.cut THEN r1.r END), 4) AS sr,
+             round(sum(CASE WHEN r1.x > c.cut THEN
+                 CAST(round(r1.r * 1000000) AS HUGEINT) END)
+               / 1000000.0, 4) AS sr,
              count(CASE WHEN r1.x > c.cut THEN 1 END) AS nr
       FROM r1 CROSS JOIN cuts c GROUP BY c.cut
       HAVING count(CASE WHEN r1.x <= c.cut THEN 1 END) > 0
@@ -215,9 +219,13 @@ _GB_ETA = 0.5
       FROM r1 CROSS JOIN b1
     ), s2 AS (
       SELECT c.cut,
-             round(sum(CASE WHEN r2.x <= c.cut THEN r2.r END), 4) AS sl,
+             round(sum(CASE WHEN r2.x <= c.cut THEN
+                 CAST(round(r2.r * 1000000) AS HUGEINT) END)
+               / 1000000.0, 4) AS sl,
              count(CASE WHEN r2.x <= c.cut THEN 1 END) AS nl,
-             round(sum(CASE WHEN r2.x > c.cut THEN r2.r END), 4) AS sr,
+             round(sum(CASE WHEN r2.x > c.cut THEN
+                 CAST(round(r2.r * 1000000) AS HUGEINT) END)
+               / 1000000.0, 4) AS sr,
              count(CASE WHEN r2.x > c.cut THEN 1 END) AS nr
       FROM r2 CROSS JOIN cuts c GROUP BY c.cut
       HAVING count(CASE WHEN r2.x <= c.cut THEN 1 END) > 0
@@ -234,16 +242,16 @@ _GB_ETA = 0.5
     SELECT 0 AS round, CAST(NULL AS DOUBLE) AS split_at,
            CAST(NULL AS DOUBLE) AS left_fit, CAST(NULL AS DOUBLE)
              AS right_fit,
-           (SELECT round(sum(r * r) / count(*), 2) FROM r1) AS mse
+           (SELECT round(sum(CAST(round(r * r * 100) AS HUGEINT)) / (100.0 * count(*)), 2) FROM r1) AS mse
     UNION ALL
     SELECT 1, round(b1.cut, 6), round({_GB_ETA} * b1.vl, 4),
            round({_GB_ETA} * b1.vr, 4),
-           (SELECT round(sum(r * r) / count(*), 2) FROM r2)
+           (SELECT round(sum(CAST(round(r * r * 100) AS HUGEINT)) / (100.0 * count(*)), 2) FROM r2)
     FROM b1
     UNION ALL
     SELECT 2, round(b2.cut, 6), round({_GB_ETA} * b2.vl, 4),
            round({_GB_ETA} * b2.vr, 4),
-           (SELECT round(sum(r * r) / count(*), 2) FROM r3)
+           (SELECT round(sum(CAST(round(r * r * 100) AS HUGEINT)) / (100.0 * count(*)), 2) FROM r3)
     FROM b2
     """,
 )
@@ -302,7 +310,13 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         r.agg(
             F.round(
-                F.sum(F.col("r") * F.col("r")) / F.count("*"), 2
+                F.sum(
+                    F.round(F.col("r") * F.col("r") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / (100.0 * F.count("*")),
+                2,
             ).alias("mse")
         ).select(
             F.lit(0).alias("round"),
@@ -318,14 +332,26 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cut")
             .agg(
                 F.round(
-                    F.sum(F.when(F.col("x") <= F.col("cut"), F.col("r"))),
+                    F.sum(
+                        F.when(
+                            F.col("x") <= F.col("cut"),
+                            F.round(F.col("r") * 1e6).cast("decimal(38,0)"),
+                        )
+                    ).cast("double")
+                    / 1e6,
                     4,
                 ).alias("sl"),
                 F.count(
                     F.when(F.col("x") <= F.col("cut"), 1)
                 ).alias("nl"),
                 F.round(
-                    F.sum(F.when(F.col("x") > F.col("cut"), F.col("r"))),
+                    F.sum(
+                        F.when(
+                            F.col("x") > F.col("cut"),
+                            F.round(F.col("r") * 1e6).cast("decimal(38,0)"),
+                        )
+                    ).cast("double")
+                    / 1e6,
                     4,
                 ).alias("sr"),
                 F.count(F.when(F.col("x") > F.col("cut"), 1)).alias("nr"),
@@ -364,7 +390,13 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             r.agg(
                 F.round(
-                    F.sum(F.col("r") * F.col("r")) / F.count("*"), 2
+                    F.sum(
+                        F.round(F.col("r") * F.col("r") * 100).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / (100.0 * F.count("*")),
+                    2,
                 ).alias("mse"),
             )
             .crossJoin(F.broadcast(best))
