@@ -393,6 +393,21 @@ HEADLINE = [
     "q_moe_balance",
     "q_instruction_mining",
     "q_heldout_novelty",
+    # round-11 additions
+    "q_ann_ivf_indexed",  # persisted-IVF-index serving path (X748)
+    "q_ppo_clip_stats",   # PPO clip/KL telemetry
+    "q_rloo_baseline",    # RLOO group-baseline advantages
+    "q_reward_length_bias",  # reward length-bias audit
+    "q_participation_ratio",  # covariance effective rank
+    "q_sliced_energy",    # sliced two-sample energy distance
+    "q_ams_f2",           # AMS F2 sign sketch
+    "q_space_saving",     # Space-Saving heavy hitters fold
+    "q_image_contrast",   # JPEG-path exposure stats
+    "q_template_positions",  # positional-entropy template detection
+    "q_cluster_quota_sample",  # index-routed quota sampling
+    "q_xor_reconcile",    # incremental-vs-full digest reconcile
+    "q_kpss",             # KPSS stationarity
+    "q_bocpd",            # Bayesian online changepoint fold
 ]
 
 

@@ -36,7 +36,7 @@ def _hu(num: int, den: int) -> int:
     return (2 * num + den) // (2 * den)
 
 
-def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H):
+def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H, state=None):
     """Truncated-run-length BOCPD over a 0/1 iterable: returns
     (mass, ns, ones, cp_count) — posterior mass per slot in 1e-9
     units, per-slot run observation counts / one counts, and the
@@ -48,12 +48,19 @@ def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H):
     run: a detected regime change.  Slot merging at the cap keeps the
     capped slot's own sufficient stats (the continuing-run
     hypothesis); mass from the slot below merges in.  Shared by the
-    batch query and its pytest recount."""
-    mass = [10**9] + [0] * (r - 1)
-    ns = [0] * r
-    ones = [0] * r
-    cp = 0
-    prev_map = 0
+    batch query, its pytest recount, and the streaming store
+    (streaming/pipeline.run_streaming_bocpd) — ``state`` resumes the
+    fold from a prior (mass, ns, ones, cp, prev_map) tuple so
+    incremental == batch is an identity."""
+    if state is not None:
+        mass, ns, ones, cp, prev_map = state
+        mass, ns, ones = list(mass), list(ns), list(ones)
+    else:
+        mass = [10**9] + [0] * (r - 1)
+        ns = [0] * r
+        ones = [0] * r
+        cp = 0
+        prev_map = 0
     for x in xs:
         gq = [0] * r
         cq = [0] * r
@@ -78,6 +85,8 @@ def bocpd_fold(xs, r: int = _BOCPD_R, h: int = _BOCPD_H):
         if map_slot < prev_map - 1:
             cp += 1
         prev_map = map_slot
+    if state is not None:
+        return mass, ns, ones, cp, prev_map
     return mass, ns, ones, cp
 
 

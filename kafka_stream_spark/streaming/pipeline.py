@@ -3049,3 +3049,125 @@ def run_streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# X761 streaming face — BOCPD regime monitor store
+# ---------------------------------------------------------------------------
+
+_BOCPD_STATE_SCHEMA = (
+    "event_type string, slot long, mass long, ns long, ones long, "
+    "cp long, pm long"
+)
+
+
+def bocpd_state_fold(existing, batch):
+    """(state-so-far, new events) → new state: per event_type, resume
+    the exact integer BOCPD fold (plans/round11g.bocpd_fold) from the
+    stored (mass, ns, ones, cp, prev-MAP) vectors over the batch's
+    observations in (ts, event_id) order. Incremental == batch is an
+    identity because the fold is deterministic integer arithmetic —
+    the Elo-store contract applied to the changepoint monitor."""
+    from ..plans.round11g import _BOCPD_R, _BOCPD_THRESH, bocpd_fold
+
+    sess = batch.sparkSession
+    ev = batch.select("event_type", "ts", "event_id", "value")
+    if existing is None:
+        existing = sess.createDataFrame([], _BOCPD_STATE_SCHEMA)
+
+    def fn(key, state_pdf, ev_pdf):
+        import pandas as pd
+
+        event_type = key[0]
+        mass = [10**9] + [0] * (_BOCPD_R - 1)
+        ns = [0] * _BOCPD_R
+        ones = [0] * _BOCPD_R
+        cp, pm = 0, 0
+        for row in state_pdf.itertuples():
+            s = int(row.slot)
+            mass[s] = int(row.mass)
+            ns[s] = int(row.ns)
+            ones[s] = int(row.ones)
+            cp, pm = int(row.cp), int(row.pm)
+        ev_pdf = ev_pdf.sort_values(["ts", "event_id"])
+        xs = [1 if float(v) > _BOCPD_THRESH else 0 for v in ev_pdf["value"]]
+        mass, ns, ones, cp, pm = bocpd_fold(
+            iter(xs), state=(mass, ns, ones, cp, pm)
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [event_type] * _BOCPD_R,
+                "slot": list(range(_BOCPD_R)),
+                "mass": mass,
+                "ns": ns,
+                "ones": ones,
+                "cp": [cp] * _BOCPD_R,
+                "pm": [pm] * _BOCPD_R,
+            }
+        )
+
+    return existing.groupBy("event_type").cogroup(
+        ev.groupBy("event_type")
+    ).applyInPandas(fn, schema=_BOCPD_STATE_SCHEMA)
+
+
+def bocpd_batch_fn(store_dir: str):
+    """The BOCPD store's foreachBatch body (elo_batch_fn pattern):
+    fold the batch's observations from the latest committed state
+    version, guarded against committed-batch replay."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(store_dir)
+        ) is not None and last >= batch_id:
+            return  # foreachBatch replay of a committed batch
+        existing = merged_store_read(batch.sparkSession, store_dir)
+        new_state = bocpd_state_fold(existing, batch)
+        new_state = new_state.localCheckpoint(eager=True)
+        merged_store_write(new_state, store_dir, batch_id)
+
+    return fold
+
+
+def run_streaming_bocpd(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X761's streaming face — the live regime-change monitor: the
+    BOCPD fold is ORDER-DEPENDENT, so the state is a versioned
+    (mass, ns, ones, cp, prev-MAP) vector per event_type; each
+    micro-batch folds only its NEW observations from the stored
+    vectors (exact integer arithmetic, plans/round11g.bocpd_fold), so
+    incremental == batch is an identity after every commit — a
+    dashboard reads the run-length posterior without rescanning the
+    log.
+
+    Scale: state is 3·R integers + 2 counters per stream, independent
+    of history; each batch shuffles only its own events once (the
+    cogroup)."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    return (
+        events.writeStream.foreachBatch(bocpd_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bocpd_from_store(cells: DataFrame) -> DataFrame:
+    """Store rows → the q_bocpd output shape (posterior per slot plus
+    the MAP-reset changepoint count), cap-free."""
+    return cells.select(
+        "event_type",
+        F.col("slot").alias("run_slot"),
+        F.round(F.col("mass") / 1e9, 6).alias("posterior"),
+        F.col("ns").alias("n_obs"),
+        F.col("ones").alias("n_ones"),
+        F.col("cp").alias("cp_steps"),
+    ).orderBy("event_type", "run_slot")

@@ -161,3 +161,79 @@ def test_ann_ivf_indexed_serves_from_disk(spark, sf_dir):
         for f in files
     }
     assert mt2 == mt
+
+
+def test_bocpd_store_crash_resume_and_parity(spark, tmp_path):
+    """X761 streaming face: the BOCPD store is order-dependent (a
+    posterior vector + prev-MAP carry), so exactly-once rests on the
+    versioned replay protocol, not associativity. Both crash windows
+    on the exported batch fn, then the incremental ≡ batch identity
+    against a cap-free driver-side fold over all events."""
+    import os
+
+    from kafka_stream_spark.plans.round11g import (
+        _BOCPD_THRESH,
+        bocpd_fold,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        bocpd_batch_fn,
+        bocpd_from_store,
+        merged_store_read,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    cut = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    wave1 = events.filter(F.col("ts") <= F.lit(cut))
+    wave2 = events.filter(F.col("ts") > F.lit(cut))
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    store = str(tmp_path / "bocpd")
+    fold = bocpd_batch_fn(store)
+
+    def snap():
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in merged_store_read(spark, store).collect()
+        )
+
+    fold(wave1, 0)
+    s1 = snap()
+
+    fold(wave2, 1)
+    s2_good = snap()
+    assert s2_good != s1
+    os.remove(os.path.join(store, f"v={1:012d}", "_SUCCESS"))
+    assert snap() == s1  # reader fell back to committed v=0
+
+    fold(wave2, 1)  # resume re-fold from v=0 state
+    assert snap() == s2_good
+
+    fold(wave2, 1)  # committed-batch replay → guarded no-op
+    assert snap() == s2_good
+
+    # incremental ≡ batch: store state equals one cap-free fold over
+    # ALL events in (ts, event_id) order
+    got = {
+        tuple(r)
+        for r in bocpd_from_store(
+            merged_store_read(spark, store)
+        ).collect()
+    }
+    rows = events.select("event_type", "value", "ts", "event_id").collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        by_type.setdefault(r["event_type"], []).append(
+            1 if r["value"] > _BOCPD_THRESH else 0
+        )
+    want = set()
+    for et, xs in by_type.items():
+        mass, ns, ones, cp = bocpd_fold(iter(xs))
+        for slot in range(len(mass)):
+            want.add(
+                (et, slot, round(mass[slot] / 1e9, 6), ns[slot],
+                 ones[slot], cp)
+            )
+    assert got == want
