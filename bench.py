@@ -408,6 +408,10 @@ HEADLINE = [
     "q_xor_reconcile",    # incremental-vs-full digest reconcile
     "q_kpss",             # KPSS stationarity
     "q_bocpd",            # Bayesian online changepoint fold
+    "q_evalue_mean",      # anytime-valid e-process test
+    "q_grad_clip_audit",  # DP-SGD clipping telemetry
+    "q_krum",             # Byzantine-robust aggregation
+    "q_ktruss",           # k-truss peel on the similarity graph
 ]
 
 
