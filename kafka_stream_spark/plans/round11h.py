@@ -371,6 +371,13 @@ def q_krum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KT_K = 4  # truss order: every surviving edge in >= k-2 = 2 triangles
 _KT_ROUNDS = 3
+#: hub cut BEFORE peeling: vertices above this degree are mega-clique
+#: members (twin families the dedup stack already identifies wholesale)
+#: — enumerating their triangles is Θ(clique³) work for zero new
+#: information, the q_link_predict degree-cap lever applied to truss.
+#: Measured: the 8x natural replica's densest vertex hits degree 6444
+#: (≈4.5e10 triangles in one clique) without the cap.
+_KT_DEG_CAP = 100
 
 
 def _kt_round_sql(prev: str, idx: int) -> str:
@@ -414,8 +421,17 @@ def _kt_oracle() -> str:
              any_value(a.n) AS na, any_value(b.n) AS nb
       FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    e AS MATERIALIZED (
+    e0 AS MATERIALIZED (
       SELECT a, b FROM i WHERE o * 1.0 / (na + nb - o) >= {TAU}),
+    deg AS (
+      SELECT v FROM (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        GROUP BY v)
+      WHERE d <= {_KT_DEG_CAP}),
+    e AS MATERIALIZED (
+      SELECT e0.a, e0.b FROM e0
+      JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
     {rounds}
     SELECT CAST(round AS BIGINT) AS round, CAST(n_edges AS BIGINT)
              AS n_edges,
@@ -444,8 +460,22 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textscale import q_jaccard_prefix
 
     pairs = q_jaccard_prefix(spark, sf_dir)
-    e = (
+    e0 = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") <= _KT_DEG_CAP)
+        .select("v")
+    )
+    e = (
+        e0.join(deg.select(F.col("v").alias("a")), "a")
+        .join(deg.select(F.col("v").alias("b")), "b")
+        .select("a", "b")
         .localCheckpoint(eager=True)
     )
     n_input = e.count()
