@@ -159,16 +159,20 @@ _SS_MOD = 23  # item = user_id % 23 (so k < distinct items → evictions)
 _SS_GATE_STEPS = 400  # gate fold cap (differential-oracle cost)
 
 
-def space_saving_fold(stream, k: int):
+def space_saving_fold(stream, k: int, state=None):
     """Space-Saving over an iterable of items: returns parallel lists
     (items, counts, errs).  Deterministic eviction: the minimum-count
     slot with the LOWEST index.  err[slot] is the count the evicted
     slot had when the new item took it — true frequency of a reported
     item lies in [count − err, count] (Metwally et al. Thm 3.1).
-    Shared by the batch query and its pytest bound-check."""
-    items: list[int] = []
-    counts: list[int] = []
-    errs: list[int] = []
+    Shared by the batch query, its pytest bound-check, and the
+    streaming store (streaming/pipeline.run_streaming_space_saving) —
+    ``state`` resumes from prior (items, counts, errs) lists so
+    incremental == batch is an identity."""
+    if state is not None:
+        items, counts, errs = (list(x) for x in state)
+    else:
+        items, counts, errs = [], [], []
     for it in stream:
         if it in items:
             counts[items.index(it)] += 1

@@ -3171,3 +3171,113 @@ def bocpd_from_store(cells: DataFrame) -> DataFrame:
         F.col("ones").alias("n_ones"),
         F.col("cp").alias("cp_steps"),
     ).orderBy("event_type", "run_slot")
+
+
+# ---------------------------------------------------------------------------
+# X755 streaming face — Space-Saving heavy-hitters store
+# ---------------------------------------------------------------------------
+
+_SS_STATE_SCHEMA = (
+    "event_type string, slot long, item long, cnt long, err long"
+)
+
+
+def space_saving_state_fold(existing, batch):
+    """(state-so-far, new events) → new state: per event_type, resume
+    the Space-Saving counter fold (plans/round11d.space_saving_fold's
+    update rule) from the stored (item, count, err) slots over the
+    batch's items in (ts, event_id) order. The fold is deterministic
+    integer arithmetic, so incremental == batch is an identity."""
+    from ..plans.round11d import _SS_K, _SS_MOD
+
+    sess = batch.sparkSession
+    ev = batch.select("event_type", "ts", "event_id", "user_id")
+    if existing is None:
+        existing = sess.createDataFrame([], _SS_STATE_SCHEMA)
+
+    def fn(key, state_pdf, ev_pdf):
+        import pandas as pd
+
+        from ..plans.round11d import space_saving_fold
+
+        event_type = key[0]
+        slots = sorted(
+            (int(r.slot), int(r.item), int(r.cnt), int(r.err))
+            for r in state_pdf.itertuples()
+        )
+        state = (
+            [s[1] for s in slots],
+            [s[2] for s in slots],
+            [s[3] for s in slots],
+        )
+        ev_pdf = ev_pdf.sort_values(["ts", "event_id"])
+        items, counts, errs = space_saving_fold(
+            (int(u) % _SS_MOD for u in ev_pdf["user_id"]),
+            _SS_K,
+            state=state,
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [event_type] * len(items),
+                "slot": list(range(len(items))),
+                "item": items,
+                "cnt": counts,
+                "err": errs,
+            }
+        )
+
+    return existing.groupBy("event_type").cogroup(
+        ev.groupBy("event_type")
+    ).applyInPandas(fn, schema=_SS_STATE_SCHEMA)
+
+
+def space_saving_batch_fn(store_dir: str):
+    """The Space-Saving store's foreachBatch body (elo_batch_fn
+    pattern), replay-guarded."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(store_dir)
+        ) is not None and last >= batch_id:
+            return
+        existing = merged_store_read(batch.sparkSession, store_dir)
+        new_state = space_saving_state_fold(existing, batch)
+        new_state = new_state.localCheckpoint(eager=True)
+        merged_store_write(new_state, store_dir, batch_id)
+
+    return fold
+
+
+def run_streaming_space_saving(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X755's streaming face — the live heavy-hitters board: k
+    counters per stream maintained across micro-batches (slot order IS
+    state: Space-Saving's eviction rule reads slot positions, so the
+    store persists them), exactly the bounded-memory frequency summary
+    a stream aggregator serves when the key space is unbounded."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    return (
+        events.writeStream.foreachBatch(space_saving_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def space_saving_from_store(cells: DataFrame) -> DataFrame:
+    """Store rows → (event_type, item, est_count, overcount_bound),
+    the q_space_saving core shape (cap-free, no exact-join audit)."""
+    return cells.select(
+        "event_type",
+        "item",
+        F.col("cnt").alias("est_count"),
+        F.col("err").alias("overcount_bound"),
+    ).orderBy("event_type", F.desc("est_count"), "item")

@@ -237,3 +237,72 @@ def test_bocpd_store_crash_resume_and_parity(spark, tmp_path):
                  ones[slot], cp)
             )
     assert got == want
+
+
+def test_space_saving_store_crash_resume_and_parity(spark, tmp_path):
+    """X755 streaming face: counter slots persist across batches; both
+    crash windows on the exported batch fn; then incremental ≡ batch
+    against a cap-free fold over all events in stream order."""
+    import os
+
+    from kafka_stream_spark.plans.round11d import (
+        _SS_K,
+        _SS_MOD,
+        space_saving_fold,
+    )
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        merged_store_read,
+        space_saving_batch_fn,
+        space_saving_from_store,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    cut = events.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    wave1 = events.filter(F.col("ts") <= F.lit(cut))
+    wave2 = events.filter(F.col("ts") > F.lit(cut))
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    store = str(tmp_path / "ss")
+    fold = space_saving_batch_fn(store)
+
+    def snap():
+        return sorted(
+            repr(sorted(r.asDict().items()))
+            for r in merged_store_read(spark, store).collect()
+        )
+
+    fold(wave1, 0)
+    s1 = snap()
+    fold(wave2, 1)
+    s2_good = snap()
+    assert s2_good != s1
+    os.remove(os.path.join(store, f"v={1:012d}", "_SUCCESS"))
+    assert snap() == s1
+    fold(wave2, 1)
+    assert snap() == s2_good
+    fold(wave2, 1)  # committed replay → no-op
+    assert snap() == s2_good
+
+    got = {
+        tuple(r)
+        for r in space_saving_from_store(
+            merged_store_read(spark, store)
+        ).collect()
+    }
+    rows = events.select(
+        "event_type", "user_id", "ts", "event_id"
+    ).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        by_type.setdefault(r["event_type"], []).append(
+            int(r["user_id"]) % _SS_MOD
+        )
+    want = set()
+    for et, xs in by_type.items():
+        items, counts, errs = space_saving_fold(iter(xs), _SS_K)
+        for i, c, e2 in zip(items, counts, errs):
+            want.add((et, i, c, e2))
+    assert got == want
