@@ -412,6 +412,7 @@ HEADLINE = [
     "q_grad_clip_audit",  # DP-SGD clipping telemetry
     "q_krum",             # Byzantine-robust aggregation
     "q_ktruss",           # k-truss peel on the similarity graph
+    "q_dgim",             # DGIM sliding-window counting sketch
 ]
 
 

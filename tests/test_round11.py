@@ -306,3 +306,48 @@ def test_space_saving_store_crash_resume_and_parity(spark, tmp_path):
         for i, c, e2 in zip(items, counts, errs):
             want.add((et, i, c, e2))
     assert got == want
+
+
+def test_dgim_fold_invariants():
+    """DGIM state invariants on a long random-ish (hash-derived)
+    stream: ≤2 buckets per size class, sizes are powers of two,
+    timestamps strictly ascending, estimate within the 50% bound of
+    the true window count at every checkpoint."""
+    import hashlib
+
+    from kafka_stream_spark.plans.round11i import (
+        _DGIM_N,
+        dgim_estimate,
+        dgim_fold,
+    )
+
+    xs = [
+        1 if int(hashlib.md5(f"dg{t}".encode()).hexdigest()[:4], 16) % 3
+        else 0
+        for t in range(1200)
+    ]
+    state = ([], [], 0)
+    for chunk_start in range(0, 1200, 200):
+        chunk = xs[chunk_start : chunk_start + 200]
+        bts, bsz, t = dgim_fold(iter(chunk), state=state)
+        state = (bts, bsz, t)
+        from collections import Counter
+
+        cnt = Counter(bsz)
+        assert all(v <= 2 for v in cnt.values()), cnt
+        assert all(z & (z - 1) == 0 for z in bsz)  # powers of two
+        assert bts == sorted(bts) and len(set(bts)) == len(bts)
+        exact = sum(xs[max(0, t - _DGIM_N) : t])
+        est = dgim_estimate(bsz)
+        assert abs(est - exact) * 2 <= exact or est == exact
+    # resumable fold == one-shot fold
+    one = dgim_fold(iter(xs))
+    assert (state[0], state[1], state[2]) == one
+
+
+def test_dgim_query_bound(spark, sf_dir):
+    rows = __import__(
+        "kafka_stream_spark.plans.round11i", fromlist=["q_dgim"]
+    ).q_dgim(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_bound"] == 1 for r in rows)
