@@ -413,6 +413,11 @@ HEADLINE = [
     "q_krum",             # Byzantine-robust aggregation
     "q_ktruss",           # k-truss peel on the similarity graph
     "q_dgim",             # DGIM sliding-window counting sketch
+    "q_ann_ivf_recall",   # persisted-index recall audit
+    "q_james_stein",      # empirical-Bayes shrinkage
+    "q_hampel",           # rolling Hampel despiker
+    "q_beta_binomial",    # rate overdispersion fit
+    "q_renyi_entropy",    # diversity spectrum
 ]
 
 
