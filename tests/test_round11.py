@@ -351,3 +351,52 @@ def test_dgim_query_bound(spark, sf_dir):
     ).q_dgim(spark, sf_dir).collect()
     assert rows
     assert all(r["within_bound"] == 1 for r in rows)
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark, sf_dir):
+    from kafka_stream_spark.plans.round11j import q_james_stein
+
+    rows = q_james_stein(spark, sf_dir).collect()
+    assert rows
+    b = rows[0]["shrink_weight"]
+    assert 0.0 <= b <= 1.0
+    mles = [r["mle_mean"] for r in rows]
+    gmean = sum(mles) / len(mles)
+    for r in rows:
+        # js estimate lies between the MLE and (approximately) the
+        # grand mean of group means
+        lo, hi = sorted((r["mle_mean"], gmean))
+        assert lo - 0.05 <= r["js_mean"] <= hi + 0.05
+
+
+def test_hampel_filter_invariants(spark, sf_dir):
+    from kafka_stream_spark.plans.round11j import q_hampel
+
+    rows = q_hampel(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["is_outlier"]:
+            assert r["filtered"] == r["rolling_median"]
+        else:
+            assert r["filtered"] == r["y"]
+
+
+def test_renyi_spectrum_monotone(spark, sf_dir):
+    """Rényi entropy is non-increasing in α: H0 >= H1 >= H2 >= Hinf."""
+    from kafka_stream_spark.plans.round11j import q_renyi_entropy
+
+    r = q_renyi_entropy(spark, sf_dir).collect()[0]
+    assert (
+        r["h0_hartley"] + 1e-9
+        >= r["h1_shannon"] + 1e-9
+        >= r["h2_collision"] + 1e-9
+        >= r["hinf_min"]
+    )
+
+
+def test_ann_ivf_recall_range(spark, sf_dir):
+    from kafka_stream_spark.plans.round11j import q_ann_ivf_recall
+
+    r = q_ann_ivf_recall(spark, sf_dir).collect()[0]
+    assert 0.0 < r["recall_at_5"] <= 1.0
+    assert r["n_hits"] <= r["n_queries"] * 5
