@@ -42,6 +42,11 @@ from .registry import query
 
 _IR_K = 5
 _IR_QMOD, _IR_QRES = 17, 3  # same serving-shaped query batch as X748
+#: the recall audit uses a FIXED-SIZE query sample (the smallest
+#: _IR_NQ sampled ids): production recall evals are constant-sized
+#: per build, so the |Q|·n exact side stays n-linear as the corpus
+#: grows (the uncapped form probed exp 1.04 at 8×)
+_IR_NQ = 100
 
 _IR_SQRT_EVERY_SQL = (
     "greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) FROM corpus) "
@@ -61,7 +66,8 @@ def _ir_oracle() -> str:
       SELECT vec_id AS n_id, embedding AS emb FROM embeddings),
     qs AS (
       SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-      WHERE vec_id % {_IR_QMOD} = {_IR_QRES}),
+      WHERE vec_id % {_IR_QMOD} = {_IR_QRES}
+      ORDER BY vec_id LIMIT {_IR_NQ}),
     cent AS (
       SELECT n_id AS c_id, emb AS c_emb FROM corpus
       WHERE n_id % {_IR_SQRT_EVERY_SQL} = 0),
@@ -103,8 +109,14 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = ensure_embedding_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % _IR_QMOD == _IR_QRES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    qs = (
+        emb.filter(F.col("vec_id") % _IR_QMOD == _IR_QRES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .orderBy("q_id")
+        .limit(_IR_NQ)
     )
     served = _ann.ivf_search_indexed(spark, idx, qs, k=_IR_K, nprobe=2)
     corpus = emb.select(
