@@ -94,6 +94,14 @@ SHOWCASE = {
     "q_cox_ph": "Cox PH: duration-desc suffix-sum risk sets, ONE scalar per Newton round",
     "q_image_edges": "Sobel via real JPEG: two Arrow-batched hops, zero shuffle",
     "q_cluster_se": "cluster-robust SE: per-cluster rollup, decimal(38,0) quadratics",
+    "q_ann_ivf_indexed": "persisted IVF serving: scans read the on-disk index, codebook broadcast, zero rebuild",
+    "q_margin_mining_routed": "fused bitext mining: ONE side-tagged search serves both directions, max_by mutual-best",
+    "q_space_saving": "Space-Saving: ONE FlatMapGroupsInPandas counter fold, exact-prefix audit join",
+    "q_bocpd": "BOCPD: run-length posterior fold per stream, integer half-up trajectory",
+    "q_sliced_energy": "sliced energy distance: per-slice sort windows, prefix-sum cross terms, no pairs",
+    "q_xor_reconcile": "XOR reconcile: two combinable digest aggregates, constant-size state",
+    "q_ktruss": "k-truss: hub-cut edges, single-path triangle join, per-round support agg",
+    "q_dgim": "DGIM: log²N bucket fold per stream, exact-window audit column",
 }
 
 
