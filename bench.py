@@ -418,6 +418,8 @@ HEADLINE = [
     "q_hampel",           # rolling Hampel despiker
     "q_beta_binomial",    # rate overdispersion fit
     "q_renyi_entropy",    # diversity spectrum
+    "q_crps",             # probabilistic-forecast proper score
+    "q_louvain_moves",    # modularity-gain community rounds
 ]
 
 
