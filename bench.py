@@ -420,6 +420,17 @@ HEADLINE = [
     "q_renyi_entropy",    # diversity spectrum
     "q_crps",             # probabilistic-forecast proper score
     "q_louvain_moves",    # modularity-gain community rounds
+    "q_interval_join",    # day-bucketed burst-window interval join
+    "q_phrase_search",    # positional-postings phrase retrieval
+    "q_simrank",          # capped bipartite SimRank
+    "q_label_spreading",  # seeded shipment-graph label recovery
+    "q_seq_patterns",     # PrefixSpan-style ordered-triple mining
+    "q_mattr",            # closed-form windowed lexical diversity
+    "q_audio_descriptors",  # WAV-path spectral centroid/rolloff/flatness
+    "q_transfer_entropy",  # directional up/down information flow
+    "q_cooks_distance",   # OLS influence diagnostics
+    "q_hawkes_intensity",  # dyadic self-excitation fit
+    "q_kmv_sketch",       # theta-style distinct sketch + set ops
 ]
 
 
