@@ -431,6 +431,8 @@ HEADLINE = [
     "q_cooks_distance",   # OLS influence diagnostics
     "q_hawkes_intensity",  # dyadic self-excitation fit
     "q_kmv_sketch",       # theta-style distinct sketch + set ops
+    "q_margin_mining_indexed",  # bitext mining off the persisted index
+    "q_knn_shapley_indexed",    # valuation off the persisted index
 ]
 
 
