@@ -612,7 +612,17 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = du.select(
         "et", token_hash(F.col("user_id").cast("string")).alias("hv")
     )
-    rk = h.withColumn(
+    return kmv_report(h)
+
+
+def kmv_report(cells: DataFrame) -> DataFrame:
+    """(et, hv) hash cells → the q_kmv_sketch report (per-stream +
+    union + intersection estimates).  Cells may hold MORE than K
+    hashes per stream (e.g. a union of stored sketches): the report
+    re-ranks and trims, which is exactly the KMV merge rule — shared
+    by the batch query and the streaming store's read path, so
+    incremental ≡ batch is an identity."""
+    rk = cells.withColumn(
         "r", F.row_number().over(W.partitionBy("et").orderBy("hv"))
     ).filter(F.col("r") <= _KMV_K)
     rk = rk.localCheckpoint()

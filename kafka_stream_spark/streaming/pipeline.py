@@ -3281,3 +3281,94 @@ def space_saving_from_store(cells: DataFrame) -> DataFrame:
         F.col("cnt").alias("est_count"),
         F.col("err").alias("overcount_bound"),
     ).orderBy("event_type", F.desc("est_count"), "item")
+
+
+# ---------------------------------------------------------------------------
+# X787 streaming face — KMV (theta-style) distinct-sketch store
+# ---------------------------------------------------------------------------
+
+_KMV_STATE_SCHEMA = "et string, hv long"
+
+
+def kmv_state_fold(existing, batch):
+    """(state-so-far, new events) → new state: per stream, the K
+    smallest portable hashes of the users seen so far.  KMV state is a
+    pure SET — merge = union + re-trim — so the fold is entirely
+    JVM-side DataFrame ops (no applyInPandas): hash the batch's
+    distinct (et, user) pairs, union the stored cells, keep the K
+    smallest per et.  Order-independent, hence trivially replay-safe
+    and mergeable across shards — the theta-sketch property."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.hashing import token_hash
+    from ..plans.round11m import _KMV_K
+
+    sess = batch.sparkSession
+    fresh = (
+        batch.select(
+            F.col("event_type").alias("et"),
+            token_hash(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+    if existing is None:
+        existing = sess.createDataFrame([], _KMV_STATE_SCHEMA)
+    merged = existing.unionByName(fresh).distinct()
+    return (
+        merged.withColumn(
+            "r", F.row_number().over(W.partitionBy("et").orderBy("hv"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("et", "hv")
+    )
+
+
+def kmv_batch_fn(store_dir: str):
+    """The KMV store's foreachBatch body (elo_batch_fn pattern),
+    replay-guarded."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(store_dir)
+        ) is not None and last >= batch_id:
+            return
+        existing = merged_store_read(batch.sparkSession, store_dir)
+        new_state = kmv_state_fold(existing, batch)
+        new_state = new_state.localCheckpoint(eager=True)
+        merged_store_write(new_state, store_dir, batch_id)
+
+    return fold
+
+
+def run_streaming_kmv(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X787 — X784's streaming face: the live distinct-cardinality
+    board.  K hashes per stream maintained across micro-batches; the
+    stored cells ARE theta sketches, so the read path answers
+    per-stream, union, and intersection cardinalities at any moment
+    without touching history — the streaming twin of the lakehouse
+    theta-sketch column."""
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+
+    return (
+        events.writeStream.foreachBatch(kmv_batch_fn(store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_from_store(cells: DataFrame) -> DataFrame:
+    """Store cells → the exact q_kmv_sketch report shape, via the
+    SAME kmv_report the batch query runs — incremental ≡ batch is an
+    identity, pinned in pytest."""
+    from ..plans.round11m import kmv_report
+
+    return kmv_report(cells)

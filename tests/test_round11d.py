@@ -76,3 +76,56 @@ def test_knn_shapley_indexed_overlaps_exact(spark, sf_dir):
     ]
     inter = set(top_i) & set(exact)
     assert len(inter) >= 5, f"only {len(inter)} of top-20 shared"
+
+
+def test_kmv_store_crash_resume_and_parity(spark, tmp_path):
+    """X787 streaming face: sketch cells persist across batches; crash
+    windows on the exported batch fn; then incremental ≡ batch — the
+    store-derived report equals q_kmv_sketch over all events (same
+    kmv_report, same cells, an identity by construction — the test
+    pins the fold + versioned-store plumbing)."""
+    import os
+
+    from kafka_stream_spark.plans.round11m import q_kmv_sketch
+    from kafka_stream_spark.sources.tables import load
+    from kafka_stream_spark.streaming.pipeline import (
+        kmv_batch_fn,
+        kmv_from_store,
+        merged_store_read,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load(spark, sf, "events")
+    # split by USER (not time): KMV state is an order-independent set,
+    # and at sf0.001 every user appears in both time halves, which
+    # would make wave2 a state no-op and the crash window untestable
+    wave1 = events.filter(F.col("user_id") % 2 == 0)
+    wave2 = events.filter(F.col("user_id") % 2 == 1)
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    store = str(tmp_path / "kmv")
+    fold = kmv_batch_fn(store)
+
+    def snap():
+        return sorted(
+            tuple(r) for r in merged_store_read(spark, store).collect()
+        )
+
+    fold(wave1, 0)
+    s1 = snap()
+    fold(wave2, 1)
+    s2_good = snap()
+    assert s2_good != s1
+    os.remove(os.path.join(store, f"v={1:012d}", "_SUCCESS"))
+    assert snap() == s1
+    fold(wave2, 1)
+    assert snap() == s2_good
+    fold(wave2, 1)  # committed replay -> no-op
+    assert snap() == s2_good
+
+    got = sorted(
+        tuple(r)
+        for r in kmv_from_store(merged_store_read(spark, store)).collect()
+    )
+    want = sorted(tuple(r) for r in q_kmv_sketch(spark, sf).collect())
+    assert got == want
