@@ -433,6 +433,7 @@ HEADLINE = [
     "q_kmv_sketch",       # theta-style distinct sketch + set ops
     "q_margin_mining_indexed",  # bitext mining off the persisted index
     "q_knn_shapley_indexed",    # valuation off the persisted index
+    "q_hard_negatives_indexed",  # negative mining off the shared index
 ]
 
 

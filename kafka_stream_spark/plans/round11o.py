@@ -374,3 +374,83 @@ def q_knn_shapley_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shapley"), "n_id")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# X788 — hard-negative mining served from the persisted index
+# ---------------------------------------------------------------------------
+
+_HNI_EVERY_SQL = (
+    "greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) FROM corpus) "
+    "AS DOUBLE))) AS BIGINT))"
+)
+
+_HNI_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id AS n_id, embedding AS emb, label AS clbl
+      FROM embeddings),
+    anchors AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS albl
+      FROM embeddings WHERE vec_id % 25 = 0),
+    cent AS (
+      SELECT n_id AS c_id, emb AS c_emb FROM corpus
+      WHERE n_id % {_HNI_EVERY_SQL} = 0),
+    {_ann.ivf_search_sql(
+        "corpus", "anchors", "cent", k=3, nprobe=2,
+        corpus_extra=("clbl",), query_extra=("albl",),
+        pair_filter="a.clbl <> p.albl", prefix="hn_",
+    )}
+    SELECT q_id AS aid, n_id AS cand, clbl, score AS cos_sim
+    FROM hn_topk
+    """
+
+
+@query("q_hard_negatives_indexed", oracle=_HNI_ORACLE)
+def q_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X788 — hard-negative mining served from the PERSISTED
+    whole-corpus index (X748's ensure_embedding_index — the exact
+    layout the serving-path key reads, shared, so one build amortizes
+    across both): anchors route through the stored √n codebook into
+    stored inverted lists; labels attach to the lists by an id-lookup
+    broadcast join (the index stores vectors, not payloads) and the
+    label-mismatch predicate prunes candidates BEFORE the top-3 cut,
+    exactly as in the every=50 contract twin (q_hard_negatives).
+
+    The third routed-family conversion: with the index persisted the
+    per-run cost is |anchors|·nprobe·√n — no assignment pass, no
+    linear codebook growth.
+
+    Scale: probed-list file reads only; the labels dim broadcasts."""
+    from .round11 import ensure_embedding_index
+
+    idx = ensure_embedding_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("albl"),
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("clbl")
+    )
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    assigned = (
+        spark.read.parquet(f"{idx}/assigned")
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+        .join(F.broadcast(labels), "n_id")
+    )
+    top3 = _ann.ivf_search(
+        corpus=None,
+        queries=anchors,
+        k=3,
+        nprobe=2,
+        centroids=centroids,
+        assigned=assigned,
+        pair_filter=F.col("clbl") != F.col("albl"),
+    )
+    return top3.select(
+        F.col("q_id").alias("aid"),
+        F.col("n_id").alias("cand"),
+        "clbl",
+        F.col("score").alias("cos_sim"),
+    )

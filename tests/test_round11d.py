@@ -129,3 +129,30 @@ def test_kmv_store_crash_resume_and_parity(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in q_kmv_sketch(spark, sf).collect())
     assert got == want
+
+
+def test_hard_negatives_indexed_label_mismatch_everywhere(spark, sf_dir):
+    """X788: every mined negative crosses labels, ≤3 per anchor, and
+    serving reuses the shared X748 index (no per-key layout)."""
+    from kafka_stream_spark.plans.round11 import ensure_embedding_index
+    from kafka_stream_spark.plans.round11o import q_hard_negatives_indexed
+    from kafka_stream_spark.sources.tables import load
+
+    rows = q_hard_negatives_indexed(spark, sf_dir).collect()
+    assert rows
+    lbl = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert lbl[r["cand"]] == r["clbl"]
+        assert lbl[r["aid"]] != r["clbl"]
+        per_anchor[r["aid"]] = per_anchor.get(r["aid"], 0) + 1
+    assert all(v <= 3 for v in per_anchor.values())
+    idx = ensure_embedding_index(spark, sf_dir)
+    import os
+
+    assert os.path.exists(f"{idx}/assigned/_SUCCESS")
