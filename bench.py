@@ -434,6 +434,7 @@ HEADLINE = [
     "q_margin_mining_indexed",  # bitext mining off the persisted index
     "q_knn_shapley_indexed",    # valuation off the persisted index
     "q_hard_negatives_indexed",  # negative mining off the shared index
+    "q_audio_resample",   # codec-path decimate-by-2 resampler
 ]
 
 

@@ -214,3 +214,119 @@ def q_audio_descriptors(spark: SparkSession, sf_dir: str) -> DataFrame:
             " log_flatness double"
         ),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# X789 — audio resample (decimate-by-2) through the real WAV path
+# ---------------------------------------------------------------------------
+
+_RS_SHIFT = 65536  # numerator shift: keeps the half-up division positive
+
+_RS_ORACLE = f"""
+    WITH smp AS (
+      SELECT vec_id, t.t,
+             least(greatest(CAST(round(
+               CAST(embedding[t.t + 1] AS DOUBLE) * 32767.0) AS BIGINT),
+               -32768), 32767) AS s
+      FROM (SELECT * FROM embeddings WHERE len(embedding) >= 64) e
+      CROSS JOIN (SELECT unnest(range(64)) AS t) t),
+    pairs AS (
+      SELECT a.vec_id, a.t // 2 AS j,
+             ((2 * (a.s + b.s + 2 * {_RS_SHIFT}) + 2) // 4)
+               - {_RS_SHIFT} AS o
+      FROM smp a JOIN smp b
+        ON b.vec_id = a.vec_id AND b.t = a.t + 1
+      WHERE a.t % 2 = 0)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_out,
+           CAST(4000 AS BIGINT) AS rate_out,
+           CAST(sum((j + 1) * o) AS BIGINT) AS checksum,
+           CAST(min(o) AS BIGINT) AS s_min,
+           CAST(max(o) AS BIGINT) AS s_max
+    FROM pairs GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@query("q_audio_resample", oracle=_RS_ORACLE)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X789 — audio RESAMPLE through the real codec path, completing
+    the mandate's decode / feature-extract / resize(resample) /
+    frame-sample quartet for audio (X305 is the image resize twin):
+    each clip round-trips 8 kHz WAV → decode → anti-alias 2-tap mean →
+    decimate by 2 → RE-ENCODE at 4 kHz → decode again; the output pins
+    the resampled stream with a positional checksum Σ(j+1)·s′_j plus
+    range stats, so a hash match certifies BOTH codec passes and the
+    resampler arithmetic (the oracle recomputes the identical
+    arithmetic from the quantization, bypassing the container — the
+    X483/X495 arithmetic-oracle pattern).
+
+    Exactness: the 2-tap mean is a shifted-positive half-up integer
+    division (floor-vs-truncate divergence neutralized, the X780
+    lesson); all stats are exact integers.
+
+    Scale: per-clip independent mapInPandas — two encode hops, two
+    decode hops, no shuffle."""
+    from ..operators.multimodal import decode_wav, encode_wav
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") >= 64)
+        .repartition(default_parallelism())
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.least(
+            F.greatest(
+                F.round(v.cast("double") * F.lit(32767.0), 0),
+                F.lit(-32768.0),
+            ),
+            F.lit(32767.0),
+        ).cast("bigint"),
+    )
+    quant = emb.select("vec_id", q.alias("smp"))
+
+    def resample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "vec_id": [],
+                "n_out": [],
+                "rate_out": [],
+                "checksum": [],
+                "s_min": [],
+                "s_max": [],
+            }
+            for vec_id, smp in zip(pdf["vec_id"], pdf["smp"]):
+                payload = encode_wav(
+                    [int(s) for s in smp[:64]], sample_rate=8000
+                )
+                rate, _ch, samples = decode_wav(payload)
+                assert rate == 8000
+                low = [
+                    (
+                        2 * (samples[2 * j] + samples[2 * j + 1]
+                             + 2 * _RS_SHIFT) + 2
+                    )
+                    // 4
+                    - _RS_SHIFT
+                    for j in range(len(samples) // 2)
+                ]
+                payload2 = encode_wav(low, sample_rate=4000)
+                rate2, _ch2, out_s = decode_wav(payload2)
+                out["vec_id"].append(vec_id)
+                out["n_out"].append(len(out_s))
+                out["rate_out"].append(rate2)
+                out["checksum"].append(
+                    sum((j + 1) * s for j, s in enumerate(out_s))
+                )
+                out["s_min"].append(min(out_s))
+                out["s_max"].append(max(out_s))
+            yield pd.DataFrame(out)
+
+    return quant.mapInPandas(
+        resample,
+        schema=(
+            "vec_id long, n_out long, rate_out long, checksum long,"
+            " s_min long, s_max long"
+        ),
+    ).orderBy("vec_id")

@@ -36,6 +36,9 @@ def test_oracles_reference_known_tables_only():
     pat = re.compile(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", re.IGNORECASE)
     known = set(TABLES)
     for name, sql in m.oracle_sql().items():
+        # strip -- comments: a comment between the comma and a CTE name
+        # would otherwise hide the declaration from the regexes below
+        sql = re.sub(r"--[^\n]*", "", sql)
         # collect CTE names declared in this oracle
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE))
         ctes |= set(re.findall(r"\)\s*,\s*([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(", sql, re.IGNORECASE))

@@ -129,3 +129,16 @@ def test_audio_descriptors_bounds(spark, sf_dir):
         assert 1.0 <= r["centroid"] <= _AD_BINS
         assert 1 <= r["rolloff_bin"] <= _AD_BINS
         assert r["log_flatness"] <= 1e-6
+
+
+def test_audio_resample_halves_and_bounds(spark, sf_dir):
+    """Resample outputs exactly half the samples at half the rate;
+    2-tap means stay within int16 range."""
+    from kafka_stream_spark.plans.round11n import q_audio_resample
+
+    rows = q_audio_resample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_out"] == 32
+        assert r["rate_out"] == 4000
+        assert -32768 <= r["s_min"] <= r["s_max"] <= 32767
