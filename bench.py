@@ -435,6 +435,9 @@ HEADLINE = [
     "q_knn_shapley_indexed",    # valuation off the persisted index
     "q_hard_negatives_indexed",  # negative mining off the shared index
     "q_audio_resample",   # codec-path decimate-by-2 resampler
+    "q_rr_frequency",     # local-DP randomized response debias
+    "q_watermark_detect",  # green-list watermark null calibration
+    "q_matryoshka_audit",  # truncated-embedding retrieval audit
 ]
 
 

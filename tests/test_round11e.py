@@ -1,0 +1,56 @@
+"""Round-11 batch-P invariants: local DP debiasing, watermark null
+calibration, matryoshka truncation audit."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_stream_spark.plans.round11p import (
+    _MAT_K,
+    _MAT_NQ,
+    q_matryoshka_audit,
+    q_rr_frequency,
+    q_watermark_detect,
+)
+from kafka_stream_spark.sources.tables import load
+
+
+def test_rr_estimator_unbiasedness_bound(spark, sf_dir):
+    """The debiased estimate lands within 5 binomial σ of the true
+    count (f=1/4, k types): |n̂ − n| ≤ 5·√(N·f·(1−f/k))/(1−f)."""
+    rows = q_rr_frequency(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n_true"] for r in rows)
+    f = 0.25
+    k = len(rows)
+    sigma = math.sqrt(n_total * f * (1 - f / k)) / (1 - f)
+    for r in rows:
+        assert abs(r["n_estimated"] - r["n_true"]) <= 5 * sigma, r
+    # reported counts redistribute but conserve mass
+    assert sum(r["n_reported"] for r in rows) == n_total
+
+
+def test_watermark_null_calibration(spark, sf_dir):
+    """On unwatermarked text the green fraction is a γ-binomial: mean
+    z per language within ±1, and no doc flags at z > 4."""
+    rows = q_watermark_detect(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["mean_z"]) < 1.0, r
+        assert r["n_flagged"] == 0, r
+        assert r["n_docs"] > 0
+
+
+def test_matryoshka_audit_bounds(spark, sf_dir):
+    """Overlap and agreement are proper fractions; the query sample
+    is capped; prefix retrieval must beat chance (random overlap@5 of
+    two 5-sets from hundreds of candidates is ≈0)."""
+    row = q_matryoshka_audit(spark, sf_dir).collect()[0]
+    assert 0 < row["n_queries"] <= _MAT_NQ
+    assert 0.0 <= row[f"overlap_at_{_MAT_K}"] <= 1.0
+    assert 0.0 <= row["top1_agree"] <= 1.0
+    n = load(spark, sf_dir, "embeddings").count()
+    if n > 100:
+        assert row[f"overlap_at_{_MAT_K}"] > 0.05
