@@ -430,7 +430,7 @@ HEADLINE = [
     "q_transfer_entropy",  # directional up/down information flow
     "q_cooks_distance",   # OLS influence diagnostics
     "q_hawkes_intensity",  # dyadic self-excitation fit
-    "q_kmv_sketch",       # theta-style distinct sketch + set ops
+    "q_theta_sketch",     # theta-sketch set algebra (union/intersection)
     "q_margin_mining_indexed",  # bitext mining off the persisted index
     "q_knn_shapley_indexed",    # valuation off the persisted index
     "q_hard_negatives_indexed",  # negative mining off the shared index
@@ -438,6 +438,8 @@ HEADLINE = [
     "q_rr_frequency",     # local-DP randomized response debias
     "q_watermark_detect",  # green-list watermark null calibration
     "q_matryoshka_audit",  # truncated-embedding retrieval audit
+    "q_mink_prob",        # min-k% membership-inference audit
+    "q_prefix_cache",     # sorted-neighbor LCP cache savings
 ]
 
 

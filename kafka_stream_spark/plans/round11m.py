@@ -19,11 +19,12 @@ Reference scope note: §2.13 mandate extensions, reference-free.
   counts regressed on their exponentially decayed 7-day history
   (kernel 2^-k, exact dyadic integers); the slope is the branching-
   ratio proxy separating self-exciting streams from Poisson ones.
-- X784 q_kmv_sketch: K-minimum-values (theta-style) distinct
-  sketches over per-stream user sets, with UNION and INTERSECTION
-  estimates — the set algebra HLL (E12) cannot do without
-  inclusion-exclusion error blowup; portable md5-derived hashes so
-  both engines build bit-identical sketches.
+- X784 q_theta_sketch: theta-sketch SET ALGEBRA over per-stream user
+  sets — X411's KMV estimator extended with the UNION (K smallest of
+  the merge) and INTERSECTION (match-fraction × union estimate,
+  Beyer et al. 2007) operations that neither X411 nor the HLL
+  inclusion-exclusion path (q_hll_intersect) supports without error
+  blowup; 60-bit portable hashes, exact integer-division estimates.
 
 Determinism: every count is exact; ln terms quantize 1e-9 before
 integer sums; OLS residuals follow the rounded-sums discipline of
@@ -527,10 +528,10 @@ def q_hawkes_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X784 — KMV (theta-style) distinct sketch with union / intersection
 # ---------------------------------------------------------------------------
 
-_KMV_K = 64
-_KMV_DOMAIN = 1 << 60  # token_hash yields 60-bit non-negative hashes
+_THETA_K = 64
+_THETA_DOMAIN = 1 << 60  # token_hash yields 60-bit non-negative hashes
 
-_KMV_ORACLE = f"""
+_THETA_ORACLE = f"""
     WITH du AS (
       SELECT DISTINCT event_type AS et, user_id FROM events),
     h AS (
@@ -541,11 +542,11 @@ _KMV_ORACLE = f"""
       SELECT et, hv,
              row_number() OVER (PARTITION BY et ORDER BY hv) AS r
       FROM h),
-    kept AS (SELECT * FROM rk WHERE r <= {_KMV_K}),
+    kept AS (SELECT * FROM rk WHERE r <= {_THETA_K}),
     per AS (
       SELECT et AS scope,
-             CASE WHEN max(r) < {_KMV_K} THEN max(r)
-                  ELSE CAST(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS HUGEINT)
+             CASE WHEN max(r) < {_THETA_K} THEN max(r)
+                  ELSE CAST(({_THETA_K} - 1) * CAST({_THETA_DOMAIN} AS HUGEINT)
                        // max(hv) AS BIGINT)
              END AS est_distinct,
              CAST(max(r) AS BIGINT) AS n_kept
@@ -559,23 +560,23 @@ _KMV_ORACLE = f"""
       SELECT hv, in_a, in_b,
              row_number() OVER (ORDER BY hv) AS r
       FROM pair),
-    u AS (SELECT * FROM urk WHERE r <= {_KMV_K}),
+    u AS (SELECT * FROM urk WHERE r <= {_THETA_K}),
     ustat AS (
       SELECT max(r) AS kk, max(hv) AS hk,
              sum(in_a * in_b) AS nb
       FROM u),
     uni AS (
       SELECT 'union(click,purchase)' AS scope,
-             CASE WHEN kk < {_KMV_K} THEN kk
-                  ELSE CAST((kk - 1) * CAST({_KMV_DOMAIN} AS HUGEINT)
+             CASE WHEN kk < {_THETA_K} THEN kk
+                  ELSE CAST((kk - 1) * CAST({_THETA_DOMAIN} AS HUGEINT)
                        // hk AS BIGINT) END AS est_distinct,
              CAST(kk AS BIGINT) AS n_kept
       FROM ustat),
     inter AS (
       SELECT 'inter(click,purchase)' AS scope,
              CAST(CAST(nb AS HUGEINT)
-                  * (CASE WHEN kk < {_KMV_K} THEN kk
-                     ELSE CAST((kk - 1) * CAST({_KMV_DOMAIN} AS HUGEINT)
+                  * (CASE WHEN kk < {_THETA_K} THEN kk
+                     ELSE CAST((kk - 1) * CAST({_THETA_DOMAIN} AS HUGEINT)
                           // hk AS BIGINT) END) // kk AS BIGINT)
                AS est_distinct,
              CAST(nb AS BIGINT) AS n_kept
@@ -587,10 +588,10 @@ _KMV_ORACLE = f"""
     """
 
 
-@query("q_kmv_sketch", oracle=_KMV_ORACLE)
-def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X784 — K-minimum-values (theta-style) distinct sketch, K =
-    {_KMV_K}: per stream keep the K smallest portable 60-bit hashes of
+@query("q_theta_sketch", oracle=_THETA_ORACLE)
+def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X784 — theta-sketch set algebra, K =
+    {_THETA_K}: per stream keep the K smallest portable 60-bit hashes of
     its user set; distinct ≈ (K−1)·2⁶⁰/h₍K₎.  Sketches COMPOSE under
     set algebra — the union sketch is the K smallest of the merged
     sketches, and the intersection estimate is (matching fraction in
@@ -612,10 +613,10 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = du.select(
         "et", token_hash(F.col("user_id").cast("string")).alias("hv")
     )
-    return kmv_report(h)
+    return theta_report(h)
 
 
-def kmv_report(cells: DataFrame) -> DataFrame:
+def theta_report(cells: DataFrame) -> DataFrame:
     """(et, hv) hash cells → the q_kmv_sketch report (per-stream +
     union + intersection estimates).  Cells may hold MORE than K
     hashes per stream (e.g. a union of stored sketches): the report
@@ -624,14 +625,14 @@ def kmv_report(cells: DataFrame) -> DataFrame:
     incremental ≡ batch is an identity."""
     rk = cells.withColumn(
         "r", F.row_number().over(W.partitionBy("et").orderBy("hv"))
-    ).filter(F.col("r") <= _KMV_K)
+    ).filter(F.col("r") <= _THETA_K)
     rk = rk.localCheckpoint()
     per = rk.groupBy(F.col("et").alias("scope")).agg(
-        F.when(F.max("r") < _KMV_K, F.max("r").cast("long"))
+        F.when(F.max("r") < _THETA_K, F.max("r").cast("long"))
         .otherwise(
             F.expr(
-                f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0))"
-                f" * CAST({_KMV_DOMAIN} AS DECIMAL(38,0))"
+                f"CAST(CAST({_THETA_K - 1} AS DECIMAL(38,0))"
+                f" * CAST({_THETA_DOMAIN} AS DECIMAL(38,0))"
                 " DIV max(hv) AS BIGINT)"
             )
         )
@@ -647,17 +648,17 @@ def kmv_report(cells: DataFrame) -> DataFrame:
         )
     )
     u = pair.withColumn("r", F.row_number().over(W.orderBy("hv"))).filter(
-        F.col("r") <= _KMV_K
+        F.col("r") <= _THETA_K
     )
     ustat = u.agg(
         F.max("r").alias("kk"),
         F.max("hv").alias("hk"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
     )
-    uni_est = F.when(F.col("kk") < _KMV_K, F.col("kk").cast("long")).otherwise(
+    uni_est = F.when(F.col("kk") < _THETA_K, F.col("kk").cast("long")).otherwise(
         F.expr(
             f"CAST(CAST(kk - 1 AS DECIMAL(38,0))"
-            f" * CAST({_KMV_DOMAIN} AS DECIMAL(38,0))"
+            f" * CAST({_THETA_DOMAIN} AS DECIMAL(38,0))"
             " DIV hk AS BIGINT)"
         )
     )

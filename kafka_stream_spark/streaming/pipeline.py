@@ -3284,13 +3284,13 @@ def space_saving_from_store(cells: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X787 streaming face — KMV (theta-style) distinct-sketch store
+# X787 streaming face — theta-sketch (set-algebra KMV) store
 # ---------------------------------------------------------------------------
 
-_KMV_STATE_SCHEMA = "et string, hv long"
+_THETA_STATE_SCHEMA = "et string, hv long"
 
 
-def kmv_state_fold(existing, batch):
+def theta_state_fold(existing, batch):
     """(state-so-far, new events) → new state: per stream, the K
     smallest portable hashes of the users seen so far.  KMV state is a
     pure SET — merge = union + re-trim — so the fold is entirely
@@ -3301,7 +3301,7 @@ def kmv_state_fold(existing, batch):
     from pyspark.sql.window import Window as W
 
     from ..functions.hashing import token_hash
-    from ..plans.round11m import _KMV_K
+    from ..plans.round11m import _THETA_K
 
     sess = batch.sparkSession
     fresh = (
@@ -3312,18 +3312,18 @@ def kmv_state_fold(existing, batch):
         .distinct()
     )
     if existing is None:
-        existing = sess.createDataFrame([], _KMV_STATE_SCHEMA)
+        existing = sess.createDataFrame([], _THETA_STATE_SCHEMA)
     merged = existing.unionByName(fresh).distinct()
     return (
         merged.withColumn(
             "r", F.row_number().over(W.partitionBy("et").orderBy("hv"))
         )
-        .filter(F.col("r") <= _KMV_K)
+        .filter(F.col("r") <= _THETA_K)
         .select("et", "hv")
     )
 
 
-def kmv_batch_fn(store_dir: str):
+def theta_batch_fn(store_dir: str):
     """The KMV store's foreachBatch body (elo_batch_fn pattern),
     replay-guarded."""
 
@@ -3333,20 +3333,20 @@ def kmv_batch_fn(store_dir: str):
         ) is not None and last >= batch_id:
             return
         existing = merged_store_read(batch.sparkSession, store_dir)
-        new_state = kmv_state_fold(existing, batch)
+        new_state = theta_state_fold(existing, batch)
         new_state = new_state.localCheckpoint(eager=True)
         merged_store_write(new_state, store_dir, batch_id)
 
     return fold
 
 
-def run_streaming_kmv(
+def run_streaming_theta(
     spark: SparkSession,
     input_dir: str,
     store_dir: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """X787 — X784's streaming face: the live distinct-cardinality
+    """X787 — X784's streaming face (distinct from X411's per-flag KMV store run_streaming_kmv: this one persists the SET-ALGEBRA sketch cells): the live distinct-cardinality
     board.  K hashes per stream maintained across micro-batches; the
     stored cells ARE theta sketches, so the read path answers
     per-stream, union, and intersection cardinalities at any moment
@@ -3358,17 +3358,17 @@ def run_streaming_kmv(
     ).parquet(input_dir)
 
     return (
-        events.writeStream.foreachBatch(kmv_batch_fn(store_dir))
+        events.writeStream.foreachBatch(theta_batch_fn(store_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def kmv_from_store(cells: DataFrame) -> DataFrame:
-    """Store cells → the exact q_kmv_sketch report shape, via the
-    SAME kmv_report the batch query runs — incremental ≡ batch is an
+def theta_from_store(cells: DataFrame) -> DataFrame:
+    """Store cells → the exact q_theta_sketch report shape, via the
+    SAME theta_report the batch query runs — incremental ≡ batch is an
     identity, pinned in pytest."""
-    from ..plans.round11m import kmv_report
+    from ..plans.round11m import theta_report
 
-    return kmv_report(cells)
+    return theta_report(cells)

@@ -9,10 +9,10 @@ import math
 from pyspark.sql import functions as F
 
 from kafka_stream_spark.plans.round11m import (
-    _KMV_K,
+    _THETA_K,
     q_cooks_distance,
     q_hawkes_intensity,
-    q_kmv_sketch,
+    q_theta_sketch,
     q_mattr,
     q_transfer_entropy,
 )
@@ -93,11 +93,11 @@ def test_hawkes_r2_bounds(spark, sf_dir):
         assert r["n_days"] > 0
 
 
-def test_kmv_estimates_near_exact_distincts(spark, sf_dir):
+def test_theta_estimates_near_exact_distincts(spark, sf_dir):
     """Per-stream KMV estimates land within the theoretical relative
     error (~1/sqrt(K-2) ≈ 12.7%, allow 4σ) of exact distinct counts;
     under-K scopes are exactly right."""
-    rows = {r["scope"]: r for r in q_kmv_sketch(spark, sf_dir).collect()}
+    rows = {r["scope"]: r for r in q_theta_sketch(spark, sf_dir).collect()}
     ev = load(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -105,10 +105,10 @@ def test_kmv_estimates_near_exact_distincts(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    rel = 4.0 / math.sqrt(_KMV_K - 2)
+    rel = 4.0 / math.sqrt(_THETA_K - 2)
     for et, n in exact.items():
         est = rows[et]["est_distinct"]
-        if rows[et]["n_kept"] < _KMV_K:
+        if rows[et]["n_kept"] < _THETA_K:
             assert est == n, f"{et}: under-K must be exact"
         else:
             assert abs(est - n) <= rel * n, f"{et}: {est} vs {n}"

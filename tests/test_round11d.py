@@ -78,19 +78,19 @@ def test_knn_shapley_indexed_overlaps_exact(spark, sf_dir):
     assert len(inter) >= 5, f"only {len(inter)} of top-20 shared"
 
 
-def test_kmv_store_crash_resume_and_parity(spark, tmp_path):
+def test_theta_store_crash_resume_and_parity(spark, tmp_path):
     """X787 streaming face: sketch cells persist across batches; crash
     windows on the exported batch fn; then incremental ≡ batch — the
-    store-derived report equals q_kmv_sketch over all events (same
-    kmv_report, same cells, an identity by construction — the test
+    store-derived report equals q_theta_sketch over all events (same
+    theta_report, same cells, an identity by construction — the test
     pins the fold + versioned-store plumbing)."""
     import os
 
-    from kafka_stream_spark.plans.round11m import q_kmv_sketch
+    from kafka_stream_spark.plans.round11m import q_theta_sketch
     from kafka_stream_spark.sources.tables import load
     from kafka_stream_spark.streaming.pipeline import (
-        kmv_batch_fn,
-        kmv_from_store,
+        theta_batch_fn,
+        theta_from_store,
         merged_store_read,
     )
 
@@ -103,8 +103,8 @@ def test_kmv_store_crash_resume_and_parity(spark, tmp_path):
     wave2 = events.filter(F.col("user_id") % 2 == 1)
     assert wave1.count() > 0 and wave2.count() > 0
 
-    store = str(tmp_path / "kmv")
-    fold = kmv_batch_fn(store)
+    store = str(tmp_path / "theta")
+    fold = theta_batch_fn(store)
 
     def snap():
         return sorted(
@@ -125,9 +125,9 @@ def test_kmv_store_crash_resume_and_parity(spark, tmp_path):
 
     got = sorted(
         tuple(r)
-        for r in kmv_from_store(merged_store_read(spark, store)).collect()
+        for r in theta_from_store(merged_store_read(spark, store)).collect()
     )
-    want = sorted(tuple(r) for r in q_kmv_sketch(spark, sf).collect())
+    want = sorted(tuple(r) for r in q_theta_sketch(spark, sf).collect())
     assert got == want
 
 

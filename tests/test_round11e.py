@@ -54,3 +54,63 @@ def test_matryoshka_audit_bounds(spark, sf_dir):
     n = load(spark, sf_dir, "embeddings").count()
     if n > 100:
         assert row[f"overlap_at_{_MAT_K}"] > 0.05
+
+
+def test_mink_prob_member_gap(spark, sf_dir):
+    """Members (training docs) must score no worse than non-members:
+    the LM saw them, so their worst tokens are less surprising."""
+    from kafka_stream_spark.plans.round11q import q_mink_prob
+
+    rows = {r["split"]: r for r in q_mink_prob(spark, sf_dir).collect()}
+    assert set(rows) == {"member", "non-member"}
+    assert rows["member"]["mean_mink"] >= rows["non-member"]["mean_mink"]
+    for r in rows.values():
+        assert r["mean_mink"] < 0  # log-probs are negative
+        assert r["n_docs"] > 0
+
+
+def test_prefix_cache_lcp_matches_python_recount(spark, sf_dir):
+    """The windowed LCP sum equals a Python recount over the same
+    per-language sorted order."""
+    from kafka_stream_spark.functions import text as textfn
+    from kafka_stream_spark.plans.round11q import (
+        _PC_PROMPT,
+        q_prefix_cache,
+    )
+
+    got = {r["lang"]: r for r in q_prefix_cache(spark, sf_dir).collect()}
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.slice(
+                textfn.tokens(F.lower(F.col("text"))), 1, _PC_PROMPT
+            ).alias("t"),
+        )
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(
+            (list(r["t"]), r["doc_id"])
+        )
+    for lang, items in by_lang.items():
+        items.sort(key=lambda x: (x[0], x[1]))
+        cached = total = full = 0
+        prev = None
+        for t, _ in items:
+            total += len(t)
+            if prev is not None:
+                lcp = 0
+                for a, b in zip(t, prev):
+                    if a != b:
+                        break
+                    lcp += 1
+                cached += lcp
+                if lcp == len(t) > 0:
+                    full += 1
+            prev = t
+        assert got[lang]["cached_tokens"] == cached, lang
+        assert got[lang]["total_tokens"] == total, lang
+        assert got[lang]["n_fully_cached"] == full, lang
