@@ -440,6 +440,8 @@ HEADLINE = [
     "q_matryoshka_audit",  # truncated-embedding retrieval audit
     "q_mink_prob",        # min-k% membership-inference audit
     "q_prefix_cache",     # sorted-neighbor LCP cache savings
+    "q_sorted_neighborhood",  # SN blocking + JW parity matching
+    "q_coverage_curve",   # tokenizer-vocab sizing curve
 ]
 
 

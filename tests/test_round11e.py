@@ -114,3 +114,40 @@ def test_prefix_cache_lcp_matches_python_recount(spark, sf_dir):
         assert got[lang]["cached_tokens"] == cached, lang
         assert got[lang]["total_tokens"] == total, lang
         assert got[lang]["n_fully_cached"] == full, lang
+
+
+def test_sorted_neighborhood_candidates_are_adjacent(spark, sf_dir):
+    """Every matched pair is within w sorted positions, scores clear
+    tau, and SN finds pairs the first-token blocking also scores
+    identically (shared JW contract)."""
+    from kafka_stream_spark.plans.round11r import (
+        _SN_TAU,
+        _SN_W,
+        q_sorted_neighborhood,
+    )
+
+    rows = q_sorted_neighborhood(spark, sf_dir).collect()
+    names = sorted(
+        r["p_name"]
+        for r in load(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .collect()
+    )
+    pos = {n: i for i, n in enumerate(names)}
+    for r in rows:
+        assert r["jw"] >= _SN_TAU
+        assert 0 < pos[r["name_b"]] - pos[r["name_a"]] <= _SN_W
+
+
+def test_coverage_curve_monotone(spark, sf_dir):
+    """Higher coverage needs monotonically more types; fractions are
+    proper and the 99% cut stays below the full vocabulary."""
+    from kafka_stream_spark.plans.round11r import q_coverage_curve
+
+    rows = q_coverage_curve(spark, sf_dir).collect()
+    assert [r["pct"] for r in rows] == [50, 90, 95, 99]
+    needed = [r["types_needed"] for r in rows]
+    assert needed == sorted(needed)
+    for r in rows:
+        assert 0.0 < r["vocab_frac"] <= 1.0
