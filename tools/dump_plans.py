@@ -38,6 +38,8 @@ SHOWCASE = {
     "q_infinigram": "suffix backoff: combinable (prefix,next) groupBys + left-join ladder",
     "q_interpolate": "linear gap-fill: IGNORE NULLS anchors share one exchange",
     "q_bitmap_distinct": "mergeable exact distinct: two cascaded partial aggs, no raw keys upward",
+    "q_interval_join": "interval join decomposed: bounded windows exploded to a day equi-join, build side broadcast",
+    "q_margin_mining_indexed": "persisted-index serving: probed inverted-list reads, no corpus assignment pass",
     "q_cumulative_distinct": "running distinct rewrite: two windows share one series shuffle",
     "q_minhash_est": "sketch calibration: ids-only window, arrays join in parallel",
     "q_containment_lsh": "banded containment: band-key candidates, verify touches candidates only",
