@@ -442,6 +442,9 @@ HEADLINE = [
     "q_prefix_cache",     # sorted-neighbor LCP cache savings
     "q_sorted_neighborhood",  # SN blocking + JW parity matching
     "q_coverage_curve",   # tokenizer-vocab sizing curve
+    "q_butterflies",      # bipartite 2x2-biclique motif counts
+    "q_dupgraph_homophily",  # near-dup-graph language assortativity
+    "q_next_event_eval",  # temporal-split Markov model validation
 ]
 
 

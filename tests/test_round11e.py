@@ -151,3 +151,59 @@ def test_coverage_curve_monotone(spark, sf_dir):
     assert needed == sorted(needed)
     for r in rows:
         assert 0.0 < r["vocab_frac"] <= 1.0
+
+
+def test_butterflies_identities(spark, sf_dir):
+    """Butterflies ≤ C(wedge pairs): every butterfly needs two user
+    wedges on the same brand pair; counts are consistent with a
+    Python recount from the membership table."""
+    from kafka_stream_spark.plans.round11s import q_butterflies
+
+    row = q_butterflies(spark, sf_dir).collect()[0]
+    assert row["n_butterflies"] >= 0
+    assert row["n_wedges_user"] > 0 and row["n_wedges_brand"] > 0
+    # recount via brand-pair co-memberships
+    from itertools import combinations
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    by_cust: dict[int, set] = {}
+    for r in m:
+        by_cust.setdefault(r["o_custkey"], set()).add(r["p_brand"])
+    co: dict[tuple, int] = {}
+    for brands in by_cust.values():
+        for a, b in combinations(sorted(brands), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    want = sum(c * (c - 1) // 2 for c in co.values())
+    assert row["n_butterflies"] == want
+
+
+def test_homophily_bounds(spark, sf_dir):
+    """Assortativity r ∈ [-1, 1]; frac_same consistent with counts."""
+    from kafka_stream_spark.plans.round11s import q_dupgraph_homophily
+
+    row = q_dupgraph_homophily(spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-9 <= row["assortativity_r"] <= 1.0 + 1e-9
+    assert 0 <= row["n_same_lang"] <= row["n_edges"]
+    assert abs(
+        row["frac_same"] - row["n_same_lang"] / max(row["n_edges"], 1)
+    ) < 1e-5
+
+
+def test_next_event_eval_beats_or_ties_chance(spark, sf_dir):
+    """Accuracies are proper fractions over a non-empty test split;
+    the model is at least as good as random over the observed types."""
+    from kafka_stream_spark.plans.round11s import q_next_event_eval
+
+    row = q_next_event_eval(spark, sf_dir).collect()[0]
+    assert row["n_test"] > 0
+    assert 0.0 <= row["acc_baseline"] <= 1.0
+    assert 0.0 <= row["acc_model"] <= 1.0
