@@ -445,6 +445,8 @@ HEADLINE = [
     "q_butterflies",      # bipartite 2x2-biclique motif counts
     "q_dupgraph_homophily",  # near-dup-graph language assortativity
     "q_next_event_eval",  # temporal-split Markov model validation
+    "q_greedy_matching",  # locally-dominant max-weight matching
+    "q_dup_percolation",  # dedup-threshold component sensitivity
 ]
 
 

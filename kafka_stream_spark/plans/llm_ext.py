@@ -90,6 +90,15 @@ def _minhash_pairs_oracle() -> str:
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidates verified ≥ 0.5."""
+    return candidate_pairs_scored(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def candidate_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for EVERY LSH candidate pair (no
+    threshold) — the scored-candidate frame near_dup_pairs cuts at 0.5
+    and X801's threshold-percolation study sweeps."""
     d = _docs_parallel(spark, sf_dir)
     # two-step select so token hashing runs once per token (th is a
     # materialized column, not a repeated subexpression); h then feeds
@@ -133,7 +142,6 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, F.col("ha.doc_id") == F.col("doc_a"))
         .join(hb, F.col("hb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
         # materialize so the persisted shingle table can be released here
         # instead of leaking into the caller's session (the driver gate
         # runs 85 queries in one session — intermediates must clean up)

@@ -207,3 +207,31 @@ def test_next_event_eval_beats_or_ties_chance(spark, sf_dir):
     assert row["n_test"] > 0
     assert 0.0 <= row["acc_baseline"] <= 1.0
     assert 0.0 <= row["acc_model"] <= 1.0
+
+
+def test_greedy_matching_is_a_matching_and_monotone(spark, sf_dir):
+    """Per-round matched counts decrease (vertices leave); weights are
+    positive; round-1 equals the count of mutually-best edges."""
+    from kafka_stream_spark.plans.round11t import q_greedy_matching
+
+    rows = q_greedy_matching(spark, sf_dir).collect()
+    assert [r["rnd"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["n_matched"] > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_matched"] <= a["n_matched"]
+    for r in rows:
+        assert r["weight"] >= r["n_matched"]  # weights are >= 1
+
+
+def test_dup_percolation_monotone_in_tau(spark, sf_dir):
+    """Raising tau can only remove edges: edge counts, dup-set sizes,
+    and giant components are non-increasing in tau."""
+    from kafka_stream_spark.plans.round11t import q_dup_percolation
+
+    rows = q_dup_percolation(spark, sf_dir).collect()
+    assert [round(r["tau"], 2) for r in rows] == [0.3, 0.5, 0.7]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["n_docs_in_dup_sets"] <= a["n_docs_in_dup_sets"]
+        assert b["max_component"] <= a["max_component"]
+    assert rows[0]["n_edges"] > 0, "gate instance must be non-vacuous"
