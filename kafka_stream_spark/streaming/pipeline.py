@@ -3372,3 +3372,142 @@ def theta_from_store(cells: DataFrame) -> DataFrame:
     from ..plans.round11m import theta_report
 
     return theta_report(cells)
+
+
+# ---------------------------------------------------------------------------
+# X802 streaming face — incremental dedup-clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters_batch_fn(sig_store_dir: str, label_store_dir: str):
+    """foreachBatch body of ``run_streaming_dedup_clusters``: verify
+    the batch's near-dup edges against the accumulated signature
+    store, then FOLD them into the persisted component labels.
+
+    The label merge is the min-label fixpoint over (new edges ∪ the
+    stored v→comp pointers): components only coarsen as edges arrive,
+    and since component ids are min doc ids, min-of-mins equals the
+    global min — so after any prefix of waves the store equals the
+    batch q_dedup_clusters over the documents seen so far (the parity
+    pytest pins exactly that, unlike the X225 pair log whose
+    min-partner aggregation cannot reconstruct components: edges
+    (1,3),(2,3) cluster {1,2,3} but 3's min partner alone loses 2)."""
+    from ..functions import hashing, text
+    from ..operators.graph import connected_components
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if (
+            last := merged_store_last_applied(label_store_dir)
+        ) is not None and last >= batch_id:
+            return
+        sess = batch.sparkSession
+        h = (
+            batch.select(
+                "doc_id",
+                text.hashed_tokens_mod(F.col("text")).alias("th"),
+                text.tokens(F.col("text")).alias("toks"),
+            )
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    text.shingle_hashes(F.col("th"), F.col("toks"))
+                ).alias("hs"),
+            )
+        )
+        s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        bands = s.select(
+            "doc_id",
+            F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"),
+            "hs",
+        ).localCheckpoint(eager=True)
+        prior = store_read(sess, sig_store_dir, exclude_batch_id=batch_id)
+        known = prior.unionByName(bands) if prior is not None else bands
+        x, y = known.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("x.hs").alias("hs_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("y.hs").alias("hs_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        inter = F.size(
+            F.filter(
+                F.col("hs_a"), lambda v: F.array_contains(F.col("hs_b"), v)
+            )
+        )
+        jacc = inter * F.lit(1.0) / (
+            F.size("hs_a") + F.size("hs_b") - inter
+        )
+        edges = (
+            cand.withColumn("jaccard", F.round(jacc, 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        idempotent_upsert(bands, batch_id, sig_store_dir)
+
+        prior_labels = merged_store_read(sess, label_store_dir)
+        batch_vs = batch.select(F.col("doc_id").alias("v")).distinct()
+        if prior_labels is None:
+            vertices = batch_vs
+            all_edges = edges
+        else:
+            vertices = (
+                prior_labels.select("v").unionByName(batch_vs).distinct()
+            )
+            all_edges = edges.unionByName(
+                prior_labels.filter(F.col("v") != F.col("comp")).select(
+                    F.col("v").alias("a"), F.col("comp").alias("b")
+                )
+            )
+        labels, _rounds = connected_components(
+            vertices, all_edges, shuffle_partitions=4
+        )
+        labels = labels.select(
+            "v", F.col("component").alias("comp")
+        ).localCheckpoint(eager=True)
+        merged_store_write(labels, label_store_dir, batch_id)
+
+    return fold
+
+
+def run_streaming_dedup_clusters(
+    spark: SparkSession,
+    input_dir: str,
+    sig_store_dir: str,
+    label_store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """X802 — incremental near-dup CLUSTERING: the streaming face of
+    q_dedup_clusters (X21).  X225's streaming near-dedup flags each
+    arriving doc's min duplicate partner; this store maintains the
+    full COMPONENT labels — the structure survivor-selection,
+    cluster-size caps, and soft dedup weights actually need — by
+    folding each micro-batch's verified edges into the persisted
+    min-label fixpoint (components only coarsen; label store is one
+    row per seen doc, signature store ~100 B/doc·band, text never
+    stored).
+
+    Incremental ≡ batch is pinned in pytest after every wave: the
+    label store equals q_dedup_clusters run over the documents seen
+    so far, and both crash windows (uncommitted label version,
+    replayed batch) leave the store correct."""
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(input_dir)
+
+    return (
+        docs.writeStream.foreachBatch(
+            dedup_clusters_batch_fn(sig_store_dir, label_store_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

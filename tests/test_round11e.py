@@ -235,3 +235,78 @@ def test_dup_percolation_monotone_in_tau(spark, sf_dir):
         assert b["n_docs_in_dup_sets"] <= a["n_docs_in_dup_sets"]
         assert b["max_component"] <= a["max_component"]
     assert rows[0]["n_edges"] > 0, "gate instance must be non-vacuous"
+
+
+def test_dedup_clusters_store_incremental_equals_batch(spark, tmp_path):
+    """X802: after each wave (split by doc_id order — the stated
+    arrival-order precondition of the X225 family), the label store
+    equals batch q_dedup_clusters over the docs seen so far; crash
+    windows (uncommitted label version, committed replay) hold."""
+    import os
+
+    from kafka_stream_spark.plans.llm_ext import q_dedup_clusters
+    from kafka_stream_spark.streaming.pipeline import (
+        dedup_clusters_batch_fn,
+        merged_store_read,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    mid = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").collect()[
+        0
+    ]["m"]
+    wave1 = docs.filter(F.col("doc_id") <= mid)
+    wave2 = docs.filter(F.col("doc_id") > mid)
+    assert wave1.count() > 0 and wave2.count() > 0
+
+    sig = str(tmp_path / "sig")
+    lab = str(tmp_path / "lab")
+    fold = dedup_clusters_batch_fn(sig, lab)
+
+    def store_labels():
+        return {
+            (r["v"], r["comp"])
+            for r in merged_store_read(spark, lab).collect()
+        }
+
+    def batch_labels(d):
+        # replicate q_dedup_clusters restricted to the given doc set
+        from kafka_stream_spark.operators.graph import connected_components
+        from kafka_stream_spark.plans.llm_ext import candidate_pairs_scored
+
+        ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+        pairs = candidate_pairs_scored(spark, sf).filter(
+            F.col("jaccard") >= 0.5
+        )
+        pairs = pairs.filter(
+            F.col("doc_a").isin(ids) & F.col("doc_b").isin(ids)
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        verts = d.select(F.col("doc_id").alias("v"))
+        labels, _ = connected_components(verts, edges, shuffle_partitions=4)
+        return {
+            (r["v"], r["component"]) for r in labels.collect()
+        }
+
+    fold(wave1, 0)
+    assert store_labels() == batch_labels(wave1)
+    s1 = store_labels()
+    fold(wave2, 1)
+    s2 = store_labels()
+    assert s2 == batch_labels(docs)
+    # crash window: uncommitted label version rolls back…
+    os.remove(os.path.join(lab, f"v={1:012d}", "_SUCCESS"))
+    assert store_labels() == s1
+    # …and the replayed batch regenerates it exactly
+    fold(wave2, 1)
+    assert store_labels() == s2
+    fold(wave2, 1)  # committed replay -> no-op
+    assert store_labels() == s2
+    # full parity with the registered batch key over the whole corpus
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q_dedup_clusters(spark, sf).collect()
+    }
+    assert store_labels() == want
