@@ -293,14 +293,33 @@ def sqrt_every(n: int) -> int:
 
 def default_index_dir(sf_dir: str, table: str, n: int) -> str:
     """Canonical on-disk location for a corpus' persisted IVF index.
-    The corpus row count is part of the key, so a regenerated corpus
-    at the same path gets a fresh index instead of a stale one."""
-    import hashlib
 
+    The cache key folds in the corpus row count AND a content
+    fingerprint of the source parquet (file size + mtime via one
+    ``os.stat`` — no Spark job), so a REGENERATED corpus at the same
+    path with the same row count still gets a fresh index rather than
+    silently serving stale neighbors.  ``table`` may be a logical
+    subset name (``embeddings_side0``); the fingerprint stats the
+    physical ``embeddings`` file that every subset derives from.
+
+    Indexes root under the repo-owned cache (overridable via
+    ``KSS_ANN_DIR``) instead of world-writable ``/tmp``, so no other
+    local user can pre-create the prefix and plant an index."""
+    import hashlib
+    import os
+
+    phys = table.split("_")[0]  # embeddings_side0 → embeddings.parquet
+    src = os.path.join(sf_dir, f"{phys}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "nostat"
     tag = hashlib.md5(
-        f"{sf_dir}|{table}|n={n}|floorsqrt-r0".encode()
+        f"{sf_dir}|{table}|n={n}|fp={fp}|floorsqrt-r0".encode()
     ).hexdigest()[:12]
-    return f"/tmp/kss_ann/ivf_{tag}"
+    root = os.environ.get("KSS_ANN_DIR", "/root/repo/.ann_cache")
+    return f"{root}/ivf_{tag}"
 
 
 def build_ivf_index(
@@ -350,7 +369,14 @@ def build_ivf_index(
     try:
         os.rename(scratch, index_dir)
     except OSError:
-        # another process won the race — its complete index is in place
+        # Distinguish "lost the build race" (a complete index is in
+        # place — discard our scratch) from a genuine rename failure
+        # (EXDEV across filesystems, permissions): silently rmtree'ing
+        # on the latter would discard the built index and surface as
+        # an unrelated read error later.  Only clean up when a winner's
+        # _SUCCESS marker proves the index exists; otherwise re-raise.
+        if not os.path.exists(f"{index_dir}/assigned/_SUCCESS"):
+            raise
         shutil.rmtree(scratch, ignore_errors=True)
 
 

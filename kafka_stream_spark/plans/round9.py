@@ -247,12 +247,19 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b.x_id").alias("x_id"), "y_id")
     )
-    return (
+    out = (
         bx.join(by, ["x_id", "y_id"])
         .filter(F.col("margin") >= _MM_TAU)
         .select("x_id", "y_id", "margin")
-        .orderBy("x_id")
+        # eager checkpoint of the (tiny) mutual-best result so t_all's
+        # cached partitions can be released HERE instead of leaking
+        # across the 85-query single-session gate run (the llm_ext
+        # cleanup pattern); t_all serves its 4 reads during this one
+        # materialization.
+        .localCheckpoint(eager=True)
     )
+    t_all.unpersist()
+    return out.orderBy("x_id")
 
 
 # ---------------------------------------------------------------------------

@@ -3388,10 +3388,14 @@ def dedup_clusters_batch_fn(sig_store_dir: str, label_store_dir: str):
     stored v→comp pointers): components only coarsen as edges arrive,
     and since component ids are min doc ids, min-of-mins equals the
     global min — so after any prefix of waves the store equals the
-    batch q_dedup_clusters over the documents seen so far (the parity
-    pytest pins exactly that, unlike the X225 pair log whose
-    min-partner aggregation cannot reconstruct components: edges
-    (1,3),(2,3) cluster {1,2,3} but 3's min partner alone loses 2)."""
+    batch q_dedup_clusters over the documents seen so far, for ANY
+    arrival order: the candidate join canonicalizes pair direction
+    with least/greatest, so prior↔new edges survive even when the new
+    doc has the smaller id (the parity pytest delivers interleaved-id
+    waves to pin exactly that; contrast the X225 pair log, whose
+    min-partner aggregation cannot reconstruct components — edges
+    (1,3),(2,3) cluster {1,2,3} but 3's min partner alone loses 2 —
+    and whose flag semantics do require doc_id-monotone arrival)."""
     from ..functions import hashing, text
     from ..operators.graph import connected_components
 
@@ -3423,16 +3427,25 @@ def dedup_clusters_batch_fn(sig_store_dir: str, label_store_dir: str):
         prior = store_read(sess, sig_store_dir, exclude_batch_id=batch_id)
         known = prior.unionByName(bands) if prior is not None else bands
         x, y = known.alias("x"), bands.alias("y")
+        # Join on != and canonicalize with least/greatest: a pair is
+        # found in whichever wave its LATER-ARRIVING doc lands, even
+        # when that doc has the SMALLER doc_id (the old
+        # x.doc_id < y.doc_id predicate silently dropped new=3 vs
+        # prior=5 — the y side only holds the current batch).  Jaccard
+        # is symmetric, so the hs sides need no swap.  This makes the
+        # incremental ≡ batch parity hold for ANY arrival order, not
+        # just doc_id-monotone arrival (unlike X225's flag log, whose
+        # "later doc is the dup" semantics genuinely need the order).
         cand = (
             x.join(
                 y,
                 (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
+                & (F.col("x.doc_id") != F.col("y.doc_id")),
             )
             .select(
-                F.col("x.doc_id").alias("doc_a"),
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
                 F.col("x.hs").alias("hs_a"),
-                F.col("y.doc_id").alias("doc_b"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
                 F.col("y.hs").alias("hs_b"),
             )
             .dropDuplicates(["doc_a", "doc_b"])

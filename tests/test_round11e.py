@@ -238,10 +238,13 @@ def test_dup_percolation_monotone_in_tau(spark, sf_dir):
 
 
 def test_dedup_clusters_store_incremental_equals_batch(spark, tmp_path):
-    """X802: after each wave (split by doc_id order — the stated
-    arrival-order precondition of the X225 family), the label store
-    equals batch q_dedup_clusters over the docs seen so far; crash
-    windows (uncommitted label version, committed replay) hold."""
+    """X802: after each wave the label store equals batch
+    q_dedup_clusters over the docs seen so far; crash windows
+    (uncommitted label version, committed replay) hold.  Waves are
+    split by doc_id PARITY — wave 2 delivers docs with ids both above
+    and below wave 1's — pinning that the canonicalized candidate
+    join finds prior↔new edges regardless of arrival order (the old
+    x.doc_id < y.doc_id predicate dropped new-smaller-id edges)."""
     import os
 
     from kafka_stream_spark.plans.llm_ext import q_dedup_clusters
@@ -252,11 +255,8 @@ def test_dedup_clusters_store_incremental_equals_batch(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     docs = load(spark, sf, "documents")
-    mid = docs.selectExpr("percentile_approx(doc_id, 0.5) AS m").collect()[
-        0
-    ]["m"]
-    wave1 = docs.filter(F.col("doc_id") <= mid)
-    wave2 = docs.filter(F.col("doc_id") > mid)
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
     assert wave1.count() > 0 and wave2.count() > 0
 
     sig = str(tmp_path / "sig")

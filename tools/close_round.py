@@ -89,10 +89,13 @@ COLD_LEDGER = "/root/repo/tools/cold_ledger.json"
 ZERO_ROW_WAIVERS: set[str] = set()
 
 
-def rotated_cold_keys(tag: str, per_round: int = 20) -> list[str]:
+def rotated_cold_keys(tag: str, per_round: int = 40) -> list[str]:
     """VERDICT r9 #4 + ADVICE r10: rotate X-tier keys through the cold
     gate on a stable per-key schedule (ledger of already-cold-run keys,
-    not a pool-length-dependent offset window)."""
+    not a pool-length-dependent offset window).  per_round=40 (VERDICT
+    r11 #5): at 20/round the ~770-key non-fixed pool needed ~38 rounds
+    per cycle; 40 doubles the first-query-in-process hunt rate at ~7
+    min of 8-CPU subprocess wall."""
     import json as _json
 
     fixed = set(REFERENCE_SURFACE_KEYS)
