@@ -1,4 +1,5 @@
-"""Round-12 batch A (X803–X804): Avro object-container source/sink.
+"""Round-12 batch A (X803–X805): Avro object-container source/sink,
+Aho-Corasick dictionary scan.
 
 Reference scope note: the reference's wire formats are Kafka byte
 payloads (kafka_s.py:149-161) and a CSV sink (mysql_rules.py:85-90);
@@ -20,11 +21,21 @@ mapInPandas (one container file per partition, binaryFile scan back).
   witness: the deflate container must be strictly smaller than the
   null-codec container of the same rows.
 
+- X805 q_ac_scan: Aho-Corasick multi-pattern dictionary scan
+  (operators/automaton.py) — every blocklist phrase found in ONE
+  linear walk per document (goto/fail/output automaton, overlapping
+  and nested matches counted), vs the naive dictionary-size × corpus
+  scan count. The DuckDB oracle enumerates every text position and
+  substr-compares, so the hash pins exact full-overlap semantics.
+
 Scale: encode cost is one pass over each partition (no shuffle); the
 decode side is a binaryFile scan whose parallelism is one task per
 container file — at 100 TB both directions are embarrassingly
 parallel, and the by-name read projection prunes columns at the
-decode boundary.
+decode boundary. The AC automaton builds once from the
+dimension-sized dictionary and rides the mapInPandas closure; per-doc
+work is O(text+matches) and the (doc,pattern) counts combine
+map-side.
 """
 
 from __future__ import annotations
@@ -144,3 +155,76 @@ def q_avro_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# X805 — Aho-Corasick multi-pattern dictionary scan
+# ---------------------------------------------------------------------------
+
+#: dictionary with shared prefixes ("value"/"value table"), nesting
+#: ("table" inside "value table"), cross-pattern overlap, and one
+#: guaranteed-absent phrase (exercises the zero row through the outer
+#: join on both engines).
+_AC_PATTERNS = [
+    "value",
+    "value table",
+    "table",
+    "fast",
+    "fast merge",
+    "part value",
+    "row scan",
+    "aggregate",
+    "zzzqx",
+]
+
+_AC_VALUES = ", ".join(f"('{p}')" for p in _AC_PATTERNS)
+
+_AC_ORACLE = f"""
+    WITH pats(pattern) AS (VALUES {_AC_VALUES}),
+    r AS (
+        SELECT unnest(
+            range(1, (SELECT max(length(text)) FROM documents) + 1)
+        ) AS i
+    ),
+    hits AS (
+        SELECT d.doc_id, p.pattern
+        FROM documents d
+        CROSS JOIN pats p
+        JOIN r ON r.i + length(p.pattern) - 1 <= length(d.text)
+        WHERE substr(d.text, CAST(r.i AS INT),
+                     CAST(length(p.pattern) AS INT)) = p.pattern
+    )
+    SELECT p.pattern,
+           count(DISTINCT h.doc_id) AS n_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_occ
+    FROM pats p LEFT JOIN hits h USING (pattern)
+    GROUP BY p.pattern
+"""
+
+
+@query("q_ac_scan", oracle=_AC_ORACLE)
+def q_ac_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X805 — Aho-Corasick dictionary scan over the documents corpus:
+    per-pattern document reach and total occurrences (overlapping and
+    nested matches included — standard AC output-link semantics). The
+    oracle brute-forces every (position, pattern) substr comparison,
+    so the hash certifies the automaton's goto/fail/output tables
+    produce EXACTLY the full-overlap match set. One linear walk per
+    doc replaces a per-pattern corpus scan; the automaton ships in the
+    closure (dictionary is dimension-sized), counts combine map-side."""
+    from ..operators.automaton import multi_pattern_counts
+
+    docs = load(spark, sf_dir, "documents")
+    counts = multi_pattern_counts(docs, _AC_PATTERNS)
+    agg = counts.groupBy("pattern").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_occ").alias("n_occ"),
+    )
+    pats = spark.createDataFrame(
+        [(p,) for p in _AC_PATTERNS], "pattern string"
+    )
+    return pats.join(agg, "pattern", "left").select(
+        "pattern",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+    )
