@@ -49,8 +49,21 @@ def perm_hash_sql(h: str, a: int, b: int) -> str:
     return f"(({a} * ({h} % {MERSENNE_P})) + {b}) % {MERSENNE_P}"
 
 
-def minhash_signature(hashed_shingles: Column) -> Column:
-    """array<long> of 32 minhash slots over an array of shingle hashes."""
+def minhash_signature(hashed_shingles: Column | str) -> Column:
+    """array<long> of 32 minhash slots over an array of shingle hashes.
+
+    Pass a column-name string to build the identical expression as ONE
+    parsed SQL string instead of ~200 py4j-constructed Column objects —
+    driver-side plan construction of the 32-permutation array costs
+    ~1 s per call on a slow py4j link (guide §7.3); the parsed form is
+    the same Catalyst tree."""
+    if isinstance(hashed_shingles, str):
+        slots = ", ".join(
+            f"array_min(transform({hashed_shingles}, "
+            f"h -> {perm_hash_sql('h', a, b)}))"
+            for a, b in MINHASH_PARAMS
+        )
+        return F.expr(f"array({slots})")
     return F.array(
         *[
             F.array_min(F.transform(hashed_shingles, lambda h: perm_hash(h, a, b)))
@@ -67,10 +80,23 @@ def minhash_signature_sql(hashed: str) -> str:
     return f"[{slots}]"
 
 
-def band_keys(sig: Column) -> Column:
+def band_keys(sig: Column | str) -> Column:
     """array<string>: md5 key per LSH band. The band index is folded into
     the hashed string so keys from different bands can never join — a
-    single equi-join on the key column is then sufficient."""
+    single equi-join on the key column is then sufficient.
+
+    String input builds the same expression as one parsed SQL string
+    (see minhash_signature)."""
+    if isinstance(sig, str):
+        bands = []
+        for band in range(MINHASH_BANDS):
+            parts = ", ".join(
+                f"CAST(element_at({sig}, {band * MINHASH_ROWS + r + 1}) "
+                f"AS STRING)"
+                for r in range(MINHASH_ROWS)
+            )
+            bands.append(f"md5(concat_ws(',', '{band}', {parts}))")
+        return F.expr(f"array({', '.join(bands)})")
     return F.array(
         *[
             F.md5(
@@ -102,8 +128,21 @@ def band_keys_sql(sig: str) -> str:
 SIMHASH_BITS = 16
 
 
-def simhash(hashed_tokens: Column) -> Column:
-    """16-bit SimHash over an array of token hashes (distinct tokens)."""
+def simhash(hashed_tokens: Column | str) -> Column:
+    """16-bit SimHash over an array of token hashes (distinct tokens).
+
+    String input builds the same expression as one parsed SQL string
+    (see minhash_signature)."""
+    if isinstance(hashed_tokens, str):
+        terms = []
+        for j in range(SIMHASH_BITS):
+            weight = (
+                f"aggregate({hashed_tokens}, CAST(0 AS BIGINT), "
+                f"(acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1)"
+            )
+            terms.append(f"(CASE WHEN {weight} > 0 THEN {1 << j} ELSE 0 END)")
+        return F.expr(f"CAST({' + '.join(terms)} AS BIGINT)")
+
     def bit_vote(j: int):
         # factory keeps the merge lambda strictly 2-ary (PySpark inspects
         # lambda arity to bind higher-order-function variables)

@@ -16,22 +16,57 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Each helper accepts either Column objects (legacy path: ~40-80 py4j
+# round-trips per call to assemble the fold expression tree) or plain
+# column-NAME strings, in which case the identical expression is built
+# as ONE parsed SQL string (a single py4j call). On this driver a py4j
+# round-trip costs milliseconds, so Column-built cosines were adding
+# ~0.5 s of plan-CONSTRUCTION time per call site per bench rep (guide
+# §7.3 — driver-side plan building). The parsed form and the Column
+# form produce the same Catalyst expression (same zip_with/aggregate
+# fold, same cast), so results are bit-identical; the differential
+# gate re-verifies every converted key.
+
+
+def _dot_spark_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+        f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+        f"0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_spark_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform(CAST({a} AS ARRAY<DOUBLE>), "
+        f"x -> x * x), 0D, (acc, x) -> acc + x))"
+    )
+
 
 def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_spark_sql(a, b))
     prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_spark_sql(a))
     sq = F.transform(_as_double(a), lambda x: x * x)
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_spark_sql(a, b)} / "
+            f"({_norm_spark_sql(a)} * {_norm_spark_sql(b)}))"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors
+from ..session import default_parallelism
 
 
 def deterministic_centroids(
@@ -58,8 +59,19 @@ def ivf_assign(
     Exposed so callers running several searches against one corpus
     (e.g. graph_ann_search's build + seed passes) compute and persist
     it once — exactly what the persisted-index deployment does."""
-    c_scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine(F.col("emb"), F.col("c_emb")), 6)
+    # fan the corpus side out before the n×k_centroid cosine pass: the
+    # single-split test scan (and any narrow upstream) would otherwise
+    # run the whole assignment on one core; at deployment scale this
+    # shuffle is paid once per corpus inside the persisted index build
+    # (guide §2.6). Round-robin repartition does not affect the result:
+    # assignment is a per-row argmax with rounded-score/c_id tie-breaks.
+    c_scored = (
+        corpus.repartition(default_parallelism())
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cscore",
+            F.round(vectors.cosine("emb", "c_emb"), 6),
+        )
     )
     w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
     return (
@@ -108,7 +120,7 @@ def ivf_search(
     # path, ivf_search_indexed), corpus may be None — it is never read
 
     q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6)
+        "cscore", F.round(vectors.cosine("q_emb", "c_emb"), 6)
     )
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
     probes = (
@@ -118,13 +130,20 @@ def ivf_search(
         .withColumnRenamed("c_id", "centroid_id")
     )
 
-    cand = probes.join(assigned, "centroid_id").filter(
-        F.col("q_id") != F.col("n_id")
+    # fan the probe side out: the exact re-rank cosine over the probed
+    # lists (|Q|·nprobe·list_size pairs) is computed in this join's
+    # stage, and the tiny probe frame otherwise arrives on 1-2
+    # AQE-coalesced partitions (guide §2.6). Per-row scoring + windowed
+    # top-k is partitioning-independent.
+    cand = (
+        probes.repartition(default_parallelism())
+        .join(assigned, "centroid_id")
+        .filter(F.col("q_id") != F.col("n_id"))
     )
     if pair_filter is not None:
         cand = cand.filter(pair_filter)
     scored = cand.withColumn(
-        "score", F.round(vectors.cosine(F.col("q_emb"), F.col("emb")), 6)
+        "score", F.round(vectors.cosine("q_emb", "emb"), 6)
     )
     w_top = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
     return (
@@ -363,9 +382,15 @@ def build_ivf_index(
         centroids = deterministic_centroids(corpus, every, residue)
     centroids.write.mode("overwrite").parquet(f"{scratch}/centroids")
     centroids = corpus.sparkSession.read.parquet(f"{scratch}/centroids")
-    ivf_assign(corpus, centroids).write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(f"{scratch}/assigned")
+    # cluster rows by centroid before the partitioned write so each
+    # inverted list lands in one file (guide §6: without this, the
+    # fanned-out assignment stage writes one file per task per
+    # centroid — hundreds of tiny files per list)
+    ivf_assign(corpus, centroids).repartition(
+        F.col("centroid_id")
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{scratch}/assigned"
+    )
     try:
         os.rename(scratch, index_dir)
     except OSError:
@@ -523,7 +548,7 @@ def graph_ann_search(
             .filter(F.col("n_id") != F.col("q_id"))
         )
         scored = cand.join(corpus, "n_id").withColumn(
-            "score", F.round(vectors.cosine(F.col("q_emb"), F.col("emb")), 6)
+            "score", F.round(vectors.cosine("q_emb", "emb"), 6)
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
         b = (
@@ -621,7 +646,7 @@ def routed_candidates(
     q_emb, *extras), centroids (c_id, c_emb). Output: one row per
     candidate pair with both sides' columns."""
     m_scored = members.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine(F.col("emb"), F.col("c_emb")), 6)
+        "cscore", F.round(vectors.cosine("emb", "c_emb"), 6)
     )
     w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
     assigned = (
@@ -631,7 +656,7 @@ def routed_candidates(
         .withColumnRenamed("c_id", "centroid_id")
     )
     q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6)
+        "cscore", F.round(vectors.cosine("q_emb", "c_emb"), 6)
     )
     w_probe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
     probes = (

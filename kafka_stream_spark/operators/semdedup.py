@@ -133,7 +133,7 @@ def semantic_dedup(
     members = (
         assign_clusters(e, cent)
         .select(
-            "vec_id", "cid", "emb", vectors.norm(F.col("emb")).alias("nrm")
+            "vec_id", "cid", "emb", vectors.norm("emb").alias("nrm")
         )
         .localCheckpoint(eager=True)
     )
@@ -152,7 +152,7 @@ def semantic_dedup(
     # try_divide: a zero-norm embedding yields NULL (filtered by the
     # >= tau comparison) instead of an ANSI divide-by-zero failure.
     cos = F.try_divide(
-        vectors.dot(F.col("a_emb"), F.col("b_emb")),
+        vectors.dot("a_emb", "b_emb"),
         F.col("a_nrm") * F.col("b_nrm"),
     )
     dups = (
@@ -183,8 +183,8 @@ def _probe_assignments(e: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
         "cid",
         F.round(
             F.try_divide(
-                vectors.dot(F.col("emb"), F.col("cvec")),
-                vectors.norm(F.col("emb")) * vectors.norm(F.col("cvec")),
+                vectors.dot("emb", "cvec"),
+                vectors.norm("emb") * vectors.norm("cvec"),
             ),
             6,
         ).alias("cscore"),
@@ -230,16 +230,16 @@ def semantic_dedup_routed(
         F.col("vec_id").alias("a_id"),
         F.col("cid").alias("cell"),
         F.col("emb").alias("a_emb"),
-        vectors.norm(F.col("emb")).alias("a_nrm"),
+        vectors.norm("emb").alias("a_nrm"),
     )
     probes = ranked.select(
         F.col("vec_id").alias("b_id"),
         F.col("cid").alias("cell"),
         F.col("emb").alias("b_emb"),
-        vectors.norm(F.col("emb")).alias("b_nrm"),
+        vectors.norm("emb").alias("b_nrm"),
     )
     cos = F.try_divide(
-        vectors.dot(F.col("a_emb"), F.col("b_emb")),
+        vectors.dot("a_emb", "b_emb"),
         F.col("a_nrm") * F.col("b_nrm"),
     )
     dups = (

@@ -119,8 +119,8 @@ def candidate_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
-    b = s.select("doc_id", F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"))
+    s = h.withColumn("sig", hashing.minhash_signature("hs"))
+    b = s.select("doc_id", F.explode(hashing.band_keys("sig")).alias("band_key"))
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(
@@ -310,14 +310,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb"))
+    c = e.repartition(default_parallelism()).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+            F.round(vectors.cosine("q_emb", "c_emb"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
@@ -349,7 +351,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("score"),
+            F.round(vectors.cosine("ea", "eb"), 6).alias("score"),
         )
         .filter(F.col("score") >= 0.4)
     )
@@ -426,7 +428,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "n_id",
             "bucket",
-            F.round(vectors.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+            F.round(vectors.cosine("q_emb", "c_emb"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
@@ -490,7 +492,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "c_id",
-        F.round(vectors.cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cscore"),
+        F.round(vectors.cosine("embedding", "c_emb"), 6).alias("cscore"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), "c_id")
     # materialize the assignment once: both the inverted lists (assigned)
@@ -515,7 +517,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        F.round(vectors.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        F.round(vectors.cosine("q_emb", "embedding"), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
     return (
@@ -1334,7 +1336,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            F.round(vectors.cosine(F.col("embedding"), F.col("p")), 6).alias(
+            F.round(vectors.cosine("embedding", "p"), 6).alias(
                 "rel"
             ),
         )
@@ -1357,7 +1359,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(
                     F.max(
                         F.round(
-                            vectors.cosine(F.col("embedding"), F.col("s_emb")),
+                            vectors.cosine("embedding", "s_emb"),
                             6,
                         )
                     ).alias("msim")

@@ -207,7 +207,10 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same deterministic candidate set, so recall choices cannot hide."""
     from ..functions import hashing
 
-    d = load(spark, sf_dir, "documents")
+    # fan out the single-split scan: the md5-per-token shingle pass is
+    # the query's CPU cost and would otherwise run on one core (guide
+    # §2.6; the same _docs_parallel idiom q_minhash_est uses)
+    d = _docs_parallel(spark, sf_dir)
     h = (
         d.select(
             "doc_id",
@@ -222,9 +225,9 @@ def q_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+    s = h.withColumn("sig", hashing.minhash_signature("hs"))
     b = s.select(
-        "doc_id", F.explode(hashing.band_keys(F.col("sig"))).alias("band_key")
+        "doc_id", F.explode(hashing.band_keys("sig")).alias("band_key")
     )
     x, y = b.alias("x"), b.alias("y")
     cand = (
@@ -314,7 +317,7 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("hs"),
         )
-        .withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        .withColumn("sig", hashing.minhash_signature("hs"))
         .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("lang").orderBy("doc_id")

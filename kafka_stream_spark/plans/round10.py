@@ -38,6 +38,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.hashing import token_hash, token_hash_sql
 from ..functions import text as _text
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round9b import _half_up_col, _half_up_sql
@@ -138,7 +139,11 @@ def q_vtrace(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: episodes independent (shuffle key = user_id); per-episode
     state is O(1). |x4| ≤ max|δ4|/(1 − γc̄) keeps the fold int64-safe
     per episode regardless of corpus size."""
-    e = load(spark, sf_dir, "events")
+    # same episode-key fan-out as q_gae_advantage: one exchange feeds
+    # both windows and the pandas fold at full width (guide §2.6, §4)
+    e = load(spark, sf_dir, "events").repartition(
+        default_parallelism(), "user_id"
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     steps = e.select(
         "user_id",
@@ -902,44 +907,40 @@ def q_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(
         F.size("embedding") >= 2 * _CKA_D
     )
-    q = [
-        F.round(
-            F.element_at("embedding", k + 1).cast("double") * 10000
-        )
-        .cast("long")
-        .alias(f"v{k}")
-        for k in range(2 * _CKA_D)
-    ]
-    v = emb.select("label", *q)
-    aggs = [F.count("*").alias("n")]
-    for i in range(_CKA_D):
-        aggs.append(F.sum(F.col(f"v{i}")).alias(f"sx{i}"))
-        aggs.append(F.sum(F.col(f"v{i + _CKA_D}")).alias(f"sy{i}"))
-    # per-cell moment sums accumulate in decimal(38,0) (int128-class),
-    # matching the oracle's HUGEINT — F.sum over int64 products would
-    # silently wrap at very large row counts (ADVICE r10; same class as
-    # the W1 overflow fixed in 206e495)
+    # the 16 quantized components and all 209 moment aggregates are
+    # built as SQL STRINGS (2 py4j calls total instead of ~1200 Column
+    # constructions — driver-side plan building was this key's entire
+    # bench cost, guide §7.3); expressions are identical to the old
+    # Column form. Per-cell moment sums accumulate in decimal(38,0)
+    # (int128-class), matching the oracle's HUGEINT — sum over int64
+    # products would silently wrap at very large row counts (ADVICE
+    # r10; same class as the W1 overflow fixed in 206e495).
+    v = emb.selectExpr(
+        "label",
+        *[
+            f"CAST(round(CAST(element_at(embedding, {k + 1}) AS DOUBLE)"
+            f" * 10000) AS BIGINT) AS v{k}"
+            for k in range(2 * _CKA_D)
+        ],
+    )
     dec = "decimal(38,0)"
+    aggs = ["count(*) AS n"]
+    for i in range(_CKA_D):
+        aggs.append(f"sum(v{i}) AS sx{i}")
+        aggs.append(f"sum(v{i + _CKA_D}) AS sy{i}")
     for i in range(_CKA_D):
         for j in range(_CKA_D):
             aggs.append(
-                F.sum(
-                    (F.col(f"v{i}") * F.col(f"v{j + _CKA_D}")).cast(dec)
-                ).alias(f"sxy{i}_{j}")
+                f"sum(CAST(v{i} * v{j + _CKA_D} AS {dec})) AS sxy{i}_{j}"
             )
+            aggs.append(f"sum(CAST(v{i} * v{j} AS {dec})) AS sxx{i}_{j}")
             aggs.append(
-                F.sum(
-                    (F.col(f"v{i}") * F.col(f"v{j}")).cast(dec)
-                ).alias(f"sxx{i}_{j}")
+                f"sum(CAST(v{i + _CKA_D} * v{j + _CKA_D} AS {dec}))"
+                f" AS syy{i}_{j}"
             )
-            aggs.append(
-                F.sum(
-                    (F.col(f"v{i + _CKA_D}") * F.col(f"v{j + _CKA_D}")).cast(
-                        dec
-                    )
-                ).alias(f"syy{i}_{j}")
-            )
-    rows = v.groupBy("label").agg(*aggs).collect()
+    rows = spark.sql(
+        f"SELECT label, {', '.join(aggs)} FROM {{v}} GROUP BY label", v=v
+    ).collect()
     out = []
     for r in sorted(rows, key=lambda r: r["label"]):
         n = int(r["n"])

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import token_hash, token_hash_sql
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 
@@ -84,8 +85,12 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (combinable map-side); the exact-F2 audit column is one count
     shuffle and exists to PIN the estimate — production keeps only
     the sketch."""
-    items = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("item")
+    # the k-fold sign-hash expansion (K md5 hashes per row) is the
+    # query's whole cost — fan the single-split scan out (guide §2.6)
+    items = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("item"))
+        .repartition(default_parallelism())
     )
     ks = spark.range(_AMS_K).select(F.col("id").cast("int").alias("k"))
     sign = F.when(
@@ -102,11 +107,15 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(-1)
     dec = "decimal(38,0)"
+    # z is K rows but its lineage is the full K·n hash pass; it feeds
+    # both the median-of-means AND the per-group output — materialize
+    # so the pass runs once, not twice (guide §2.4)
     z = (
         items.crossJoin(F.broadcast(ks))
         .select("k", sign.alias("s"))
         .groupBy("k")
         .agg(F.sum(F.col("s").cast(dec)).alias("zk"))
+        .localCheckpoint(eager=True)
     )
     grp = (
         z.select(

@@ -119,17 +119,21 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IR_NQ)
     )
     served = _ann.ivf_search_indexed(spark, idx, qs, k=_IR_K, nprobe=2)
-    corpus = emb.select(
+    from ..session import default_parallelism
+
+    # the exact brute-force side (|Q|·n cosines) would otherwise run on
+    # the single scan split (guide §2.6)
+    corpus = emb.repartition(default_parallelism()).select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
     )
     from pyspark.sql.window import Window as W
 
     from ..functions import vectors as _vec
 
-    scored = qs.crossJoin(corpus).filter(
+    scored = F.broadcast(qs).crossJoin(corpus).filter(
         F.col("n_id") != F.col("q_id")
     ).withColumn(
-        "score", F.round(_vec.cosine(F.col("q_emb"), F.col("emb")), 6)
+        "score", F.round(_vec.cosine("q_emb", "emb"), 6)
     )
     exact = (
         scored.withColumn(

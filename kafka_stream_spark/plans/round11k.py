@@ -272,14 +272,50 @@ def q_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is two edge-keyed joins + a (vertex, community)
     aggregate — LPA-shaped shuffles; community degree sums broadcast
     at k-cells grain."""
-    from pyspark.sql.window import Window as W
+    # one edge-grain aggregate per LABEL GENERATION, shared by the move
+    # scores of round r+1 AND the modularity check of round r (guide
+    # §2.3/§2.4: aggregate BEFORE joining the vertex-grain tables —
+    # the old plan joined deg/own/cd onto raw edge rows, shipping
+    # k/own/sig per edge through the (i, c) shuffle, and ran a second
+    # full edge pass per round for `within`); 3 edge passes total for
+    # 2 rounds instead of 4 heavier ones. sym is hash-partitioned by
+    # the join key once so each eic pass shuffles only the vertex-sized
+    # label table (guide §2.4 shared exchange).
+    from ..session import default_parallelism
 
-    sym = _edges(spark, sf_dir).persist()
-    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("k"))
-    m2 = sym.count()
-    lbl = sym.select("a").distinct().select(
-        "a", F.col("a").alias("lbl")
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "b")
+        .persist()
     )
+    deg = (
+        sym.groupBy(F.col("a").alias("v"))
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = sym.count()
+    lbl = (
+        sym.select("a")
+        .distinct()
+        .select("a", F.col("a").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _eic(labels: DataFrame) -> DataFrame:
+        """(i, c, cnt): edges from i into community c under ``labels``."""
+        return (
+            sym.join(
+                labels.select(
+                    F.col("a").alias("b"), F.col("lbl").alias("c")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("i"), "c")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+
+    eic = _eic(lbl)
     dec = "decimal(38,0)"
     outs = []
     for rnd in range(1, _LV_ROUNDS + 1):
@@ -289,57 +325,49 @@ def q_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("k").cast(dec)).alias("sig"))
         )
         sc = (
-            sym.join(
-                lbl.select(
-                    F.col("a").alias("b"), F.col("lbl").alias("c")
-                ),
-                "b",
+            eic.join(
+                lbl.select(F.col("a").alias("i"), F.col("lbl").alias("own")),
+                "i",
             )
-            .join(
-                lbl.select("a", F.col("lbl").alias("own")),
-                "a",
-            )
-            .join(deg.select(F.col("v").alias("a"), "k"), "a")
+            .join(deg.select(F.col("v").alias("i"), "k"), "i")
             .join(cd.select(F.col("lbl").alias("c"), "sig"), "c")
-            .groupBy(F.col("a").alias("i"), "c")
-            .agg(
+            .select(
+                "i",
+                "c",
                 (
-                    F.count("*").cast(dec) * F.lit(m2).cast(dec)
-                    - F.any_value("k").cast(dec)
+                    F.col("cnt").cast(dec) * F.lit(m2).cast(dec)
+                    - F.col("k").cast(dec)
                     * (
-                        F.any_value("sig")
-                        - F.when(
-                            F.any_value("own") == F.col("c"),
-                            F.any_value("k"),
-                        )
+                        F.col("sig")
+                        - F.when(F.col("own") == F.col("c"), F.col("k"))
                         .otherwise(0)
                         .cast(dec)
                     )
-                ).alias("score")
+                ).alias("score"),
             )
         )
+        # per-vertex argmax via a combinable aggregate instead of a
+        # sort-window: max(struct(score, -c)) picks the highest score
+        # with ties broken to the LOWEST community id — identical to
+        # row_number over (score DESC, c ASC) = 1
         lbl = (
-            sc.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("i").orderBy(F.desc("score"), "c")
-                ),
+            sc.groupBy(F.col("i").alias("a"))
+            .agg(
+                F.max(F.struct(F.col("score"), (-F.col("c")).alias("nc")))
+                .alias("best")
             )
-            .filter(F.col("rn") == 1)
-            .select(F.col("i").alias("a"), F.col("c").alias("lbl"))
+            .select("a", (-F.col("best.nc")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        eic = _eic(lbl)
         within = (
-            sym.join(lbl.select(F.col("a"), F.col("lbl").alias("la")), "a")
-            .join(
-                lbl.select(
-                    F.col("a").alias("b"), F.col("lbl").alias("lb")
-                ),
-                "b",
+            eic.join(
+                lbl.select(F.col("a").alias("i"), F.col("lbl").alias("own")),
+                "i",
             )
-            .filter(F.col("la") == F.col("lb"))
-            .groupBy(F.col("la").alias("lbl"))
-            .agg(F.count("*").alias("w"))
+            .filter(F.col("own") == F.col("c"))
+            .groupBy(F.col("own").alias("lbl"))
+            .agg(F.sum("cnt").alias("w"))
         )
         ds = (
             lbl.join(deg, lbl.a == deg.v)

@@ -158,12 +158,15 @@ def q_margin_mining_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     yq = emb.filter(F.col("label") % 2 == 1).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    # each side's search result feeds TWO consumers (neighborhood mean
+    # + the candidate union); materialize the |Q|·k frames once instead
+    # of re-running the probed search and its index reads (guide §2.4)
     txy = _ann.ivf_search_indexed(
         spark, idx_y, xq, k=_MM_NK, nprobe=_MM_NPROBE
-    )
+    ).localCheckpoint(eager=True)
     tyx = _ann.ivf_search_indexed(
         spark, idx_x, yq, k=_MM_NK, nprobe=_MM_NPROBE
-    )
+    ).localCheckpoint(eager=True)
     mx = txy.groupBy(F.col("q_id").alias("x_id")).agg(
         F.round(F.avg("score"), 10).alias("mx")
     )

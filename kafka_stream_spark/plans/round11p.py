@@ -361,7 +361,7 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(
                 w_q.orderBy(
                     F.desc(
-                        F.round(_vec.cosine(F.col("q_emb"), F.col("emb")), 6)
+                        F.round(_vec.cosine("q_emb", "emb"), 6)
                     ),
                     F.asc("n_id"),
                 )
@@ -379,7 +379,8 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.desc(
                         F.round(
                             _vec.cosine(
-                                pref(F.col("q_emb")), pref(F.col("emb"))
+                                f"slice(q_emb, 1, {_MAT_PREFIX})",
+                                f"slice(emb, 1, {_MAT_PREFIX})",
                             ),
                             6,
                         )

@@ -117,42 +117,44 @@ def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust", "supp")
         .agg(F.count("*").alias("w"))
     )
-    out = []
+    # per-vertex argmax via combinable MIN-struct aggregates instead of
+    # sort-windows (guide §2.3 — map-side partial aggregation, no
+    # per-partition sort): min(struct(-w, other_id)) picks the highest
+    # weight with ties to the lowest id — identical to row_number over
+    # (w DESC, id ASC) = 1. Per-round stats stay DataFrames and fold
+    # into ONE final action instead of a driver collect per round.
+    stat_rows = []
     for k in range(1, _GM_ROUNDS + 1):
         rem = rem.localCheckpoint()
         bc = (
-            rem.withColumn(
-                "r",
-                F.row_number().over(
-                    W.partitionBy("cust").orderBy(F.desc("w"), F.asc("supp"))
-                ),
-            )
-            .filter(F.col("r") == 1)
-            .select("cust", "supp")
+            rem.groupBy("cust")
+            .agg(F.min(F.struct((-F.col("w")).alias("nw"), "supp")).alias("b"))
+            .select("cust", F.col("b.supp").alias("supp"))
         )
         bs = (
-            rem.withColumn(
-                "r",
-                F.row_number().over(
-                    W.partitionBy("supp").orderBy(F.desc("w"), F.asc("cust"))
-                ),
-            )
-            .filter(F.col("r") == 1)
-            .select("cust", "supp")
+            rem.groupBy("supp")
+            .agg(F.min(F.struct((-F.col("w")).alias("nw"), "cust")).alias("b"))
+            .select(F.col("b.cust").alias("cust"), "supp")
         )
         m = rem.join(bc, ["cust", "supp"]).join(bs, ["cust", "supp"])
-        m = m.localCheckpoint()
-        stats = m.agg(
-            F.count("*").alias("n_matched"),
-            F.coalesce(F.sum("w"), F.lit(0)).alias("weight"),
-        ).collect()[0]
-        out.append((k, int(stats["n_matched"]), int(stats["weight"])))
+        m = m.localCheckpoint(eager=True)
+        stat_rows.append(
+            m.agg(
+                F.count("*").cast("long").alias("n_matched"),
+                F.coalesce(F.sum("w"), F.lit(0))
+                .cast("long")
+                .alias("weight"),
+            ).select(
+                F.lit(k).cast("long").alias("rnd"), "n_matched", "weight"
+            )
+        )
         rem = rem.join(
             m.select("cust"), "cust", "left_anti"
         ).join(m.select("supp"), "supp", "left_anti")
-    return spark.createDataFrame(
-        out, "rnd long, n_matched long, weight long"
-    ).orderBy("rnd")
+    out = stat_rows[0]
+    for s in stat_rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("rnd")
 
 
 # ---------------------------------------------------------------------------
@@ -220,23 +222,49 @@ def q_dup_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     scored = candidate_pairs_scored(spark, sf_dir)
-    scored = scored.localCheckpoint()
+    scored = scored.localCheckpoint(eager=True)
+    # per-τ edge counts in ONE aggregate and per-τ distinct-vertex
+    # counts in ONE explode+countDistinct pass (2 jobs total) instead
+    # of a count job per τ per statistic (guide §1.2 — the scored
+    # frame is shared; only the component propagation is per-τ)
+    ecnt = scored.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(f"n{i}")
+            for i, t in enumerate(_PERC_TAUS)
+        ]
+    ).collect()[0]
+    n_edges_by_tau = {t: int(ecnt[f"n{i}"]) for i, t in enumerate(_PERC_TAUS)}
+    taus_df = spark.createDataFrame(
+        [(float(t),) for t in _PERC_TAUS], "tau double"
+    )
+    vcnt = (
+        scored.crossJoin(F.broadcast(taus_df))
+        .filter(F.col("jaccard") >= F.col("tau"))
+        .select(
+            "tau",
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("v"),
+        )
+        .groupBy("tau")
+        .agg(F.countDistinct("v").alias("nv"))
+        .collect()
+    )
+    n_docs_by_tau = {float(r["tau"]): int(r["nv"]) for r in vcnt}
     rows = []
     for tau in _PERC_TAUS:
+        n_edges = n_edges_by_tau[tau]
+        n_docs = n_docs_by_tau.get(tau, 0)
+        if n_edges == 0:
+            rows.append((tau, 0, 0, 0, 0))
+            continue
         e = scored.filter(F.col("jaccard") >= tau).select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
         e = e.localCheckpoint()
-        n_edges = e.count()
         verts = (
             e.select(F.col("a").alias("v"))
             .unionByName(e.select(F.col("b").alias("v")))
             .distinct()
         )
-        n_docs = verts.count()
-        if n_edges == 0:
-            rows.append((tau, 0, 0, 0, 0))
-            continue
         labels, _r = connected_components(verts, e, shuffle_partitions=4)
         comp = labels.groupBy("component").agg(F.count("*").alias("c"))
         stats = comp.agg(

@@ -461,9 +461,9 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("v"), F.col("embedding").alias("eb"))
     dist = F.round(
         F.sqrt(
-            vectors.dot(F.col("ea"), F.col("ea"))
-            - 2 * vectors.dot(F.col("ea"), F.col("eb"))
-            + vectors.dot(F.col("eb"), F.col("eb"))
+            vectors.dot("ea", "ea")
+            - 2 * vectors.dot("ea", "eb")
+            + vectors.dot("eb", "eb")
         ),
         6,
     )

@@ -518,7 +518,7 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             "v",
             F.round(
-                vectors.cosine(F.col("ea"), F.col("eb")), 6
+                vectors.cosine("ea", "eb"), 6
             ).alias("sim"),
         )
     )

@@ -438,7 +438,7 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     s = h.select(
-        "doc_id", hashing.minhash_signature(F.col("hs")).alias("sig")
+        "doc_id", hashing.minhash_signature("hs").alias("sig")
     ).localCheckpoint(eager=True)
 
     def config_row(bands: int, rows: int) -> DataFrame:

@@ -243,8 +243,8 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(F.col("vec_id") >= 50)
     cos_r = F.round(
-        vectors.dot(F.col("emb"), F.col("bemb"))
-        / (vectors.norm(F.col("emb")) * vectors.norm(F.col("bemb"))),
+        vectors.dot("emb", "bemb")
+        / (vectors.norm("emb") * vectors.norm("bemb")),
         6,
     )
     scored = corpus.crossJoin(F.broadcast(bench)).select(
@@ -463,7 +463,9 @@ def q_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: trigrams stay (doc_id, gram)-keyed — the shuffle is
     partitioned by doc, never global; one count + one per-doc fold."""
-    d = load(spark, sf_dir, "documents")
+    # the per-doc trigram build + explode is the cost; fan out the
+    # single-split scan (guide §2.6)
+    d = load(spark, sf_dir, "documents").repartition(default_parallelism())
     tk = F.filter(F.split("text", " "), lambda t: t != "")
     n = F.size(tk)
     grams = F.when(
@@ -670,6 +672,11 @@ def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws("|", F.col("lbl").cast("string"), "nsig")
                 ).alias("lbl"),
             )
+            # each round references the previous labels twice (neighbor
+            # relabel + own-label join), so unmaterialized lineage
+            # re-evaluates the shared prefix exponentially in rounds;
+            # the frame is vertex-sized (guide §2.4)
+            .localCheckpoint(eager=True)
         )
     out = labels.groupBy(F.col("lbl").alias("color")).agg(
         F.count("*").cast("long").alias("n_vertices")
@@ -1493,6 +1500,10 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
             ).alias("lbl")
         )
+    # labels feeds BOTH edge endpoints below; without a cut the whole
+    # 3-round LPA lineage is evaluated twice (guide §2.4 — duplicated
+    # subtrees). The label table is vertex-sized, so the cut is cheap.
+    labels = labels.localCheckpoint(eager=True)
     la = labels.select(F.col("a").alias("ea"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("a").alias("eb"), F.col("lbl").alias("lb"))
     edges = sym.join(la, sym.a == la.ea).join(lb, sym.b == lb.eb)

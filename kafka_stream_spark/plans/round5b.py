@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import token_hash, token_hash_sql
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round4o import _ERF_SQL
@@ -486,8 +487,12 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-sized sort; P is a constant (99), so the whole test is
     O(P·n) with perfect parallelism across permutations."""
     ev = load(spark, sf_dir, "events")
-    base = ev.filter(F.col("event_type").isin("purchase", "view")).select(
-        "event_id", "event_type", F.round("value", 6).alias("v")
+    # the P-fold explode + per-row md5 below (P·n hashes) is the cost
+    # and would otherwise run on the single scan split (guide §2.6)
+    base = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "event_type", F.round("value", 6).alias("v"))
+        .repartition(default_parallelism())
     )
     sz = base.agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(

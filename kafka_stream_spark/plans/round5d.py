@@ -772,9 +772,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_id",
                 "n_id",
                 F.round(
-                    vectors.cosine(
-                        F.slice("qe", 1, d), F.slice("ce", 1, d)
-                    ),
+                    vectors.cosine(f"slice(qe, 1, {d})", f"slice(ce, 1, {d})"),
                     6,
                 ).alias("score"),
             )

@@ -158,7 +158,7 @@ def q_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("q_id").orderBy(
                 F.desc(
-                    F.round(vectors.cosine(F.col("qe"), F.col("ce")), 6)
+                    F.round(vectors.cosine("qe", "ce"), 6)
                 ),
                 "n_id",
             )
@@ -178,7 +178,7 @@ def q_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("q_id").orderBy(
                     F.desc(
                         F.round(
-                            vectors.cosine(F.col("qe"), F.col("ce")), 6
+                            vectors.cosine("qe", "ce"), 6
                         )
                     ),
                     "n_id",
@@ -372,7 +372,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("q_id").orderBy(
                     F.desc(
                         F.round(
-                            vectors.cosine(F.col("qe"), F.col("ce")), 6
+                            vectors.cosine("qe", "ce"), 6
                         )
                     ),
                     "n_id",

@@ -574,7 +574,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.round(
-                1 - vectors.cosine(F.col("embedding"), F.col("se")), 6
+                1 - vectors.cosine("embedding", "se"), 6
             ).alias("mind"),
         )
         .localCheckpoint(eager=True)
@@ -597,7 +597,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("mind"),
                     F.round(
                         1
-                        - vectors.cosine(F.col("embedding"), F.col("pe")),
+                        - vectors.cosine("embedding", "pe"),
                         6,
                     ),
                 ).alias("mind"),

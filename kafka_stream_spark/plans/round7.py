@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text, vectors
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round6 import _DAILY_SQL
@@ -83,43 +84,51 @@ def _merge_best(pr: DataFrame, best: DataFrame) -> DataFrame:
     'aaa'); within each maximal run of consecutive matched positions
     the even offsets win — exactly greedy scan order, and exactly what
     the oracle's window-function replay computes."""
-    wnd = Window.partitionBy("w").orderBy("pos")
-    j = pr.crossJoin(F.broadcast(best)).withColumn(
-        "m",
-        F.col("nsym").isNotNull()
-        & (F.col("sym") == F.col("bl"))
-        & (F.col("nsym") == F.col("br")),
+    # selectExpr STRINGS instead of per-op Column construction: this
+    # helper is built once per merge round by every BPE-family key, and
+    # its ~30 Column ops cost ~0.2 s of py4j round-trips per round on
+    # this driver (guide §7.3) — the expressions (and the executed
+    # plan) are identical to the old withColumn chain
+    j = (
+        pr.crossJoin(F.broadcast(best))
+        .selectExpr(
+            "*", "(nsym IS NOT NULL AND sym = bl AND nsym = br) AS m"
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN m THEN pos - row_number()"
+            " OVER (PARTITION BY w, m ORDER BY pos) END AS grp",
+        )
+        .selectExpr(
+            "*",
+            "(m AND (row_number() OVER (PARTITION BY w, grp ORDER BY pos)"
+            " - 1) % 2 = 0) AS sel",
+        )
+        .selectExpr(
+            "*",
+            "coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos), false)"
+            " AS psel",
+        )
     )
-    wm = Window.partitionBy("w", "m").orderBy("pos")
-    j = j.withColumn(
-        "grp", F.when(F.col("m"), F.col("pos") - F.row_number().over(wm))
-    )
-    wg = Window.partitionBy("w", "grp").orderBy("pos")
-    j = j.withColumn(
-        "sel", F.col("m") & (((F.row_number().over(wg) - 1) % 2) == 0)
-    )
-    j = j.withColumn("psel", F.coalesce(F.lag("sel").over(wnd), F.lit(False)))
-    kept = j.filter(~F.col("psel")).select(
+    kept = j.filter("NOT psel").selectExpr(
         "w",
         "freq",
         "pos",
-        F.when(F.col("sel"), F.concat("sym", "nsym"))
-        .otherwise(F.col("sym"))
-        .alias("sym"),
+        "CASE WHEN sel THEN concat(sym, nsym) ELSE sym END AS sym",
     )
-    return kept.select(
+    return kept.selectExpr(
         "w",
         "freq",
-        (F.row_number().over(Window.partitionBy("w").orderBy("pos")) - 1)
-        .cast("int")
-        .alias("pos"),
+        "CAST(row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS INT)"
+        " AS pos",
         "sym",
     )
 
 
 def _pair_rows(cur: DataFrame) -> DataFrame:
-    wnd = Window.partitionBy("w").orderBy("pos")
-    return cur.withColumn("nsym", F.lead("sym").over(wnd))
+    return cur.selectExpr(
+        "*", "lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym"
+    )
 
 
 def _bpe_round(cur: DataFrame, rank: int) -> tuple[DataFrame, DataFrame]:
@@ -694,7 +703,7 @@ def q_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "n_id")
     ex = qs.crossJoin(corpus).filter(F.col("n_id") != F.col("q_id"))
     ex = ex.withColumn(
-        "score", F.round(vectors.cosine(F.col("q_emb"), F.col("emb")), 6)
+        "score", F.round(vectors.cosine("q_emb", "emb"), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
     exact = (
@@ -838,13 +847,21 @@ def _uni_words_ptab(
 ) -> tuple[DataFrame, DataFrame]:
     """(word-type table, initial piece-probability table) for the
     unigram-LM family — char coverage + top-V substrings, p = freq/total."""
-    d = load(spark, sf_dir, "documents")
+    from ..session import default_parallelism
+
+    # fan out the single-split scan for the tokenize+explode, and
+    # materialize the word-type table: it feeds the DP seed, the
+    # substring-occurrence explode AND the final freq joins — without
+    # the cut each reference re-runs the corpus tokenization (guide
+    # §2.4/§2.6)
+    d = load(spark, sf_dir, "documents").repartition(default_parallelism())
     words = (
         d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
         .filter(F.length("w") <= SEG_MAXLEN)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .withColumn("len", F.length("w"))
+        .localCheckpoint(eager=True)
     )
     occ = (
         words.select(
@@ -1155,7 +1172,15 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps and estimate bc up to a known bound. On this dense bipartite
     graph depth 3 covers the reachable set. δ sums are doubles (σ
     ratios); they round to 6 only at the output."""
-    sym = _edges(spark, sf_dir).persist()
+    # hash-partition the edge table by its join key ONCE: every forward
+    # superstep and every backward-pass join probes sym on `a`, so the
+    # persisted partitioning lets all 6+ joins reuse one exchange
+    # instead of re-shuffling the edge table per level (guide §2.4)
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "a")
+        .persist()
+    )
     srcs = (
         sym.select(F.col("a").alias("src"))
         .filter(((F.col("src") / 2) % BC_EVERY == 1) & (F.col("src") % 2 == 0))

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round7 import _bpe_round, _merge_best, _pair_rows
@@ -896,36 +897,42 @@ def q_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x", F.lit(0.0))
         .withColumn("p", F.lit(_KF_P0))
     )
+    # per-step expressions as selectExpr STRINGS (2 py4j calls per step
+    # instead of ~20 Column constructions — driver-side plan building
+    # dominated this key's bench time, guide §7.3); arithmetic and
+    # rounding are character-identical to the old Column form
+    # D suffixes pin the literals to DOUBLE (a bare 5.0 parses as
+    # DECIMAL in Spark SQL) so the arithmetic is the same double chain
+    # the Column form produced
+    k_sql = f"round((p + {_KF_Q}D) / (p + {_KF_Q}D + {_KF_R}D), 8) AS k"
+    x2_sql = "round(x + k * (y - x), 6) AS x2"
+    p2_sql = f"round((1 - k) * (p + {_KF_Q}D), 8) AS p2"
     outs = []
     for t in range(1, n_steps + 1):
         obs = daily.filter(F.col("rnk") == t).select("event_type", "d", "y")
-        st = state.join(obs, "event_type")
-        k = F.round(
-            (F.col("p") + _KF_Q) / (F.col("p") + _KF_Q + _KF_R), 8
-        )
-        st = st.withColumn("k", k)
-        st = st.withColumn(
-            "x2",
-            F.round(
-                F.col("x") + F.col("k") * (F.col("y") - F.col("x")), 6
-            ),
-        ).withColumn(
-            "p2",
-            F.round((1 - F.col("k")) * (F.col("p") + _KF_Q), 8),
+        st = (
+            state.join(obs, "event_type")
+            .selectExpr("event_type", "d", "y", "x", "p", k_sql)
+            .selectExpr("event_type", "d", "y", "k", x2_sql, p2_sql)
         )
         outs.append(
-            st.select(
+            st.selectExpr(
                 "event_type",
                 "d",
                 "y",
-                F.col("k").alias("k_gain"),
-                F.col("x2").alias("x_hat"),
-                F.col("p2").alias("p_var"),
+                "k AS k_gain",
+                "x2 AS x_hat",
+                "p2 AS p_var",
             )
         )
-        state = st.select(
-            "event_type", F.col("x2").alias("x"), F.col("p2").alias("p")
-        ).localCheckpoint(eager=True)
+        state = st.selectExpr("event_type", "x2 AS x", "p2 AS p")
+        # cut lineage every few steps, not every step: the state frame
+        # is one row per key, so the per-step eager checkpoint was one
+        # Spark job per DAY of series — pure job-launch overhead (this
+        # key is the documented unrolled twin of q_kalman_1d_grouped;
+        # the arithmetic is unchanged, only the barrier cadence)
+        if t % 6 == 0:
+            state = state.localCheckpoint(eager=True)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

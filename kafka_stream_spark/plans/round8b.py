@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import hashing, text, vectors
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 
@@ -556,7 +557,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at winnowed density, and the pair count is a groupBy. This
     is the same banded-candidate discipline as MinHash-LSH with a
     locality guarantee instead of a probabilistic one."""
-    d = load(spark, sf_dir, "documents")
+    # the per-position hash + w-slice folds below are the query's whole
+    # cost and run row-at-a-time over a single-split scan — fan out so
+    # every core folds its share (guide §2.6; same idiom as llm_ext._docs)
+    d = load(spark, sf_dir, "documents").repartition(default_parallelism())
     arr = F.transform(
         F.sequence(F.lit(1), F.length("text") - (_WINNOW_K - 1)),
         lambda p: F.struct(
@@ -944,7 +948,7 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "x_id",
             "y_id",
-            F.round(vectors.cosine(F.col("xe"), F.col("ye")), 10).alias(
+            F.round(vectors.cosine("xe", "ye"), 10).alias(
                 "c"
             ),
         )
@@ -1255,6 +1259,10 @@ def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d", "t2")
         .agg(F.count("*").cast("double").alias("v"))
+        # checkpoint BEFORE docs_/terms_ derive from it, so the factor
+        # inits and every round read the materialized sparse V instead
+        # of re-tokenizing the corpus (guide §2.4)
+        .localCheckpoint(eager=True)
     )
     docs_ = v.select("d").distinct()
     terms_ = v.select("t2").distinct()
@@ -1264,21 +1272,33 @@ def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pre), a.cast("string"), F.lit("|"), b.cast("string")
         )
     )
-    w = docs_.crossJoin(topics_).select(
-        "d",
-        "k",
-        F.round(
-            0.1 + (hkey("w|", F.col("d"), F.col("k")) % 1000) / 1000.0, 10
-        ).alias("w"),
+    # init factors checkpointed like the per-round updates: round 1
+    # references w four times (numh, both wtw sides, denw) and h three
+    # times, each re-running the distinct+hash init pass (guide §2.4)
+    w = (
+        docs_.crossJoin(topics_)
+        .select(
+            "d",
+            "k",
+            F.round(
+                0.1 + (hkey("w|", F.col("d"), F.col("k")) % 1000) / 1000.0,
+                10,
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
     )
-    h = topics_.crossJoin(terms_).select(
-        "k",
-        "t2",
-        F.round(
-            0.1 + (hkey("h|", F.col("k"), F.col("t2")) % 1000) / 1000.0, 10
-        ).alias("h"),
+    h = (
+        topics_.crossJoin(terms_)
+        .select(
+            "k",
+            "t2",
+            F.round(
+                0.1 + (hkey("h|", F.col("k"), F.col("t2")) % 1000) / 1000.0,
+                10,
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
-    v = v.localCheckpoint(eager=True)
     for _ in range(_NMF_R):
         numh = (
             w.join(v, "d")

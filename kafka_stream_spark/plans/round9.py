@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ann as _ann
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 from .round8 import _KALMAN_ORACLE, _KF_P0, _KF_Q, _KF_R
@@ -154,7 +155,7 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = corpus.join(
         F.broadcast(cent), F.col("side") == F.col("c_side")
     ).withColumn(
-        "cscore", F.round(_vec.cosine(F.col("emb"), F.col("c_emb")), 6)
+        "cscore", F.round(_vec.cosine("emb", "c_emb"), 6)
     )
     w_assign = W.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
     assigned = (
@@ -170,7 +171,7 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = queries.join(
         F.broadcast(cent), F.col("q_side") != F.col("c_side")
     ).withColumn(
-        "cscore", F.round(_vec.cosine(F.col("q_emb"), F.col("c_emb")), 6)
+        "cscore", F.round(_vec.cosine("q_emb", "c_emb"), 6)
     )
     w_probe = W.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
     probes = (
@@ -182,7 +183,7 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id") != F.col("n_id")
     )
     scored = candj.withColumn(
-        "score", F.round(_vec.cosine(F.col("q_emb"), F.col("emb")), 6)
+        "score", F.round(_vec.cosine("q_emb", "emb"), 6)
     )
     w_top = W.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
     t_all = (
@@ -815,12 +816,20 @@ def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (lang, gram) shuffle per order — word-count shaped;
     count(DISTINCT) over 16-byte-ish grams, never texts."""
-    d = load(spark, sf_dir, "documents")
+    # tokenize once (checkpointed, parallel) — the three n-gram orders
+    # below each re-ran the corpus tokenization over the single-split
+    # scan (guide §2.4/§2.6)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(default_parallelism())
+        .select("lang", _text.tokens(F.col("text")).alias("t"))
+        .localCheckpoint(eager=True)
+    )
     outs = []
     for n in (1, 2, 3):
-        grams = d.select(
+        grams = toks.select(
             "lang",
-            F.explode(_ngrams(_text.tokens(F.col("text")), n)).alias("g"),
+            F.explode(_ngrams(F.col("t"), n)).alias("g"),
         )
         outs.append(
             grams.groupBy("lang").agg(
@@ -1895,31 +1904,23 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     supersteps are a constant; frontier state is one int per node.
     The oracle unrolls all supersteps (MATERIALIZED — each d_t is
     referenced twice)."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "a"
-            ),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "b"
-            ),
-        )
-        .distinct()
-    )
-    sym = (
-        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # integer vertex keys (supplier k → 2k, customer k → 2k+1 — the
+    # graph_ext._edges identity) instead of "s<k>"/"c<k>" strings: every
+    # superstep shuffles on the vertex key, and 8-byte longs hash and
+    # compare several times faster than strings (guide §2.3 narrower
+    # types; same graph, the output is hop-count grain so the key
+    # representation is internal). The two directed id spaces are
+    # disjoint, so the per-direction DISTINCT already makes the union
+    # symmetric-distinct.
+    from .graph_ext import _edges
+
+    sym = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     dist = nodes.select(
         "node",
         F.when(
-            F.col("node").startswith("s")
-            & (F.expr("CAST(substr(node, 2) AS BIGINT)") % _BFS_SEED_MOD == 1),
+            (F.col("node") % 2 == 0)
+            & (F.expr(f"(node div 2) % {_BFS_SEED_MOD}") == 1),
             0,
         ).alias("d"),
     ).localCheckpoint(eager=True)
@@ -2139,7 +2140,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "i",
             "j",
-            F.round(_vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("s"),
+            F.round(_vectors.cosine("ea", "eb"), 6).alias("s"),
         )
         .localCheckpoint(eager=True)
     )
@@ -2460,7 +2461,11 @@ def q_embedding_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a diagnostic; the production twin computes per-batch XᵀX
     partials in Arrow (one D×D matrix per batch, reduced on the
     driver), one pass, no explode."""
-    emb = load(spark, sf_dir, "embeddings")
+    # n·D² explode below is the cost; fan the single-split scan out so
+    # the explode + per-cell products run on every core (guide §2.6)
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        default_parallelism()
+    )
     n_df = emb.agg(F.count("*").alias("n"))
     ex1 = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -2471,9 +2476,12 @@ def q_embedding_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex2 = ex1.select(
         "i", "xi", F.posexplode(F.col("e")).alias("j", "xj")
     )
+    # per-dim means need only the FIRST explode (one xi per (row, i));
+    # the old ex2.filter(j == 0) form re-ran the full n·D² explode for
+    # the same multiset of addends (guide §1.2: don't compute what you
+    # throw away)
     mu = (
-        ex2.filter(F.col("j") == 0)
-        .groupBy("i")
+        ex1.groupBy("i")
         .agg(F.sum(F.round(F.col("xi"), 10)).alias("s"))
         .crossJoin(F.broadcast(n_df))
         .select("i", F.round(F.col("s") / F.col("n"), 10).alias("mu"))
@@ -3275,13 +3283,21 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("albl"),
     )
-    train = emb.filter(F.col("vec_id") % 25 != 0).select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("emb"),
-        F.col("label").alias("tlbl"),
+    train = (
+        emb.filter(F.col("vec_id") % 25 != 0)
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("emb"),
+            F.col("label").alias("tlbl"),
+        )
+        # the q·n cosine pass below is the query's whole cost; the
+        # single-split testdata scan would otherwise run it on one core
+        # (guide §2.6/§4 — spread CPU-heavy per-row work; same idiom as
+        # llm_ext._docs)
+        .repartition(default_parallelism())
     )
     ranked = (
-        anchors.crossJoin(train)
+        F.broadcast(anchors).crossJoin(train)
         .select(
             "q_id",
             "n_id",
@@ -3290,7 +3306,7 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
             .alias("d"),
             F.round(
-                _vectors.cosine(F.col("emb"), F.col("q_emb")), 6
+                _vectors.cosine("emb", "q_emb"), 6
             ).alias("c"),
         )
         .withColumn(

@@ -52,6 +52,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import text as _text
 from ..functions.hashing import token_hash, token_hash_sql
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 
@@ -246,10 +247,26 @@ def q_mbr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_candidates² per prompt, never corpus²; candidates-per-prompt is
     fixed by the sampler (n of best-of-n), so the pair count grows
     linearly in prompts. One shuffle on prompt_id, one window."""
-    cand = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
-        F.array_distinct(_text.tokens(F.col("text"))).alias("ts"),
+    # hash-partition by the prompt key FIRST (full width, user-pinned so
+    # AQE cannot coalesce), THEN tokenize and materialize: the group-
+    # local pair join below reuses the partitioning on both sides, so
+    # the n²-per-prompt array_intersect/union work — the query's whole
+    # cost — runs on every core and the tokenization happens once
+    # instead of twice (guide §2.4/§2.6)
+    cand = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+            "text",
+        )
+        .repartition(default_parallelism(), "prompt_id")
+        .select(
+            "doc_id",
+            "prompt_id",
+            F.array_distinct(_text.tokens(F.col("text"))).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = cand.alias("a")
     b = cand.select(
@@ -368,7 +385,11 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: gram tables are one explode + combinable groupBy (rows ≈
     total chars); scoring joins are keyed by (doc, n, gram) with one
     reference per prompt — linear in corpus size, no pairwise blowup."""
-    docs = load(spark, sf_dir, "documents")
+    # fan out the single-split scan: the char-gram explode (≈ corpus
+    # chars × 2 orders) is the dominant cost (guide §2.6)
+    docs = load(spark, sf_dir, "documents").repartition(
+        default_parallelism()
+    )
 
     def grams(n: int) -> DataFrame:
         # length >= n for EVERY n (including 1): sequence(0, length-n)
@@ -387,11 +408,15 @@ def q_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
 
+    # the gram-count table feeds three consumers (both overlap sides +
+    # totals); materialize it once instead of re-running the corpus
+    # char-gram explode per reference (guide §2.4)
     g = (
         grams(1)
         .unionAll(grams(2))
         .groupBy("doc_id", "n", "g")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = g.groupBy("doc_id", "n").agg(F.sum("c").alias("t"))
     refpick = docs.groupBy(
@@ -1607,7 +1632,14 @@ def q_gae_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     length is trajectory-bounded. |A| ≤ max|δ|/(1 − γλ) keeps the
     signed half-up numerator ~1e13 — int64-safe at any corpus size
     since the bound is per-episode, not per-corpus."""
-    e = load(spark, sf_dir, "events")
+    # hash-repartition by the episode key so the window AND the Python
+    # fold below inherit a full-width partitioning (one exchange, no AQE
+    # coalesce): the per-episode pandas folds are the cost and would
+    # otherwise serialize onto the 1-2 post-shuffle partitions AQE
+    # leaves for this data volume (guide §2.6, §4)
+    e = load(spark, sf_dir, "events").repartition(
+        default_parallelism(), "user_id"
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     steps = e.select(
         "user_id",
@@ -1775,15 +1807,27 @@ def q_infonce_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the pair join is batch-local (B² per batch, linear in
     batches); one window + two combinable groupBys."""
-    m = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("e"),
-        F.expr(f"vec_id div {_NCE_B}").alias("bid"),
+    # pin the batch-key partitioning at full width so the B²-per-batch
+    # cosine projection (fused into the self-join stage) runs on every
+    # core instead of the 1-2 partitions AQE would coalesce this tiny
+    # shuffle to (guide §2.6); both join sides project off the same
+    # exchange, which ReuseExchange computes once
+    m = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").alias("e"),
+            F.expr(f"vec_id div {_NCE_B}").alias("bid"),
+        )
+        .repartition(default_parallelism(), "bid")
     )
     a = m.select("bid", F.col("vec_id").alias("i"), F.col("label").alias("la"), F.col("e").alias("ea"))
     b = m.select("bid", F.col("vec_id").alias("j"), F.col("label").alias("lb"), F.col("e").alias("eb"))
-    cos = _vec.cosine(F.col("ea"), F.col("eb"))
+    cos = _vec.cosine("ea", "eb")
+    # pr feeds both the denominator aggregate and the positive pick;
+    # materialize the scored pairs once so the cosine/exp pass is not
+    # evaluated twice (guide §2.4)
     pr = (
         a.join(b, "bid")
         .filter(F.col("i") != F.col("j"))
@@ -1795,6 +1839,7 @@ def q_infonce_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_NCE_NANO * F.exp(cos / _NCE_TAU)).cast("long").alias("q9"),
             F.round(_NCE_NANO * cos).cast("long").alias("s9"),
         )
+        .localCheckpoint(eager=True)
     )
     den = pr.groupBy("bid", "i").agg(F.sum("q9").alias("d9"))
     wp = W.partitionBy("bid", "i").orderBy("j")
@@ -2248,8 +2293,18 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     topics = _nmf(spark, sf_dir).select("doc_id", "topic")
     docs = load(spark, sf_dir, "documents")
-    pres = docs.select(
-        "doc_id", F.explode(F.array_distinct(_text.tokens(F.col("text")))).alias("w")
+    # pres (the distinct-token explode) feeds THREE consumers (tw, dfw,
+    # presc) and would re-tokenize the corpus per reference; fan the
+    # single-split scan out and materialize once (guide §2.4/§2.6)
+    pres = (
+        docs.repartition(default_parallelism())
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_text.tokens(F.col("text")))).alias(
+                "w"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     nd = docs.count()
     tw = (
@@ -2258,10 +2313,15 @@ def q_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     wtop = W.partitionBy("topic").orderBy(F.desc("cnt"), "w")
+    # topw is referenced three times (both pair sides + the candidate
+    # set); un-materialized, each reference re-runs the ENTIRE NMF
+    # topic assignment feeding tw (guide §2.4) — the frame is
+    # n_topics × 10 rows, so the checkpoint is microscopic
     topw = (
         tw.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= _TC_TOPW)
         .select("topic", "w")
+        .localCheckpoint(eager=True)
     )
     pairs = (
         topw.alias("a")
@@ -2417,10 +2477,18 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: gram tables are combinable groupBys; the pair join is
     group-local (sampler's n² per prompt, linear in prompts) and the
     overlap join is keyed by (doc, n, gram)."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
-        _text.tokens(F.col("text")).alias("t"),
+    # fan the single-split scan out and materialize the token arrays
+    # once — toks feeds the gram tables, the length table and both pair
+    # sides (guide §2.4/§2.6)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(default_parallelism())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+            _text.tokens(F.col("text")).alias("t"),
+        )
+        .localCheckpoint(eager=True)
     )
     uni = toks.select("doc_id", F.lit(1).alias("n"), F.explode("t").alias("g"))
     bi = toks.filter(F.size("t") >= 2).select(
@@ -2435,10 +2503,14 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # gram table with the prompt key attached once, materialized: it is
+    # both sides of the overlap self-join AND the per-doc totals
     grams = (
         uni.unionAll(bi)
         .groupBy("doc_id", "n", "g")
         .agg(F.count("*").cast("long").alias("c"))
+        .join(toks.select("doc_id", "prompt_id"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     tot = grams.groupBy("doc_id", "n").agg(F.sum("c").alias("tc"))
     lens = toks.select("doc_id", F.size("t").cast("long").alias("lw"))
@@ -2450,14 +2522,28 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ci") != F.col("ri"))
     )
+    # overlap via the gram-keyed SELF-JOIN, not pairs × grams: joining on
+    # (prompt, n, g) first shuffles Σ df² gram-match rows (~5M at sf0.1)
+    # instead of fanning every ordered pair out by its full gram list
+    # (~25M) before the (ri, n, g) probe — guide §3 (reduce the join's
+    # input, join on the selective key first). Row set is identical:
+    # exactly the ordered same-prompt pairs sharing ≥1 gram, summed over
+    # shared grams with least(cc, cr).
     ov = (
-        pairs.join(
-            grams.select(F.col("doc_id").alias("ci"), "n", "g", F.col("c").alias("cc")),
-            "ci",
+        grams.select(
+            "prompt_id", F.col("doc_id").alias("ci"), "n", "g",
+            F.col("c").alias("cc"),
         )
         .join(
-            grams.select(F.col("doc_id").alias("ri"), "n", "g", F.col("c").alias("cr")),
-            ["ri", "n", "g"],
+            grams.select(
+                F.col("prompt_id").alias("rp"),
+                F.col("doc_id").alias("ri"), F.col("n").alias("rn_"),
+                F.col("g").alias("rg"), F.col("c").alias("cr"),
+            ),
+            (F.col("prompt_id") == F.col("rp"))
+            & (F.col("n") == F.col("rn_"))
+            & (F.col("g") == F.col("rg"))
+            & (F.col("ci") != F.col("ri")),
         )
         .groupBy("ci", "ri", "n")
         .agg(F.sum(F.least("cc", "cr")).alias("ov"))
@@ -2627,7 +2713,18 @@ def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph_ext import _edges
 
     sym = _edges(spark, sf_dir).persist()
-    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    # deg and each iteration's neighbor-sum s are the only frames whose
+    # computation touches the (large) edge table; both are vertex-sized.
+    # Eagerly materializing them means every downstream reference — the
+    # two scalar-aggregate broadcasts (m, mx) nest the same subtree —
+    # re-reads ~|V| rows instead of re-running the |E|-row join+aggregate
+    # (guide §2.4/§5: the m/mx BroadcastExchanges otherwise each
+    # re-evaluate the sym⋈x join, tripling the per-iteration edge work).
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     x = deg.select(
         "a",
         F.when(F.expr("(a div 2) % 2 = 0"), F.lit(_SP_MICRO))
@@ -2648,6 +2745,7 @@ def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(x.select(F.col("a").alias("b"), "x"), "b")
             .groupBy("a")
             .agg(F.sum("x").alias("s"))
+            .localCheckpoint(eager=True)
         )
         n = (
             deg.join(x, "a")

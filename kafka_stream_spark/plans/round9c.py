@@ -470,6 +470,11 @@ def embedding_drift_from_counts(cnt: DataFrame) -> DataFrame:
     """(proj, bin, half, c) dense cell counts → the q_embedding_drift
     output shape — shared by the batch query's tail and the streaming
     drift store (streaming/pipeline.run_streaming_embedding_drift)."""
+    # cnt is referenced FOUR times below (both halves of the bin join +
+    # both halves of the totals); un-materialized, each reference
+    # re-runs the full upstream projection pass (guide §2.4). The frame
+    # is nproj×nbins×2 cells — the checkpoint is microscopic.
+    cnt = cnt.localCheckpoint(eager=True)
     tot = cnt.groupBy("proj", "half").agg(F.sum("c").alias("n"))
     r = (
         cnt.filter(F.col("half") == 0)
@@ -516,21 +521,33 @@ def embedding_drift_from_counts(cnt: DataFrame) -> DataFrame:
 def embedding_bin_counts(emb: DataFrame) -> DataFrame:
     """Embeddings → dense (proj, bin, half, c) cells (zero-filled) —
     the additive partial the drift store folds per micro-batch."""
-    rows = []
-    for p in range(_ED_NPROJ):
-        z = None
-        for i in range(_ED_DIM):
-            s = token_hash(F.lit(f"{p}|{i}")) % 2 == 0
-            term = F.when(s, F.lit(1)).otherwise(F.lit(-1)) * F.round(
-                1000000 * F.element_at("embedding", i + 1).cast("double")
-            ).cast("long")
-            z = term if z is None else z + term
-        rows.append(
-            emb.select("vec_id", F.lit(p).alias("proj"), z.alias("z"))
+    # all projections in ONE pass (the old per-projection union re-read
+    # the source once per projection), with each z built as ONE SQL
+    # string: the ±1 signs are md5-of-literal constants, so they are
+    # folded here in Python (hashlib md5 ≡ token_hash on literals —
+    # int(md5[:15], 16) % 2) instead of as ~256 Column objects whose
+    # py4j construction round-trips cost ~8 s PER INVOCATION — the
+    # query's entire former cost was driver-side plan building, not
+    # execution (guide §1.2/§2.4; same fix class as q_ams_f2).
+    import hashlib
+
+    def _sign(p: int, i: int) -> int:
+        h = int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    def _z_sql(p: int) -> str:
+        return " + ".join(
+            f"({_sign(p, i)}) * CAST(round(1000000 * "
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)) AS BIGINT)"
+            for i in range(_ED_DIM)
         )
-    zdf = rows[0]
-    for r in rows[1:]:
-        zdf = zdf.unionAll(r)
+
+    zdf = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_z_sql(p)) for p in range(_ED_NPROJ)])
+        ).alias("proj", "z"),
+    )
     binned = zdf.select(
         "proj",
         (F.col("vec_id") % 2).alias("half"),

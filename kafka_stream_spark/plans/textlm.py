@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 
@@ -487,8 +488,13 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence counts shuffle on the (w1, w2) pair key with map-side
     combine, the doc-count scalar broadcasts, and the final top-K is a
     bounded single-stage TakeOrdered."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", text.tokens(F.col("text")).alias("ts")
+    # fan out the single-split scan for the tokenize + bigram explode
+    # (guide §2.6); the distinct doc-bigram table below feeds THREE
+    # consumers (doc count, df band, pair join) and is materialized once
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(default_parallelism())
+        .select("doc_id", text.tokens(F.col("text")).alias("ts"))
     )
     ts = F.col("ts")
     bigrams = F.when(

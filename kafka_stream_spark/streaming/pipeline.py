@@ -808,10 +808,10 @@ def near_dedup_batch_fn(store_dir: str, out_dir: str):
                 ).alias("hs"),
             )
         )
-        s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        s = h.withColumn("sig", hashing.minhash_signature("hs"))
         bands = s.select(
             "doc_id",
-            F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"),
+            F.explode(hashing.band_keys("sig")).alias("band_key"),
             "hs",
         ).localCheckpoint(eager=True)
         prior = store_read(sess, store_dir, exclude_batch_id=batch_id)
@@ -1219,7 +1219,7 @@ def semantic_dedup_batch_fn(
                 "vec_id",
                 "cid",
                 "emb",
-                vectors.norm(F.col("emb")).alias("nrm"),
+                vectors.norm("emb").alias("nrm"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1240,7 +1240,7 @@ def semantic_dedup_batch_fn(
         # try_divide: zero-norm embeddings yield NULL (fails the >= tau
         # test) instead of an ANSI divide-by-zero error.
         cos = F.try_divide(
-            vectors.dot(F.col("a_emb"), F.col("b_emb")),
+            vectors.dot("a_emb", "b_emb"),
             F.col("a_nrm") * F.col("b_nrm"),
         )
         dups = (
@@ -1722,13 +1722,13 @@ def semantic_dedup_routed_batch_fn(
             "vec_id",
             F.col("cid").alias("cell"),
             "emb",
-            vectors.norm(F.col("emb")).alias("nrm"),
+            vectors.norm("emb").alias("nrm"),
         )
         probes = ranked.select(
             F.col("vec_id").alias("b_id"),
             F.col("cid").alias("cell"),
             F.col("emb").alias("b_emb"),
-            vectors.norm(F.col("emb")).alias("b_nrm"),
+            vectors.norm("emb").alias("b_nrm"),
         )
         prior = store_read(sess, store_dir, exclude_batch_id=batch_id)
         members = (
@@ -1741,7 +1741,7 @@ def semantic_dedup_routed_batch_fn(
             F.col("nrm").alias("a_nrm"),
         )
         cos = F.try_divide(
-            vectors.dot(F.col("a_emb"), F.col("b_emb")),
+            vectors.dot("a_emb", "b_emb"),
             F.col("a_nrm") * F.col("b_nrm"),
         )
         dups = (
@@ -3418,10 +3418,10 @@ def dedup_clusters_batch_fn(sig_store_dir: str, label_store_dir: str):
                 ).alias("hs"),
             )
         )
-        s = h.withColumn("sig", hashing.minhash_signature(F.col("hs")))
+        s = h.withColumn("sig", hashing.minhash_signature("hs"))
         bands = s.select(
             "doc_id",
-            F.explode(hashing.band_keys(F.col("sig"))).alias("band_key"),
+            F.explode(hashing.band_keys("sig")).alias("band_key"),
             "hs",
         ).localCheckpoint(eager=True)
         prior = store_read(sess, sig_store_dir, exclude_batch_id=batch_id)
