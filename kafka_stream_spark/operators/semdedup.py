@@ -137,18 +137,31 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=True)
     )
+    # SALT the cluster-keyed pair join (guide §2.5): the join key has
+    # only k distinct values, so the O(sum c_i^2) cosine stage — the
+    # query's whole cost — would run on at most k tasks however many
+    # cores exist. A deterministic salt on the a-side (pmod of the id)
+    # with the b-side replicated nsalt ways spreads each cluster's
+    # pair block over k*nsalt tasks; the joined row set is identical.
+    from ..session import default_parallelism
+
+    nsalt = max(1, default_parallelism())
+    salts = members.sparkSession.range(nsalt).select(
+        F.col("id").cast("int").alias("slt")
+    )
     a = members.select(
         F.col("vec_id").alias("a_id"),
         "cid",
         F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
+        F.pmod(F.col("vec_id"), F.lit(nsalt)).cast("int").alias("a_slt"),
     )
     b = members.select(
         F.col("vec_id").alias("b_id"),
         F.col("cid").alias("b_cid"),
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
-    )
+    ).crossJoin(F.broadcast(salts))
     # try_divide: a zero-norm embedding yields NULL (filtered by the
     # >= tau comparison) instead of an ANSI divide-by-zero failure.
     cos = F.try_divide(
@@ -158,7 +171,9 @@ def semantic_dedup(
     dups = (
         a.join(
             b,
-            (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")),
+            (F.col("cid") == F.col("b_cid"))
+            & (F.col("a_slt") == F.col("slt"))
+            & (F.col("a_id") < F.col("b_id")),
         )
         .filter(F.round(cos, 6) >= F.lit(tau))
         .groupBy("b_id")

@@ -287,11 +287,15 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable — union-by-bucket-sum, how a 1000-executor cluster or a
     streaming rollup would maintain it), and driver-free estimation
     over the 128-row cumulative table."""
+    from ..session import default_parallelism
+
     li = load(spark, sf_dir, "lineitem")
+    # fan out the single-split scan: the min/max pass and the 128-ary
+    # histogram pass both fold the full fact table (guide §2.6)
     c = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
         "l_extendedprice",
-    )
+    ).repartition(default_parallelism())
     st = c.agg(
         F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("*").alias("n")
     )

@@ -479,7 +479,7 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_input = e.count()
-    outs = []
+    stat_rows = []
     cur = e
     for i in range(_KT_ROUNDS):
         e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
@@ -513,8 +513,17 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(sup, ["a", "b"])
             .localCheckpoint(eager=True)
         )
-        outs.append((i + 1, cur.count()))
-    return spark.createDataFrame(
-        [(r, n, n_input) for r, n in outs],
-        "round long, n_edges long, n_edges_input long",
-    ).orderBy("round")
+        # per-round counts stay DataFrames over the checkpointed edge
+        # list and fold into ONE final action instead of a driver
+        # count job per round (guide §1.2)
+        stat_rows.append(
+            cur.agg(F.count("*").cast("long").alias("n_edges")).select(
+                F.lit(i + 1).cast("long").alias("round"),
+                "n_edges",
+                F.lit(n_input).cast("long").alias("n_edges_input"),
+            )
+        )
+    out = stat_rows[0]
+    for s in stat_rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

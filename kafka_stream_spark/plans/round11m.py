@@ -102,15 +102,23 @@ def q_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: postings-linear; the lag partitions by (doc, term) —
     bounded, skew-free; everything else is count shuffles."""
-    d = load(spark, sf_dir, "documents")
+    # fan out the single-split scan (the tokenize+explode is the cost,
+    # guide §2.6) and tokenize ONCE per row — the old projection
+    # evaluated tokens(lower(text)) twice (generator + size)
+    from ..session import default_parallelism
+
+    d = load(spark, sf_dir, "documents").repartition(default_parallelism())
     post = (
         d.select(
             "doc_id",
             "lang",
-            F.posexplode(textfn.tokens(F.lower(F.col("text")))).alias(
-                "p0", "term"
-            ),
-            F.size(textfn.tokens(F.lower(F.col("text")))).alias("n"),
+            textfn.tokens(F.lower(F.col("text"))).alias("ts"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.col("ts")).alias("p0", "term"),
+            F.size(F.col("ts")).alias("n"),
         )
         .filter(F.col("n") >= _MATTR_W)
         .select("doc_id", "lang", "term", (F.col("p0") + 1).alias("pos"), "n")

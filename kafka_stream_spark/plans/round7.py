@@ -847,14 +847,15 @@ def _uni_words_ptab(
 ) -> tuple[DataFrame, DataFrame]:
     """(word-type table, initial piece-probability table) for the
     unigram-LM family — char coverage + top-V substrings, p = freq/total."""
-    from ..session import default_parallelism
-
-    # fan out the single-split scan for the tokenize+explode, and
     # materialize the word-type table: it feeds the DP seed, the
     # substring-occurrence explode AND the final freq joins — without
     # the cut each reference re-runs the corpus tokenization (guide
-    # §2.4/§2.6)
-    d = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    # §2.4). NO scan fan-out here: measured variants put checkpoint-only
+    # at 2.7 s vs 3.5 s with a repartition before the tokenize (the
+    # added exchange of raw documents costs more than the single-split
+    # tokenize it parallelizes — the groupBy shuffle already spreads
+    # the aggregation).
+    d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
         .filter(F.length("w") <= SEG_MAXLEN)
@@ -915,64 +916,79 @@ def _probs_from_counts(counts: DataFrame) -> DataFrame:
 def _viterbi_frames(
     words: DataFrame, ptab: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Position-unrolled Viterbi over the word-type table under ``ptab``.
-    Returns (fin, steps): fin = the i == len(w) rows (w, len, prob, np,
-    piece, j); steps = every stage's argmax row with its chosen piece
-    and predecessor position j — the backpointer table the EM E-step
-    walks."""
-    dp0 = words.select(
-        "w",
-        "len",
-        F.lit(0).alias("i"),
-        F.lit(1.0).alias("prob"),
-        F.lit(0).alias("np"),
-        F.lit("").alias("piece"),
-        F.lit(0).alias("j"),
-    ).localCheckpoint(eager=True)
-    recent = [dp0]  # only the last PIECE_MAX stages are reachable
-    finals, steps = [], []
-    for i in range(1, SEG_MAXLEN + 1):
-        prev = recent[0]
-        for s in recent[1:]:
-            prev = prev.unionByName(s)
-        prev = prev.filter(F.lit(i) <= F.col("len")).drop("piece", "j")
-        cand = prev.withColumn(
-            "piece",
-            F.col("w").substr(F.col("i") + 1, F.lit(i) - F.col("i")),
-        ).join(F.broadcast(ptab), "piece")
-        w_best = Window.partitionBy("w").orderBy(
-            (F.col("prob") * F.col("p")).desc(),
-            (F.col("np") + 1).asc(),
-            F.col("i").desc(),
-        )
-        # eager per-stage checkpoint: each stage is referenced by the
-        # next PIECE_MAX stages, so un-materialized lineage re-evaluates
-        # the shared prefix exponentially (measured 16 s → 64 s when
-        # thinned to every 4th stage); the materialized frame is
-        # word-type-sized, so the checkpoint is microscopic
-        stage = (
-            cand.withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select(
-                "w",
-                "len",
-                F.lit(i).alias("i"),
-                (F.col("prob") * F.col("p")).alias("prob"),
-                (F.col("np") + 1).alias("np"),
-                "piece",
-                F.col("i").alias("j"),
+    """Viterbi over the word-type table under ``ptab``. Returns
+    (fin, steps): fin = the i == len(w) rows (w, len, prob, np, piece,
+    j); steps = every stage's argmax row with its chosen piece and
+    predecessor position j — the backpointer table the EM E-step walks.
+
+    Implementation: one mapInPandas fold over the word-type table
+    (guide §4 — each word's DP is independent, so the per-stage
+    unrolled join/window plan's ~20 eager-checkpoint jobs collapse
+    into ONE pass; the probability table is vocabulary-bounded and
+    travels as a plain dict). The fold replays the former unrolled
+    plan EXACTLY: prob chains are the same left-to-right IEEE double
+    products (multiplication is correctly rounded, so Python == JVM
+    bit-for-bit), the stage winner maximizes (prob·p) with ties to
+    fewer pieces then the longer final piece (higher j), and stage i
+    draws only on the previous PIECE_MAX stage winners. The DuckDB
+    oracle replays the same recurrence and hash-gates every value."""
+    pvals = {r["piece"]: r["p"] for r in ptab.collect()}
+    maxlen, piece_max = SEG_MAXLEN, PIECE_MAX
+
+    def fold(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws, lens, iis, probs, nps, pieces, js = [], [], [], [], [], [], []
+            for w, ln in zip(pdf["w"], pdf["len"]):
+                ln = int(ln)
+                dp = {0: (1.0, 0)}
+                for i in range(1, min(ln, maxlen) + 1):
+                    best = None
+                    for j in range(max(0, i - piece_max), i):
+                        if j not in dp:
+                            continue
+                        p = pvals.get(w[j:i])
+                        if p is None:
+                            continue
+                        prob = dp[j][0] * p
+                        np_ = dp[j][1] + 1
+                        key = (prob, -np_, j)
+                        if best is None or key > best[0]:
+                            best = (key, prob, np_, j, w[j:i])
+                    if best is None:
+                        continue
+                    dp[i] = (best[1], best[2])
+                    ws.append(w)
+                    lens.append(ln)
+                    iis.append(i)
+                    probs.append(best[1])
+                    nps.append(best[2])
+                    pieces.append(best[4])
+                    js.append(best[3])
+            yield pd.DataFrame(
+                {
+                    "w": ws,
+                    "len": pd.Series(lens, dtype="int32"),
+                    "i": pd.Series(iis, dtype="int32"),
+                    "prob": pd.Series(probs, dtype="float64"),
+                    "np": pd.Series(nps, dtype="int32"),
+                    "piece": pieces,
+                    "j": pd.Series(js, dtype="int32"),
+                }
             )
-            .localCheckpoint(eager=True)
+
+    allsteps = (
+        words.select("w", "len")
+        .mapInPandas(
+            fold,
+            "w string, len int, i int, prob double, np int, piece string,"
+            " j int",
         )
-        finals.append(stage.filter(F.col("len") == i))
-        steps.append(stage)
-        recent = (recent + [stage])[-PIECE_MAX:]
-    fin = finals[0]
-    for f in finals[1:]:
-        fin = fin.unionByName(f)
-    allsteps = steps[0]
-    for s in steps[1:]:
-        allsteps = allsteps.unionByName(s)
+        .localCheckpoint(eager=True)  # fin + the EM backtrace reference
+        # it many times; one materialization, word-type-sized
+    )
+    fin = allsteps.filter(F.col("len") == F.col("i"))
     return fin, allsteps
 
 

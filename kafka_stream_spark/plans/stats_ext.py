@@ -620,7 +620,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 replicate means. The classic resample-n-rows bootstrap cannot
     run distributed without this trick; this is how big-data CIs are
     actually computed."""
-    e = load(spark, sf_dir, "events")
+    # the 32-replicate md5 expansion below is the query's whole cost
+    # and would otherwise run on the single scan split (guide §2.6)
+    from ..session import default_parallelism
+
+    e = load(spark, sf_dir, "events").repartition(default_parallelism())
     b = spark.range(0, 32).select(F.col("id").alias("b"))
     u = (
         F.conv(
