@@ -452,7 +452,16 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     liveness) + one count shuffle on the vertex key, shuffles sized to
     the edge count like the other iterative operators. Output: the
     surviving vertices with their in-core degree."""
-    sym = _edges(spark, sf_dir).persist()
+    # hash-partition by `a` once: half the peeling semi-joins (and the
+    # per-round degree counts) probe sym on `a` and reuse the persisted
+    # exchange (guide §2.4)
+    from ..session import default_parallelism
+
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "a")
+        .persist()
+    )
     parts = max(4, min(
         int(spark.conf.get("spark.sql.shuffle.partitions") or "32"),
         sym.count() // 50_000 + 1,

@@ -95,6 +95,10 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             e0.join(scores, key)
             .groupBy(out_key)
             .agg(F.sum(col).alias("s"))
+            # raw feeds the L1-total broadcast AND the normalized
+            # output: un-materialized, each half-step's edge⋈score join
+            # ran twice (guide §2.4); the frame is node-sized
+            .localCheckpoint(eager=True)
         )
         tot = raw.agg(F.sum("s").alias("t"))
         return raw.crossJoin(F.broadcast(tot)).select(

@@ -652,7 +652,15 @@ def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are a fixed constant. The md5-derived label hash is the
     engine's portable token_hash, so the DuckDB oracle replays the
     identical relabeling."""
-    sym = _edges(spark, sf_dir).persist()
+    # hash-partition by `b` once: both rounds' neighbor joins probe sym
+    # on `b` and reuse the persisted exchange (guide §2.4)
+    from ..session import default_parallelism
+
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "b")
+        .persist()
+    )
     labels = sym.groupBy("a").agg(F.count("*").alias("lbl"))
     for _ in range(2):
         neigh = sym.join(
@@ -1487,7 +1495,15 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the community labels join onto each edge endpoint (two
     vertex-keyed joins — the LPA rounds already paid them) and one
     (community)-keyed rollup; vol_all is a broadcast scalar."""
-    sym = _edges(spark, sf_dir).persist()
+    # hash-partition by `b` once: every LPA round's label join probes
+    # sym on `b` and reuses the persisted exchange (guide §2.4)
+    from ..session import default_parallelism
+
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "b")
+        .persist()
+    )
     labels = sym.select("a").distinct().withColumn("lbl", F.col("a"))
     for _ in range(3):
         counts = (

@@ -1215,33 +1215,40 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f[-1]
             .join(sym, f[-1]["v"] == sym["a"])
             .select("src", F.col("b").alias("v"), "sigma")
-            .join(visited, ["src", "v"], "left_anti")
+            # aggregate FIRST, anti-join the (visited-set) group-key
+            # filter on the collapsed frame: σ sums are exact integers
+            # and the filter is on the group key, so order is
+            # immaterial — but the old order shuffled the full
+            # frontier×edge expansion (~12M rows at the deepest level)
+            # through the anti-join before collapsing it (guide §2.3
+            # aggregate before you shuffle)
             .groupBy("src", "v")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(visited, ["src", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
         f.append(nxt)
 
-    # backward dependency accumulation, deepest level first
+    # backward dependency accumulation, deepest level first. Join
+    # order: the (deeper, smaller) n-side frontier joins the edge
+    # table on the partitioned key first, then the c-side frontier
+    # attaches by BROADCAST — the old order shuffled the full
+    # frontier×edge expansion by (src, b) to meet n (guide §3.1/§3.3).
+    # Per-pair contrib arithmetic is character-identical; only the
+    # execution order of the (unchanged) addend set moves, which the
+    # query's 6-dp-rounded output already tolerates (F.sum order is
+    # partitioning-dependent in any plan).
     deltas: dict[int, DataFrame] = {}
     for lvl in range(BC_DEPTH - 1, 0, -1):
         cur, nxt = f[lvl], f[lvl + 1]
-        succ = (
-            cur.alias("c")
-            .join(sym, F.col("c.v") == sym["a"])
-            .join(
-                nxt.alias("n"),
-                (F.col("n.src") == F.col("c.src"))
-                & (F.col("n.v") == F.col("b")),
-            )
-        )
+        n_side = nxt.alias("n")
         if lvl + 1 in deltas:
             dn = deltas[lvl + 1].select(
                 F.col("src").alias("dsrc"),
                 F.col("v").alias("dv"),
                 F.col("delta").alias("ddelta"),
             )
-            succ = succ.join(
+            n_side = n_side.join(
                 dn,
                 (F.col("dsrc") == F.col("n.src"))
                 & (F.col("dv") == F.col("n.v")),
@@ -1252,6 +1259,13 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) * (1 + F.coalesce(F.col("ddelta"), F.lit(0.0)))
         else:
             contrib = F.col("c.sigma").cast("double") / F.col("n.sigma")
+        # sym is symmetric, so "edges c→n" ≡ rows (a=n.v, b=c.v): the
+        # join below probes sym on its partitioned key `a`
+        succ = n_side.join(sym, F.col("n.v") == sym["a"]).join(
+            F.broadcast(cur.alias("c")),
+            (F.col("c.src") == F.col("n.src"))
+            & (F.col("c.v") == F.col("b")),
+        )
         deltas[lvl] = (
             succ.groupBy(F.col("c.src").alias("src"), F.col("c.v").alias("v"))
             .agg(F.sum(contrib).alias("delta"))

@@ -2709,7 +2709,15 @@ def q_spectral_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the PageRank shape; 5 iterations, no driver state."""
     from .graph_ext import _edges
 
-    sym = _edges(spark, sf_dir).persist()
+    # hash-partition the edge table by its probe key ONCE: the per-
+    # iteration neighbor-sum join and the final cut join both probe
+    # sym on `b`, so the persisted partitioning removes the edge-table
+    # exchange from every iteration (guide §2.4)
+    sym = (
+        _edges(spark, sf_dir)
+        .repartition(default_parallelism(), "b")
+        .persist()
+    )
     # deg and each iteration's neighbor-sum s are the only frames whose
     # computation touches the (large) edge table; both are vertex-sized.
     # Eagerly materializing them means every downstream reference — the

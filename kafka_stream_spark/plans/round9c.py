@@ -1000,11 +1000,21 @@ def q_self_bleu_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus-linear pair count; gram joins keyed by
     (doc, n, gram)."""
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
-        _text.tokens(F.col("text")).alias("t"),
-        token_hash(F.col("doc_id").cast("string")).alias("hid"),
+    # fan the single-split scan out and materialize the token arrays
+    # once — toks feeds the panel pick, both gram tables and the pair
+    # sides (guide §2.4/§2.6; the q_self_bleu fix applied to its twin)
+    from ..session import default_parallelism
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(default_parallelism())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _MBR_MOD).alias("prompt_id"),
+            _text.tokens(F.col("text")).alias("t"),
+            token_hash(F.col("doc_id").cast("string")).alias("hid"),
+        )
+        .localCheckpoint(eager=True)
     )
     wp = W.partitionBy("prompt_id").orderBy("hid", "doc_id")
     panel = (
