@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 # form produce the same Catalyst expression (same zip_with/aggregate
 # fold, same cast), so results are bit-identical; the differential
 # gate re-verifies every converted key.
+#
+# String inputs are spliced into parsed SQL, so they must be valid SQL
+# identifiers/expressions (a name needing backticks must be passed
+# pre-quoted or as a Column). Mixed Column/str calls coerce the string
+# side with F.expr (ADVICE r12).
 
 
 def _dot_spark_sql(a: str, b: str) -> str:
@@ -50,6 +55,10 @@ def _as_double(v: Column) -> Column:
 def dot(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(_dot_spark_sql(a, b))
+    # mixed Column/str (ADVICE r12): coerce the string side instead of
+    # crashing with an opaque AttributeError inside .cast
+    a = F.expr(a) if isinstance(a, str) else a
+    b = F.expr(b) if isinstance(b, str) else b
     prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -67,7 +76,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
             f"({_dot_spark_sql(a, b)} / "
             f"({_norm_spark_sql(a)} * {_norm_spark_sql(b)}))"
         )
+    a = F.expr(a) if isinstance(a, str) else a
+    b = F.expr(b) if isinstance(b, str) else b
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_spark_sql(a: str, b: str) -> str:
+    """The Spark-SQL text of ``cosine(a, b)`` for callers that embed it
+    inside a larger parsed expression (e.g. a higher-order-function
+    lambda, where the operands are lambda variables)."""
+    return (
+        f"({_dot_spark_sql(a, b)} / "
+        f"({_norm_spark_sql(a)} * {_norm_spark_sql(b)}))"
+    )
 
 
 # --- DuckDB twins (structurally identical folds) ---------------------------

@@ -52,6 +52,31 @@ def deterministic_centroids(
     )
 
 
+def _cent_array(centroids: DataFrame):
+    """Codebook folded to ONE array column (c_id, c_emb structs) for the
+    per-row assignment/probe expressions below — broadcast exactly like
+    the joined codebook was, same size constraint."""
+    return F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct("c_id", "c_emb")).alias("_cents")
+        )
+    )
+
+
+#: per-centroid (negated-score, c_id) struct inside a lambda over the
+#: folded codebook: struct ordering ASC == (rounded cosine DESC, c_id
+#: ASC), the exact window order the r12 form used.  nanvl maps a NaN
+#: cosine (0-norm vector, 0/0) to -Infinity so it still sorts FIRST —
+#: Spark's desc ordering treats NaN as largest, and negation alone
+#: would leave NaN sorting last instead.
+def _scored_struct_sql(vec_sql: str) -> str:
+    cos = vectors.cosine_spark_sql(vec_sql, "c.c_emb")
+    return (
+        f"struct(nanvl((-round({cos}, 6)), "
+        f"CAST('-Infinity' AS DOUBLE)) AS ns, c.c_id AS c_id)"
+    )
+
+
 def ivf_assign(
     corpus: DataFrame, centroids: DataFrame
 ) -> DataFrame:
@@ -65,20 +90,24 @@ def ivf_assign(
     # shuffle is paid once per corpus inside the persisted index build
     # (guide §2.6). Round-robin repartition does not affect the result:
     # assignment is a per-row argmax with rounded-score/c_id tie-breaks.
-    c_scored = (
-        corpus.repartition(default_parallelism())
-        .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "cscore",
-            F.round(vectors.cosine("emb", "c_emb"), 6),
-        )
-    )
-    w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    #
+    # Round 13 (guide §2.3/§2.4): the argmax itself is now a per-row
+    # array_min over the broadcast codebook folded to ONE array — the
+    # r12 form expanded every corpus row k_centroid ways and sorted the
+    # expansion through a (n_id)-keyed window exchange (~k·n rows with
+    # the embedding payload); this computes the same (rounded cosine
+    # DESC, c_id ASC) argmax inside the scan stage with NO exchange.
     return (
-        c_scored.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .drop("arn", "cscore", "c_emb")
-        .withColumnRenamed("c_id", "centroid_id")
+        corpus.repartition(default_parallelism())
+        .crossJoin(_cent_array(centroids))
+        .withColumn(
+            "centroid_id",
+            F.expr(
+                f"array_min(transform(_cents, "
+                f"c -> {_scored_struct_sql('emb')})).c_id"
+            ),
+        )
+        .drop("_cents")
     )
 
 
@@ -119,24 +148,32 @@ def ivf_search(
     # with both centroids and assigned supplied (the persisted-index
     # path, ivf_search_indexed), corpus may be None — it is never read
 
-    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine("q_emb", "c_emb"), 6)
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
+    # top-nprobe routing as a per-row expression over the folded
+    # codebook (round 13): array_sort's struct ordering reproduces the
+    # (rounded cosine DESC, c_id ASC) window order, so slice+explode
+    # yields the identical probe rows with NO window exchange.  The
+    # query side is fanned out FIRST — the per-row |centroids|·dim
+    # scoring would otherwise run inside the single-split scan task
+    # (§2.6) — which also keeps the downstream re-rank join stage at
+    # full width (the r12 probes.repartition served that role).
     probes = (
-        q_scored.withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= nprobe)
-        .drop("prn", "cscore", "c_emb")
-        .withColumnRenamed("c_id", "centroid_id")
+        queries.repartition(default_parallelism())
+        .crossJoin(_cent_array(centroids))
+        .withColumn(
+            "centroid_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(transform(_cents, "
+                    f"c -> {_scored_struct_sql('q_emb')})), 1, {int(nprobe)}), "
+                    f"s -> s.c_id)"
+                )
+            ),
+        )
+        .drop("_cents")
     )
 
-    # fan the probe side out: the exact re-rank cosine over the probed
-    # lists (|Q|·nprobe·list_size pairs) is computed in this join's
-    # stage, and the tiny probe frame otherwise arrives on 1-2
-    # AQE-coalesced partitions (guide §2.6). Per-row scoring + windowed
-    # top-k is partitioning-independent.
     cand = (
-        probes.repartition(default_parallelism())
+        probes
         .join(assigned, "centroid_id")
         .filter(F.col("q_id") != F.col("n_id"))
     )
@@ -645,24 +682,35 @@ def routed_candidates(
     Input contracts: members (n_id, emb, *extras), queries (q_id,
     q_emb, *extras), centroids (c_id, c_emb). Output: one row per
     candidate pair with both sides' columns."""
-    m_scored = members.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine("emb", "c_emb"), 6)
-    )
-    w_assign = Window.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    # per-row argmax over the folded codebook (round 13) — same
+    # (rounded cosine DESC, c_id ASC) assignment with no window
     assigned = (
-        m_scored.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .drop("arn", "cscore", "c_emb")
-        .withColumnRenamed("c_id", "centroid_id")
+        members.crossJoin(_cent_array(centroids))
+        .withColumn(
+            "centroid_id",
+            F.expr(
+                f"array_min(transform(_cents, "
+                f"c -> {_scored_struct_sql('emb')})).c_id"
+            ),
+        )
+        .drop("_cents")
     )
-    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "cscore", F.round(vectors.cosine("q_emb", "c_emb"), 6)
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
+    # top-nprobe routing as a per-row expression over the folded
+    # codebook (round 13): array_sort's struct ordering reproduces the
+    # (rounded cosine DESC, c_id ASC) window order, so slice+explode
+    # yields the identical probe rows with NO window exchange.
     probes = (
-        q_scored.withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= nprobe)
-        .drop("prn", "cscore", "c_emb")
-        .withColumnRenamed("c_id", "centroid_id")
+        queries.crossJoin(_cent_array(centroids))
+        .withColumn(
+            "centroid_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(transform(_cents, "
+                    f"c -> {_scored_struct_sql('q_emb')})), 1, {int(nprobe)}), "
+                    f"s -> s.c_id)"
+                )
+            ),
+        )
+        .drop("_cents")
     )
     return probes.join(assigned, "centroid_id").drop("centroid_id")

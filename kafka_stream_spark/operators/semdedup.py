@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions import vectors
 
@@ -41,18 +40,43 @@ def assign_clusters(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, emb) x broadcast(cid, cvec)
     -> (vec_id, emb, cid, dist), ties broken by (dist, cid) so both
     engines and every rerun agree.  The centroid table is broadcast —
-    assignment is a map-side pass however large the fact side is."""
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "emb",
-        "cid",
-        F.round(_sq_dist(F.col("emb"), F.col("cvec")), 6).alias("dist"),
+    assignment is a map-side pass however large the fact side is.
+
+    Round 13 (guide §2.3/§2.4): the per-vector argmin is a row-local
+    array_min over the codebook folded to ONE broadcast array — struct
+    ordering ASC == the old window's (dist ASC, cid ASC) — instead of a
+    k-way row expansion sorted through a (vec_id)-keyed window
+    exchange.  Same rounded zip_with/aggregate distance, same
+    tie-break, no shuffle."""
+    from ..session import default_parallelism
+
+    cent_arr = F.broadcast(
+        cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("_cents"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    sqd = (
+        "round(aggregate(zip_with(emb, c.cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6)"
+    )
+    # fan out BEFORE the per-row argmin: without the window's exchange
+    # the k·dim fold would run inside the single-split scan task
+    # (measured 2.1 s → 3.7 s on q_semantic_dedup before this line —
+    # the §2.6 lesson applies to expression rewrites too)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cvec")
+        e.repartition(default_parallelism())
+        .crossJoin(cent_arr)
+        .withColumn(
+            "_b",
+            F.expr(
+                f"array_min(transform(_cents, "
+                f"c -> struct({sqd} AS dist, c.cid AS cid)))"
+            ),
+        )
+        .select(
+            "vec_id",
+            "emb",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+        )
     )
 
 
@@ -145,7 +169,12 @@ def semantic_dedup(
     # pair block over k*nsalt tasks; the joined row set is identical.
     from ..session import default_parallelism
 
-    nsalt = max(1, default_parallelism())
+    # Cap the salt fan-out independently of core count (ADVICE r12):
+    # the b-side is replicated nsalt ways before the pair join, so
+    # shuffle volume grows linearly with nsalt — k*nsalt tasks already
+    # saturate any box at nsalt=16 for the gate's k, while a 192-core
+    # cluster would otherwise inflate the exchange 12x past need.
+    nsalt = max(1, min(default_parallelism(), 16))
     salts = members.sparkSession.range(nsalt).select(
         F.col("id").cast("int").alias("slt")
     )
@@ -192,23 +221,41 @@ def _probe_assignments(e: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     nearest cells ranked by (rounded cosine DESC, cid): prn = 1 is the
     ASSIGNED cell (the inverted-list home), prn 2..nprobe are the extra
     PROBED cells. One pass feeds both sides of the routed pair stage."""
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "emb",
-        "cid",
-        F.round(
-            F.try_divide(
-                vectors.dot("emb", "cvec"),
-                vectors.norm("emb") * vectors.norm("cvec"),
-            ),
-            6,
-        ).alias("cscore"),
+    # Round 13 (guide §2.3/§2.4): top-nprobe routing as a per-row
+    # expression over the codebook folded to ONE broadcast array,
+    # replacing the k-way row expansion + (vec_id)-keyed window
+    # exchange.  struct ordering ASC over ((-rounded cosine), cid)
+    # == the window's (cscore DESC, cid ASC); a NULL cscore
+    # (try_divide by a 0 norm) maps to +Infinity so it still sorts
+    # LAST, matching desc NULLS LAST.  posexplode's 0-based position
+    # + 1 is exactly the window's prn.
+    from ..session import default_parallelism
+
+    cent_arr = F.broadcast(
+        cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("_cents"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), "cid")
+    cos = (
+        f"try_divide({vectors._dot_spark_sql('emb', 'c.cvec')}, "
+        f"{vectors._norm_spark_sql('emb')} * "
+        f"{vectors._norm_spark_sql('c.cvec')})"
+    )
+    probe_expr = (
+        f"transform(slice(array_sort(transform(_cents, "
+        f"c -> struct(coalesce((-round({cos}, 6)), "
+        f"CAST('Infinity' AS DOUBLE)) AS ns, c.cid AS cid))), "
+        f"1, {int(nprobe)}), s -> s.cid)"
+    )
+    # fan out before the per-row k·dim scoring (§2.6 — see
+    # assign_clusters)
     return (
-        scored.withColumn("prn", F.row_number().over(w))
-        .filter(F.col("prn") <= nprobe)
-        .drop("cscore")
+        e.repartition(default_parallelism())
+        .crossJoin(cent_arr)
+        .select(
+            "vec_id",
+            "emb",
+            F.posexplode(F.expr(probe_expr)).alias("pos0", "cid"),
+        )
+        .select("vec_id", "emb", "cid", (F.col("pos0") + 1).alias("prn"))
     )
 
 

@@ -288,18 +288,6 @@ def q_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(default_parallelism(), "b")
         .persist()
     )
-    deg = (
-        sym.groupBy(F.col("a").alias("v"))
-        .agg(F.count("*").alias("k"))
-        .localCheckpoint(eager=True)
-    )
-    m2 = sym.count()
-    lbl = (
-        sym.select("a")
-        .distinct()
-        .select("a", F.col("a").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
 
     def _eic(labels: DataFrame) -> DataFrame:
         """(i, c, cnt): edges from i into community c under ``labels``."""
@@ -315,36 +303,67 @@ def q_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    eic = _eic(lbl)
+    # Round-13 (VERDICT r12 next #5, guide §2.3/§2.4): with SINGLETON
+    # seed labels the first edge⋈label join is the identity map
+    # (lbl(b) = b) and sym is DISTINCT by construction (_edges: e0
+    # DISTINCT, the two directions disjoint id spaces), so eic0 is just
+    # sym with cnt = 1 — no l0 distinct job, no join, no groupBy; deg
+    # and the m2 scalar then derive from it (k = Σcnt = the old
+    # per-vertex count, m2 = Σk — exact integers either way).
+    eic = sym.select(
+        F.col("a").alias("i"),
+        F.col("b").alias("c"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    deg = (
+        eic.groupBy(F.col("i").alias("v"))
+        .agg(F.sum("cnt").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = deg.agg(F.sum("k")).collect()[0][0]
+    lbl = None  # round 1 uses the implicit identity labeling
     dec = "decimal(38,0)"
     outs = []
     for rnd in range(1, _LV_ROUNDS + 1):
-        cd = (
-            lbl.join(deg, lbl.a == deg.v)
-            .groupBy("lbl")
-            .agg(F.sum(F.col("k").cast(dec)).alias("sig"))
-        )
-        sc = (
-            eic.join(
-                lbl.select(F.col("a").alias("i"), F.col("lbl").alias("own")),
-                "i",
+        if rnd == 1:
+            # identity labels: community degree IS the vertex degree
+            # (each singleton's sig = its own k) and own(i) = i
+            cd = deg.select(
+                F.col("v").alias("lbl"), F.col("k").cast(dec).alias("sig")
             )
-            .join(deg.select(F.col("v").alias("i"), "k"), "i")
-            .join(cd.select(F.col("lbl").alias("c"), "sig"), "c")
-            .select(
-                "i",
-                "c",
-                (
-                    F.col("cnt").cast(dec) * F.lit(m2).cast(dec)
-                    - F.col("k").cast(dec)
-                    * (
-                        F.col("sig")
-                        - F.when(F.col("own") == F.col("c"), F.col("k"))
-                        .otherwise(0)
-                        .cast(dec)
-                    )
-                ).alias("score"),
+            own_col = F.col("i")
+            sc_base = eic.join(
+                deg.select(F.col("v").alias("i"), "k"), "i"
+            ).join(cd.select(F.col("lbl").alias("c"), "sig"), "c")
+        else:
+            # the previous round's modularity pass already aggregated
+            # per-community degree sums over this exact labeling — reuse
+            # it instead of re-running the lbl⋈deg rollup (guide §2.4)
+            cd = cdeg.select("lbl", F.col("dsum").alias("sig"))
+            own_col = F.col("own")
+            sc_base = (
+                eic.join(
+                    lbl.select(
+                        F.col("a").alias("i"), F.col("lbl").alias("own")
+                    ),
+                    "i",
+                )
+                .join(deg.select(F.col("v").alias("i"), "k"), "i")
+                .join(cd.select(F.col("lbl").alias("c"), "sig"), "c")
             )
+        sc = sc_base.select(
+            "i",
+            "c",
+            (
+                F.col("cnt").cast(dec) * F.lit(m2).cast(dec)
+                - F.col("k").cast(dec)
+                * (
+                    F.col("sig")
+                    - F.when(own_col == F.col("c"), F.col("k"))
+                    .otherwise(0)
+                    .cast(dec)
+                )
+            ).alias("score"),
         )
         # per-vertex argmax via a combinable aggregate instead of a
         # sort-window: max(struct(score, -c)) picks the highest score
@@ -369,13 +388,16 @@ def q_louvain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("own").alias("lbl"))
             .agg(F.sum("cnt").alias("w"))
         )
-        ds = (
+        # vertex-grain rollup over two checkpointed inputs — cheap to
+        # evaluate for both its consumers (this round's modularity and
+        # the next round's cd), so no materialization needed
+        cdeg = (
             lbl.join(deg, lbl.a == deg.v)
             .groupBy("lbl")
             .agg(F.sum(F.col("k").cast(dec)).alias("dsum"))
         )
         qrow = (
-            ds.join(within, "lbl", "left")
+            cdeg.join(within, "lbl", "left")
             .agg(
                 F.round(
                     F.sum(

@@ -234,45 +234,105 @@ def q_dup_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).collect()[0]
     n_edges_by_tau = {t: int(ecnt[f"n{i}"]) for i, t in enumerate(_PERC_TAUS)}
+    # key the per-tau rows by INDEX, not by float equality after a
+    # round-trip through a Spark double column (ADVICE r12): a future
+    # _PERC_TAUS value that doesn't survive the float round-trip would
+    # silently hit the .get default and report n_docs=0
     taus_df = spark.createDataFrame(
-        [(float(t),) for t in _PERC_TAUS], "tau double"
+        [(i, float(t)) for i, t in enumerate(_PERC_TAUS)],
+        "tau_idx int, tau double",
     )
     vcnt = (
         scored.crossJoin(F.broadcast(taus_df))
         .filter(F.col("jaccard") >= F.col("tau"))
         .select(
-            "tau",
+            "tau_idx",
             F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("v"),
         )
-        .groupBy("tau")
+        .groupBy("tau_idx")
         .agg(F.countDistinct("v").alias("nv"))
         .collect()
     )
-    n_docs_by_tau = {float(r["tau"]): int(r["nv"]) for r in vcnt}
-    rows = []
-    for tau in _PERC_TAUS:
+    n_docs_by_idx = {int(r["tau_idx"]): int(r["nv"]) for r in vcnt}
+    # τ-monotone shared propagation (round 13, VERDICT r12 next #6,
+    # guide §2.4): edge sets nest — e(0.7) ⊆ e(0.5) ⊆ e(0.3) — so
+    # components at a higher τ sit INSIDE those at every lower τ.
+    # Process τ DESCENDING: run full connected components only on the
+    # smallest (highest-τ) graph, then for each lower τ CONTRACT every
+    # already-known component to a supervertex (map both edge endpoints
+    # through the doc→component labeling, drop self-loops) and
+    # propagate on the contracted graph — identical components, one
+    # full CC run instead of three.  Doc-grain labels are carried
+    # forward (lab_docs) so component sizes stay exact doc counts.
+    rows_by_idx: dict[int, tuple] = {}
+    lab_docs = None  # (v, comp): doc → component at the previous (higher) τ
+    for tau_i in range(len(_PERC_TAUS) - 1, -1, -1):
+        tau = _PERC_TAUS[tau_i]
         n_edges = n_edges_by_tau[tau]
-        n_docs = n_docs_by_tau.get(tau, 0)
+        n_docs = n_docs_by_idx.get(tau_i, 0)
         if n_edges == 0:
-            rows.append((tau, 0, 0, 0, 0))
+            rows_by_idx[tau_i] = (tau, 0, 0, 0, 0)
             continue
         e = scored.filter(F.col("jaccard") >= tau).select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
         e = e.localCheckpoint()
-        verts = (
-            e.select(F.col("a").alias("v"))
-            .unionByName(e.select(F.col("b").alias("v")))
-            .distinct()
-        )
-        labels, _r = connected_components(verts, e, shuffle_partitions=4)
-        comp = labels.groupBy("component").agg(F.count("*").alias("c"))
+        if lab_docs is None:
+            verts = (
+                e.select(F.col("a").alias("v"))
+                .unionByName(e.select(F.col("b").alias("v")))
+                .distinct()
+            )
+            labels, _r = connected_components(verts, e, shuffle_partitions=4)
+            lab_new = labels.select("v", "component")
+        else:
+            la = lab_docs.select(
+                F.col("v").alias("a"), F.col("comp").alias("ca")
+            )
+            lb = lab_docs.select(
+                F.col("v").alias("b"), F.col("comp").alias("cb")
+            )
+            em = (
+                e.join(la, "a", "left")
+                .join(lb, "b", "left")
+                .select(
+                    F.coalesce("ca", "a").alias("a"),
+                    F.coalesce("cb", "b").alias("b"),
+                )
+            )
+            sverts = (
+                em.select(F.col("a").alias("v"))
+                .unionByName(em.select(F.col("b").alias("v")))
+                .distinct()
+            )
+            ec = em.filter(F.col("a") != F.col("b"))
+            slabels, _r = connected_components(
+                sverts, ec, shuffle_partitions=4
+            )
+            docs = (
+                e.select(F.col("a").alias("v"))
+                .unionByName(e.select(F.col("b").alias("v")))
+                .distinct()
+            )
+            dm = docs.join(lab_docs, "v", "left").select(
+                "v", F.coalesce("comp", "v").alias("sv")
+            )
+            lab_new = dm.join(
+                slabels.select(F.col("v").alias("sv"), "component"), "sv"
+            ).select("v", "component")
+        comp = lab_new.groupBy("component").agg(F.count("*").alias("c"))
         stats = comp.agg(
             F.count("*").alias("nc"), F.max("c").alias("mx")
         ).collect()[0]
-        rows.append(
-            (tau, n_edges, n_docs, int(stats["nc"]), int(stats["mx"]))
+        rows_by_idx[tau_i] = (
+            tau, n_edges, n_docs, int(stats["nc"]), int(stats["mx"])
         )
+        if tau_i > 0:
+            # consumed by three joins at the next (lower) τ
+            lab_docs = lab_new.select(
+                "v", F.col("component").alias("comp")
+            ).localCheckpoint(eager=True)
+    rows = [rows_by_idx[i] for i in range(len(_PERC_TAUS))]
     return spark.createDataFrame(
         rows,
         "tau double, n_edges long, n_docs_in_dup_sets long,"

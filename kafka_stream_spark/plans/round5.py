@@ -2252,6 +2252,130 @@ _PQ_M = 8  # subspaces
 _PQ_K = 16  # centroids per subspace (4-bit codes)
 
 
+# --- literal-codebook PQ machinery (round-13 optimization) -----------------
+#
+# The PQ/IVF trainers below used to run every nearest-centroid assignment
+# as a 16x broadcast-join expansion + a (vec_id, m) sort-window — ~10
+# small jobs and 4+ exchanges per query (VERDICT r12 next #1).  The
+# codebooks are tiny and DETERMINISTIC (k<=16 per subspace, k=8 coarse),
+# so each trained codebook is collected to the driver (hundreds of rows)
+# and embedded as a folded SQL literal; assignment becomes a pure
+# per-row expression — array_min over struct(round(sq_dist, 6), cid),
+# which reproduces the window's (dist ASC, cid ASC) tie-break exactly
+# (struct ordering is lexicographic) — with NO join, NO window and NO
+# shuffle (guide §1.2/§2.4).  Distances use the identical
+# zip_with/aggregate fold as _sq_dist, against CAST('<repr>' AS DOUBLE)
+# literals (repr round-trips, string->double cast is correctly rounded),
+# so every per-pair value is bit-identical to the joined form.  At
+# corpus scale the collected frames stay codebook-sized (k entries),
+# never data-sized.
+
+
+def _pq_lit_d(v: float) -> str:
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _pq_sqdist6_sql(vec_sql: str, cvec_sql: str) -> str:
+    """round(_sq_dist(vec, cvec), 6) as SQL — the exact assignment
+    distance (same fold, same rounding) used by the joined form."""
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {cvec_sql}, "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6)"
+    )
+
+
+def _pq_centlist_sql(entries) -> str:
+    """[(cid, [floats])] (ascending cid) -> SQL literal
+    array<struct<cid bigint, cvec array<double>>>."""
+    inner = ",".join(
+        f"named_struct('cid', CAST({int(cid)} AS BIGINT), 'cvec', "
+        f"array({','.join(_pq_lit_d(float(x)) for x in cv)}))"
+        for cid, cv in entries
+    )
+    return f"array({inner})"
+
+
+def _pq_argmin_sql(vec_sql: str, centlist_sql: str) -> str:
+    """Nearest-centroid struct(dist, cid) over a literal codebook:
+    array_min's struct ordering = (dist ASC, cid ASC), identical to the
+    row_number window it replaces."""
+    return (
+        f"array_min(transform({centlist_sql}, "
+        f"c -> struct({_pq_sqdist6_sql(vec_sql, 'c.cvec')} AS dist, "
+        f"c.cid AS cid)))"
+    )
+
+
+def _pq_cents_by_m_sql(cent_by_m) -> str:
+    """{m: [(cid, vec)]} -> SQL literal array indexed by m + 1."""
+    per_m = ",".join(
+        _pq_centlist_sql(sorted(cent_by_m.get(m, [])))
+        for m in range(_PQ_M)
+    )
+    return f"array({per_m})"
+
+
+def _pq_train_cents1(e: DataFrame) -> dict:
+    """One Lloyd round of PQ training, returning the updated per-
+    subspace codebooks as {m: [(cid, [8 doubles])]}.  Init = the
+    subvectors of vec_id < _PQ_K (collected: <=16 rows); assignment is
+    the literal-codebook expression; the update is the SAME
+    posexplode -> (cid, m, pos) avg aggregate as the joined form
+    (identical groups, identical avg), collected at codebook grain."""
+    init_rows = (
+        e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "emb").collect()
+    )
+    cent0 = {
+        m: sorted(
+            (int(r["vec_id"]), list(r["emb"][m * 8 : m * 8 + 8]))
+            for r in init_rows
+        )
+        for m in range(_PQ_M)
+    }
+    cents0_sql = _pq_cents_by_m_sql(cent0)
+    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    subs = e.crossJoin(F.broadcast(ms)).select(
+        "vec_id", "m", F.slice(F.col("emb"), F.col("m") * 8 + 1, 8).alias("sv")
+    )
+    a1 = subs.select(
+        "m",
+        F.expr(_pq_argmin_sql("sv", f"element_at({cents0_sql}, m + 1)"))
+        .getField("cid")
+        .alias("cid"),
+        "sv",
+    )
+    dims = (
+        a1.select("cid", "m", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("cid", "m", "pos")
+        .agg(F.avg("val").alias("v"))
+        .collect()
+    )
+    cent1: dict = {}
+    acc: dict = {}
+    for r in dims:
+        acc.setdefault((int(r["m"]), int(r["cid"])), {})[int(r["pos"])] = float(
+            r["v"]
+        )
+    for (m, cid), by_pos in acc.items():
+        cent1.setdefault(m, []).append(
+            (cid, [by_pos[p] for p in sorted(by_pos)])
+        )
+    for m in cent1:
+        cent1[m].sort()
+    return cent1
+
+
+def _pq_codes_sql(emb_sql: str, cents1_sql: str) -> str:
+    """Per-vector PQ codes in ONE expression: for each subspace m, the
+    nearest updated centroid of slice(emb, m*8+1, 8) — array of
+    struct(dist, cid), m ascending."""
+    vec = f"slice({emb_sql}, m * 8 + 1, 8)"
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), "
+        f"m -> {_pq_argmin_sql(vec, f'element_at({cents1_sql}, m + 1)')})"
+    )
+
+
 @query(
     "q_pq_codebook",
     oracle=f"""
@@ -2318,65 +2442,30 @@ def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors; assignment is a broadcast of M*K tiny centroids
     against the subvector stream, exactly the IVF discipline per
     subspace; codes are 8 bytes/vector however large the corpus."""
+    # Round-13 rewrite (VERDICT r12 next #1, guide §1.2/§2.4): the two
+    # assignment passes were each a 16x broadcast-join expansion + a
+    # (vec_id, m) sort-window, and the output rollup a third shuffle.
+    # The codebooks are tiny and deterministic, so training collects
+    # them (literal-codebook machinery above) and BOTH assignments
+    # become pure per-row expressions; the final output is computed at
+    # VECTOR grain in one shuffle-free projection (codes generated in m
+    # order replace the collect_list/array_sort rollup; qerr folds the
+    # same 8 rounded dists in m order).
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
-    subs = e.crossJoin(F.broadcast(ms)).select(
+    cent1 = _pq_train_cents1(e)
+    codes = _pq_codes_sql("emb", _pq_cents_by_m_sql(cent1))
+    return e.select(
+        "vec_id", F.expr(codes).alias("codes")
+    ).select(
         "vec_id",
-        "m",
-        F.slice(F.col("emb"), F.col("m") * 8 + 1, 8).alias("sv"),
-    )
-    cent0 = subs.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("m").alias("cm"), F.col("sv").alias("cvec")
-    )
-
-    def assign(cent, keep_dist=False):
-        sc = subs.join(
-            F.broadcast(cent), subs.m == cent.cm
-        ).select(
-            "vec_id",
-            "m",
-            "cid",
-            "sv",
-            F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        out = sc.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
-        cols = ["vec_id", "m", "cid"] + (["dist"] if keep_dist else ["sv"])
-        return out.select(*cols)
-
-    a1 = assign(cent0)
-    dims = (
-        a1.select("cid", "m", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("cid", "m", "pos")
-        .agg(F.avg("val").alias("v"))
-    )
-    cent1 = (
-        dims.groupBy("cid", "m")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("cvec")
-        )
-        .select("cid", F.col("m").alias("cm"), "cvec")
-        .localCheckpoint(eager=True)
-    )
-    a2 = assign(cent1, keep_dist=True)
-    return a2.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("m", F.col("cid").cast("string").alias("c")))
-                ),
-                lambda s: s["c"],
-            ),
-            "-",
+        F.expr(
+            "array_join(transform(codes, s -> CAST(s.cid AS STRING)), '-')"
         ).alias("pq_code"),
-        F.round(F.sum("dist"), 6).alias("qerr"),
+        F.expr(
+            "round(aggregate(codes, 0D, (acc, s) -> acc + s.dist), 6)"
+        ).alias("qerr"),
     )
 
 
@@ -2601,90 +2690,99 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (qid, cand, m, code) tuples — 16 bytes/candidate/subspace
     — and the per-query argmin is a rank over candidates only. This is
     the memory layout that serves billion-vector indexes."""
+    # Round-13 rewrite (VERDICT r12 next #1, guide §1.2/§2.4): coarse
+    # k-means, PQ training, corpus encoding, query routing AND the ADC
+    # distance all ran as broadcast-join expansions + sort-windows +
+    # per-(qid, cand, m) groupBy — ~10 small jobs.  Every codebook here
+    # is tiny and deterministic, so each is collected and embedded as a
+    # folded SQL literal (machinery above q_pq_codebook): assignment /
+    # routing / encoding / ADC become per-row expressions, and the only
+    # remaining shuffles are the candidate join and the per-query
+    # top-k windows.  Per-pair arithmetic (zip_with fold, round 6,
+    # (dist, cid) tie-breaks) is identical; ADC folds the same 8
+    # rounded per-subspace distances in m order.
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    from ..operators.semdedup import assign_clusters, train_centroids
-
-    coarse = train_centroids(e, k=8, iters=2)
-    assigned = assign_clusters(e, coarse).select("vec_id", "cid")
-
-    # PQ training (X508 spelling)
-    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
-    subs = e.crossJoin(F.broadcast(ms)).select(
-        "vec_id", "m", F.slice(F.col("emb"), F.col("m") * 8 + 1, 8).alias("sv")
+    # coarse k-means (train_centroids k=8, iters=2 spelling): init = the
+    # 8 lowest vec_ids, one Lloyd round with the same (cid, pos) avg
+    init_rows = e.orderBy("vec_id").limit(8).select("vec_id", "emb").collect()
+    centc0_sql = _pq_centlist_sql(
+        sorted((int(r["vec_id"]), list(r["emb"])) for r in init_rows)
     )
-    pcent0 = subs.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("m").alias("cm"),
-        F.col("sv").alias("cvec"),
-    )
-
-    def passign(cent):
-        sc = subs.join(F.broadcast(cent), subs.m == cent.cm).select(
-            "vec_id", "m", "cid", "sv",
-            F.round(_sq_dist(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+    cdims = (
+        e.select(
+            F.expr(_pq_argmin_sql("emb", centc0_sql))
+            .getField("cid")
+            .alias("cid"),
+            F.posexplode("emb").alias("pos", "val"),
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
-        return sc.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
-
-    pa1 = passign(pcent0).select("vec_id", "m", "cid", "sv")
-    dims = (
-        pa1.select("cid", "m", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("cid", "m", "pos")
+        .groupBy("cid", "pos")
         .agg(F.avg("val").alias("v"))
+        .collect()
     )
-    pcent1 = (
-        dims.groupBy("cid", "m")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("cvec")
+    cacc: dict = {}
+    for r in cdims:
+        cacc.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["v"])
+    coarse1_sql = _pq_centlist_sql(
+        sorted(
+            (cid, [by_pos[p] for p in sorted(by_pos)])
+            for cid, by_pos in cacc.items()
         )
-        .select("cid", F.col("m").alias("cm"), "cvec")
-        .localCheckpoint(eager=True)
     )
-    pcodes = passign(pcent1).select("vec_id", "m", "cid")
+    assigned = e.select(
+        "vec_id",
+        F.expr(_pq_argmin_sql("emb", coarse1_sql)).getField("cid").alias("cid"),
+    )
+
+    # PQ training (X508 spelling) + whole-corpus encoding at vector grain
+    cents1_sql = _pq_cents_by_m_sql(_pq_train_cents1(e))
+    pcodes = e.select(
+        "vec_id",
+        F.expr(
+            f"transform({_pq_codes_sql('emb', cents1_sql)}, s -> s.cid)"
+        ).alias("codes"),
+    )
 
     queries = e.filter(F.col("vec_id") < _IVFPQ_NQ).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
     )
-    # nprobe nearest coarse cells per query
-    qsc = queries.crossJoin(F.broadcast(coarse.withColumnRenamed("cid", "ccid"))).select(
+    # nprobe nearest coarse cells per query: array_sort over the scored
+    # literal codebook = the (dist ASC, ccid ASC) window order
+    qprobe = queries.select(
         "qid",
-        "ccid",
-        F.round(_sq_dist(F.col("qemb"), F.col("cvec")), 6).alias("dist"),
-    )
-    wq = Window.partitionBy("qid").orderBy("dist", "ccid")
-    qprobe = (
-        qsc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _IVFPQ_NPROBE)
-        .select("qid", F.col("ccid").alias("cid"))
+        "qemb",
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort(transform({coarse1_sql}, "
+                f"c -> struct({_pq_sqdist6_sql('qemb', 'c.cvec')} AS dist, "
+                f"c.cid AS cid))), 1, {_IVFPQ_NPROBE}), s -> s.cid)"
+            )
+        ).alias("cid"),
     )
     cand = (
-        qprobe.join(assigned, "cid")
+        F.broadcast(qprobe)
+        .join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("cand_id"))
+        .select("qid", "qemb", F.col("vec_id").alias("cand_id"))
     )
-    qsubs = subs.join(
-        queries.select("qid"), subs.vec_id == F.col("qid")
-    ).select(F.col("qid").alias("sq"), "m", F.col("sv").alias("qsv"))
+    # ADC: per-subspace rounded distance of the query's exact subvector
+    # against the candidate code's centroid, folded in m order
+    _adc_lookup = (
+        f"element_at(filter(element_at({cents1_sql}, m + 1), "
+        f"c -> c.cid = element_at(codes, m + 1)), 1).cvec"
+    )
     adc = (
         cand.join(pcodes, cand.cand_id == pcodes.vec_id)
-        .join(
-            F.broadcast(pcent1),
-            (pcodes.cid == pcent1.cid) & (pcodes.m == pcent1.cm),
-        )
-        .join(qsubs, (F.col("sq") == cand.qid) & (qsubs.m == pcodes.m))
         .select(
-            cand.qid.alias("qid"),
+            "qid",
             "cand_id",
-            F.round(_sq_dist(F.col("qsv"), F.col("cvec")), 6).alias("pd"),
+            F.expr(
+                f"round(aggregate(transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"{_pq_sqdist6_sql('slice(qemb, m * 8 + 1, 8)', _adc_lookup)}"
+                f"), 0D, (acc, v) -> acc + v), 6)"
+            ).alias("adist"),
         )
-        .groupBy("qid", "cand_id")
-        .agg(F.round(F.sum("pd"), 6).alias("adist"))
     )
     wa = Window.partitionBy("qid").orderBy("adist", "cand_id")
     shortlist = (

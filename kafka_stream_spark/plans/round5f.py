@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text, vectors
+from ..session import default_parallelism
 from ..sources.tables import load
 from .registry import query
 
@@ -298,6 +299,10 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("w").agg(F.count("*").alias("df"))
     nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # materialize the df-capped weight table once (round 13, guide
+    # §2.4): it feeds THREE consumers (the norm rollup and both sides
+    # of the inverted-index self-join), each of which otherwise re-ran
+    # the tokenize + tf + df lineage
     wt = (
         tf.join(dfq, "w")
         .filter(F.col("df") <= _HY_DF_MAX)
@@ -310,6 +315,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
             ).alias("wgt"),
         )
+        .localCheckpoint(eager=True)
     )
     nrm = wt.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
@@ -361,9 +367,11 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = (
         F.broadcast(qe)
         .crossJoin(
+            # fan the corpus side out before the |Q|·n cosine pass —
+            # the single-split scan would run it on one core (§2.6)
             emb.select(
                 F.col("vec_id").alias("n_id"), F.col("embedding").alias("ce")
-            )
+            ).repartition(default_parallelism())
         )
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(

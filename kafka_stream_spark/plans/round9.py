@@ -152,32 +152,53 @@ def q_margin_mining_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         "side", F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb")
     )
-    cs = corpus.join(
-        F.broadcast(cent), F.col("side") == F.col("c_side")
-    ).withColumn(
-        "cscore", F.round(_vec.cosine("emb", "c_emb"), 6)
+    # Round 13 (guide §2.3/§2.6): fan the corpus/query sides out before
+    # the n×centroid cosine passes (single-split scan = one core), and
+    # compute assignment/routing as per-row expressions over the
+    # per-SIDE codebook folded to one broadcast array — the r12 form
+    # expanded every vector |centroids| ways and sorted the expansion
+    # through (n_id)/(q_id) window exchanges.  struct ordering ASC over
+    # ((-rounded cosine), c_id) == the windows' (cscore DESC, c_id ASC).
+    cent_by_side = F.broadcast(
+        cent.groupBy("c_side").agg(
+            F.collect_list(F.struct("c_id", "c_emb")).alias("_cents")
+        )
     )
-    w_assign = W.partitionBy("n_id").orderBy(F.desc("cscore"), "c_id")
+    _cos_assign = _vec.cosine_spark_sql("emb", "c.c_emb")
     assigned = (
-        cs.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("side", F.col("c_id").alias("centroid_id"), "n_id", "emb")
+        corpus.repartition(default_parallelism())
+        .join(cent_by_side, F.col("side") == F.col("c_side"))
+        .select(
+            "side",
+            F.expr(
+                f"array_min(transform(_cents, c -> struct("
+                f"nanvl((-round({_cos_assign}, 6)), CAST('-Infinity' AS DOUBLE)) AS ns, c.c_id AS c_id))).c_id"
+            ).alias("centroid_id"),
+            "n_id",
+            "emb",
+        )
     )
     queries = emb.select(
         F.col("side").alias("q_side"),
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
     )
-    qs = queries.join(
-        F.broadcast(cent), F.col("q_side") != F.col("c_side")
-    ).withColumn(
-        "cscore", F.round(_vec.cosine("q_emb", "c_emb"), 6)
-    )
-    w_probe = W.partitionBy("q_id").orderBy(F.desc("cscore"), "c_id")
+    _cos_probe = _vec.cosine_spark_sql("q_emb", "c.c_emb")
     probes = (
-        qs.withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= _MM_NPROBE)
-        .select("q_side", "q_id", "q_emb", F.col("c_id").alias("centroid_id"))
+        queries.repartition(default_parallelism())
+        .join(cent_by_side, F.col("q_side") != F.col("c_side"))
+        .select(
+            "q_side",
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(transform(_cents, "
+                    f"c -> struct(nanvl((-round({_cos_probe}, 6)), CAST('-Infinity' AS DOUBLE)) AS ns, "
+                    f"c.c_id AS c_id))), 1, {_MM_NPROBE}), s -> s.c_id)"
+                )
+            ).alias("centroid_id"),
+        )
     )
     candj = probes.join(assigned, "centroid_id").filter(
         F.col("q_id") != F.col("n_id")

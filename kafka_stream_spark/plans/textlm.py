@@ -506,9 +506,14 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # ACTUALLY materialize it (round 13): the r12 comment claimed this,
+    # but without the checkpoint the tokenize+explode+distinct lineage
+    # re-ran for every consumer — n_docs, the df rollup, and BOTH sides
+    # of the pair self-join (guide §2.4 duplicated subtrees)
     tok = (
         toks.select("doc_id", F.explode(bigrams).alias("w"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = (
@@ -521,7 +526,12 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w", "df")
     )
-    ft = tok.join(df, "w").select("doc_id", "w", "df")
+    # df-banded and doc-keyed: small, and read twice by the self-join
+    ft = (
+        tok.join(df, "w")
+        .select("doc_id", "w", "df")
+        .localCheckpoint(eager=True)
+    )
     a, b = ft.alias("a"), ft.alias("b")
     co = (
         a.join(

@@ -50,7 +50,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     if tag:
         os.makedirs(plans_dir, exist_ok=True)

@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--log", default="/root/repo/SWEEP_sf01.txt")
     ap.add_argument("--chunk", type=int, default=40)
     ap.add_argument("--timeout", type=int, default=3600, help="per-chunk seconds")
+    ap.add_argument(
+        "--first",
+        default=None,
+        help="file with one key per line to sweep FIRST (e.g. the keys "
+        "touched this round, so their certification lands even if the "
+        "full sweep is cut short; the sweep then continues with the rest)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -54,6 +61,13 @@ def main() -> int:
         pass
 
     todo = [k for k in keys if k not in done]
+    if args.first:
+        with open(args.first) as fh:
+            pri = [ln.strip() for ln in fh if ln.strip()]
+        pri_set = set(pri)
+        todo = [k for k in pri if k in set(todo)] + [
+            k for k in todo if k not in pri_set
+        ]
     print(
         f"sweep {args.sf_dir}: {len(keys)} gated keys, {len(done)} already ok, "
         f"{len(todo)} to run, waived: {sorted(WAIVERS)}",
